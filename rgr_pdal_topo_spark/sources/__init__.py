@@ -1,0 +1,3 @@
+from rgr_pdal_topo_spark.sources.tables import TABLES, load_table, register_views
+
+__all__ = ["TABLES", "load_table", "register_views"]
