@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec}, "sf": ..., "throughput_rows_per_sec": ...}
+
+Each query is forced end-to-end with a noop sink (all columns materialize —
+count() would let Catalyst prune the computed columns away).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The headline subset: one per operator family (scan/derive, gridding agg,
+# stencil engine, spatial joins, dedup, similarity, relational, windows).
+HEADLINE = [
+    "points_extract",
+    "grid_idw",
+    "slope_hillshade",
+    "tpi",
+    "pip_pairs",
+    "knn_gps",
+    "profile_extract",
+    "hag",
+    "minhash_buckets",
+    "cosine_topk",
+    "text_stats",
+    "tpch_pricing",
+    "sessionize",
+]
+
+
+def main() -> None:
+    from rgr_pdal_topo_spark.queries import QUERIES
+    from rgr_pdal_topo_spark.session import get_spark
+
+    spark = get_spark(app_name="bench")
+    # warm the JVM + parquet footers so per-query times measure the plans
+    spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+
+    times: dict[str, float] = {}
+    rows_total = 0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        df = fn(spark, SF_DIR)
+        rows_total += df.count()  # untimed: row counts for the throughput figure
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+    total = sum(times.values())
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_suite_sec",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+                "throughput_rows_per_sec": round(rows_total / total, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

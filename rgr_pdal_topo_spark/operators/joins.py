@@ -224,6 +224,108 @@ def knn_join_broadcast(
     return out
 
 
+def knn_join_grid(
+    points: DataFrame,
+    queries: DataFrame,
+    qx: str = "gx",
+    qy: str = "gy",
+    qid: str = "gps_id",
+    bucket: float = 50.0,
+    max_dist: float | None = None,
+    sentinel: float = -9999.0,
+    value_col: str = "z",
+) -> DataFrame:
+    """Exact k=1 NN via cell-ring candidate generation (the scale path).
+
+    Queries are exploded into their 3x3 neighbor buckets (broadcast) and
+    equi-joined to bucketed points; the per-query argmin is one agg of
+    min(struct(dist2, pid, ...)) — no global sort, no cross join.
+
+    Exactness: if the ring-best distance is <= bucket, every closer point
+    would lie inside the ring — the answer is the true NN.  Queries that
+    fail that guarantee (sparse neighborhoods) fall back to the broadcast
+    global argmin; at realistic densities the fallback set is empty, so the
+    plan is one hash join + one agg over ~(9/ncells)·|points| candidates
+    instead of |points| x |queries|.
+    """
+    p = points.withColumn(
+        "bx", F.floor(F.col("x") / F.lit(bucket)).cast("long")
+    ).withColumn("by", F.floor(F.col("y") / F.lit(bucket)).cast("long"))
+    spark = points.sparkSession
+    offs = spark.createDataFrame(
+        [(i, j) for i in (-1, 0, 1) for j in (-1, 0, 1)], "ox long, oy long"
+    )
+    q = (
+        queries.withColumn(
+            "bx0", F.floor(F.col(qx) / F.lit(bucket)).cast("long")
+        )
+        .withColumn("by0", F.floor(F.col(qy) / F.lit(bucket)).cast("long"))
+        .crossJoin(offs)
+        .withColumn("bx", F.col("bx0") + F.col("ox"))
+        .withColumn("by", F.col("by0") + F.col("oy"))
+        .drop("bx0", "by0", "ox", "oy")
+    )
+    cand = p.join(F.broadcast(q), ["bx", "by"])
+    d2 = (cand.x - F.col(qx)) * (cand.x - F.col(qx)) + (
+        cand.y - F.col(qy)
+    ) * (cand.y - F.col(qy))
+    best = (
+        cand.withColumn("dist2", d2)
+        .groupBy(qid, qx, qy)
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("dist2"), F.col("pid"), F.col(value_col).alias("v")
+                )
+            ).alias("b")
+        )
+        .select(
+            qid, qx, qy,
+            F.col("b.dist2").alias("dist2"),
+            F.col("b.pid").alias("pid"),
+            F.col("b.v").alias("_v"),
+        )
+    )
+    resolved = best.filter(F.col("dist2") <= F.lit(bucket * bucket))
+    unresolved = queries.join(
+        resolved.select(qid), qid, "left_anti"
+    )
+    # rare fallback: exact global argmin for the unresolved handful
+    fb = (
+        points.crossJoin(F.broadcast(unresolved))
+        .withColumn(
+            "dist2",
+            (F.col("x") - F.col(qx)) * (F.col("x") - F.col(qx))
+            + (F.col("y") - F.col(qy)) * (F.col("y") - F.col(qy)),
+        )
+        .groupBy(qid, qx, qy)
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("dist2"), F.col("pid"), F.col(value_col).alias("v")
+                )
+            ).alias("b")
+        )
+        .select(
+            qid, qx, qy,
+            F.col("b.dist2").alias("dist2"),
+            F.col("b.pid").alias("pid"),
+            F.col("b.v").alias("_v"),
+        )
+    )
+    out = resolved.unionByName(fb).withColumn("nn_dist", F.sqrt("dist2"))
+    if max_dist is not None:
+        out = out.withColumn(
+            "nn_value",
+            F.when(F.col("nn_dist") > F.lit(max_dist), F.lit(sentinel)).otherwise(
+                F.col("_v")
+            ),
+        )
+    else:
+        out = out.withColumn("nn_value", F.col("_v"))
+    return out.drop("_v")
+
+
 # --------------------------------------------------------------------------
 # J5: grid-vs-grid cell join; J8: height above ground
 # --------------------------------------------------------------------------

@@ -284,8 +284,8 @@ def q_pip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_knn_gps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4: nearest-neighbor (k=1) with maxDist sentinel
-    (networkGraph.py:688-741)."""
-    out = joins.knn_join_broadcast(
+    (networkGraph.py:688-741) — cell-ring candidate join, not cross join."""
+    out = joins.knn_join_grid(
         points_df(spark, sf_dir), gps_df(spark, sf_dir), max_dist=100.0
     )
     return out.select(

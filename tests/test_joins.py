@@ -200,3 +200,26 @@ def test_grid_residuals(spark, pts):
     r = joins.grid_residuals(a, b).first()
     assert r.n_cells > 0
     assert r.ssr >= 0.0
+
+
+def test_knn_grid_equals_broadcast(spark, pts):
+    from rgr_pdal_topo_spark.synth import gps_df
+
+    gps = gps_df(spark, SF_DIR)
+    a = (
+        joins.knn_join_broadcast(pts, gps, max_dist=100.0)
+        .select("gps_id", "pid", "nn_dist", "nn_value")
+        .toPandas()
+        .sort_values("gps_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        joins.knn_join_grid(pts, gps, max_dist=100.0)
+        .select("gps_id", "pid", "nn_dist", "nn_value")
+        .toPandas()
+        .sort_values("gps_id")
+        .reset_index(drop=True)
+    )
+    assert (a.pid.to_numpy() == b.pid.to_numpy()).all()
+    np.testing.assert_allclose(a.nn_dist, b.nn_dist, rtol=0)
+    np.testing.assert_allclose(a.nn_value, b.nn_value, rtol=0)
