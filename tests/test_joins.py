@@ -223,3 +223,24 @@ def test_knn_grid_equals_broadcast(spark, pts):
     assert (a.pid.to_numpy() == b.pid.to_numpy()).all()
     np.testing.assert_allclose(a.nn_dist, b.nn_dist, rtol=0)
     np.testing.assert_allclose(a.nn_value, b.nn_value, rtol=0)
+
+
+def test_profile_folded_equals_join(spark, pts):
+    a = (
+        joins.profile_project(pts)
+        .select("pid", "profile_id", "seg_idx", "t", "d", "l")
+        .toPandas()
+        .sort_values(["profile_id", "pid"])
+        .reset_index(drop=True)
+    )
+    b = (
+        joins.profile_project_join(pts)
+        .select("pid", "profile_id", "seg_idx", "t", "d", "l")
+        .toPandas()
+        .sort_values(["profile_id", "pid"])
+        .reset_index(drop=True)
+    )
+    assert len(a) == len(b)
+    assert (a.seg_idx.to_numpy() == b.seg_idx.to_numpy()).all()
+    np.testing.assert_array_equal(a.d.to_numpy(), b.d.to_numpy())
+    np.testing.assert_array_equal(a.l.to_numpy(), b.l.to_numpy())

@@ -1,0 +1,115 @@
+"""Multimodal plumbing, checkpoint lineage, streaming-vs-batch parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_DIR
+
+from pyspark.sql import functions as F
+
+
+def test_multimodal_features_deterministic(spark):
+    from rgr_pdal_topo_spark.operators import multimodal as mm
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    payloads = mm.attach_payload(docs)
+    a = mm.extract_features(payloads).toPandas().sort_values("doc_id")
+    b = mm.extract_features(payloads).toPandas().sort_values("doc_id")
+    assert len(a) == 50
+    assert all(len(v) == mm.FEATURE_DIM for v in a.feature)
+    for va, vb in zip(a.feature, b.feature):
+        np.testing.assert_array_equal(va, vb)
+    # payload_bytes metadata consistent with binary length
+    assert (a.payload_bytes > 0).all()
+
+
+def test_multimodal_strict_raises(spark):
+    from rgr_pdal_topo_spark.operators import multimodal as mm
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(2)
+    payloads = mm.attach_payload(docs)
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        mm.extract_features(payloads, strict=True).collect()
+
+
+def test_frame_sample_shapes(spark):
+    from rgr_pdal_topo_spark.operators import multimodal as mm
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").limit(20)
+    frames = mm.frame_sample(mm.attach_payload(docs)).toPandas()
+    assert (frames.frame_offset == frames.frame_idx * 64).all()
+    assert frames.groupby("doc_id").frame_idx.max().max() <= 7
+
+
+def test_lineage_resume_equals_single_shot(spark, tmp_path):
+    from rgr_pdal_topo_spark.plans.lineage import BatchCheckpointer
+    from rgr_pdal_topo_spark.synth import points_df
+
+    pts = points_df(spark, SF_DIR)
+
+    def transform(df):
+        return df.groupBy("batch_id", "cls").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum("z"), 6).alias("sz")
+        )
+
+    # single shot
+    cp1 = BatchCheckpointer(str(tmp_path / "one"), n_batches=8)
+    full = transform(
+        pts.withColumn("batch_id", F.pmod(F.col("pid"), F.lit(8)).cast("int"))
+    ).toPandas().sort_values(["batch_id", "cls"]).reset_index(drop=True)
+
+    # interrupted run: first process only batches 0-3 (simulate failure)
+    cp = BatchCheckpointer(str(tmp_path / "resume"), n_batches=8)
+    cp.run(pts.filter(F.pmod(F.col("pid"), F.lit(8)) < 4), transform)
+    assert sorted(
+        r.batch_id for r in cp.completed(spark).collect()
+    ) == [0, 1, 2, 3]
+
+    # resume with the full input: only batches 4-7 are computed
+    out = cp.run(pts, transform).toPandas()
+    got = out.sort_values(["batch_id", "cls"]).reset_index(drop=True)
+    assert (
+        got[["batch_id", "cls", "n", "sz"]].values.tolist()
+        == full[["batch_id", "cls", "n", "sz"]].values.tolist()
+    )
+    # no drift detected
+    assert cp.validate(pts).count() == 0
+
+
+def test_streaming_equals_batch(spark):
+    from rgr_pdal_topo_spark.streaming.windows import (
+        events_stream,
+        hourly_counts_stream,
+        run_to_memory,
+    )
+
+    stream = hourly_counts_stream(
+        events_stream(spark, f"{SF_DIR}/events.parquet")
+    )
+    got = (
+        run_to_memory(stream, "hourly_test")
+        .toPandas()
+        .sort_values(["hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        spark.read.parquet(f"{SF_DIR}/events.parquet")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .toPandas()
+        .sort_values(["hour", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(batch)
+    assert (got.n.to_numpy() == batch.n.to_numpy()).all()
+    np.testing.assert_allclose(got.sum_value, batch.sum_value, atol=2e-6)
