@@ -81,16 +81,21 @@ def test_lineage_resume_equals_single_shot(spark, tmp_path):
     assert cp.validate(pts).count() == 0
 
 
-def test_streaming_equals_batch(spark):
+def test_streaming_equals_batch(spark, tmp_path):
+    import shutil
+
     from rgr_pdal_topo_spark.streaming.windows import (
         events_stream,
         hourly_counts_stream,
         run_to_memory,
     )
 
-    stream = hourly_counts_stream(
-        events_stream(spark, f"{SF_DIR}/events.parquet")
-    )
+    # the file stream source requires a directory
+    events_dir = tmp_path / "events_stream"
+    events_dir.mkdir()
+    shutil.copy(f"{SF_DIR}/events.parquet", events_dir / "part-0.parquet")
+
+    stream = hourly_counts_stream(events_stream(spark, str(events_dir)))
     got = (
         run_to_memory(stream, "hourly_test")
         .toPandas()
