@@ -1,0 +1,79 @@
+"""Physical-plan audits: the plans must have the scale-safe shapes
+(broadcast joins for dims, pushed filters in scans, partial aggregation,
+no cartesian products on fact-fact paths)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pip_join_is_broadcast(spark):
+    from rgr_pdal_topo_spark.operators.joins import pip_join_rect
+    from rgr_pdal_topo_spark.synth import points_df, polygons_df
+
+    plan = _plan(
+        pip_join_rect(points_df(spark, SF_DIR), polygons_df(spark, SF_DIR))
+    )
+    assert "Broadcast" in plan
+    # the fact side must not shuffle for this join
+    assert "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_to_parquet(spark):
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    df = load_table(spark, SF_DIR, "lineitem").filter(
+        F.col("l_shipdate") < "1996-01-01"
+    ).select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan or "PushedFilters" in plan
+    # column pruning: the scan must not read all 11 columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[-1]
+
+
+def test_grid_agg_is_partial_final(spark):
+    from rgr_pdal_topo_spark.grid import DEFAULT_GRID as G
+    from rgr_pdal_topo_spark.operators.gridding import grid_points
+    from rgr_pdal_topo_spark.synth import points_df
+
+    plan = _plan(grid_points(points_df(spark, SF_DIR), G, output_type="idw"))
+    # two HashAggregate nodes = map-side partial + final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_knn_grid_no_cartesian_mainpath(spark):
+    from rgr_pdal_topo_spark.operators.joins import knn_join_grid
+    from rgr_pdal_topo_spark.synth import gps_df, points_df
+
+    df = knn_join_grid(
+        points_df(spark, SF_DIR), gps_df(spark, SF_DIR), max_dist=100.0
+    )
+    plan = _plan(df)
+    # candidate generation must be an equi (hash) join on buckets
+    assert "BroadcastHashJoin" in plan
+
+
+def test_profile_project_no_shuffle(spark):
+    from rgr_pdal_topo_spark.operators.joins import profile_project
+    from rgr_pdal_topo_spark.synth import points_df
+
+    plan = _plan(profile_project(points_df(spark, SF_DIR)))
+    assert "Exchange" not in plan  # pure narrow map: scan->project->explode
+    assert "*(1)" in plan  # whole-stage codegen span
+
+
+def test_whole_stage_codegen_on_points(spark):
+    from rgr_pdal_topo_spark.synth import points_df
+
+    plan = _plan(points_df(spark, SF_DIR))
+    assert "*(1)" in plan  # whole-stage codegen span
+    # column pruning reached the scan: only o_orderkey is read
+    assert "ReadSchema: struct<o_orderkey:bigint>" in plan
