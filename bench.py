@@ -39,6 +39,9 @@ HEADLINE = [
     "text_stats",
     "tpch_pricing",
     "sessionize",
+    "flow_chi",
+    "fft_binned_power",
+    "kmeans_scarp",
 ]
 
 

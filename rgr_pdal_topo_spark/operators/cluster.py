@@ -1,0 +1,60 @@
+"""X11: K-means pixel classification (ClusterScarp.ipynb cell 8).
+
+The notebook runs sklearn KMeans(n_clusters=2) on slope magnitude and
+relabels clusters by their mean so the steeper cluster marks the scarp.
+The engine re-expresses this as deterministic Lloyd iterations with
+min/max initialization — every step is a distributed aggregate (assign =
+columnar CASE, update = groupBy mean), only the k center values ever
+reach the driver, and the identical chain of CASE/AVG steps is written as
+chained CTEs in the DuckDB oracle (queries.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _assign(df: DataFrame, col: str, centers: list[float]) -> DataFrame:
+    """Nearest-center assignment; ties go to the lower-index center."""
+    dist = [F.abs(F.col(col) - F.lit(c)) for c in centers]
+    cl = F.lit(0)
+    best = dist[0]
+    for i in range(1, len(centers)):
+        cl = F.when(dist[i] < best, i).otherwise(cl)
+        best = F.when(dist[i] < best, dist[i]).otherwise(best)
+    return df.withColumn("cluster", cl.cast("int"))
+
+
+def kmeans_1d(
+    df: DataFrame, col: str, k: int = 2, iters: int = 5
+) -> tuple[DataFrame, list[float]]:
+    """Deterministic 1-D Lloyd: centers init at evenly spaced quantile-free
+    positions between min and max, then `iters` assign/update rounds.
+    Returns (df + cluster column under final centers, centers)."""
+    row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+    lo, hi = float(row["lo"]), float(row["hi"])
+    centers = [lo + (hi - lo) * i / (k - 1) for i in range(k)] if k > 1 else [lo]
+    for _ in range(iters):
+        assigned = _assign(df, col, centers)
+        means = {
+            r["cluster"]: r["m"]
+            for r in assigned.groupBy("cluster")
+            .agg(F.avg(col).alias("m"))
+            .collect()
+        }
+        centers = [
+            float(means.get(i, centers[i])) for i in range(k)
+        ]  # empty cluster keeps its center
+    return _assign(df, col, centers), centers
+
+
+def kmeans_relabel_hi(
+    df: DataFrame, col: str, iters: int = 5
+) -> DataFrame:
+    """2-cluster KMeans on `col`, relabeled so 1 = the higher-mean cluster
+    (the notebook's scarp class)."""
+    assigned, centers = kmeans_1d(df, col, k=2, iters=iters)
+    hi = 1 if centers[1] >= centers[0] else 0
+    return assigned.withColumn(
+        "scarp_class", F.when(F.col("cluster") == hi, 1).otherwise(0)
+    ).drop("cluster")

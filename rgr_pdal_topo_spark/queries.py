@@ -983,3 +983,708 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.encode(F.col("text"), "UTF-8")).alias("payload_bytes"),
         "n_chars",
     )
+
+
+# ---------------------------------------------------------------------------
+# G1-G13: flow routing / channel network (operators/flow.py)
+#
+# Oracle-checked queries run on the RAW mean-z DEM over FLOW_GRID (50x50,
+# 20 m cells — dense at sf0.01); the priority-flood fill itself is not
+# SQL-expressible, so the filled pipeline is exposed as flow_fill (rows-only
+# driver check) and proven cell-exact against the sequential algorithm in
+# tests/test_flow.py.
+# ---------------------------------------------------------------------------
+
+from rgr_pdal_topo_spark.functions.kernels import (  # noqa: E402
+    D8_COL_KERNEL,
+    D8_DS_CODES,
+    D8_ROW_KERNEL,
+)
+from rgr_pdal_topo_spark.operators import flow as flowops  # noqa: E402
+
+FG = flowops.FLOW_GRID
+_PXL = repr(float(FG.cell) * float(FG.cell))
+_FCELLS = (
+    f"SELECT {FG.sql_row_of('y')} AS cell_row, {FG.sql_col_of('x')} AS "
+    "cell_col, z FROM pts"
+)
+_FGRID = (
+    "SELECT cell_row, cell_col, SUM(z) / COUNT(*) AS value FROM fcells "
+    "GROUP BY cell_row, cell_col"
+)
+_FOFFS = "SELECT * FROM (VALUES " + ", ".join(
+    f"({k}, {int(D8_ROW_KERNEL[k])}, {int(D8_COL_KERNEL[k])}, "
+    f"{int(D8_DS_CODES[k])}, "
+    f"{math.sqrt((FG.cell * D8_ROW_KERNEL[k]) ** 2 + (FG.cell * D8_COL_KERNEL[k]) ** 2)!r})"
+    for k in range(8)
+) + ") AS o(k, dr, dc, code, dist)"
+# steepest positive descent, first-max tie-break in kernel order
+# (_assignFlowDir, flowRoutingGrids.py:549-597); missing neighbors excluded
+_FNBR = (
+    "SELECT g.cell_row, g.cell_col, o.k, o.code, "
+    "(g.value - n.value) / o.dist AS s FROM fgrid g JOIN offs o ON TRUE "
+    "JOIN fgrid n ON n.cell_row = g.cell_row + o.dr "
+    "AND n.cell_col = g.cell_col + o.dc"
+)
+_FBEST = (
+    "SELECT cell_row, cell_col, code, s, ROW_NUMBER() OVER ("
+    "PARTITION BY cell_row, cell_col ORDER BY s DESC, k ASC) AS rn FROM nbr"
+)
+_FFD = (
+    "SELECT g.cell_row, g.cell_col, "
+    "COALESCE(CASE WHEN b.s > 0 THEN b.code END, 0) AS fd "
+    "FROM fgrid g LEFT JOIN best b ON b.cell_row = g.cell_row "
+    "AND b.cell_col = g.cell_col AND b.rn = 1"
+)
+_FEDGES = (
+    "SELECT f.cell_row, f.cell_col, f.cell_row + o.dr AS down_row, "
+    "f.cell_col + o.dc AS down_col, o.dist FROM fd f "
+    "JOIN offs o ON o.code = f.fd"
+)
+_FREACH = (
+    "SELECT cell_row AS r0, cell_col AS c0, cell_row AS r, cell_col AS c "
+    "FROM fgrid UNION ALL SELECT t.r0, t.c0, e.down_row, e.down_col "
+    "FROM reach t JOIN edges e ON e.cell_row = t.r AND e.cell_col = t.c"
+)
+_FAREA = (
+    f"SELECT r AS cell_row, c AS cell_col, COUNT(*) * {_PXL} AS area "
+    "FROM reach GROUP BY r, c"
+)
+
+_FLOW_BASE = (
+    "WITH RECURSIVE "
+    + ", ".join(
+        [
+            f"pts AS ({PTS})",
+            f"fcells AS ({_FCELLS})",
+            f"fgrid AS MATERIALIZED ({_FGRID})",
+            f"offs AS ({_FOFFS})",
+            f"nbr AS ({_FNBR})",
+            f"best AS ({_FBEST})",
+            f"fd AS MATERIALIZED ({_FFD})",
+            f"edges AS MATERIALIZED ({_FEDGES})",
+        ]
+    )
+    + " "
+)
+
+_CHI_A0, _CHI_THETA, _CHI_AMIN = 1000000.0, 0.45, 1600.0
+_KSN_AMIN, _KSN_THETA = 4000.0, 0.5
+# outlet-upward accumulation: same left-to-right float association as the
+# per-basin sweep (L_child = L_parent + dist), so parity is exact
+_FWALKUP = (
+    "SELECT cell_row, cell_col, CAST(0.0 AS DOUBLE) AS flow_l, "
+    "CAST(0.0 AS DOUBLE) AS chi FROM fd WHERE fd = 0 UNION ALL "
+    "SELECT e.cell_row, e.cell_col, w.flow_l + e.dist, "
+    f"CASE WHEN a.area >= {_CHI_AMIN!r} THEN w.chi + "
+    f"POWER({_CHI_A0!r} / a.area, {_CHI_THETA!r}) * e.dist ELSE 0.0 END "
+    "FROM walkup w JOIN edges e ON e.down_row = w.cell_row "
+    "AND e.down_col = w.cell_col JOIN area a ON a.cell_row = e.cell_row "
+    "AND a.cell_col = e.cell_col"
+)
+
+
+def _flow_dem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gridding.grid_points(points_df(spark, sf_dir), FG, output_type="mean")
+
+
+def _flow_metrics_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return flowops.flow_metrics(
+        _flow_dem(spark, sf_dir), FG, do_fill=False,
+        a0=_CHI_A0, theta=_CHI_THETA, amin=_CHI_AMIN, ksn_theta=_KSN_THETA,
+        tile_cells=25,
+    )
+
+
+@query(
+    "flow_d8",
+    _FLOW_BASE
+    + "SELECT f.cell_row, f.cell_col, f.fd, "
+    "COALESCE(ROUND((g.value - d.value) / o.dist, 6), 0.0) AS slope_d8 "
+    "FROM fd f JOIN fgrid g ON g.cell_row = f.cell_row "
+    "AND g.cell_col = f.cell_col "
+    "LEFT JOIN offs o ON o.code = f.fd "
+    "LEFT JOIN fgrid d ON d.cell_row = f.cell_row + o.dr "
+    "AND d.cell_col = f.cell_col + o.dc",
+)
+def q_flow_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2/W16: D8 steepest-descent direction (ArcGIS codes) + D8 slope on
+    the raw DEM — one stencil shuffle + one edge join."""
+    g = _flow_dem(spark, sf_dir)
+    fdd = flowops.d8_flow_dir_df(g, FG, tile_cells=25, value_col="value")
+    edges = flowops.flow_edges(fdd, FG)
+    down = g.select(
+        F.col("cell_row").alias("down_row"),
+        F.col("cell_col").alias("down_col"),
+        F.col("value").alias("down_z"),
+    )
+    slope = edges.join(down, ["down_row", "down_col"]).select(
+        "cell_row", "cell_col", "dist", "down_z"
+    )
+    return (
+        fdd.join(g.select("cell_row", "cell_col", "value"),
+                 ["cell_row", "cell_col"])
+        .join(slope, ["cell_row", "cell_col"], "left")
+        .select(
+            "cell_row", "cell_col", "fd",
+            F.coalesce(
+                F.round((F.col("value") - F.col("down_z")) / F.col("dist"), 6),
+                F.lit(0.0),
+            ).alias("slope_d8"),
+        )
+    )
+
+
+@query(
+    "flow_area",
+    _FLOW_BASE + f", reach AS ({_FREACH}) SELECT r AS cell_row, "
+    f"c AS cell_col, COUNT(*) * {_PXL} AS area FROM reach GROUP BY r, c",
+)
+def q_flow_area(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: D8 drainage-area accumulation (_calcD8Area sweep per basin;
+    oracle = recursive downstream closure)."""
+    return _flow_metrics_raw(spark, sf_dir).select(
+        "cell_row", "cell_col", "area"
+    )
+
+
+@query(
+    "flow_chi",
+    _FLOW_BASE
+    + f", reach AS ({_FREACH}), area AS MATERIALIZED ({_FAREA}), walkup AS ({_FWALKUP}) "
+    "SELECT cell_row, cell_col, ROUND(flow_l, 6) AS flow_l, "
+    "ROUND(chi, 6) AS chi FROM walkup",
+)
+def q_flow_chi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5/G12: chi integration from every outlet (calcChiGrid,
+    flowRoutingGrids.py:414-446) + along-flow distance L from the outlet
+    (networkNode.L)."""
+    m = _flow_metrics_raw(spark, sf_dir)
+    return m.select(
+        "cell_row", "cell_col",
+        F.round("L", 6).alias("flow_l"),
+        F.round("chi", 6).alias("chi"),
+    )
+
+
+@query(
+    "flow_basins",
+    _FLOW_BASE
+    + f", walkdown AS ({_FREACH.replace('reach', 'walkdown')}) "
+    "SELECT w.r0 AS cell_row, w.c0 AS cell_col, "
+    f"CAST(w.r * {FG.ncols} + w.c AS BIGINT) AS basin_id "
+    "FROM walkdown w JOIN fd f ON f.cell_row = w.r AND f.cell_col = w.c "
+    "WHERE f.fd = 0",
+)
+def q_flow_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G8: basin labeling — pointer doubling to the fd==0 root
+    (findBasinIndices, flowRoutingGrids.py:849-902)."""
+    return _flow_metrics_raw(spark, sf_dir).select(
+        "cell_row", "cell_col", "basin_id"
+    )
+
+
+@query("flow_order")  # sequential confluence sweep — no SQL analogue
+def q_flow_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: stream-order grid (calcOrderGrid ascending-area sweep with
+    increment-on-equal-confluence; rows-only driver check, exact parity
+    vs the sequential sweep in tests/test_flow.py)."""
+    m = _flow_metrics_raw(spark, sf_dir)
+    return m.select(
+        "cell_row", "cell_col",
+        F.col("order").cast("int").alias("stream_order"),
+        "basin_id",
+    )
+
+
+@query("flow_fill")  # priority-flood is not SQL-expressible
+def q_flow_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1: distributed priority-flood pit filling (tile flood + halo-seed
+    fixpoint; cell-exact vs Barnes et al. sequential fill in
+    tests/test_flow.py — rows-only driver check)."""
+    filled = flowops.fill_dem(_flow_dem(spark, sf_dir), FG, tile_cells=25)
+    return filled.select(
+        "cell_row", "cell_col",
+        F.round("z", 6).alias("z"),
+        F.round("fill", 6).alias("fill_z"),
+    )
+
+
+_FNET = (
+    "SELECT a.cell_row, a.cell_col, a.area, w.flow_l, g.value AS z "
+    "FROM area a JOIN walkup w ON w.cell_row = a.cell_row "
+    "AND w.cell_col = a.cell_col JOIN fgrid g ON g.cell_row = a.cell_row "
+    f"AND g.cell_col = a.cell_col WHERE a.area > {_KSN_AMIN!r}"
+)
+_FKSN = (
+    "SELECT n.cell_row, n.cell_col, n.area, n.flow_l, n.z, "
+    "e.down_row, e.down_col, "
+    f"((d.z - n.z) / (d.flow_l - n.flow_l)) * POWER(n.area, {_KSN_THETA!r}) "
+    "AS ksn FROM net n "
+    "LEFT JOIN edges e ON e.cell_row = n.cell_row AND e.cell_col = n.cell_col "
+    "LEFT JOIN net d ON d.cell_row = e.down_row AND d.cell_col = e.down_col"
+)
+
+
+@query(
+    "network_ksn",
+    _FLOW_BASE
+    + f", reach AS ({_FREACH}), area AS MATERIALIZED ({_FAREA}), walkup AS ({_FWALKUP}), "
+    f"net AS MATERIALIZED ({_FNET}), ksn_nodes AS MATERIALIZED ({_FKSN}) "
+    "SELECT cell_row, cell_col, area, ROUND(flow_l, 6) AS flow_l, "
+    "ROUND(ksn, 6) AS ksn FROM ksn_nodes",
+)
+def q_network_ksn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11/G12: channel-network nodes (area > Amin) with channel
+    steepness Ksn = S * A**theta (networkGraph.py:938-948; NULL at
+    outlets)."""
+    nodes = flowops.network_nodes(
+        _flow_metrics_raw(spark, sf_dir), FG, _KSN_AMIN
+    )
+    return nodes.select(
+        "cell_row", "cell_col", "area",
+        F.round("L", 6).alias("flow_l"),
+        F.round("ksn", 6).alias("ksn"),
+    )
+
+
+@query(
+    "network_dissolve",
+    _FLOW_BASE
+    + f", reach AS ({_FREACH}), area AS MATERIALIZED ({_FAREA}), walkup AS ({_FWALKUP}), "
+    f"net AS MATERIALIZED ({_FNET}), ksn_nodes AS MATERIALIZED ({_FKSN}), "
+    "inflow AS MATERIALIZED (SELECT down_row AS cell_row, down_col AS cell_col, "
+    "COUNT(*) AS n_in FROM ksn_nodes WHERE down_row IS NOT NULL "
+    "GROUP BY down_row, down_col), "
+    "jn AS MATERIALIZED (SELECT k.cell_row, k.cell_col, "
+    "(COALESCE(i.n_in, 0) >= 2 OR k.down_row IS NULL) AS is_j "
+    "FROM ksn_nodes k LEFT JOIN inflow i ON i.cell_row = k.cell_row "
+    "AND i.cell_col = k.cell_col), "
+    "walkseg AS (SELECT cell_row AS r0, cell_col AS c0, cell_row AS r, "
+    "cell_col AS c FROM ksn_nodes UNION ALL "
+    "SELECT w.r0, w.c0, k.down_row, k.down_col FROM walkseg w "
+    "JOIN jn j ON j.cell_row = w.r AND j.cell_col = w.c AND NOT j.is_j "
+    "JOIN ksn_nodes k ON k.cell_row = w.r AND k.cell_col = w.c), "
+    "seg AS (SELECT w.r0, w.c0, w.r AS seg_r, w.c AS seg_c FROM walkseg w "
+    "JOIN jn j ON j.cell_row = w.r AND j.cell_col = w.c AND j.is_j) "
+    "SELECT CAST(s.seg_r AS INT) AS seg_row, CAST(s.seg_c AS INT) AS "
+    "seg_col, COUNT(*) AS n_nodes, ROUND(MAX(k.z) - MIN(k.z), 6) AS dz, "
+    "ROUND(MAX(k.flow_l) - MIN(k.flow_l), 6) AS dl, "
+    "CASE WHEN MAX(k.flow_l) - MIN(k.flow_l) > 0 THEN "
+    "ROUND((MAX(k.z) - MIN(k.z)) / (MAX(k.flow_l) - MIN(k.flow_l)), 6) END "
+    "AS seg_slope, ROUND(AVG(k.ksn), 6) AS mean_ksn "
+    "FROM seg s JOIN ksn_nodes k ON k.cell_row = s.r0 AND k.cell_col = s.c0 "
+    "GROUP BY s.seg_r, s.seg_c",
+)
+def q_network_dissolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13: dissolve degree-2 chains into segments between junctions;
+    per-segment windowed slope Dz/DL (dissolvedNetworkGraph,
+    networkGraph.py:1179-1405)."""
+    nodes = flowops.network_nodes(
+        _flow_metrics_raw(spark, sf_dir), FG, _KSN_AMIN
+    )
+    segs = flowops.dissolve_network(nodes, FG)
+    return segs.select(
+        "seg_row", "seg_col", "n_nodes",
+        F.round("dz", 6).alias("dz"),
+        F.round("dl", 6).alias("dl"),
+        F.when(F.col("dl") > 0, F.round(F.col("dz") / F.col("dl"), 6)).alias(
+            "seg_slope"
+        ),
+        F.round("mean_ksn", 6).alias("mean_ksn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1-X6 / A6 / X10 / X11: spectral + statistical + ML (operators/spectral.py,
+# operators/cluster.py)
+# ---------------------------------------------------------------------------
+
+from rgr_pdal_topo_spark.operators import cluster as clusterops  # noqa: E402
+from rgr_pdal_topo_spark.operators import spectral as spectralops  # noqa: E402
+
+_PXY = (
+    f"SELECT {G.sql_cell_cx('cell_col')} AS px, "
+    f"{G.sql_cell_cy('cell_row')} AS py, value AS pz FROM gmean"
+)
+_PLANE_CTES = (
+    _BASE.rstrip()
+    + f", gmean AS ({GRID_MEAN_CTE}), pxy AS ({_PXY}), "
+    f"sums AS (SELECT {spectralops.PLANE_SUMS_SQL} FROM pxy) "
+)
+
+
+@query(
+    "plane_fit",
+    _PLANE_CTES
+    + f"SELECT ROUND({spectralops.PLANE_DETA_SQL} / "
+    f"{spectralops.PLANE_DET_SQL}, 6) AS sx_coef, "
+    f"ROUND({spectralops.PLANE_DETB_SQL} / "
+    f"{spectralops.PLANE_DET_SQL}, 6) AS sy_coef, "
+    f"ROUND({spectralops.PLANE_DETC_SQL} / "
+    f"{spectralops.PLANE_DET_SQL}, 4) AS intercept FROM sums",
+)
+def q_plane_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: distributed least-squares plane fit over the mean DEM
+    (normal equations + Cramer — one partial+final agg, one output row)."""
+    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    c = spectralops.plane_fit_coeffs(g, G)
+    return c.select(
+        F.round("sx_coef", 6).alias("sx_coef"),
+        F.round("sy_coef", 6).alias("sy_coef"),
+        F.round("intercept", 4).alias("intercept"),
+    )
+
+
+@query(
+    "detrend_grid",
+    _PLANE_CTES
+    + f"SELECT g.cell_row, g.cell_col, ROUND(g.value - "
+    f"(({G.sql_cell_cx('g.cell_col')}) * (SELECT {spectralops.PLANE_DETA_SQL} "
+    f"/ {spectralops.PLANE_DET_SQL} FROM sums) + "
+    f"({G.sql_cell_cy('g.cell_row')}) * (SELECT {spectralops.PLANE_DETB_SQL} "
+    f"/ {spectralops.PLANE_DET_SQL} FROM sums) + "
+    f"(SELECT {spectralops.PLANE_DETC_SQL} / {spectralops.PLANE_DET_SQL} "
+    "FROM sums)), 4) AS detrended FROM gmean g",
+)
+def q_detrend_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: subtract the fitted plane (removePlaneFromGrid, dem.py:66-88)."""
+    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    return spectralops.detrend(g, G).select(
+        "cell_row", "cell_col", F.round("detrended", 4).alias("detrended")
+    )
+
+
+@query("fft_binned_power")  # FFT has no SQL analogue — rows-only check
+def q_fft_binned_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3/A6: per-tile forward FFT + wavelength-binned median spectral
+    power (fftGrid.py:20-71, 243-269; parity vs the sequential kernel in
+    tests/test_spectral.py)."""
+    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    out = spectralops.fft_binned_power_tiles(g, G, tile_cells=50)
+    return out.select(
+        "tile_id", "bin_id",
+        F.round("mid_wavelength", 6).alias("mid_wavelength"),
+        F.round(F.log10("median_power"), 6).alias("log10_median_power"),
+    )
+
+
+@query("fft_lowpass")  # FFT has no SQL analogue — rows-only check
+def q_fft_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X5: low-pass filter (wavelengths > 100 m pass) + inverse
+    transform, per tile (fftGrid.py:174-190, 138-150)."""
+    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    out = spectralops.fft_filter_tiles(
+        g, G, [("lowpass", {"minimum_wavelength": 100.0})], tile_cells=50
+    )
+    return out.select(
+        "cell_row", "cell_col", F.round("filtered", 6).alias("filtered")
+    )
+
+
+@query(
+    "perm_ensemble",
+    _BASE.rstrip()
+    + f", gmean AS ({GRID_MEAN_CTE}), "
+    "cellids AS (SELECT cell_row, cell_col, "
+    f"CAST(cell_row AS BIGINT) * {G.ncols} + cell_col AS cell_id, "
+    "value AS observed FROM gmean), "
+    "noise AS (SELECT cell_row, cell_col, observed, "
+    + spectralops.perm_noise_sql(100.0, 30.0)
+    + " AS nval FROM cellids CROSS JOIN range(8) p(perm)) "
+    "SELECT cell_row, cell_col, ROUND(QUANTILE_CONT(nval, 0.5), 6) AS "
+    "median_null, CAST(SUM(CASE WHEN nval >= observed THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_exceed, ROUND(ANY_VALUE(observed), 6) AS observed "
+    "FROM noise GROUP BY cell_row, cell_col",
+)
+def q_perm_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10/A10: permutation-ensemble per-cell median + exceedance count
+    over 8 deterministic hash-noise null grids."""
+    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    out = spectralops.permutation_ensemble(g, G, n_perms=8)
+    return out.select(
+        "cell_row", "cell_col",
+        F.round("median_null", 6).alias("median_null"),
+        F.col("n_exceed").cast("long").alias("n_exceed"),
+        F.round("observed", 6).alias("observed"),
+    )
+
+
+def _kmeans_duck() -> str:
+    """Chained-CTE Lloyd iterations mirroring cluster.kmeans_1d exactly."""
+    feat = (
+        "SELECT cell_row, cell_col, SQRT(sx * sx + sy * sy) AS s FROM "
+        "slopes WHERE sx IS NOT NULL AND sy IS NOT NULL"
+    )
+    ctes = [f"feat AS ({feat})",
+            "it0 AS (SELECT MIN(s) AS c0, MAX(s) AS c1 FROM feat)"]
+    prev = "it0"
+    for i in range(1, 6):
+        ctes.append(
+            f"a{i} AS (SELECT f.cell_row, f.cell_col, f.s, "
+            f"CASE WHEN ABS(f.s - t.c0) <= ABS(f.s - t.c1) THEN 0 ELSE 1 END "
+            f"AS cl FROM feat f, {prev} t)"
+        )
+        ctes.append(
+            f"it{i} AS (SELECT "
+            f"COALESCE(AVG(CASE WHEN cl = 0 THEN s END), "
+            f"(SELECT c0 FROM {prev})) AS c0, "
+            f"COALESCE(AVG(CASE WHEN cl = 1 THEN s END), "
+            f"(SELECT c1 FROM {prev})) AS c1 FROM a{i})"
+        )
+        prev = f"it{i}"
+    final = (
+        "SELECT f.cell_row, f.cell_col, CASE WHEN "
+        "(CASE WHEN ABS(f.s - t.c0) <= ABS(f.s - t.c1) THEN 0 ELSE 1 END) = "
+        "(CASE WHEN t.c1 >= t.c0 THEN 1 ELSE 0 END) THEN 1 ELSE 0 END AS "
+        f"scarp_class FROM feat f, {prev} t"
+    )
+    return ", ".join(ctes) + " " + final
+
+
+@query(
+    "kmeans_scarp",
+    _BASE.rstrip()
+    + f", gmean AS ({GRID_MEAN_CTE}), dense AS ({_DENSE_DUCK}), "
+    f"nbrs AS ({_NBRS_DUCK}), slopes AS ({_SLOPES_DUCK}), "
+    + _kmeans_duck(),
+)
+def q_kmeans_scarp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: 2-cluster KMeans on slope magnitude, relabeled so 1 = the
+    steeper (scarp) cluster (ClusterScarp.ipynb cell 8) — deterministic
+    Lloyd with min/max init, 5 distributed assign/update rounds."""
+    from rgr_pdal_topo_spark.operators.stencils import run_stencils
+
+    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    smag = run_stencils(g, G, {"smag": ("slope_mag", {})}, tile_cells=50)
+    feat = smag.filter(
+        F.col("smag").isNotNull() & ~F.isnan("smag")
+    ).select("cell_row", "cell_col", F.col("smag").alias("s"))
+    out = clusterops.kmeans_relabel_hi(feat, "s", iters=5)
+    return out.select("cell_row", "cell_col", "scarp_class")
+
+
+# ---------------------------------------------------------------------------
+# K7/J6/F5/A7/F16: mosaic, resample, reproject, radial histogram,
+# stratified subsample (operators/raster.py)
+# ---------------------------------------------------------------------------
+
+from rgr_pdal_topo_spark.operators import raster as rasterops  # noqa: E402
+
+_GROUND_MEAN_CTE = (
+    "SELECT cell_row, cell_col, SUM(z) / COUNT(*) AS value "
+    "FROM cells WHERE cls = 2 GROUP BY cell_row, cell_col"
+)
+
+
+@query(
+    "mosaic_tiles",
+    _BASE.rstrip()
+    + f", g1 AS ({GRID_MEAN_CTE}), g2 AS ({_GROUND_MEAN_CTE}), "
+    "u AS (SELECT cell_row, cell_col, ROUND(value, 6) AS value FROM g1 "
+    "UNION ALL SELECT cell_row, cell_col, ROUND(value, 6) AS value FROM g2) "
+    "SELECT cell_row, cell_col, CAST(ROUND(SUM(value) * 1000000, 0) AS "
+    "BIGINT) AS value_usum, COUNT(*) AS n_src FROM u "
+    "GROUP BY cell_row, cell_col",
+)
+def q_mosaic_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7/J6/U3: mosaic two overlapping rasters with average blend
+    (merge_warp_dems, pointCloudCreation.py:641-677)."""
+    pts = points_df(spark, sf_dir)
+    g1 = gridding.grid_points(pts, G, output_type="mean").withColumn(
+        "value", F.round("value", 6)
+    )
+    g2 = gridding.grid_points(
+        pts.filter("cls = 2"), G, output_type="mean"
+    ).withColumn("value", F.round("value", 6))
+    out = rasterops.mosaic([g1, g2], mode="average")
+    # integer micro-sum: immune to sum-order half-boundary rounding flips
+    return out.select(
+        "cell_row", "cell_col",
+        F.round(F.col("value") * F.col("n_src") * 1e6, 0)
+        .cast("long")
+        .alias("value_usum"),
+        "n_src",
+    )
+
+
+_DSTG = "(SELECT CAST(id // 50 AS INT) AS cell_row, CAST(id % 50 AS INT) AS cell_col FROM range(2500) t(id))"
+
+
+@query(
+    "resample_near",
+    _BASE.rstrip()
+    + f", gmean AS ({GRID_MEAN_CTE}), dst AS {_DSTG}, "
+    "m AS (SELECT d.cell_row, d.cell_col, "
+    f"{G.sql_row_of('((49.0 - CAST(d.cell_row AS DOUBLE) + 0.5) * 20.0)')} AS s_row, "
+    f"{G.sql_col_of('((CAST(d.cell_col AS DOUBLE) + 0.5) * 20.0)')} AS s_col "
+    "FROM dst d) "
+    "SELECT m.cell_row, m.cell_col, ROUND(g.value, 6) AS value FROM m "
+    "JOIN gmean g ON g.cell_row = m.s_row AND g.cell_col = m.s_col",
+)
+def q_resample_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7: nearest-neighbor regrid 10 m -> 20 m (GDAL resampleAlg=near)."""
+    from rgr_pdal_topo_spark.operators.flow import FLOW_GRID as DG
+
+    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    out = rasterops.resample(g, G, DG, mode="near")
+    return out.select(
+        "cell_row", "cell_col", F.round("value", 6).alias("value")
+    )
+
+
+@query(
+    "resample_average",
+    _BASE.rstrip()
+    + f", gmean0 AS ({GRID_MEAN_CTE}), gmean AS (SELECT cell_row, "
+    "cell_col, ROUND(value, 6) AS value FROM gmean0) "
+    "SELECT "
+    f"CAST(49 - FLOOR(({G.sql_cell_cy('cell_row')} - 0.0) / 20.0) AS INT) "
+    "AS cell_row, "
+    f"CAST(FLOOR(({G.sql_cell_cx('cell_col')} - 0.0) / 20.0) AS INT) "
+    "AS cell_col, "
+    "CAST(ROUND(SUM(value) * 1000000, 0) AS BIGINT) AS value_usum, "
+    "COUNT(*) AS n FROM gmean GROUP BY 1, 2",
+)
+def q_resample_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7: average-resampling regrid (GDAL resampleAlg=average)."""
+    from rgr_pdal_topo_spark.operators.flow import FLOW_GRID as DG
+
+    g = gridding.grid_points(
+        points_df(spark, sf_dir), G, output_type="mean"
+    ).withColumn("value", F.round("value", 6))
+    out = rasterops.resample(g, G, DG, mode="average")
+    return out.select(
+        "cell_row", "cell_col",
+        F.round(F.col("value") * F.col("n") * 1e6, 0)
+        .cast("long")
+        .alias("value_usum"),
+        "n",
+    )
+
+
+@query(
+    "resample_bilinear",
+    _BASE.rstrip()
+    + f", gmean0 AS ({GRID_MEAN_CTE}), gmean AS (SELECT cell_row, "
+    "cell_col, ROUND(value, 6) AS value FROM gmean0), "
+    f"dst AS {_DSTG}, "
+    "d AS (SELECT cell_row, cell_col, "
+    "((CAST(cell_col AS DOUBLE) + 0.5) * 20.0 + 0.0) AS dx_, "
+    "((49.0 - CAST(cell_row AS DOUBLE) + 0.5) * 20.0 + 0.0) AS dy_ "
+    "FROM dst), "
+    "dd AS (SELECT cell_row, cell_col, "
+    "(dx_ - 0.0) / 10.0 - 0.5 AS gx, "
+    "99.0 - ((dy_ - 0.0) / 10.0 - 0.5) AS gy FROM d), "
+    "dc AS (SELECT cell_row, cell_col, gx, gy, "
+    "CAST(FLOOR(gx) AS INT) AS c0, CAST(FLOOR(gy) AS INT) AS r0, "
+    "gx - FLOOR(gx) AS wx, gy - FLOOR(gy) AS wy FROM dd), "
+    "offs AS (SELECT * FROM (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) "
+    "o(dr, dc_)), "
+    "corners AS (SELECT d.cell_row, d.cell_col, g.value, "
+    "(CASE WHEN o.dr = 0 THEN 1.0 - d.wy ELSE d.wy END) * "
+    "(CASE WHEN o.dc_ = 0 THEN 1.0 - d.wx ELSE d.wx END) AS w "
+    "FROM dc d JOIN offs o ON TRUE "
+    "JOIN gmean g ON g.cell_row = d.r0 + o.dr AND g.cell_col = d.c0 + o.dc_) "
+    "SELECT cell_row, cell_col, CAST(ROUND(SUM(w * value) * 4000000, 0) "
+    "AS BIGINT) AS value_usum FROM corners "
+    "GROUP BY cell_row, cell_col HAVING COUNT(*) = 4",
+)
+def q_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K7: bilinear regrid via a 4-corner broadcast-offset join
+    (GDAL resampleAlg=bilinear) — pure Catalyst, no UDF."""
+    from rgr_pdal_topo_spark.operators.flow import FLOW_GRID as DG
+
+    g = gridding.grid_points(
+        points_df(spark, sf_dir), G, output_type="mean"
+    ).withColumn("value", F.round("value", 6))
+    out = rasterops.resample(g, G, DG, mode="bilinear")
+    return out.select(
+        "cell_row", "cell_col",
+        F.round(F.col("value") * 4e6, 0).cast("long").alias("value_usum"),
+    )
+
+
+@query(
+    "reproject_mercator",
+    f"SELECT pid, lon, lat, "
+    "ROUND(6378137.0 * RADIANS(lon), 4) AS merc_x, "
+    "ROUND(6378137.0 * LN(TAN(PI() / 4.0 + RADIANS(lat) / 2.0)), 4) AS "
+    "merc_y FROM (SELECT pid, x / 100.0 - 5.0 AS lon, y / 100.0 + 40.0 AS "
+    f"lat FROM ({{pts}}) p)".format(pts=PTS),
+)
+def q_reproject_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: CRS reprojection EPSG:4326 -> EPSG:3857 as a vectorized
+    Arrow-batched pandas UDF (filters.reprojection analogue)."""
+    pts = points_df(spark, sf_dir).selectExpr(
+        "pid", "x / 100.0 - 5.0 AS lon", "y / 100.0 + 40.0 AS lat"
+    )
+    out = rasterops.reproject_4326_to_3857(pts)
+    return out.select(
+        "pid", "lon", "lat",
+        F.round("merc_x", 4).alias("merc_x"),
+        F.round("merc_y", 4).alias("merc_y"),
+    )
+
+
+def _theta_mids_vals() -> str:
+    mids = [-math.pi + (k + 0.5) * math.pi / 4.0 for k in range(8)]
+    return "SELECT * FROM (VALUES " + ", ".join(
+        f"({j}, {m!r})" for j, m in enumerate(mids)
+    ) + ") t(t_bin, t_mid)"
+
+
+_THETA_WIN = repr(math.pi / 8.0)
+_RH_BASE = (
+    "SELECT cell_row, cell_col, "
+    f"({G.sql_cell_cx('cell_col')}) - 500.0 AS px, "
+    f"({G.sql_cell_cy('cell_row')}) - 500.0 AS py FROM gmean"
+)
+
+
+@query(
+    "radial_histogram",
+    _BASE.rstrip()
+    + f", gmean AS ({GRID_MEAN_CTE}), rh AS ({_RH_BASE}), "
+    "lt AS (SELECT CAST(FLOOR(SQRT(px * px + py * py) / 100.0) AS INT) AS "
+    "l_bin, ATAN2(py, px) AS theta FROM rh), "
+    f"mids AS ({_theta_mids_vals()}) "
+    "SELECT l.l_bin, m.t_bin, COUNT(*) AS n_cells FROM lt l "
+    "JOIN mids m ON (CASE "
+    f"WHEN m.t_mid - {_THETA_WIN} < -PI() THEN "
+    f"(l.theta >= m.t_mid - {_THETA_WIN} + 2 * PI() OR "
+    f"l.theta < m.t_mid + {_THETA_WIN}) "
+    f"WHEN m.t_mid + {_THETA_WIN} > PI() THEN "
+    f"(l.theta >= m.t_mid - {_THETA_WIN} OR "
+    f"l.theta < m.t_mid + {_THETA_WIN} - 2 * PI()) "
+    f"ELSE (l.theta >= m.t_mid - {_THETA_WIN} AND "
+    f"l.theta < m.t_mid + {_THETA_WIN}) END) "
+    "WHERE l.l_bin < 5 GROUP BY l.l_bin, m.t_bin",
+)
+def q_radial_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: 2-D radial (length x theta) histogram with wrap-around theta
+    windows (_radialLengthThetaHistogram, randomGrids.py:572-606)."""
+    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    return rasterops.radial_histogram(
+        g, G, n_length_bins=5, max_length=500.0
+    )
+
+
+@query(
+    "stratified_sample",
+    f"SELECT z_bucket, pid, x, y FROM (SELECT "
+    "CAST(FLOOR((z - 100.0) / 5.0) AS INT) AS z_bucket, pid, x, y, "
+    "ROW_NUMBER() OVER (PARTITION BY CAST(FLOOR((z - 100.0) / 5.0) AS INT) "
+    "ORDER BY (pid * 2654435761) % 1000000007, pid) AS rn "
+    f"FROM ({PTS}) p) s WHERE rn <= 10",
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16/O6: per-bin subsample with a deterministic, replayable hash
+    rank (the engine spelling of rand()-ranked thinning,
+    baseGrid.py:992-1024)."""
+    pts = points_df(spark, sf_dir).withColumn(
+        "z_bucket",
+        F.floor((F.col("z") - F.lit(100.0)) / F.lit(5.0)).cast("int"),
+    )
+    out = rasterops.stratified_sample(pts, "z_bucket", "pid", 10)
+    return out.select("z_bucket", "pid", "x", "y")

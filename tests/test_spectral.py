@@ -1,0 +1,147 @@
+"""Spectral suite: distributed ops vs sequential kernels + math properties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from rgr_pdal_topo_spark.functions import spectral_kernels as sk
+from rgr_pdal_topo_spark.grid import GridSpec
+from rgr_pdal_topo_spark.operators import cluster, spectral
+
+GRID = GridSpec(x0=0.0, y0=0.0, cell=10.0, nrows=48, ncols=48)
+
+
+def make_dem() -> np.ndarray:
+    rng = np.random.default_rng(7)
+    r = np.arange(GRID.nrows)[:, None]
+    c = np.arange(GRID.ncols)[None, :]
+    return (
+        50.0
+        + 0.04 * r
+        - 0.02 * c
+        + 3.0 * np.sin(2 * np.pi * r / 24.0)  # 240 m wavelength
+        + 1.0 * np.sin(2 * np.pi * c / 4.0)   # 40 m wavelength
+        + 0.2 * rng.random((GRID.nrows, GRID.ncols))
+    )
+
+
+def coords():
+    r = np.arange(GRID.nrows)[:, None]
+    c = np.arange(GRID.ncols)[None, :]
+    x = (c + 0.5) * GRID.cell + GRID.x0
+    y = ((GRID.nrows - 1) - r + 0.5) * GRID.cell + GRID.y0
+    return (
+        np.broadcast_to(x, (GRID.nrows, GRID.ncols)).copy(),
+        np.broadcast_to(y, (GRID.nrows, GRID.ncols)).copy(),
+    )
+
+
+def dem_df(spark, z):
+    rr, cc = np.nonzero(~np.isnan(z))
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {"cell_row": rr.astype("int32"), "cell_col": cc.astype("int32"),
+             "value": z[rr, cc]}
+        )
+    )
+
+
+def test_plane_fit_matches_lstsq(spark):
+    z = make_dem()
+    x, y = coords()
+    exp = sk.plane_fit(x, y, z)
+    got = spectral.plane_fit_coeffs(dem_df(spark, z), GRID).first()
+    assert abs(got["sx_coef"] - exp[0]) < 1e-8
+    assert abs(got["sy_coef"] - exp[1]) < 1e-8
+    assert abs(got["intercept"] - exp[2]) < 1e-5
+
+
+def test_fft_roundtrip_identity():
+    """inverse(forward(z)) == z with no filters (fftGrid.py:138-150)."""
+    z = make_dem()
+    x, y = coords()
+    fwd = sk.fft_forward(z, x, y, GRID.cell, GRID.cell)
+    back = sk.fft_inverse(fwd)
+    assert np.max(np.abs(back - z)) < 1e-9
+
+
+def test_lowpass_removes_short_wavelengths():
+    z = make_dem()
+    x, y = coords()
+    fwd = sk.fft_forward(z, x, y, GRID.cell, GRID.cell)
+    lp = sk.filter_lowpass(fwd["L"], 100.0)
+    back = sk.fft_inverse(fwd, [lp])
+    # the 40 m ripple (amp 1.0) must be gone, the 240 m one kept:
+    # project onto the two sine patterns
+    c = np.arange(GRID.ncols)[None, :]
+    r = np.arange(GRID.nrows)[:, None]
+    short = np.sin(2 * np.pi * c / 4.0) * np.ones_like(z)
+    long_ = np.sin(2 * np.pi * r / 24.0) * np.ones_like(z)
+
+    def amp(field, pat):
+        return np.sum(field * pat) / np.sum(pat * pat)
+
+    # the 40 m ripple is erased, the 240 m ripple passes unchanged
+    # (compare against the unfiltered field so trend leakage cancels)
+    assert abs(amp(z, short)) > 0.9
+    assert abs(amp(back, short)) < 0.05
+    assert abs(amp(back, long_) - amp(z, long_)) < 0.05
+
+
+def test_distributed_fft_single_tile_matches_kernel(spark):
+    """tile_cells == grid size -> distributed == sequential, exactly."""
+    z = make_dem()
+    x, y = coords()
+    fwd = sk.fft_forward(z, x, y, GRID.cell, GRID.cell)
+    out = (
+        spectral.fft_power_tiles(dem_df(spark, z), GRID, tile_cells=48)
+        .toPandas()
+        .sort_values(["f_row", "f_col"])
+    )
+    got = out["power"].to_numpy().reshape(GRID.nrows, GRID.ncols)
+    assert np.array_equal(got, fwd["power"])
+    b = sk.binned_median_power(fwd["L"], fwd["power"])
+    bo = (
+        spectral.fft_binned_power_tiles(dem_df(spark, z), GRID, tile_cells=48)
+        .toPandas()
+        .sort_values("bin_id")
+    )
+    assert np.allclose(
+        bo["median_power"].to_numpy(), b["median_power"], equal_nan=True
+    )
+
+
+def test_distributed_filter_multi_tile_runs(spark):
+    """4-tile filtered output exists for every input cell and is finite."""
+    z = make_dem()
+    out = spectral.fft_filter_tiles(
+        dem_df(spark, z), GRID,
+        [("lowpass", {"minimum_wavelength": 100.0})], tile_cells=24,
+    ).toPandas()
+    assert len(out) == z.size
+    assert np.isfinite(out["filtered"]).all()
+
+
+def test_kmeans_matches_numpy_lloyd(spark):
+    z = make_dem()
+    feat = np.abs(np.gradient(z)[0]).ravel()
+    df = spark.createDataFrame(
+        pd.DataFrame({"cell_row": 0, "cell_col": np.arange(feat.size),
+                      "s": feat})
+    )
+    got, centers = cluster.kmeans_1d(df, "s", k=2, iters=5)
+    # sequential Lloyd, same init and tie rule
+    c = [feat.min(), feat.max()]
+    for _ in range(5):
+        assign = (np.abs(feat - c[0]) <= np.abs(feat - c[1])).astype(int)
+        assign = 1 - assign  # 0 where closer to c0
+        for i in (0, 1):
+            sel = feat[assign == i]
+            if len(sel):
+                c[i] = sel.mean()
+    assert abs(centers[0] - c[0]) < 1e-9
+    assert abs(centers[1] - c[1]) < 1e-9
+    gp = got.toPandas().sort_values("cell_col")["cluster"].to_numpy()
+    exp_assign = 1 - (np.abs(feat - c[0]) <= np.abs(feat - c[1])).astype(int)
+    assert np.array_equal(gp, exp_assign)
