@@ -78,7 +78,7 @@ def main() -> None:
             "rough": ("windowed_std", {"pixel_width": 5}),
             "tpi": ("tpi", {"inner_radius": 6.0, "outer_radius": 12.0}),
         },
-        tile_cells=64,
+        tile_cells=50,
     )
     tp = time.perf_counter()
     n_cells = metrics.count()

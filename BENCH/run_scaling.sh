@@ -7,8 +7,8 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-RUNS=${RUNS:-3}
-REP=${SPARK_GRAFT_REPLICATE:-256}
+RUNS=${RUNS:-2}
+REP=${SPARK_GRAFT_REPLICATE:-1024}
 OUT=${OUT:-BENCH/scaling_raw.jsonl}
 
 ZIP=/tmp/rgr_pdal_topo_spark.zip

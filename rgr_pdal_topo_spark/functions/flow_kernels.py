@@ -204,4 +204,24 @@ def basin_sweeps(
         s = (z[j] - z[has_down]) / (L[j] - L[has_down])
         ksn[has_down] = s * area[has_down] ** ksn_theta
 
-    return {"area": area, "L": L, "chi": chi, "order": order, "ksn": ksn}
+    # G7: max flow length + mean direction of the longest upstream path
+    # (calculateMaxLMeanDir, flowRoutingGrids.py:625-688): ascending-area
+    # sweep pushing maxL + step distance downstream, keeping the max and
+    # its (delX, delY); meanDir = atan2(delY, delX), NaN where no inflow.
+    max_l = np.zeros(n)
+    del_x = np.zeros(n)
+    del_y = np.zeros(n)
+    for i in np.lexsort((flat, area)):
+        jd = down[i]
+        if jd >= 0:
+            new_l = max_l[i] + dist[i]
+            if max_l[jd] < new_l:
+                code = int(fd[i])
+                max_l[jd] = new_l
+                del_x[jd] = del_x[i] + dx * D8_CODE_TO_DC[code]
+                del_y[jd] = del_y[i] + dy * (-D8_CODE_TO_DR[code])
+    mean_dir = np.arctan2(del_y, del_x)
+    mean_dir[max_l == 0] = np.nan
+
+    return {"area": area, "L": L, "chi": chi, "order": order, "ksn": ksn,
+            "max_l": max_l, "mean_dir": mean_dir}

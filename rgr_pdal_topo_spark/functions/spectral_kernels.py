@@ -195,3 +195,44 @@ def binned_median_power(
             p_lo[i], p_hi[i] = np.percentile(data, perc_range)
     return {"mid_wavelength": mid, "median_power": p_med,
             "p_lo": p_lo, "p_hi": p_hi}
+
+
+# ---------------------------------------------------------------------------
+# X6: piecewise power-law fit / scaling break
+# (calcPiecewiseRegressionCoefficients + calcWavelengthScalingBreak,
+# fftGrid.py:286-334; generic form gridFunctions.py:10-56)
+# ---------------------------------------------------------------------------
+
+
+def piecewise_powerlaw(
+    L: np.ndarray, power: np.ndarray, n_breaks: int = 50
+) -> dict[str, float]:
+    """Two-segment power law continuous at the scaling break, fit in
+    log10-log10 space.  The reference uses Nelder-Mead (scipy); this
+    engine uses the deterministic equivalent: for each candidate break the
+    continuous 2-segment model is LINEAR in (a, b_l, b_r) and solved in
+    closed form, and the break is grid-searched over log-spaced
+    candidates — same objective (L2 of log residuals), no randomness."""
+    good = (
+        ~np.isnan(L) & ~np.isnan(power) & ~np.isinf(L)
+        & ~np.isinf(power) & (power > 0)
+    )
+    x = np.log10(L[good].ravel())
+    y = np.log10(power[good].ravel())
+    cands = np.linspace(x.min(), x.max(), n_breaks + 2)[1:-1]
+    best = None
+    for s in cands:
+        a_cols = np.column_stack(
+            (np.ones_like(x), np.minimum(x - s, 0.0), np.maximum(x - s, 0.0))
+        )
+        coef, *_ = np.linalg.lstsq(a_cols, y, rcond=None)
+        sse = float(np.sum((a_cols @ coef - y) ** 2))
+        if best is None or sse < best["sse"]:
+            best = {
+                "break_wavelength": float(10**s),
+                "b_left": float(coef[1]),
+                "b_right": float(coef[2]),
+                "log10_power_at_break": float(coef[0]),
+                "sse": sse,
+            }
+    return best

@@ -369,7 +369,7 @@ def flow_metrics(
     eff_amin = amin if amin is not None else dx * dy
     schema = (
         "cell_row int, cell_col int, area double, L double, chi double, "
-        "order double, ksn double"
+        "order double, ksn double, max_l double, mean_dir double"
     )
 
     def per_basin(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -390,6 +390,8 @@ def flow_metrics(
                 "chi": res["chi"],
                 "order": res["order"],
                 "ksn": res["ksn"],
+                "max_l": res["max_l"],
+                "mean_dir": res["mean_dir"],
             }
         )
 
@@ -418,7 +420,8 @@ def flow_metrics(
                 (F.col("z") - F.col("down_z")) / F.col("down_dist"),
                 F.lit(0.0),
             ).alias("slope_d8"),
-            "area", "L", "chi", "order", "ksn", "basin_id",
+            "area", "L", "chi", "order", "ksn", "max_l", "mean_dir",
+            "basin_id",
         )
     )
 

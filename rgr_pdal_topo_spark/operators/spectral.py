@@ -272,3 +272,34 @@ def permutation_ensemble(
         ).alias("n_exceed"),
         F.first("observed").alias("observed"),
     )
+
+
+def spectral_break_tiles(
+    grid_df: DataFrame, grid: GridSpec, tile_cells: int = 50,
+    hann: bool = False, n_breaks: int = 50,
+) -> DataFrame:
+    """X6: per-tile scaling-break wavelength via deterministic piecewise
+    power-law regression on the spectral power
+    (calcWavelengthScalingBreak, fftGrid.py:324-334)."""
+    schema = (
+        "tile_id long, break_wavelength double, b_left double, "
+        "b_right double, sse double"
+    )
+
+    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        tile_id, _, _, z, x, y = _dense_tile(pdf, grid, tile_cells)
+        fwd = sk.fft_forward(z, x, y, grid.cell, grid.cell, hann=hann)
+        fit = sk.piecewise_powerlaw(fwd["L"], fwd["power"], n_breaks)
+        return pd.DataFrame(
+            {
+                "tile_id": [tile_id],
+                "break_wavelength": [fit["break_wavelength"]],
+                "b_left": [fit["b_left"]],
+                "b_right": [fit["b_right"]],
+                "sse": [fit["sse"]],
+            }
+        )
+
+    return _tile_groups(grid_df, grid, tile_cells).groupBy("tile_id").applyInPandas(
+        per_tile, schema
+    )

@@ -1194,6 +1194,28 @@ def q_flow_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell_row", "cell_col",
         F.col("order").cast("int").alias("stream_order"),
         "basin_id",
+        F.round("max_l", 5).alias("max_l"),
+        F.round("mean_dir", 5).alias("mean_dir"),
+    )
+
+
+@query(
+    "flow_maxl",
+    _FLOW_BASE
+    + f", reach AS ({_FREACH}), area AS MATERIALIZED ({_FAREA}), "
+    f"walkup AS MATERIALIZED ({_FWALKUP}) "
+    "SELECT r.r AS cell_row, r.c AS cell_col, "
+    "ROUND(MAX(ws.flow_l - wc.flow_l), 5) AS max_l "
+    "FROM reach r JOIN walkup ws ON ws.cell_row = r.r0 "
+    "AND ws.cell_col = r.c0 JOIN walkup wc ON wc.cell_row = r.r "
+    "AND wc.cell_col = r.c GROUP BY r.r, r.c",
+)
+def q_flow_maxl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G7: max upstream flow length (calculateMaxLMeanDir,
+    flowRoutingGrids.py:625-688); oracle = max over the downstream
+    closure of L(src) - L(cell)."""
+    return _flow_metrics_raw(spark, sf_dir).select(
+        "cell_row", "cell_col", F.round("max_l", 5).alias("max_l")
     )
 
 
@@ -1688,3 +1710,18 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = rasterops.stratified_sample(pts, "z_bucket", "pid", 10)
     return out.select("z_bucket", "pid", "x", "y")
+
+
+@query("spectral_break")  # FFT + optimization — rows-only check
+def q_spectral_break(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: per-tile spectral scaling-break wavelength (piecewise
+    power-law in log-log space, deterministic closed-form grid search
+    replacing the reference's Nelder-Mead — fftGrid.py:286-334)."""
+    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    out = spectralops.spectral_break_tiles(g, G, tile_cells=50)
+    return out.select(
+        "tile_id",
+        F.round("break_wavelength", 4).alias("break_wavelength"),
+        F.round("b_left", 6).alias("b_left"),
+        F.round("b_right", 6).alias("b_right"),
+    )

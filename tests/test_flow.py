@@ -120,6 +120,10 @@ def test_flow_metrics_matches_sequential(spark):
     ksn_g, ksn_e = got["ksn"].to_numpy(), exp["ksn"]
     both_nan = np.isnan(ksn_g) & np.isnan(ksn_e)
     assert np.array_equal(ksn_g[~both_nan], ksn_e[~both_nan])
+    assert np.array_equal(got["max_l"].to_numpy(), exp["max_l"])
+    md_g, md_e = got["mean_dir"].to_numpy(), exp["mean_dir"]
+    md_nan = np.isnan(md_g) & np.isnan(md_e)
+    assert np.array_equal(md_g[~md_nan], md_e[~md_nan])
 
     # basin label = row-major id of the fd==0 root reached by the pointer
     # chase; verify against a direct sequential chase.

@@ -145,3 +145,26 @@ def test_kmeans_matches_numpy_lloyd(spark):
     gp = got.toPandas().sort_values("cell_col")["cluster"].to_numpy()
     exp_assign = 1 - (np.abs(feat - c[0]) <= np.abs(feat - c[1])).astype(int)
     assert np.array_equal(gp, exp_assign)
+
+
+def test_piecewise_powerlaw_recovers_break():
+    """Synthetic two-segment power law -> fitted break within one grid
+    step of truth, slopes near the true exponents."""
+    rng = np.random.default_rng(3)
+    L = np.logspace(1, 3, 400)
+    brk, bl, br = 100.0, 3.0, 0.5
+    P = np.where(L <= brk, L**bl, brk**bl * (L / brk) ** br)
+    P *= 10 ** (0.02 * rng.standard_normal(L.size))
+    fit = sk.piecewise_powerlaw(L, P, n_breaks=80)
+    assert abs(np.log10(fit["break_wavelength"]) - 2.0) < 0.1
+    assert abs(fit["b_left"] - bl) < 0.1
+    assert abs(fit["b_right"] - br) < 0.1
+
+
+def test_spectral_break_tiles_runs(spark):
+    z = make_dem()
+    out = spectral.spectral_break_tiles(
+        dem_df(spark, z), GRID, tile_cells=48
+    ).toPandas()
+    assert len(out) == 1
+    assert np.isfinite(out["break_wavelength"]).all()
