@@ -359,10 +359,25 @@ def knn_join_grid(
             F.col("b.v").alias("_v"),
         )
     )
+    # best is one row per query (tiny): persist so the resolved/unresolved
+    # split and the union don't re-execute the candidate join DAG
+    best = best.persist()
     resolved = best.filter(F.col("dist2") <= F.lit(bucket * bucket))
     unresolved = queries.join(
         resolved.select(qid), qid, "left_anti"
     )
+    if unresolved.isEmpty():  # common case: ring guarantee held everywhere
+        out = resolved.withColumn("nn_dist", F.sqrt("dist2"))
+        if max_dist is not None:
+            out = out.withColumn(
+                "nn_value",
+                F.when(
+                    F.col("nn_dist") > F.lit(max_dist), F.lit(sentinel)
+                ).otherwise(F.col("_v")),
+            )
+        else:
+            out = out.withColumn("nn_value", F.col("_v"))
+        return out.drop("_v")
     # rare fallback: exact global argmin for the unresolved handful
     fb = (
         points.crossJoin(F.broadcast(unresolved))
