@@ -1734,3 +1734,38 @@ def q_spectral_break(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("b_left", 6).alias("b_left"),
         F.round("b_right", 6).alias("b_right"),
     )
+
+
+# ---------------------------------------------------------------------------
+# X7/X9: procedural terrain + roughness search (operators/terrain.py)
+# ---------------------------------------------------------------------------
+
+from rgr_pdal_topo_spark.operators import terrain as terrainops  # noqa: E402
+
+
+@query("diamond_square")  # seeded procedural generator — rows-only check
+def q_diamond_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: per-tile diamond-square fractal terrain with deterministic
+    per-tile seeds (proceduralGrid_diamondSquare, randomGrids.py:58-224);
+    stable across runs, so the driver's rows-only hash is reproducible."""
+    out = terrainops.diamond_square_tiles(
+        spark, G, roughness=0.7, starting_scale=1.0, tile_cells=50
+    )
+    return out.select(
+        "tile_id", "cell_row", "cell_col",
+        F.round("value", 6).alias("value"),
+    )
+
+
+@query("roughness_search")  # FFT + procedural ensemble — rows-only check
+def q_roughness_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: brute-force best-fit diamond-square roughness per tile
+    (calcBestFittingDiamondSquareRoughness, fftGrid.py:482-539) — the
+    serial 20-candidate loop re-expressed as a parallel union + min_by."""
+    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    out = terrainops.best_fit_roughness(g, G, n_h=10, tile_cells=50)
+    return out.select(
+        "tile_id",
+        F.round("best_h", 6).alias("best_h"),
+        F.round("l2", 5).alias("l2"),
+    )

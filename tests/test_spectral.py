@@ -168,3 +168,38 @@ def test_spectral_break_tiles_runs(spark):
     ).toPandas()
     assert len(out) == 1
     assert np.isfinite(out["break_wavelength"]).all()
+
+
+def test_diamond_square_deterministic_and_rough():
+    from rgr_pdal_topo_spark.functions.terrain import diamond_square
+
+    a = diamond_square(40, 40, 0.8, 1.0, seed=5)
+    b = diamond_square(40, 40, 0.8, 1.0, seed=5)
+    assert np.array_equal(a, b)
+    c = diamond_square(40, 40, 0.8, 1.0, seed=6)
+    assert not np.array_equal(a, c)
+    # higher H -> relatively less short-wavelength energy
+    def hf_ratio(h):
+        z = diamond_square(64, 64, h, 1.0, seed=7)
+        d = np.diff(z, axis=0)
+        return np.var(d) / np.var(z)
+    assert hf_ratio(0.1) > hf_ratio(0.9)
+
+
+def test_best_fit_roughness_discriminates(spark):
+    """The search can't recover H unbiased (the reference's amplitude
+    estimate std(z - plane) shifts the optimum — same behavior as
+    fftGrid.py:482-539), but it must ORDER surfaces by roughness: a
+    smoother observed surface (higher H) fits a higher candidate H."""
+    from rgr_pdal_topo_spark.functions.terrain import diamond_square
+    from rgr_pdal_topo_spark.operators.terrain import best_fit_roughness
+
+    fits = {}
+    for true_h in (0.1, 0.9):
+        z = diamond_square(48, 48, true_h, 2.0, seed=11)
+        out = best_fit_roughness(
+            dem_df(spark, z), GRID, n_h=11, tile_cells=48
+        ).collect()
+        assert len(out) == 1 and np.isfinite(out[0]["l2"])
+        fits[true_h] = out[0]["best_h"]
+    assert fits[0.9] > fits[0.1]
