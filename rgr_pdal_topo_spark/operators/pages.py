@@ -1,0 +1,79 @@
+"""Canonical page table + text extraction (BASELINE input_hint /
+FIXTURES.md §1).
+
+The input_hint table is (url, warc_ts, html binary, text, lang) with the
+per-row invariant "byte-identical extracted text per url".  The driver
+tables carry `documents(doc_id, text, lang, ...)`; the page layer wraps
+each document into a deterministic html payload and `extract_text` is the
+pure Arrow-batched inverse — so `extract(html) == text` holds
+byte-for-byte for every url, which tests/test_pages.py and the
+extract_pages oracle assert literally.
+
+All construction is shared SQL-dialect string arithmetic; extraction is a
+vectorized pandas UDF (regex over decoded bytes — the Arrow replacement
+for the reference's out-of-process text handling), with the identical
+regex running in DuckDB for the oracle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+#: html template (SQL fragment shared with the DuckDB oracle): no
+#: whitespace outside tags, and the text is entity-escaped (& then <) so
+#: markup-like content round-trips byte-identically.
+_ESCAPED_TEXT_SQL = (
+    "replace(replace(text, '&', '&amp;'), '<', '&lt;')"
+)
+HTML_SQL = (
+    "'<html lang=\"' || lang || '\"><head><title>doc-' || "
+    f"CAST(doc_id AS STRING) || '</title></head><body><p>' || "
+    f"{_ESCAPED_TEXT_SQL} || '</p></body></html>'"
+)
+#: SQL unescape applied to the regex capture (reverse order)
+def unescape_sql(expr: str) -> str:
+    return f"replace(replace({expr}, '&lt;', '<'), '&amp;', '&')"
+URL_SQL = (
+    "'https://site' || CAST(doc_id % 1000 AS STRING) || '.example/p/' || "
+    "CAST(doc_id AS STRING)"
+)
+EPOCH0 = 1700000000
+WARC_EPOCH_SQL = f"CAST({EPOCH0} + doc_id * 37 AS BIGINT)"
+
+#: extraction regex: body paragraph content (lazy, RE2- and Java-compatible)
+EXTRACT_RE = "<p>(.*?)</p>"
+
+
+def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> the input_hint page table
+    (url, warc_ts, html binary, text, lang)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.selectExpr(
+        f"{URL_SQL} AS url",
+        f"timestamp_seconds({WARC_EPOCH_SQL}) AS warc_ts",
+        f"{WARC_EPOCH_SQL} AS warc_epoch",
+        f"encode({HTML_SQL}, 'UTF-8') AS html",
+        "text",
+        "lang",
+        "doc_id",
+    )
+
+
+@pandas_udf(StringType())
+def _extract(html: pd.Series) -> pd.Series:
+    decoded = html.apply(lambda b: b.decode("utf-8"))
+    cap = decoded.str.extract(EXTRACT_RE, expand=False)
+    return cap.str.replace("&lt;", "<", regex=False).str.replace(
+        "&amp;", "&", regex=False
+    )
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """The extraction invariant: adds `extracted` (byte-identical to the
+    original text per url) — pure deterministic Arrow UDF over the binary
+    html payload."""
+    return pages.withColumn("extracted", _extract(F.col("html")))

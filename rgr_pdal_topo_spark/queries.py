@@ -1769,3 +1769,54 @@ def q_roughness_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("best_h", 6).alias("best_h"),
         F.round("l2", 5).alias("l2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# input_hint page table: html payload + byte-identical text extraction
+# (operators/pages.py) + X13 SMRF surfaced
+# ---------------------------------------------------------------------------
+
+from rgr_pdal_topo_spark.operators import pages as pagesops  # noqa: E402
+from rgr_pdal_topo_spark.operators import smrf as smrfops  # noqa: E402
+
+
+@query(
+    "extract_pages",
+    f"SELECT {pagesops.URL_SQL} AS url, {pagesops.WARC_EPOCH_SQL} AS "
+    "warc_epoch, lang, "
+    + pagesops.unescape_sql(
+        f"regexp_extract({pagesops.HTML_SQL}, '{pagesops.EXTRACT_RE}', 1)"
+    )
+    + " AS extracted, CASE WHEN "
+    + pagesops.unescape_sql(
+        f"regexp_extract({pagesops.HTML_SQL}, '{pagesops.EXTRACT_RE}', 1)"
+    )
+    + " = text THEN 1 ELSE 0 END AS byte_identical FROM documents",
+)
+def q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint invariant: pages (url, warc_ts, html, text, lang) with
+    extract(html) byte-identical to text per url — extraction is a
+    vectorized Arrow UDF over the binary payload; the oracle replays the
+    identical construction + regex in SQL."""
+    p = pagesops.extract_text(pagesops.pages_df(spark, sf_dir))
+    return p.select(
+        "url", "warc_epoch", "lang", "extracted",
+        (F.col("extracted") == F.col("text")).cast("int").alias(
+            "byte_identical"
+        ),
+    )
+
+
+@query("smrf_ground")  # morphological filter — no SQL analogue
+def q_smrf_ground(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: SMRF-style ground/non-ground classification (filters.smrf,
+    pointCloudCreation.py:257-262) — per-tile morphological opening of the
+    min-z surface + threshold join; properties asserted in
+    tests/test_smrf.py (rows-only driver check)."""
+    pts = points_df(spark, sf_dir).filter("cls <> 7")
+    out = smrfops.classify_ground(pts, G, tile_cells=50)
+    return out.select(
+        "pid",
+        F.round("ground_surface", 6).alias("ground_surface"),
+        "is_ground",
+    )
