@@ -77,3 +77,56 @@ def test_whole_stage_codegen_on_points(spark):
     assert "*(1)" in plan  # whole-stage codegen span
     # column pruning reached the scan: only o_orderkey is read
     assert "ReadSchema: struct<o_orderkey:bigint>" in plan
+
+
+def test_resample_near_broadcasts_dest_universe(spark):
+    from rgr_pdal_topo_spark.grid import DEFAULT_GRID as G
+    from rgr_pdal_topo_spark.operators.flow import FLOW_GRID as DG
+    from rgr_pdal_topo_spark.operators.gridding import grid_points
+    from rgr_pdal_topo_spark.operators.raster import resample
+    from rgr_pdal_topo_spark.synth import points_df
+
+    g = grid_points(points_df(spark, SF_DIR), G, output_type="mean")
+    plan = _plan(resample(g, G, DG, mode="near"))
+    # the generated dest-cell universe is tiny: broadcast, not SMJ
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_reproject_is_scan_plus_arrow_udf(spark):
+    from rgr_pdal_topo_spark.operators.raster import reproject_4326_to_3857
+    from rgr_pdal_topo_spark.synth import points_df
+
+    pts = points_df(spark, SF_DIR).selectExpr(
+        "pid", "x / 100.0 - 5.0 AS lon", "y / 100.0 + 40.0 AS lat"
+    )
+    plan = _plan(reproject_4326_to_3857(pts))
+    assert "ArrowEvalPython" in plan  # vectorized, not BatchEvalPython
+    assert "Exchange" not in plan  # no shuffle: pure map pipeline
+
+
+def test_radial_histogram_broadcasts_mids(spark):
+    from rgr_pdal_topo_spark.grid import DEFAULT_GRID as G
+    from rgr_pdal_topo_spark.operators.gridding import grid_points
+    from rgr_pdal_topo_spark.operators.raster import radial_histogram
+    from rgr_pdal_topo_spark.synth import points_df
+
+    g = grid_points(points_df(spark, SF_DIR), G, output_type="mean")
+    plan = _plan(radial_histogram(g, G))
+    assert "BroadcastNestedLoopJoin" in plan  # 8-row theta dim broadcast
+    assert plan.count("HashAggregate") >= 2  # partial+final bin counts
+
+
+def test_stateful_stream_uses_state_operator(spark):
+    import tempfile
+
+    from rgr_pdal_topo_spark.grid import GridSpec
+    from rgr_pdal_topo_spark.streaming.stateful import incremental_grid_stream
+
+    src = tempfile.mkdtemp()
+    stream = spark.readStream.schema(
+        "pid long, x double, y double, z double"
+    ).parquet(src)
+    out = incremental_grid_stream(stream, GridSpec())
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "FlatMapGroupsInPandasWithState" in plan
