@@ -195,3 +195,47 @@ def fill_empty_cells(
             )
         )
     )
+
+
+def detect_max_cell_count(
+    points: DataFrame, grid: GridSpec, fraction: float = 0.01,
+    seed: int = 99,
+) -> int:
+    """Skew pre-pass: estimate the densest cell's row count from a seeded
+    Bernoulli sample (one cheap partial agg over ~fraction of the data).
+    At 10^12 rows a handful of H3 cells can hold billions of points
+    (SURVEY.md §7 risk 4); this estimate decides the salting factor
+    BEFORE the shuffle instead of discovering the straggler after it."""
+    sampled = with_cell(points.sample(fraction=fraction, seed=seed), grid)
+    row = (
+        sampled.groupBy("cell_row", "cell_col")
+        .count()
+        .agg(F.max("count").alias("m"))
+        .first()
+    )
+    m = row["m"] or 0
+    return int(m / fraction)
+
+
+def grid_points_auto(
+    points: DataFrame,
+    grid: GridSpec,
+    value_col: str = "z",
+    output_type: str = "idw",
+    max_rows_per_task: int = 2_000_000,
+    sample_fraction: float = 0.01,
+) -> DataFrame:
+    """grid_points with automatic dense-cell skew handling: a sampling
+    pre-pass estimates the heaviest cell; if it exceeds the per-task
+    budget the aggregation runs salted two-phase with
+    salt = ceil(max_cell / budget) (capped at 64), else single-phase.
+    The explicit spelling of the north_rule's "salted-repartition handling
+    of dense-cell skew" (AQE remains on as backstop for joins)."""
+    est = detect_max_cell_count(points, grid, sample_fraction)
+    salt = 0
+    if est > max_rows_per_task:
+        salt = min(64, -(-est // max_rows_per_task))
+    return grid_points(
+        points, grid, value_col=value_col, output_type=output_type,
+        salt=salt,
+    )

@@ -133,3 +133,36 @@ def test_fill_empty_cells(spark, pts_pdf):
                     den += 1.0 / d2
         assert den > 0
         np.testing.assert_allclose(row.value, num / den, rtol=1e-9)
+
+
+def test_auto_salt_detects_skew_and_matches_plain(spark):
+    """80% of points piled into one cell: the pre-pass must pick salt > 0
+    and the salted result must equal the plain aggregation."""
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.operators.gridding import (
+        detect_max_cell_count,
+        grid_points,
+        grid_points_auto,
+    )
+
+    n = 200_000
+    rng = np.random.default_rng(4)
+    heavy = rng.random(n) < 0.8
+    x = np.where(heavy, 2.0 + rng.random(n) * 6.0, rng.random(n) * 1000.0)
+    y = np.where(heavy, 2.0 + rng.random(n) * 6.0, rng.random(n) * 1000.0)
+    pts = spark.createDataFrame(
+        pd.DataFrame({"pid": np.arange(n), "x": x, "y": y,
+                      "z": rng.random(n) * 10.0})
+    )
+    est = detect_max_cell_count(pts, GRID, fraction=0.05)
+    assert est > 100_000  # the dense cell is visible in the sample
+    auto = grid_points_auto(
+        pts, GRID, output_type="mean", max_rows_per_task=10_000,
+        sample_fraction=0.05,
+    ).toPandas().sort_values(["cell_row", "cell_col"]).reset_index(drop=True)
+    plain = grid_points(pts, GRID, output_type="mean").toPandas().sort_values(
+        ["cell_row", "cell_col"]
+    ).reset_index(drop=True)
+    assert (auto.n.to_numpy() == plain.n.to_numpy()).all()
+    np.testing.assert_allclose(auto.value, plain.value, rtol=1e-9)
