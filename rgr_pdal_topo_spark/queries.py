@@ -1820,3 +1820,34 @@ def q_smrf_ground(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("ground_surface", 6).alias("ground_surface"),
         "is_ground",
     )
+
+
+@query(
+    "events_sliding",
+    "SELECT CAST((CAST(FLOOR(epoch(ts)) AS BIGINT) // 600 - k.k) * 600 AS BIGINT) "
+    "AS window_start, event_type, COUNT(*) AS n, ROUND(SUM(value), 6) AS "
+    "sum_value FROM events CROSS JOIN (VALUES (0), (1), (2)) k(k) "
+    "GROUP BY 1, 2",
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window aggregation (30 min window, 10 min slide) via the
+    native streaming-capable window() construct — each event lands in 3
+    overlapping windows; the oracle replays the window replication with a
+    3-row cross join (epoch-aligned starts, matching Spark's default)."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "30 minutes", "10 minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("sum_value"),
+        )
+        .select(
+            F.unix_timestamp("w.start").alias("window_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
