@@ -223,5 +223,36 @@ def basin_sweeps(
     mean_dir = np.arctan2(del_y, del_x)
     mean_dir[max_l == 0] = np.nan
 
+    # G9: greatest-area path upstream from each fd==0 outlet
+    # (findGreatestAreaPathUpstream, flowRoutingGrids.py:904-944): walk up
+    # always taking the max-area upstream neighbor; ties resolved by
+    # np.argmax first-max over the kernel-ordered neighbor list.
+    path_step = np.full(n, -1, dtype="int64")
+    ups: dict[int, list[int]] = {}
+    for i in range(n):
+        if down[i] >= 0:
+            ups.setdefault(int(down[i]), []).append(i)
+
+    def _kernel_pos(i: int, j: int) -> int:
+        dr = int(rows[i]) - int(rows[j])
+        dc = int(cols[i]) - int(cols[j])
+        for k in range(8):
+            if D8_ROW_KERNEL[k] == dr and D8_COL_KERNEL[k] == dc:
+                return k
+        return 8
+
+    for root in range(n):
+        if int(fd[root]) != 0:
+            continue
+        cur, step = root, 0
+        path_step[cur] = step
+        while True:
+            cands = ups.get(cur, [])
+            if not cands:
+                break
+            cur = min(cands, key=lambda i: (-area[i], _kernel_pos(i, cur)))
+            step += 1
+            path_step[cur] = step
+
     return {"area": area, "L": L, "chi": chi, "order": order, "ksn": ksn,
-            "max_l": max_l, "mean_dir": mean_dir}
+            "max_l": max_l, "mean_dir": mean_dir, "path_step": path_step}

@@ -369,7 +369,7 @@ def flow_metrics(
     eff_amin = amin if amin is not None else dx * dy
     schema = (
         "cell_row int, cell_col int, area double, L double, chi double, "
-        "order double, ksn double, max_l double, mean_dir double"
+        "order double, ksn double, max_l double, mean_dir double, path_step long"
     )
 
     def per_basin(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -392,6 +392,7 @@ def flow_metrics(
                 "ksn": res["ksn"],
                 "max_l": res["max_l"],
                 "mean_dir": res["mean_dir"],
+                "path_step": res["path_step"],
             }
         )
 
@@ -421,7 +422,7 @@ def flow_metrics(
                 F.lit(0.0),
             ).alias("slope_d8"),
             "area", "L", "chi", "order", "ksn", "max_l", "mean_dir",
-            "basin_id",
+            "path_step", "basin_id",
         )
     )
 

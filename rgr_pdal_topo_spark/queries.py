@@ -1851,3 +1851,16 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type", "n", "sum_value",
         )
     )
+
+
+@query("flow_main_path")  # iterative argmax walk — no SQL analogue
+def q_flow_main_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9: greatest-area path upstream from every outlet
+    (findGreatestAreaPathUpstream, flowRoutingGrids.py:904-944) —
+    computed inside the per-basin sweep; rows-only driver check, exact
+    parity vs the sequential walk in tests/test_flow.py."""
+    m = _flow_metrics_raw(spark, sf_dir)
+    return m.filter(F.col("path_step") >= 0).select(
+        "cell_row", "cell_col", "basin_id",
+        F.col("path_step").cast("long").alias("path_step"),
+    )

@@ -164,3 +164,42 @@ def test_network_nodes_and_dissolve(spark):
     assert segs["n_nodes"].sum() == n_nodes
     assert (segs["n_nodes"] >= 1).all()
     nodes.unpersist()
+
+
+def test_main_path_matches_reference_walk(spark):
+    """G9: per-basin greatest-area path == sequential reference walk."""
+    z = make_dem()
+    m = (
+        flow.flow_metrics(dem_df(spark, z), GRID, do_fill=True, agg_slope=AGG)
+        .toPandas()
+        .set_index(["cell_row", "cell_col"])
+    )
+    # sequential walk per outlet using the engine's own area/fd values
+    fd = {idx: int(r["fd"]) for idx, r in m.iterrows()}
+    area = {idx: float(r["area"]) for idx, r in m.iterrows()}
+    ups = {}
+    for (r, c), code in fd.items():
+        if code > 0:
+            d = (r + fk.D8_CODE_TO_DR[code], c + fk.D8_CODE_TO_DC[code])
+            ups.setdefault(d, []).append((r, c))
+    kern = {(int(fk.D8_ROW_KERNEL[k]), int(fk.D8_COL_KERNEL[k])): k
+            for k in range(8)}
+    expected = {}
+    for cell, code in fd.items():
+        if code != 0:
+            continue
+        cur, step = cell, 0
+        expected[cur] = step
+        while cur in ups:
+            cands = ups[cur]
+            here = cur
+            cur = min(
+                cands,
+                key=lambda i: (
+                    -area[i], kern[(i[0] - here[0], i[1] - here[1])]
+                ),
+            )
+            step += 1
+            expected[cur] = step
+    got = m[m["path_step"] >= 0]["path_step"].to_dict()
+    assert got == expected
