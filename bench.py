@@ -42,6 +42,10 @@ HEADLINE = [
     "flow_chi",
     "fft_binned_power",
     "kmeans_scarp",
+    "resample_bilinear",
+    "extract_pages",
+    "perm_ensemble",
+    "network_dissolve",
 ]
 
 

@@ -198,11 +198,13 @@ def basin_sweeps(
                 order[j] = order[i]
 
     ksn = np.full(n, np.nan)
+    slope_d8 = np.zeros(n)  # calcD8SlopeGrid zero-init, flowRoutingGrids.py:393
     has_down = down >= 0
     j = down[has_down]
     with np.errstate(invalid="ignore", divide="ignore"):
         s = (z[j] - z[has_down]) / (L[j] - L[has_down])
         ksn[has_down] = s * area[has_down] ** ksn_theta
+        slope_d8[has_down] = (z[has_down] - z[j]) / dist[has_down]
 
     # G7: max flow length + mean direction of the longest upstream path
     # (calculateMaxLMeanDir, flowRoutingGrids.py:625-688): ascending-area
@@ -255,4 +257,5 @@ def basin_sweeps(
             path_step[cur] = step
 
     return {"area": area, "L": L, "chi": chi, "order": order, "ksn": ksn,
-            "max_l": max_l, "mean_dir": mean_dir, "path_step": path_step}
+            "slope_d8": slope_d8, "max_l": max_l, "mean_dir": mean_dir,
+            "path_step": path_step}

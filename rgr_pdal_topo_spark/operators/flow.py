@@ -353,7 +353,6 @@ def flow_metrics(
     with_id = cells.withColumn(
         "id", F.col("cell_row").cast("long") * ncols + F.col("cell_col")
     )
-    edges = flow_edges(fd, grid)
     ptr = with_id.select(
         "id",
         F.when(
@@ -369,7 +368,7 @@ def flow_metrics(
     eff_amin = amin if amin is not None else dx * dy
     schema = (
         "cell_row int, cell_col int, area double, L double, chi double, "
-        "order double, ksn double, max_l double, mean_dir double, path_step long"
+        "order double, ksn double, slope_d8 double, max_l double, mean_dir double, path_step long"
     )
 
     def per_basin(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -390,6 +389,7 @@ def flow_metrics(
                 "chi": res["chi"],
                 "order": res["order"],
                 "ksn": res["ksn"],
+                "slope_d8": res["slope_d8"],
                 "max_l": res["max_l"],
                 "mean_dir": res["mean_dir"],
                 "path_step": res["path_step"],
@@ -400,30 +400,12 @@ def flow_metrics(
         per_basin, schema
     )
 
-    down_z = cells.select(
-        F.col("cell_row").alias("down_row"),
-        F.col("cell_col").alias("down_col"),
-        F.col("z").alias("down_z"),
-    )
-    slope = (
-        edges.join(down_z, ["down_row", "down_col"])
-        .select(
-            "cell_row", "cell_col",
-            F.col("dist").alias("down_dist"), "down_z",
-        )
-    )
-    return (
-        cells.join(sweeps, ["cell_row", "cell_col"])
-        .join(slope, ["cell_row", "cell_col"], "left")
-        .select(
-            "cell_row", "cell_col", "z", "fill", "fd",
-            F.coalesce(
-                (F.col("z") - F.col("down_z")) / F.col("down_dist"),
-                F.lit(0.0),
-            ).alias("slope_d8"),
-            "area", "L", "chi", "order", "ksn", "max_l", "mean_dir",
-            "path_step", "basin_id",
-        )
+    # slope_d8 comes out of the same per-basin pass (the downstream z is
+    # already in hand there) — no extra edge join/shuffle.
+    return cells.join(sweeps, ["cell_row", "cell_col"]).select(
+        "cell_row", "cell_col", "z", "fill", "fd", "slope_d8",
+        "area", "L", "chi", "order", "ksn", "max_l", "mean_dir",
+        "path_step", "basin_id",
     )
 
 
