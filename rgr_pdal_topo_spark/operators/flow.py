@@ -180,6 +180,7 @@ def fill_dem(
 
     tiles_x = math.ceil(ncols / T)
     active: DataFrame | None = None  # None = all tiles
+    converged = False
     for _ in range(max_rounds):
         tiles = _tile_rows(est, grid, T)
         if active is not None:
@@ -204,6 +205,7 @@ def fill_dem(
         est = updated.drop("changed").persist()
         old.unpersist()
         if n_changed == 0:
+            converged = True
             break
         # next round: only tiles whose padded window saw a change
         t = F.lit(T)
@@ -225,6 +227,12 @@ def fill_dem(
                  + F.col("tc") + F.col("dtc")).alias("tile_id")
             )
             .distinct()
+        )
+    if not converged:
+        raise RuntimeError(
+            f"fill_dem did not converge within {max_rounds} rounds "
+            "(rounds needed grow with the tile-graph diameter of the "
+            "deepest depression; raise max_rounds or tile_cells)"
         )
     return est
 
@@ -293,6 +301,7 @@ def _pointer_double(
     per-cell upstream BFS, flowRoutingGrids.py:849-902, re-expressed)."""
     p = ptr.persist()
     p.count()
+    converged = False
     for _ in range(max_rounds):
         nxt = (
             p.alias("a")
@@ -314,7 +323,13 @@ def _pointer_double(
         p.unpersist()
         p = nxt.persist()
         if n_moving == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"pointer doubling did not converge within {max_rounds} "
+            "rounds — the edge table likely contains a cycle"
+        )
     return p.withColumnRenamed("ptr", "root")
 
 
