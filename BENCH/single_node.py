@@ -98,6 +98,8 @@ def main() -> None:
             ok = (~assigned) & (tt >= 0) & (tt <= 1)
             px = s.x1 + tt * (s.x2 - s.x1)
             py = s.y1 + tt * (s.y2 - s.y1)
+            # the engine's profile operator emits the orthogonal
+            # distance column; charge the baseline the same arithmetic
             np.sqrt((px - x) ** 2 + (py - y) ** 2)
             assigned |= ok
             n_prof += int(ok.sum())

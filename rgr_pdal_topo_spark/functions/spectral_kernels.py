@@ -57,9 +57,18 @@ def hann_window(nrows: int, ncols: int) -> np.ndarray:
 
 def wavelength_grid(nrows: int, ncols: int, dx: float, dy: float) -> np.ndarray:
     """Radial wavelength L = 1/|f| per FFT bin (_getFFT_coords + _calcL2d,
-    fftGrid.py:152-172, 229-231); +inf at DC."""
+    fftGrid.py:152-172, 229-231); +inf at DC.
+
+    DELIBERATE DIVERGENCE: the reference flips the y frequencies
+    (ifftshift(fftshift(fftfreq)[::-1]), fftGrid.py:172, under its own
+    "Double check that the flipping of the y is correct" TODO).  For even
+    nrows that flip shifts every row label by one bin, mislabels DC as a
+    finite wavelength, and makes wavelength-defined filters lose Hermitian
+    symmetry (the inverse transform then silently discards a real
+    imaginary component).  This engine uses the plain fftfreq labels that
+    match np.fft.fft2's bin layout exactly."""
     fx = np.fft.fftfreq(ncols, dx)
-    fy = np.fft.ifftshift(np.fft.fftshift(np.fft.fftfreq(nrows, dy))[::-1])
+    fy = np.fft.fftfreq(nrows, dy)
     FX, FY = np.meshgrid(fx, fy)
     with np.errstate(divide="ignore"):
         return 1.0 / np.sqrt(FX * FX + FY * FY)
@@ -188,6 +197,9 @@ def binned_median_power(
     p_lo = np.full(n_bins, np.nan)
     p_hi = np.full(n_bins, np.nan)
     for i in range(n_bins):
+        # reference-exact membership incl. open top edge: the maximum
+        # finite wavelength falls outside the last bin, as in
+        # calcWavelengthBinnedMedianPower (fftGrid.py:264)
         sel = (L >= bins[i]) & (L < bins[i + 1])
         data = power[sel].ravel()
         if len(data) > 3:

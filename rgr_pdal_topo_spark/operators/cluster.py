@@ -32,6 +32,10 @@ def kmeans_1d(
     positions between min and max, then `iters` assign/update rounds.
     Returns (df + cluster column under final centers, centers)."""
     row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+    if row["lo"] is None:  # empty / all-NULL feature column
+        return df.withColumn("cluster", F.lit(0).cast("int")), [
+            float("nan")
+        ] * k
     lo, hi = float(row["lo"]), float(row["hi"])
     centers = [lo + (hi - lo) * i / (k - 1) for i in range(k)] if k > 1 else [lo]
     for _ in range(iters):

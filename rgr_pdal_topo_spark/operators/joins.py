@@ -359,9 +359,11 @@ def knn_join_grid(
             F.col("b.v").alias("_v"),
         )
     )
-    # best is one row per query (tiny): persist so the resolved/unresolved
-    # split and the union don't re-execute the candidate join DAG
-    best = best.persist()
+    # best is one row per query (tiny): materialize it once so the
+    # resolved/unresolved split and the union don't re-execute the
+    # candidate join DAG (localCheckpoint frees with the DataFrame,
+    # unlike persist which would leak across calls)
+    best = best.localCheckpoint(eager=True)
     resolved = best.filter(F.col("dist2") <= F.lit(bucket * bucket))
     unresolved = queries.join(
         resolved.select(qid), qid, "left_anti"

@@ -45,7 +45,7 @@ EPOCH0 = 1700000000
 WARC_EPOCH_SQL = f"CAST({EPOCH0} + doc_id * 37 AS BIGINT)"
 
 #: extraction regex: body paragraph content (lazy, RE2- and Java-compatible)
-EXTRACT_RE = "<p>(.*?)</p>"
+EXTRACT_RE = "(?s)<p>(.*?)</p>"  # (?s): text may span lines
 
 
 def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:

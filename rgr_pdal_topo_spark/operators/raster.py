@@ -65,8 +65,8 @@ def mosaic(
         return (
             u.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("cell_row", "cell_col", "value",
-                    F.col("src_id").alias("n_src"))
+            .select("cell_row", "cell_col", "value", "src_id",
+                    F.lit(1).alias("n_src"))
         )
     raise ValueError(mode)
 

@@ -17,6 +17,29 @@ def test_extract_is_byte_identical(spark):
     assert p.select("url").distinct().count() == n
 
 
+def test_extract_handles_markup_and_newlines(spark):
+    import tempfile
+
+    import pandas as pd
+
+    d = tempfile.mkdtemp()
+    df = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": ["plain words", "embedded </p> closer",
+                     "multi\nline\ntext", "entities &lt; already & here"],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [1] * 4,
+        }
+    )
+    spark.createDataFrame(df).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    out = pages.extract_text(pages.pages_df(spark, d))
+    assert out.filter("extracted IS NULL OR extracted <> text").count() == 0
+
+
 def test_extract_deterministic_across_runs(spark):
     a = pages.extract_text(pages.pages_df(spark, SF_DIR))
     b = pages.extract_text(pages.pages_df(spark, SF_DIR))

