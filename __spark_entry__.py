@@ -32,7 +32,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
     sf_dir = "/root/testdata/sf0.001"
     pts = points_df(spark, sf_dir).filter("cls <> 7")
-    dem = gridding.grid_points(pts.filter("cls = 2"), G, output_type="idw")
+    dem = gridding.fill_empty_cells(  # points2grid window-6 fallback (A3)
+        gridding.grid_points(pts.filter("cls = 2"), G, output_type="idw"),
+        G,
+    )
     metrics = run_stencils(
         dem,
         G,
@@ -46,12 +49,16 @@ def entry(spark: SparkSession) -> DataFrame:
     cell_pts = gridding.with_cell(pts, G)
     enriched = cell_pts.join(metrics, ["cell_row", "cell_col"], "left")
     pip = joins.pip_join_rect(enriched, polygons_df(spark, sf_dir))
+    def _nanavg(c: str):  # avg() skips NULL but NOT NaN: mask NaN first
+        col = F.col(c)
+        return F.avg(F.when(~F.isnan(col), col))
+
     return pip.groupBy("polygon_id", "unit").agg(
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.avg("z"), 4).alias("mean_z"),
-        F.round(F.avg("hillshade"), 4).alias("mean_hillshade"),
-        F.round(F.avg("slope_mag"), 6).alias("mean_slope"),
-        F.round(F.avg("roughness"), 6).alias("mean_roughness"),
+        F.round(_nanavg("hillshade"), 4).alias("mean_hillshade"),
+        F.round(_nanavg("slope_mag"), 6).alias("mean_slope"),
+        F.round(_nanavg("roughness"), 6).alias("mean_roughness"),
     )
 
 

@@ -71,12 +71,21 @@ def minhash_signatures(doc_tids: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     )
 
 
+def _check_banding(bands: int, rows_per_band: int) -> None:
+    if bands * rows_per_band != N_PERM:
+        raise ValueError(
+            f"bands ({bands}) x rows_per_band ({rows_per_band}) must equal "
+            f"N_PERM ({N_PERM})"
+        )
+
+
 def lsh_band_buckets(
     signatures: DataFrame, bands: int = 8, rows_per_band: int = 2
 ) -> DataFrame:
     """(band, band_key, n_docs, canonical_doc): docs sharing a band key are
     near-dup candidates.  band_key mixes the band's row minhashes
     order-sensitively (31^pos weights — exact int64 arithmetic)."""
+    _check_banding(bands, rows_per_band)
     sig = signatures.withColumn(
         "band", (F.col("perm") / F.lit(rows_per_band)).cast("int")
     ).withColumn("pos", F.col("perm") % F.lit(rows_per_band))
@@ -96,6 +105,7 @@ def minhash_candidate_pairs(
     signatures: DataFrame, bands: int = 8, rows_per_band: int = 2
 ) -> DataFrame:
     """Distinct candidate pairs (a < b) sharing at least one band key."""
+    _check_banding(bands, rows_per_band)
     sig = signatures.withColumn(
         "band", (F.col("perm") / F.lit(rows_per_band)).cast("int")
     ).withColumn("pos", F.col("perm") % F.lit(rows_per_band))

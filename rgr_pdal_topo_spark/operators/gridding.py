@@ -187,11 +187,23 @@ def fill_empty_cells(
     fills = joined.groupBy("cell_row", "cell_col").agg(
         (F.sum(w * F.col("n_value")) / F.sum(w)).alias("value")
     )
+    # empties with no filled neighbor in range stay as explicit NoData
+    # rows so the result is the complete dense universe
+    unreachable = (
+        empty.join(fills.select("cell_row", "cell_col"),
+                   ["cell_row", "cell_col"], "left_anti")
+        .withColumn("value", F.lit(None).cast("double"))
+    )
     return (
         filled.withColumn("filled", F.lit(0))
         .unionByName(
             fills.withColumn("n", F.lit(0).cast("long")).withColumn(
                 "filled", F.lit(1)
+            )
+        )
+        .unionByName(
+            unreachable.withColumn("n", F.lit(0).cast("long")).withColumn(
+                "filled", F.lit(0)
             )
         )
     )

@@ -55,6 +55,8 @@ def smrf_surface(
     opened (ground-estimate) value so the classification join can measure
     each point against a ground elevation everywhere.
     """
+    if max_window < 1:
+        raise ValueError("max_window must be >= 1")
     surface = p.copy()
     for r in range(1, max_window + 1):
         opened = _grey_op(_grey_op(surface, r, np.nanmin), r, np.nanmax)

@@ -46,6 +46,12 @@ def _materialize_with_halo(
     if halo > tile_cells:
         raise ValueError(f"halo {halo} must be <= tile_cells {tile_cells}")
     spark = grid_df.sparkSession
+    # out-of-extent rows would scatter into wrong tile positions (negative
+    # numpy indexing) or crash the worker: clamp to the grid universe
+    grid_df = grid_df.filter(
+        (F.col("cell_row") >= 0) & (F.col("cell_row") < grid.nrows)
+        & (F.col("cell_col") >= 0) & (F.col("cell_col") < grid.ncols)
+    )
     tiles_x = math.ceil(grid.ncols / tile_cells)
     tiles_y = math.ceil(grid.nrows / tile_cells)
     offs = spark.createDataFrame(
@@ -106,14 +112,15 @@ def run_stencils(
     def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
         tr2 = int(pdf["tr2"].iloc[0])
         tc2 = int(pdf["tc2"].iloc[0])
+        data = pdf[pdf["cell_row"].notna()]  # drop the universe anchor row
         r0, c0 = tr2 * T - halo, tc2 * T - halo  # padded-window origin
         r1, c1 = tr2 * T + T + halo, tc2 * T + T + halo  # exclusive
         gr0, gc0 = max(r0, 0), max(c0, 0)
         gr1, gc1 = min(r1, nrows), min(c1, ncols)
         valid = np.full((gr1 - gr0, gc1 - gc0), np.nan)
-        rr = pdf["cell_row"].to_numpy() - gr0
-        cc = pdf["cell_col"].to_numpy() - gc0
-        valid[rr, cc] = pdf["value"].to_numpy(dtype="float64")
+        rr = data["cell_row"].to_numpy(dtype="int64") - gr0
+        cc = data["cell_col"].to_numpy(dtype="int64") - gc0
+        valid[rr, cc] = data["value"].to_numpy(dtype="float64")
         pads = ((gr0 - r0, r1 - gr1), (gc0 - c0, c1 - gc1))
 
         # core (tile-own) region size:
@@ -154,6 +161,21 @@ def run_stencils(
         return pd.DataFrame(data)
 
     tiles = _materialize_with_halo(grid_df, grid, tile_cells, halo)
+    # anchor row per tile: tiles with zero input cells must still emit
+    # their (all-NaN-in) core universe so the output row set is the full
+    # dense grid regardless of data sparsity (matches the SQL oracles)
+    spark = grid_df.sparkSession
+    tiles_x = math.ceil(grid.ncols / tile_cells)
+    tiles_y = math.ceil(grid.nrows / tile_cells)
+    anchors = spark.range(tiles_x * tiles_y).selectExpr(
+        "id AS tile_id",
+        f"CAST(id DIV {tiles_x} AS INT) AS tr2",
+        f"CAST(id % {tiles_x} AS INT) AS tc2",
+        "CAST(NULL AS INT) AS cell_row",
+        "CAST(NULL AS INT) AS cell_col",
+        "CAST(NULL AS DOUBLE) AS value",
+    )
+    tiles = tiles.unionByName(anchors)
     return tiles.groupBy("tile_id").applyInPandas(per_tile, schema=schema)
 
 

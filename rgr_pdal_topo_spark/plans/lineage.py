@@ -63,6 +63,16 @@ class BatchCheckpointer:
         done = self.completed(spark)
         done_ids = [r.batch_id for r in done.select("batch_id").collect()]
 
+        if done_ids:  # completed-batch input drift -> loud error
+            drift = self.validate(inputs, batch_col)
+            n_drift = drift.count()
+            if n_drift:
+                raise RuntimeError(
+                    f"{n_drift} completed batches' inputs drifted since "
+                    "checkpointing; refusing to resume (delete the "
+                    "manifest to rebuild)"
+                )
+
         pending = batched.filter(~F.col("batch_id").isin(done_ids)) if done_ids else batched
 
         # fingerprints of pending inputs (order-insensitive xor-ish sum)
@@ -77,7 +87,15 @@ class BatchCheckpointer:
         out = transform(pending)
         if "batch_id" not in out.columns:
             raise ValueError("transform must preserve batch_id")
-        out.write.mode("append").partitionBy("batch_id").parquet(self.out_path)
+        # dynamic partition overwrite: re-running a batch after a crash
+        # between the data write and the manifest write replaces (not
+        # duplicates) that batch's partition -> resume is idempotent
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(self.out_path)
+        )
 
         result_counts = (
             spark.read.parquet(self.out_path)

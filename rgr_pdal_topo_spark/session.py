@@ -24,10 +24,11 @@ def get_spark(
     on for all pandas-UDF boundaries.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_cpus = int(cpus) if cpus.isdigit() else 32  # one fallback for BOTH
     if master is None:
-        master = f"local[{cpus}]"
+        master = f"local[{n_cpus}]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+        shuffle_partitions = n_cpus
 
     builder = (
         SparkSession.builder.master(master)
