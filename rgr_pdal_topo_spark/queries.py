@@ -387,7 +387,10 @@ def q_swath_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     _BASE.rstrip()
     + f", ground AS ({GRID_IDW_GROUND_CTE}) "
     "SELECT c.pid, c.cell_row, c.cell_col, "
-    "ROUND(c.z - g.value, 6) AS hag FROM cells c "
+    # integer micrometers: ROUND(x, 6) emits -0.0 for tiny negatives, which
+    # hashes differently from Spark's +0.0 even though the values are equal.
+    "CAST(ROUND((c.z - g.value) * 1000000.0) AS BIGINT) AS hag_um "
+    "FROM cells c "
     "JOIN ground g ON c.cell_row = g.cell_row AND c.cell_col = g.cell_col "
     "WHERE c.cls <> 7",
 )
@@ -398,7 +401,10 @@ def q_hag(spark: SparkSession, sf_dir: str) -> DataFrame:
     ground = gridding.grid_points(pts.filter("cls = 2"), G, output_type="idw")
     out = joins.height_above_ground(pts.filter("cls <> 7"), ground, G)
     return out.filter(F.col("ground_z").isNotNull()).select(
-        "pid", "cell_row", "cell_col", F.round("hag", 6).alias("hag")
+        "pid",
+        "cell_row",
+        "cell_col",
+        F.round(F.col("hag") * 1e6, 0).cast("long").alias("hag_um"),
     )
 
 
@@ -493,7 +499,10 @@ _shared_sql(
 
 _shared_sql(
     "sessionize",
-    "SELECT user_id, COUNT(*) AS n_events, MAX(session_id) + 1 AS n_sessions "
+    # CAST: DuckDB's windowed SUM yields HUGEINT -> pandas float64; Spark
+    # yields BIGINT.  Equal values, different driver hash without the cast.
+    "SELECT user_id, COUNT(*) AS n_events, "
+    "CAST(MAX(session_id) + 1 AS BIGINT) AS n_sessions "
     "FROM (SELECT user_id, SUM(is_new) OVER ("
     "PARTITION BY user_id ORDER BY ts, event_id "
     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
@@ -1214,7 +1223,11 @@ def q_flow_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f", reach AS ({_FREACH}), area AS MATERIALIZED ({_FAREA}), "
     f"walkup AS MATERIALIZED ({_FWALKUP}) "
     "SELECT r.r AS cell_row, r.c AS cell_col, "
-    "ROUND(MAX(ws.flow_l - wc.flow_l), 5) AS max_l "
+    # integer 1e-5 units: the two sides accumulate L with different float
+    # associations (ulp apart), so ROUND(...,5) near a half boundary could
+    # flip the driver hash; rounding to integers keeps them aligned.
+    "CAST(ROUND(MAX(ws.flow_l - wc.flow_l) * 100000.0) AS BIGINT) "
+    "AS max_l_um "
     "FROM reach r JOIN walkup ws ON ws.cell_row = r.r0 "
     "AND ws.cell_col = r.c0 JOIN walkup wc ON wc.cell_row = r.r "
     "AND wc.cell_col = r.c GROUP BY r.r, r.c",
@@ -1224,7 +1237,9 @@ def q_flow_maxl(spark: SparkSession, sf_dir: str) -> DataFrame:
     flowRoutingGrids.py:625-688); oracle = max over the downstream
     closure of L(src) - L(cell)."""
     return _flow_metrics_raw(spark, sf_dir).select(
-        "cell_row", "cell_col", F.round("max_l", 5).alias("max_l")
+        "cell_row",
+        "cell_col",
+        F.round(F.col("max_l") * 1e5, 0).cast("long").alias("max_l_um"),
     )
 
 
