@@ -3,24 +3,31 @@
 Web-scale training pipelines dedup at several strengths; each operator here
 is a pure DataFrame composition designed for the 100 TB shape:
 
-  * exact:     one hash agg on the text (content-defined key);
-  * minhash:   token-set signatures -> LSH band buckets -> candidate pairs
-               (band bucket join replaces the all-pairs O(n^2));
-  * simhash:   bitwise fingerprint via sign-of-weighted-sum, hamming
-               bucketing;
-  * jaccard:   exact token-set verification on (small) candidate sets.
+  * exact:     one hash agg on md5(text) — the shuffle carries a 32-char
+               digest, never the document body;
+  * minhash:   k-token shingles -> portable integer ids -> minhash
+               signatures -> LSH band buckets -> candidate pairs (band
+               bucket join replaces the all-pairs O(n^2)); oversized
+               buckets are capped before the self-join so one hot key can
+               never explode quadratically;
+  * simhash:   bitwise fingerprint via sign-of-weighted-sum over unigram
+               token ids;
+  * jaccard:   exact shingle-set verification on (small) candidate sets.
 
-PARITY DESIGN: token ids come from a dense_rank over the distinct-token
-dimension (deterministic binary string order in both Spark and DuckDB), and
-all hash mixing is explicit integer arithmetic — the DuckDB oracle can run
-the identical math.  At true 100 TB scale the rank dimension would be
-replaced by a 64-bit string hash (xxhash/md5 prefix); the rank form is the
-oracle-checkable spelling of the same plan (one broadcast dim join).
+PARITY DESIGN: shingle/token ids are a base-16 Horner fold of the first 15
+hex chars of md5 (mod 2^31-1) — pure string/integer built-ins that evaluate
+identically in Spark SQL and DuckDB, so every stage stays oracle-checkable
+with NO global window, NO vocabulary broadcast, and NO shuffle wider than
+(doc_id, int64).  (Round 1 used dense_rank over the whole vocabulary — a
+single-partition global sort Spark itself warns about; this replaces it.)
+
+Reference behavior: text dedup for a Common-Crawl-style corpus (the graft
+payload); shingling follows the standard MinHash construction (Broder).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame  # noqa: F401 (Column in hints)
 from pyspark.sql import functions as F
 
 # MinHash permutation parameters: (a_j, b_j) over prime P.
@@ -30,6 +37,23 @@ MINHASH_A = [(2 * j + 1) * 2654435761 % MINHASH_P for j in range(N_PERM)]
 MINHASH_B = [(j * 40503 + 12345) % MINHASH_P for j in range(N_PERM)]
 
 SIMHASH_BITS = 16
+SHINGLE_K = 3
+MAX_BUCKET = 64  # cap on band-bucket size before the candidate self-join
+
+_HEX = "0123456789abcdef"
+
+
+def horner_hash_sql(hex_col: str, chars: int = 15, mod: int = MINHASH_P) -> str:
+    """SQL text folding the first ``chars`` hex digits of ``hex_col`` into an
+    integer (base-16 Horner, mod ``mod``).  Uses only instr/substring/%,
+    which evaluate identically in Spark SQL and DuckDB — the portable
+    stand-in for xxhash64 so oracles can replay the exact same ids."""
+    # BIGINT accumulator: Spark would otherwise fold in int32 and overflow
+    v = "CAST(0 AS BIGINT)"
+    for i in range(1, chars + 1):
+        d = f"(instr('{_HEX}', substring({hex_col}, {i}, 1)) - 1)"
+        v = f"(({v} * 16 + {d}) % {mod})"
+    return v
 
 
 def tokens(documents: DataFrame) -> DataFrame:
@@ -39,21 +63,65 @@ def tokens(documents: DataFrame) -> DataFrame:
     ).filter(F.col("tok") != "")
 
 
-def token_ids(documents: DataFrame) -> DataFrame:
-    """(doc_id, tid) distinct — tid = dense_rank of token (1-based)."""
-    toks = tokens(documents).distinct()
-    vocab = toks.select("tok").distinct().withColumn(
-        "tid", F.dense_rank().over(Window.orderBy("tok"))
+def _tok_array() -> Column:
+    return F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+
+
+def shingles(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, shingle) distinct — k consecutive tokens joined by one
+    space.  Docs with fewer than k tokens produce no shingles."""
+    toks = _tok_array()
+    n = F.size(toks)
+    idx = F.when(
+        n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
     )
-    return toks.join(F.broadcast(vocab), "tok").select("doc_id", "tid")
+    return documents.select(
+        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def shingle_ids(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, tid) distinct — portable integer shingle ids.  One narrow
+    projection per row: no window, no dimension join, no broadcast."""
+    return (
+        shingles(documents, k)
+        .withColumn("__h", F.md5("shingle"))
+        .select("doc_id", F.expr(horner_hash_sql("__h")).alias("tid"))
+        .distinct()
+    )
+
+
+def token_ids(documents: DataFrame) -> DataFrame:
+    """(doc_id, tid) distinct — portable integer unigram-token ids (used by
+    simhash, whose fingerprint is a content distribution, not an n-gram
+    structure)."""
+    return (
+        tokens(documents)
+        .distinct()
+        .withColumn("__h", F.md5("tok"))
+        .select("doc_id", F.expr(horner_hash_sql("__h")).alias("tid"))
+        .distinct()
+    )
 
 
 def exact_duplicates(documents: DataFrame) -> DataFrame:
-    """Exact dedup groups: (canonical doc, group size) per distinct text."""
-    return documents.groupBy("text").agg(
-        F.min("doc_id").alias("canonical_doc"),
-        F.count(F.lit(1)).alias("group_size"),
-    ).select("canonical_doc", "group_size")
+    """Exact dedup groups: (canonical doc, group size) per distinct text.
+    Grouping key is md5(text), so the shuffle carries a digest rather than
+    the document body (same answer, bounded row width at any scale)."""
+    return (
+        documents.groupBy(F.md5("text").alias("__k"))
+        .agg(
+            F.min("doc_id").alias("canonical_doc"),
+            F.count(F.lit(1)).alias("group_size"),
+        )
+        .select("canonical_doc", "group_size")
+    )
 
 
 def minhash_signatures(doc_tids: DataFrame, n_perm: int = N_PERM) -> DataFrame:
@@ -79,22 +147,29 @@ def _check_banding(bands: int, rows_per_band: int) -> None:
         )
 
 
-def lsh_band_buckets(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 2
+def _band_mix(
+    signatures: DataFrame, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """(band, band_key, n_docs, canonical_doc): docs sharing a band key are
-    near-dup candidates.  band_key mixes the band's row minhashes
-    order-sensitively (31^pos weights — exact int64 arithmetic)."""
-    _check_banding(bands, rows_per_band)
+    """(doc_id, band, band_key): order-sensitive 31^pos mix of the band's
+    row minhashes (exact int64 arithmetic)."""
     sig = signatures.withColumn(
         "band", (F.col("perm") / F.lit(rows_per_band)).cast("int")
     ).withColumn("pos", F.col("perm") % F.lit(rows_per_band))
-    mixed = sig.groupBy("doc_id", "band").agg(
+    return sig.groupBy("doc_id", "band").agg(
         F.sum(
             F.col("minhash")
             * F.pow(F.lit(31.0), F.col("pos").cast("double")).cast("long")
         ).alias("band_key")
     )
+
+
+def lsh_band_buckets(
+    signatures: DataFrame, bands: int = 8, rows_per_band: int = 2
+) -> DataFrame:
+    """(band, band_key, n_docs, canonical_doc): docs sharing a band key are
+    near-dup candidates."""
+    _check_banding(bands, rows_per_band)
+    mixed = _band_mix(signatures, bands, rows_per_band)
     return mixed.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.min("doc_id").alias("canonical_doc"),
@@ -102,25 +177,28 @@ def lsh_band_buckets(
 
 
 def minhash_candidate_pairs(
-    signatures: DataFrame, bands: int = 8, rows_per_band: int = 2
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
-    """Distinct candidate pairs (a < b) sharing at least one band key."""
+    """Distinct candidate pairs (a < b) sharing at least one band key.
+
+    Buckets larger than ``max_bucket`` are dropped before the self-join: a
+    single hot band key would otherwise yield O(n^2) pairs.  (A bucket that
+    big means the banding is non-selective for that content — at 100 TB the
+    right response is to log and either tighten bands or route the bucket
+    through exact dedup, not to materialize the quadratic join.)"""
     _check_banding(bands, rows_per_band)
-    sig = signatures.withColumn(
-        "band", (F.col("perm") / F.lit(rows_per_band)).cast("int")
-    ).withColumn("pos", F.col("perm") % F.lit(rows_per_band))
-    mixed = sig.groupBy("doc_id", "band").agg(
-        F.sum(
-            F.col("minhash")
-            * F.pow(F.lit(31.0), F.col("pos").cast("double")).cast("long")
-        ).alias("band_key")
+    mixed = _band_mix(signatures, bands, rows_per_band)
+    sizes = mixed.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("__n")
     )
-    l = mixed.select(
-        F.col("doc_id").alias("doc_a"), "band", "band_key"
-    )
-    r = mixed.select(
-        F.col("doc_id").alias("doc_b"), "band", "band_key"
-    )
+    capped = mixed.join(
+        sizes.filter(F.col("__n") <= max_bucket), ["band", "band_key"]
+    ).select("doc_id", "band", "band_key")
+    l = capped.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    r = capped.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
     return (
         l.join(r, ["band", "band_key"])
         .filter(F.col("doc_a") < F.col("doc_b"))
@@ -130,7 +208,7 @@ def minhash_candidate_pairs(
 
 
 def jaccard_pairs(doc_tids: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact token-set Jaccard for given (doc_a, doc_b) pairs."""
+    """Exact id-set Jaccard for given (doc_a, doc_b) pairs."""
     sizes = doc_tids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = doc_tids.select(F.col("doc_id").alias("doc_a"), "tid")
     b = doc_tids.select(F.col("doc_id").alias("doc_b"), "tid")
@@ -156,7 +234,8 @@ def jaccard_pairs(doc_tids: DataFrame, pairs: DataFrame) -> DataFrame:
 def simhash(doc_tids: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): bit b = 1 iff sum over tokens of
     (((tid * P_b + C_b) % 1000) - 499.5) > 0 — all-integer/half-integer,
-    bit-reproducible in any engine."""
+    bit-reproducible in any engine.  (tid < 2^31 and P_b < 2^31, so the
+    product stays inside int64.)"""
     spark = doc_tids.sparkSession
     bit_tbl = spark.createDataFrame(
         [(b, (2 * b + 3) * 2654435761 % MINHASH_P, (b * 69621 + 7) % MINHASH_P)

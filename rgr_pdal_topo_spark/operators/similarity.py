@@ -77,6 +77,21 @@ def cosine_topk(
     )
 
 
+DEFAULT_PLANES = 8
+
+
+def n_planes_for(n_vectors: int, target_bucket: int = 64) -> int:
+    """Plane count scaling with corpus size: enough buckets that the
+    expected bucket occupancy is ~``target_bucket`` (so within-bucket work
+    stays bounded as n grows), clamped to [4, 24].  At 10^12 vectors with
+    target 64 this is 24 planes -> 16.7M buckets."""
+    import math
+
+    if n_vectors <= target_bucket:
+        return 4
+    return max(4, min(24, math.ceil(math.log2(n_vectors / target_bucket))))
+
+
 def _hyperplane_sign_bits(vec_col: str, n_planes: int, dim: int) -> Column:
     """Deterministic pseudo-hyperplane sign bucket (int).  Plane j component
     d = ((j*dim + d)*48271 % 2001) - 1000 (integer, zero-mean)."""
@@ -97,17 +112,30 @@ def _hyperplane_sign_bits(vec_col: str, n_planes: int, dim: int) -> Column:
     return bucket
 
 
+def _probe_buckets(bucket: Column, n_planes: int) -> Column:
+    """Multi-probe key list: the bucket itself plus every 1-bit flip, so a
+    probe join covers all buckets at Hamming distance <= 1 while staying a
+    pure equi-join (no inequality/cross join at any scale)."""
+    return F.array(
+        bucket, *[bucket.bitwiseXOR(F.lit(1 << j)) for j in range(n_planes)]
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     n_queries: int = 10,
     k: int = 5,
-    n_planes: int = 4,
+    n_planes: int = DEFAULT_PLANES,
     dim: int = 64,
     id_col: str = "vec_id",
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """LSH-bucketed approximate top-k: only same-bucket candidates are
-    scored.  At scale the bucket column is the shuffle/partition key; the
-    broadcast-query case shown here keeps one agg + one windowed top-k."""
+    """LSH-bucketed approximate top-k: only candidates in the query's
+    bucket (or, with ``multi_probe``, any bucket at Hamming distance <= 1)
+    are scored.  At scale the bucket column is the shuffle/partition key;
+    the broadcast-query case shown here keeps one agg + one windowed
+    top-k.  A (query, candidate) pair matches at most one probe key, so no
+    dedup is needed."""
     base = with_norm(emb).withColumn(
         "bucket", _hyperplane_sign_bits("vec", n_planes, dim)
     )
@@ -120,6 +148,10 @@ def cosine_topk_lsh(
             F.col("bucket").alias("qbucket"),
         )
     )
+    if multi_probe:
+        q = q.withColumn(
+            "qbucket", F.explode(_probe_buckets(F.col("qbucket"), n_planes))
+        )
     cand = base.join(
         F.broadcast(q),
         (F.col("bucket") == F.col("qbucket"))
@@ -144,18 +176,30 @@ def cosine_topk_lsh(
 
 
 def embedding_near_dups(
-    emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id"
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    n_planes: int = DEFAULT_PLANES,
+    dim: int = 64,
+    multi_probe: bool = True,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine >= threshold (brute force within
-    LSH buckets)."""
+    """Near-duplicate pairs by cosine >= threshold, scored only inside the
+    LSH structure (same bucket, or Hamming distance <= 1 with
+    ``multi_probe``).  The left side explodes its probe keys and the right
+    side keeps its plain bucket, so each unordered pair joins exactly once
+    and the whole thing stays an equi-join on an int key."""
     base = with_norm(emb).withColumn(
-        "bucket", _hyperplane_sign_bits("vec", 4, 64)
+        "bucket", _hyperplane_sign_bits("vec", n_planes, dim)
     )
     l = base.select(
         F.col(id_col).alias("id_a"),
         F.col("vec").alias("vec_a"),
         F.col("norm").alias("norm_a"),
-        "bucket",
+        (
+            F.explode(_probe_buckets(F.col("bucket"), n_planes))
+            if multi_probe
+            else F.col("bucket")
+        ).alias("bucket"),
     )
     r = base.select(
         F.col(id_col).alias("id_b"),

@@ -770,22 +770,45 @@ _shared_sql(
 # dedup (documents)
 # ---------------------------------------------------------------------------
 
-_shared_sql(
+@query(
     "dedup_exact",
+    # grouping on md5(text) (not text): the shuffle carries a 32-char
+    # digest instead of the document body — same groups, bounded width
     "SELECT MIN(doc_id) AS canonical_doc, COUNT(*) AS group_size "
-    "FROM documents GROUP BY text",
-    doc="Exact dedup: one hash agg on content (A-class at any scale).",
+    "FROM documents GROUP BY md5(text)",
 )
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash agg on the content digest (A-class at any
+    scale; operators/dedup.py exact_duplicates)."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
 
+    return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+# Shingle/token ids are md5 -> base-16 Horner fold mod 2^31-1
+# (dedup.horner_hash_sql): pure built-ins, identical in both engines, and —
+# unlike round 1's dense_rank spelling — no global window, no vocabulary
+# broadcast, no shuffle wider than (doc_id, int64).
+_DOCTOKS_DUCK = (
+    "SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') "
+    "AS toks FROM documents"
+)
+_SHINGLES_DUCK = (
+    "SELECT DISTINCT doc_id, toks[u.pos] || ' ' || toks[u.pos+1] || ' ' || "
+    "toks[u.pos+2] AS shingle FROM d, LATERAL (SELECT "
+    "unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS pos) u"
+)
+_SHID_DUCK = (
+    f"SELECT DISTINCT doc_id, {dedup.horner_hash_sql('h')} AS tid FROM "
+    "(SELECT doc_id, md5(shingle) AS h FROM sh) hh"
+)
 _TOKS_SET_DUCK = (
     "SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, "
     "unnest(string_split(text, ' ')) AS tok FROM documents) u WHERE tok <> ''"
 )
-_VOCAB_DUCK = (
-    "SELECT tok, CAST(DENSE_RANK() OVER (ORDER BY tok) AS BIGINT) AS tid "
-    "FROM (SELECT DISTINCT tok FROM toks) v"
+_TOKID_DUCK = (
+    f"SELECT DISTINCT doc_id, {dedup.horner_hash_sql('h')} AS tid FROM "
+    "(SELECT doc_id, md5(tok) AS h FROM toks) hh"
 )
-_DT_DUCK = "SELECT doc_id, tid FROM toks JOIN vocab USING (tok)"
 _PERMS_DUCK = "SELECT * FROM (VALUES " + ", ".join(
     f"({j}, {dedup.MINHASH_A[j]}, {dedup.MINHASH_B[j]})"
     for j in range(dedup.N_PERM)
@@ -802,12 +825,12 @@ _BANDS_DUCK = (
 )
 
 _MINHASH_CTES = _with(
-    f"toks AS ({_TOKS_SET_DUCK})",
-    f"vocab AS ({_VOCAB_DUCK})",
-    f"dt AS ({_DT_DUCK})",
+    f"d AS ({_DOCTOKS_DUCK})",
+    f"sh AS ({_SHINGLES_DUCK})",
+    f"dt AS MATERIALIZED ({_SHID_DUCK})",
     f"perms AS ({_PERMS_DUCK})",
     f"sig AS ({_SIG_DUCK})",
-    f"bandmix AS ({_BANDS_DUCK})",
+    f"bandmix AS MATERIALIZED ({_BANDS_DUCK})",
 )
 
 
@@ -818,21 +841,25 @@ _MINHASH_CTES = _with(
     "canonical_doc FROM bandmix GROUP BY band, band_key",
 )
 def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH band buckets (16 perms, 8 bands x 2 rows): docs sharing a
-    bucket are near-dup candidates.  All hashing is explicit integer
-    arithmetic (oracle-replicable)."""
+    """MinHash-LSH band buckets over 3-token shingles (16 perms, 8 bands x
+    2 rows).  All hashing is explicit integer arithmetic
+    (oracle-replicable)."""
     from rgr_pdal_topo_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = dedup.minhash_signatures(dedup.token_ids(docs))
+    sig = dedup.minhash_signatures(dedup.shingle_ids(docs))
     return dedup.lsh_band_buckets(sig)
 
 
 @query(
     "minhash_pairs",
     _MINHASH_CTES.rstrip()
-    + ", pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-    "FROM bandmix a JOIN bandmix b ON a.band = b.band AND "
+    + ", bsz AS (SELECT band, band_key, COUNT(*) AS n FROM bandmix "
+    "GROUP BY band, band_key), "
+    "capped AS (SELECT m.* FROM bandmix m JOIN bsz ON bsz.band = m.band "
+    f"AND bsz.band_key = m.band_key AND bsz.n <= {dedup.MAX_BUCKET}), "
+    "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM capped a JOIN capped b ON a.band = b.band AND "
     "a.band_key = b.band_key AND a.doc_id < b.doc_id), "
     "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id), "
     "inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter FROM pairs p "
@@ -844,11 +871,12 @@ def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "JOIN sizes sa ON sa.doc_id = i.doc_a JOIN sizes sb ON sb.doc_id = i.doc_b",
 )
 def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs + exact token-set Jaccard verification."""
+    """LSH candidate pairs (bucket-capped) + exact shingle-set (n-gram)
+    Jaccard verification."""
     from rgr_pdal_topo_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    dt = dedup.token_ids(docs)
+    dt = dedup.shingle_ids(docs)
     sig = dedup.minhash_signatures(dt)
     pairs = dedup.minhash_candidate_pairs(sig)
     jc = dedup.jaccard_pairs(dt, pairs)
@@ -868,8 +896,7 @@ _BITS_DUCK = "SELECT * FROM (VALUES " + ", ".join(
     "simhash",
     _with(
         f"toks AS ({_TOKS_SET_DUCK})",
-        f"vocab AS ({_VOCAB_DUCK})",
-        f"dt AS ({_DT_DUCK})",
+        f"dt AS MATERIALIZED ({_TOKID_DUCK})",
         f"bits AS ({_BITS_DUCK})",
         "perbit AS (SELECT doc_id, bit, SUM(CAST((tid * p + c) % 1000 AS "
         "DOUBLE) - 499.5) AS s FROM dt CROSS JOIN bits GROUP BY doc_id, bit)",
@@ -951,7 +978,7 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, n_queries=10, k=5)
 
 
-def _planes_duck(n_planes: int = 4, dim: int = 64) -> list[str]:
+def _planes_duck(n_planes: int, dim: int = 64) -> list[str]:
     out = []
     for j in range(n_planes):
         vals = ", ".join(
@@ -961,28 +988,55 @@ def _planes_duck(n_planes: int = 4, dim: int = 64) -> list[str]:
     return out
 
 
-_PLANES = _planes_duck()
+_NP = similarity.DEFAULT_PLANES
+_PLANES = _planes_duck(_NP)
 _BUCKET_DUCK = " + ".join(
     f"(CASE WHEN list_dot_product(v, {_PLANES[j]}) > 0 THEN {1 << j} "
     "ELSE 0 END)"
-    for j in range(4)
+    for j in range(_NP)
 )
+_PROBES_DUCK = "[bucket, " + ", ".join(
+    f"xor(bucket, {1 << j})" for j in range(_NP)
+) + "]"
+_NORMB_DUCK = (
+    "SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm, "
+    f"{_BUCKET_DUCK} AS bucket FROM e"
+)
+
+
+@query(
+    "embedding_buckets",
+    _with(f"e AS ({_EMB_DUCK})", f"n AS ({_NORMB_DUCK})")
+    + "SELECT vec_id, bucket FROM n",
+)
+def q_embedding_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucket assignment itself (the partition key of the
+    scale path) — oracle-checked end to end."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = similarity.with_norm(emb).withColumn(
+        "bucket", similarity._hyperplane_sign_bits("vec", _NP, 64)
+    )
+    return base.select("vec_id", "bucket")
 
 
 @query(
     "embedding_near_dups",
     _with(
         f"e AS ({_EMB_DUCK})",
-        f"n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm, "
-        f"{_BUCKET_DUCK} AS bucket FROM e)",
+        f"n AS ({_NORMB_DUCK})",
+        f"l AS (SELECT vec_id, v, nrm, unnest({_PROBES_DUCK}) AS bucket "
+        "FROM n)",
     )
     + "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
     "ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 5) AS cosine "
-    "FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
+    "FROM l a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id "
     "WHERE ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 5) >= 0.35",
 )
 def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-duplicate pairs within LSH buckets (cos >= 0.35)."""
+    """Embedding near-duplicate pairs inside the multi-probe LSH structure
+    (8 planes, Hamming <= 1, cos >= 0.35)."""
     from rgr_pdal_topo_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -1,0 +1,104 @@
+"""Similarity-search tests: planted near-dup recall at multiple LSH
+configurations, candidate-count bounds, and plane-count scaling.
+
+The embeddings testdata table is isotropic random (no real near-dup
+structure), so these tests plant their own: base vectors plus copies with a
+small deterministic perturbation (cos >= ~0.99) and assert the LSH paths
+find them.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from rgr_pdal_topo_spark.operators import similarity
+
+
+def _planted(n_base: int = 60, dim: int = 64, seed: int = 3):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_base):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        rows.append((i, [float(x) for x in v]))
+        w = [x + 0.05 * rng.gauss(0.0, 1.0) for x in v]
+        rows.append((1000 + i, [float(x) for x in w]))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.createDataFrame(
+        _planted(), "vec_id long, embedding array<float>"
+    )
+
+
+@pytest.mark.parametrize(
+    "n_planes,multi_probe,min_recall",
+    [(4, False, 0.5), (8, True, 0.5)],
+)
+def test_near_dup_recall(emb, n_planes, multi_probe, min_recall):
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_near_dups(
+            emb, threshold=0.95, n_planes=n_planes, multi_probe=multi_probe
+        ).collect()
+    }
+    planted = {(i, 1000 + i) for i in range(60)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= min_recall, (
+        f"planes={n_planes} probe={multi_probe}: recall {recall}"
+    )
+
+
+def test_multi_probe_dominates_single_bucket(emb):
+    single = similarity.embedding_near_dups(
+        emb, threshold=0.95, n_planes=8, multi_probe=False
+    ).count()
+    probed = similarity.embedding_near_dups(
+        emb, threshold=0.95, n_planes=8, multi_probe=True
+    ).count()
+    assert probed >= single
+
+
+def test_candidate_count_bounded(spark):
+    # isotropic corpus: the probe structure must score only a small
+    # fraction of all pairs (9/2^8 expected for 8 planes + Hamming<=1)
+    rng = random.Random(11)
+    rows = [
+        (i, [float(rng.gauss(0, 1)) for _ in range(64)]) for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = similarity.embedding_near_dups(
+        df, threshold=-1.0, n_planes=8, multi_probe=True
+    ).count()
+    all_pairs = 300 * 299 // 2
+    assert got < 0.12 * all_pairs, (
+        f"{got}/{all_pairs} pairs scored — LSH structure not selective"
+    )
+
+
+def test_topk_lsh_recall_vs_exact(emb):
+    exact = {
+        (r.query_id, r.nn_id)
+        for r in similarity.cosine_topk(emb, n_queries=10, k=1).collect()
+    }
+    approx = {
+        (r.query_id, r.nn_id)
+        for r in similarity.cosine_topk_lsh(
+            emb, n_queries=10, k=1, n_planes=8, multi_probe=True
+        ).collect()
+    }
+    # rank-1 neighbor of a planted base vector is its near-dup copy —
+    # overwhelmingly likely to share a bucket within Hamming<=1
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"top-1 recall {recall}"
+
+
+def test_n_planes_for_scaling():
+    assert similarity.n_planes_for(50) == 4
+    assert similarity.n_planes_for(500) == 4
+    assert similarity.n_planes_for(10**6) == math.ceil(math.log2(10**6 / 64))
+    assert similarity.n_planes_for(10**12) == 24
