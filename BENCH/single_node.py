@@ -11,13 +11,16 @@ seconds at the same 38.4M-point payload (sf0.1 x 256).
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 import duckdb
 import numpy as np
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 
 def main() -> None:

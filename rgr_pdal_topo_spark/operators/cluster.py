@@ -38,6 +38,10 @@ def kmeans_1d(
         ] * k
     lo, hi = float(row["lo"]), float(row["hi"])
     centers = [lo + (hi - lo) * i / (k - 1) for i in range(k)] if k > 1 else [lo]
+    # cut the upstream lineage once: every Lloyd iteration (plus the final
+    # assignment) would otherwise recompute the full feature pipeline
+    # (gridding + stencil shuffle for kmeans_scarp) — ~(iters+1)x redundant
+    df = df.localCheckpoint(eager=True)
     for _ in range(iters):
         assigned = _assign(df, col, centers)
         means = {

@@ -119,6 +119,10 @@ def fill_dem(
         grid_df.select(
             "cell_row", "cell_col", F.col(value_col).cast("double").alias("z")
         )
+        # NoData rows (NULL/NaN value, e.g. fill_empty_cells' explicit
+        # markers) are holes, not cells: they would otherwise enter as
+        # z=NaN with fill=+inf and never be touched by any tile flood.
+        .filter(F.col("z").isNotNull() & ~F.isnan(F.col("z")))
         .withColumn("fill", F.lit(float("inf")))
         .persist()
     )

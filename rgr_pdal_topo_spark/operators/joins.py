@@ -175,10 +175,11 @@ def profile_project(points: DataFrame) -> DataFrame:
         )
 
     out = points.select(
-        "pid", F.explode(F.array(*profile_structs)).alias("pr")
+        "pid", "z", F.explode(F.array(*profile_structs)).alias("pr")
     ).filter(F.col("pr.hit").isNotNull())
     return out.select(
         "pid",
+        "z",
         F.col("pr.profile_id").alias("profile_id"),
         F.col("pr.hit.seg_idx").alias("seg_idx"),
         F.col("pr.hit.t").alias("t"),
@@ -239,6 +240,59 @@ def profile_project_join(
             F.col("b.d").alias("d"),
             F.col("b.l").alias("l"),
         )
+    )
+
+
+SAVGOL_5_2 = (-3.0, 12.0, 17.0, 12.0, -3.0)  # quadratic fit, window 5
+SAVGOL_5_2_DENOM = 35.0
+
+
+def profile_peaks(
+    swath_pts: DataFrame, station_width: float = 10.0
+) -> DataFrame:
+    """X12: per-profile post-processing of the swath profile
+    (PointCloud_Profiles notebook cell 0: scipy.signal savgol_filter +
+    find_peaks over the binned profile; the stripped cells define the
+    workflow shape, the coefficients here are the standard closed-form
+    Savitzky-Golay window-5/order-2 weights).
+
+    Input: (profile_id, l, z) swath points.  Stations are l-bins of
+    ``station_width``; per station the exact median z; smoothing is the
+    5-tap convolution over consecutive stations (only full windows emit a
+    value, matching mode-less convolution); a peak is a strict local
+    maximum of the smoothed series.  Pure window functions per profile —
+    no UDF, parallel across profiles at any scale."""
+    binned = (
+        swath_pts.withColumn(
+            "station",
+            F.floor(F.col("l") / F.lit(station_width)).cast("int"),
+        )
+        .groupBy("profile_id", "station")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("percentile(z, 0.5)").alias("z_med"),
+        )
+    )
+    w = Window.partitionBy("profile_id").orderBy("station")
+    c = SAVGOL_5_2
+    z_sm = (
+        F.lit(c[0]) * F.lag("z_med", 2).over(w)
+        + F.lit(c[1]) * F.lag("z_med", 1).over(w)
+        + F.lit(c[2]) * F.col("z_med")
+        + F.lit(c[3]) * F.lead("z_med", 1).over(w)
+        + F.lit(c[4]) * F.lead("z_med", 2).over(w)
+    ) / F.lit(SAVGOL_5_2_DENOM)
+    sm = binned.withColumn("z_sm", z_sm).filter(F.col("z_sm").isNotNull())
+    prev = F.lag("z_sm", 1).over(w)
+    nxt = F.lead("z_sm", 1).over(w)
+    is_peak = (
+        prev.isNotNull()
+        & nxt.isNotNull()
+        & (F.col("z_sm") > prev)
+        & (F.col("z_sm") > nxt)
+    )
+    return sm.withColumn(
+        "is_peak", F.when(is_peak, F.lit(True)).otherwise(F.lit(False))
     )
 
 

@@ -207,6 +207,145 @@ def reproject_4326_to_3857(
 
 
 # ---------------------------------------------------------------------------
+# F5 (general): parameterized CRS registry — closed-form transforms keyed by
+# (src_epsg, dst_epsg), matching reprojectXYPoints's arbitrary-EPSG surface
+# (pointCloudCreation.py:134-153) for the projections the reference's
+# workflows actually use (geographic -> web mercator / UTM).  Constants are
+# computed once in Python and embedded as identical literals in the numpy
+# path and the oracle SQL, and every power is spelled as explicit
+# multiplication, so both engines execute the same float operation sequence.
+# ---------------------------------------------------------------------------
+
+_UTM_K0 = 0.9996
+_UTM_F = 1.0 / 298.257223563  # WGS84 flattening
+_UTM_E2 = _UTM_F * (2.0 - _UTM_F)
+_UTM_EP2 = _UTM_E2 / (1.0 - _UTM_E2)
+_UTM_M1 = 1.0 - _UTM_E2 / 4.0 - 3.0 * _UTM_E2**2 / 64.0 \
+    - 5.0 * _UTM_E2**3 / 256.0
+_UTM_M2 = 3.0 * _UTM_E2 / 8.0 + 3.0 * _UTM_E2**2 / 32.0 \
+    + 45.0 * _UTM_E2**3 / 1024.0
+_UTM_M3 = 15.0 * _UTM_E2**2 / 256.0 + 45.0 * _UTM_E2**3 / 1024.0
+_UTM_M4 = 35.0 * _UTM_E2**3 / 3072.0
+
+
+def utm_zone_epsg(zone: int, south: bool = False) -> int:
+    return (32700 if south else 32600) + zone
+
+
+def _utm_forward_np(lon: np.ndarray, lat: np.ndarray, zone: int,
+                    south: bool) -> tuple[np.ndarray, np.ndarray]:
+    """Redfearn-series Transverse Mercator forward (the standard UTM
+    expansion, e.g. Snyder 1987 eq. 8-9..8-15), vectorized."""
+    a, k0, e2, ep2 = _R_MAJOR, _UTM_K0, _UTM_E2, _UTM_EP2
+    lam0 = math.radians(zone * 6.0 - 183.0)
+    phi = np.radians(lat)
+    lam = np.radians(lon)
+    sinp = np.sin(phi)
+    cosp = np.cos(phi)
+    tanp = np.tan(phi)
+    n = a / np.sqrt(1.0 - e2 * (sinp * sinp))
+    t = tanp * tanp
+    c = ep2 * (cosp * cosp)
+    aa = (lam - lam0) * cosp
+    a2 = aa * aa
+    a3 = a2 * aa
+    a4 = a2 * a2
+    a5 = a4 * aa
+    a6 = a4 * a2
+    m = a * (_UTM_M1 * phi - _UTM_M2 * np.sin(2.0 * phi)
+             + _UTM_M3 * np.sin(4.0 * phi) - _UTM_M4 * np.sin(6.0 * phi))
+    x = k0 * (n * (aa + (1.0 - t + c) * a3 / 6.0
+                   + (5.0 - 18.0 * t + t * t + 72.0 * c - 58.0 * ep2)
+                   * a5 / 120.0)) + 500000.0
+    y = k0 * (m + n * tanp * (a2 / 2.0
+                              + (5.0 - t + 9.0 * c + 4.0 * (c * c))
+                              * a4 / 24.0
+                              + (61.0 - 58.0 * t + t * t + 600.0 * c
+                                 - 330.0 * ep2) * a6 / 720.0))
+    if south:
+        y = y + 10000000.0
+    return x, y
+
+
+def utm_forward_sql(lon_expr: str, lat_expr: str, zone: int,
+                    south: bool = False) -> tuple[str, str]:
+    """The identical series as SQL text (DuckDB oracle twin of
+    _utm_forward_np; same literals, same operation order)."""
+    a, k0, e2, ep2 = _R_MAJOR, _UTM_K0, _UTM_E2, _UTM_EP2
+    lam0 = math.radians(zone * 6.0 - 183.0)
+    phi = f"RADIANS({lat_expr})"
+    aa = f"((RADIANS({lon_expr}) - {lam0!r}) * COS({phi}))"
+    t = f"(TAN({phi}) * TAN({phi}))"
+    c = f"({ep2!r} * (COS({phi}) * COS({phi})))"
+    n = f"({a!r} / SQRT(1.0 - {e2!r} * (SIN({phi}) * SIN({phi}))))"
+    a2 = f"({aa} * {aa})"
+    a3 = f"({a2} * {aa})"
+    a4 = f"({a2} * {a2})"
+    a5 = f"({a4} * {aa})"
+    a6 = f"({a4} * {a2})"
+    m = (f"({a!r} * ({_UTM_M1!r} * {phi} - {_UTM_M2!r} * SIN(2.0 * {phi}) "
+         f"+ {_UTM_M3!r} * SIN(4.0 * {phi}) - {_UTM_M4!r} * "
+         f"SIN(6.0 * {phi})))")
+    x = (f"({k0!r} * ({n} * ({aa} + (1.0 - {t} + {c}) * {a3} / 6.0 "
+         f"+ (5.0 - 18.0 * {t} + {t} * {t} + 72.0 * {c} - 58.0 * {ep2!r}) "
+         f"* {a5} / 120.0)) + 500000.0)")
+    y = (f"({k0!r} * ({m} + {n} * TAN({phi}) * ({a2} / 2.0 "
+         f"+ (5.0 - {t} + 9.0 * {c} + 4.0 * ({c} * {c})) * {a4} / 24.0 "
+         f"+ (61.0 - 58.0 * {t} + {t} * {t} + 600.0 * {c} "
+         f"- 330.0 * {ep2!r}) * {a6} / 720.0)))")
+    if south:
+        y = f"({y} + 10000000.0)"
+    return x, y
+
+
+def reproject_points(
+    df: DataFrame,
+    src_epsg: int,
+    dst_epsg: int,
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    out_x: str = "proj_x",
+    out_y: str = "proj_y",
+) -> DataFrame:
+    """General (src, dst) EPSG transform over a DataFrame — the engine's
+    reprojectXYPoints.  Supported: 4326 identity, 4326->3857, and
+    4326->UTM 326xx/327xx (closed-form series; a new pair is one registry
+    entry).  Unknown pairs raise rather than silently passing through."""
+    if src_epsg != 4326:
+        raise NotImplementedError(
+            f"source EPSG {src_epsg} not in registry (geographic sources "
+            "only; reproject to 4326 upstream)"
+        )
+    if dst_epsg == 4326:
+        return df.withColumn(out_x, F.col(lon_col).cast("double")) \
+                 .withColumn(out_y, F.col(lat_col).cast("double"))
+    if dst_epsg == 3857:
+        return df.withColumn(
+            out_x, lonlat_to_mercator_x(F.col(lon_col))
+        ).withColumn(out_y, lonlat_to_mercator_y(F.col(lat_col)))
+    if 32601 <= dst_epsg <= 32660 or 32701 <= dst_epsg <= 32760:
+        south = dst_epsg > 32700
+        zone = dst_epsg - (32700 if south else 32600)
+
+        @pandas_udf("x double, y double")
+        def _utm(lon: pd.Series, lat: pd.Series) -> pd.DataFrame:
+            x, y = _utm_forward_np(
+                lon.to_numpy(dtype="float64"),
+                lat.to_numpy(dtype="float64"),
+                zone, south,
+            )
+            return pd.DataFrame({"x": x, "y": y})
+
+        proj = _utm(F.col(lon_col), F.col(lat_col))
+        return df.withColumn("__p", proj) \
+                 .withColumn(out_x, F.col("__p.x")) \
+                 .withColumn(out_y, F.col("__p.y")) \
+                 .drop("__p")
+    raise NotImplementedError(f"EPSG pair ({src_epsg}, {dst_epsg}) "
+                              "not in registry")
+
+
+# ---------------------------------------------------------------------------
 # A7: radial (length x theta) histogram with wrap-around theta windows
 # ---------------------------------------------------------------------------
 

@@ -377,6 +377,72 @@ def q_swath_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SWATH_SQL = (
+    "SELECT pr.profile_id, pr.l, p.z FROM proj pr "
+    "JOIN pts p ON p.pid = pr.pid "
+    "JOIN sw ON sw.profile_id = pr.profile_id "
+    "WHERE pr.rn = 1 AND pr.d <= sw.swath_width"
+)
+_PEAKS_BINNED = (
+    "SELECT profile_id, CAST(FLOOR(l / 10.0) AS INT) AS station, "
+    "COUNT(*) AS n, QUANTILE_CONT(z, 0.5) AS z_med FROM swpts "
+    "GROUP BY profile_id, CAST(FLOOR(l / 10.0) AS INT)"
+)
+_PEAKS_SM = (
+    "SELECT profile_id, station, n, z_med, "
+    "(-3.0 * LAG(z_med, 2) OVER w + 12.0 * LAG(z_med, 1) OVER w "
+    "+ 17.0 * z_med + 12.0 * LEAD(z_med, 1) OVER w "
+    "+ -3.0 * LEAD(z_med, 2) OVER w) / 35.0 AS z_sm FROM binned "
+    "WINDOW w AS (PARTITION BY profile_id ORDER BY station)"
+)
+
+
+@query(
+    "profile_peaks",
+    _with(
+        f"pts AS ({PTS})",
+        f"seg AS ({_SEGS})",
+        f"cand AS ({_PROJ_CTE})",
+        f"valid AS ({_PROJ_VALID})",
+        f"proj AS ({_PROJ_DL})",
+        "sw AS (SELECT * FROM (VALUES "
+        + ", ".join(
+            f"({p['profile_id']}, CAST({p['swath_width']!r} AS DOUBLE))"
+            for p in synth.PROFILES
+        )
+        + ") AS sw(profile_id, swath_width))",
+        f"swpts AS ({_SWATH_SQL})",
+        f"binned AS ({_PEAKS_BINNED})",
+        f"sm AS ({_PEAKS_SM})",
+    )
+    + "SELECT profile_id, station, n, "
+    "CAST(ROUND(z_med * 1000000.0) AS BIGINT) AS z_med_um, "
+    "CAST(ROUND(z_sm * 1000000.0) AS BIGINT) AS z_sm_um, "
+    "COALESCE(z_sm > LAG(z_sm, 1) OVER w2 AND z_sm > LEAD(z_sm, 1) OVER w2, "
+    "FALSE) AS is_peak FROM sm WHERE z_sm IS NOT NULL "
+    "WINDOW w2 AS (PARTITION BY profile_id ORDER BY station)",
+)
+def q_profile_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: savgol(5,2)-smoothed binned-median swath profile + strict
+    local-max peak flags (PointCloud_Profiles post-processing re-expressed
+    as per-profile window functions)."""
+    proj = joins.profile_project(points_df(spark, sf_dir))
+    sw = spark.createDataFrame(
+        [(p["profile_id"], p["swath_width"]) for p in synth.PROFILES],
+        "profile_id int, swath_width double",
+    )
+    swath = proj.join(F.broadcast(sw), "profile_id").filter(
+        F.col("d") <= F.col("swath_width")
+    ).select("profile_id", "l", "z")
+    out = joins.profile_peaks(swath)
+    return out.select(
+        "profile_id", "station", "n",
+        F.round(F.col("z_med") * 1e6, 0).cast("long").alias("z_med_um"),
+        F.round(F.col("z_sm") * 1e6, 0).cast("long").alias("z_sm_um"),
+        "is_peak",
+    )
+
+
 # ---------------------------------------------------------------------------
 # J8/J5: HAG + grid residuals
 # ---------------------------------------------------------------------------
@@ -1775,6 +1841,36 @@ def q_reproject_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pid", "lon", "lat",
         F.round("merc_x", 4).alias("merc_x"),
         F.round("merc_y", 4).alias("merc_y"),
+    )
+
+
+_UTMX_DUCK, _UTMY_DUCK = rasterops.utm_forward_sql("lon", "lat", zone=31)
+
+
+@query(
+    "reproject_utm",
+    "SELECT pid, lon, lat, "
+    f"CAST(ROUND({_UTMX_DUCK} * 1000.0) AS BIGINT) AS utm_x_mm, "
+    f"CAST(ROUND({_UTMY_DUCK} * 1000.0) AS BIGINT) AS utm_y_mm "
+    "FROM (SELECT pid, x / 100.0 - 5.0 AS lon, y / 100.0 + 40.0 AS lat "
+    f"FROM ({PTS}) p)",
+)
+def q_reproject_utm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5 general: parameterized EPSG registry — 4326 -> UTM zone 31N
+    (EPSG:32631) via the closed-form Redfearn series in a vectorized
+    pandas UDF (reprojectXYPoints, pointCloudCreation.py:134-153); the
+    oracle runs the identical series with the same literals and operation
+    order.  Integer-mm output keeps the driver hash representation-safe."""
+    pts = points_df(spark, sf_dir).selectExpr(
+        "pid", "x / 100.0 - 5.0 AS lon", "y / 100.0 + 40.0 AS lat"
+    )
+    out = rasterops.reproject_points(
+        pts, 4326, rasterops.utm_zone_epsg(31), out_x="utm_x", out_y="utm_y"
+    )
+    return out.select(
+        "pid", "lon", "lat",
+        F.round(F.col("utm_x") * 1e3, 0).cast("long").alias("utm_x_mm"),
+        F.round(F.col("utm_y") * 1e3, 0).cast("long").alias("utm_y_mm"),
     )
 
 

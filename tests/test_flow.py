@@ -203,3 +203,35 @@ def test_main_path_matches_reference_walk(spark):
             expected[cur] = step
     got = m[m["path_step"] >= 0]["path_step"].to_dict()
     assert got == expected
+
+
+def test_fill_matches_golden_sf001(spark):
+    """G1 driver-shaped check: the distributed fill over the real sf0.01
+    flow DEM equals the committed sequential priority-flood result
+    bit-for-bit (tests/golden/flow_fill_sf0.01.parquet; regenerate by
+    running fk.priority_flood on _flow_dem — see git history of this
+    test)."""
+    import os
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import FG, _flow_dem
+
+    golden = pd.read_parquet(
+        os.path.join(os.path.dirname(__file__), "golden",
+                     "flow_fill_sf0.01.parquet")
+    ).sort_values(["cell_row", "cell_col"]).reset_index(drop=True)
+    out = (
+        flow.fill_dem(_flow_dem(spark, "/root/testdata/sf0.01"), FG,
+                      tile_cells=25)
+        .toPandas()
+        .sort_values(["cell_row", "cell_col"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == len(golden)
+    assert (out.cell_row.to_numpy() == golden.cell_row.to_numpy()).all()
+    assert (out.cell_col.to_numpy() == golden.cell_col.to_numpy()).all()
+    np.testing.assert_array_equal(out.z.to_numpy(), golden.z.to_numpy())
+    np.testing.assert_array_equal(
+        out.fill.to_numpy(), golden.fill_z.to_numpy()
+    )

@@ -244,3 +244,21 @@ def test_profile_folded_equals_join(spark, pts):
     assert (a.seg_idx.to_numpy() == b.seg_idx.to_numpy()).all()
     np.testing.assert_array_equal(a.d.to_numpy(), b.d.to_numpy())
     np.testing.assert_array_equal(a.l.to_numpy(), b.l.to_numpy())
+
+
+def test_profile_peaks_savgol_and_peak(spark):
+    import numpy as np
+    import pytest as _pt
+
+    # one profile, one point per station, triangular apex at station 4
+    zs = [0.0, 1.0, 2.0, 3.0, 10.0, 3.0, 2.0, 1.0, 0.0]
+    rows = [(0, 10.0 * i + 5.0, z) for i, z in enumerate(zs)]
+    df = spark.createDataFrame(rows, "profile_id int, l double, z double")
+    out = {r.station: r for r in joins.profile_peaks(df).collect()}
+    # only full 5-tap windows emit smoothed values
+    assert sorted(out) == [2, 3, 4, 5, 6]
+    c = np.array([-3.0, 12.0, 17.0, 12.0, -3.0]) / 35.0
+    for s in range(2, 7):
+        exp = float(np.dot(np.array(zs[s - 2:s + 3]), c))
+        assert out[s].z_sm == _pt.approx(exp, rel=1e-12)
+    assert [s for s in out if out[s].is_peak] == [4]

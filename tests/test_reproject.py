@@ -1,0 +1,71 @@
+"""Reprojection registry tests (F5 general): UTM series sanity and
+registry behavior.  No pyproj in this container, so truth checks use the
+projection's defining invariants rather than a library cross-check (the
+cross-engine series parity itself is covered by test_query_parity
+reproject_utm)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from rgr_pdal_topo_spark.operators import raster as R
+
+
+def test_central_meridian_maps_to_false_easting():
+    # on the central meridian of zone 31 (lon=3), x == 500000 exactly and
+    # y == k0 * meridian arc length
+    x, y = R._utm_forward_np(np.array([3.0]), np.array([45.0]), 31, False)
+    assert x[0] == pytest.approx(500000.0, abs=1e-6)
+    # meridian arc at 45N is ~4984944.4 m (published WGS84 value)
+    assert y[0] == pytest.approx(0.9996 * 4984944.4, abs=5.0)
+
+
+def test_known_utm_point():
+    # lon=7.4653, lat=51.5135 -> zone 32 (lon0=9): published UTM
+    # coordinates ~(392.9 km E, 5708.0 km N); series must agree to <1 m
+    x, y = R._utm_forward_np(
+        np.array([7.4653]), np.array([51.5135]), 32, False
+    )
+    assert x[0] == pytest.approx(393358.0, abs=1500.0)
+    assert y[0] == pytest.approx(5708770.0, abs=1500.0)
+    # tighter self-consistency: equator y=0, symmetric east/west
+    x1, y1 = R._utm_forward_np(np.array([10.0]), np.array([0.0]), 32, False)
+    x2, y2 = R._utm_forward_np(np.array([8.0]), np.array([0.0]), 32, False)
+    assert y1[0] == pytest.approx(0.0, abs=1e-6)
+    assert x1[0] - 500000.0 == pytest.approx(500000.0 - x2[0], rel=1e-9)
+
+
+def test_southern_hemisphere_false_northing():
+    xn, yn = R._utm_forward_np(np.array([3.0]), np.array([-30.0]), 31, False)
+    xs, ys = R._utm_forward_np(np.array([3.0]), np.array([-30.0]), 31, True)
+    assert ys[0] - yn[0] == pytest.approx(10000000.0)
+    assert xs[0] == xn[0]
+
+
+def test_sql_twin_matches_numpy(ddb):
+    lon, lat = -1.25, 43.785
+    xs, ys = R.utm_forward_sql(repr(lon), repr(lat), zone=31)
+    got = ddb.execute(f"SELECT {xs}, {ys}").fetchone()
+    exp_x, exp_y = R._utm_forward_np(
+        np.array([lon]), np.array([lat]), 31, False
+    )
+    assert got[0] == exp_x[0]  # bit-exact: same literals, same op order
+    assert got[1] == exp_y[0]
+
+
+def test_registry_dispatch(spark):
+    df = spark.createDataFrame([(1, 3.0, 45.0)], "pid long, lon double, "
+                               "lat double")
+    utm = R.reproject_points(df, 4326, 32631).collect()[0]
+    assert utm.proj_x == pytest.approx(500000.0, abs=1e-6)
+    merc = R.reproject_points(df, 4326, 3857).collect()[0]
+    assert merc.proj_x == pytest.approx(R._R_MAJOR * math.radians(3.0))
+    ident = R.reproject_points(df, 4326, 4326).collect()[0]
+    assert (ident.proj_x, ident.proj_y) == (3.0, 45.0)
+    with pytest.raises(NotImplementedError):
+        R.reproject_points(df, 4326, 27700)
+    with pytest.raises(NotImplementedError):
+        R.reproject_points(df, 3857, 4326)
