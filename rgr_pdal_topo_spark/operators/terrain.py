@@ -14,6 +14,8 @@ single shuffle.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -124,4 +126,155 @@ def best_fit_roughness(
     )
     return scored.groupBy("tile_id").agg(
         F.min_by("h", "l2").alias("best_h"), F.min("l2").alias("l2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X8: random-priority-filling terrain ensembles
+# ---------------------------------------------------------------------------
+
+def random_terrain_ensemble(
+    spark: SparkSession,
+    grid: GridSpec,
+    n_members: int,
+    fill_slope: float = 0.01,
+    mode: str = "random",
+    seed_base: int = 4242,
+    priority_grid_df: DataFrame | None = None,
+    ksn: float | None = None,
+    theta: float | None = None,
+    area_map_df: DataFrame | None = None,
+) -> DataFrame:
+    """X8 as a Spark ensemble: each member is one seeded sequential
+    random-priority fill (functions/terrain.random_priority_fill) running
+    in its own task via applyInPandas over member ids — the reference's
+    getGridEnsemble loop (randomGrids.py:43-56) turned embarrassingly
+    parallel.  (The reference generates null-model ensembles per basin;
+    at 100 TB the unit of work stays one basin-sized grid per task and
+    members x basins fan out across the cluster — no coordination, fully
+    resumable per member.)
+
+    Per member the D8 sweeps (area/L/maxL/meanDir) run in-kernel on the
+    growth tree (its fd codes), so the output carries the reference's
+    calculateMaxLMeanDir statistics per cell.
+
+    Returns (member_id, cell_row, cell_col, z, fd, max_l, mean_dir).
+    """
+    from rgr_pdal_topo_spark.functions.flow_kernels import basin_sweeps
+    from rgr_pdal_topo_spark.functions.terrain import random_priority_fill
+
+    pg = None
+    if priority_grid_df is not None:
+        pdf = priority_grid_df.toPandas()
+        pg = np.full((grid.nrows, grid.ncols), np.nan)
+        pg[pdf["cell_row"], pdf["cell_col"]] = pdf["value"]
+        lo, hi = np.nanmin(pg), np.nanmax(pg)
+        pg = (pg - lo) / (hi - lo) if hi > lo else np.zeros_like(pg)
+    amap = None
+    if area_map_df is not None:
+        ampdf = area_map_df.toPandas()
+        amap = {
+            float(k): g["donor_area"].to_numpy(dtype="float64")
+            for k, g in ampdf.groupby("down_area")
+        }
+
+    members = spark.range(n_members).select(F.col("id").alias("member_id"))
+    schema = ("member_id long, cell_row int, cell_col int, z double, "
+              "fd int, max_l double, mean_dir double")
+    nrows, ncols, dx = grid.nrows, grid.ncols, float(grid.cell)
+
+    def per_member(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = int(pdf["member_id"].iloc[0])
+        out = random_priority_fill(
+            nrows, ncols, dx, fill_slope, seed=seed_base + m, mode=mode,
+            priority_grid=pg, ksn=ksn, theta=theta, area_map=amap,
+        )
+        z, fd = out["z"], out["fd"]
+        rr, cc = np.where(~np.isnan(z))
+        zz = z[rr, cc]
+        sweeps = basin_sweeps(rr, cc, zz, zz, fd[rr, cc], dx, dx)
+        return pd.DataFrame({
+            "member_id": m,
+            "cell_row": rr.astype("int32"),
+            "cell_col": cc.astype("int32"),
+            "z": zz,
+            "fd": fd[rr, cc].astype("int32"),
+            "max_l": sweeps["max_l"],
+            "mean_dir": sweeps["mean_dir"],
+        })
+
+    return members.groupBy("member_id").applyInPandas(per_member, schema)
+
+
+def chi_area_mapping(flow_metrics: DataFrame, pxl: float) -> DataFrame:
+    """Donor-area multimap for the chi-balanced generator
+    (__getAreaUSAreaMapping, randomGrids.py:841-899): for every observed
+    downstream-cell area, the list of donor areas (> one pixel) that
+    drained to it in the template grid.  The reference builds this with a
+    recursive Python walk; here it is one self-join on the flow edges —
+    the template can be any size.
+
+    Input needs (cell_row, cell_col, area, down_row, down_col).
+    Returns (down_area, donor_area) rows.
+    """
+    donors = flow_metrics.select(
+        F.col("down_row").alias("cell_row"),
+        F.col("down_col").alias("cell_col"),
+        F.col("area").alias("donor_area"),
+    ).filter(F.col("donor_area") > pxl)
+    down = flow_metrics.select("cell_row", "cell_col",
+                               F.col("area").alias("down_area"))
+    return down.join(donors, ["cell_row", "cell_col"]).select(
+        "down_area", "donor_area"
+    )
+
+
+def radial_ensemble_histogram(
+    ensemble: DataFrame,
+    n_length_bins: int = 5,
+    max_length: float = 1000.0,
+    theta_win: float = math.pi / 8.0,
+) -> DataFrame:
+    """lengthThetaRadialDensityPlot's ensemble statistics
+    (randomGrids.py:504-606): per member, counts of cells whose
+    (max_l, mean_dir) fall in each (length bin x wrapped theta window);
+    then min / median / max across members per bin — the null-model
+    envelope an observed grid is compared against.  Pure relational:
+    broadcast bin dimension, two aggs."""
+    spark = ensemble.sparkSession
+    mids = [-math.pi + (k + 0.5) * math.pi / 4.0 for k in range(8)]
+    mids_df = spark.createDataFrame(
+        [(j, m) for j, m in enumerate(mids)], "t_bin int, t_mid double"
+    )
+    lw = max_length / n_length_bins
+    base = (
+        ensemble.filter(F.col("mean_dir").isNotNull()
+                        & ~F.isnan(F.col("mean_dir"))
+                        & (F.col("max_l") > 0))
+        .withColumn("l_bin",
+                    F.floor(F.col("max_l") / F.lit(lw)).cast("int"))
+        .filter(F.col("l_bin") < n_length_bins)
+    )
+    lo = F.col("t_mid") - theta_win
+    hi = F.col("t_mid") + theta_win
+    in_win = (
+        F.when(lo < -math.pi,
+               (F.col("mean_dir") >= lo + 2 * math.pi)
+               | (F.col("mean_dir") < hi))
+        .when(hi > math.pi,
+              (F.col("mean_dir") >= lo)
+              | (F.col("mean_dir") < hi - 2 * math.pi))
+        .otherwise((F.col("mean_dir") >= lo) & (F.col("mean_dir") < hi))
+    )
+    per_member = (
+        base.crossJoin(F.broadcast(mids_df))
+        .filter(in_win)
+        .groupBy("member_id", "l_bin", "t_bin")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )
+    return per_member.groupBy("l_bin", "t_bin").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("n_cells").alias("min_cells"),
+        F.expr("percentile(n_cells, 0.5)").alias("med_cells"),
+        F.max("n_cells").alias("max_cells"),
     )

@@ -2069,6 +2069,26 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("random_terrain")  # seeded procedural ensemble — rows-only check
+def q_random_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: random-priority-filling terrain ensemble
+    (proceduralGrid_randomPriorityFilling, randomGrids.py:231-502) — 8
+    seeded members generated in parallel, per-member maxL/meanDir sweeps
+    in-kernel, reduced to the radial (length x theta) null-model envelope
+    (lengthThetaRadialDensityPlot, randomGrids.py:504-606).  Seeded ->
+    deterministic rows; exact invariants in tests/test_terrain_x8.py."""
+    from rgr_pdal_topo_spark.operators import terrain as terrainops
+
+    ens = terrainops.random_terrain_ensemble(
+        spark, FG, n_members=8, fill_slope=0.01, mode="random"
+    )
+    out = terrainops.radial_ensemble_histogram(ens, max_length=1000.0)
+    return out.select(
+        "l_bin", "t_bin", "n_members", "min_cells",
+        F.round("med_cells", 1).alias("med_cells"), "max_cells",
+    )
+
+
 @query("flow_main_path")  # iterative argmax walk — no SQL analogue
 def q_flow_main_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G9: greatest-area path upstream from every outlet
