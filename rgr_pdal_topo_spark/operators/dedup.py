@@ -69,8 +69,14 @@ def _tok_array() -> Column:
 
 def shingles(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     """(doc_id, shingle) distinct — k consecutive tokens joined by one
-    space.  Docs with fewer than k tokens produce no shingles."""
-    toks = _tok_array()
+    space.  Docs with fewer than k tokens produce no shingles.
+
+    The token array is materialized as a real column BEFORE the per-index
+    transform: inlining the split+filter expression into each element_at
+    makes Catalyst re-split the text per shingle position (O(len^2) — a
+    measured 6x slowdown at sf0.1)."""
+    d = documents.select("doc_id", _tok_array().alias("toks"))
+    toks = F.col("toks")
     n = F.size(toks)
     idx = F.when(
         n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1))
@@ -81,8 +87,20 @@ def shingles(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
             " ", *[F.element_at(toks, i + j) for j in range(k)]
         ),
     )
-    return documents.select(
+    return d.select(
         "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
+    )
+
+
+def _portable_id(hex_col: str) -> Column:
+    """Engine spelling of the portable id: one base-16 conv of the first
+    15 md5 hex chars, mod P.  Numerically identical to horner_hash_sql
+    (mod distributes over the fold) but a single JVM intrinsic instead of
+    a 15-level expression tree; the DuckDB oracles keep the Horner text
+    and the parity sweep pins the two spellings to each other."""
+    return (
+        F.conv(F.substring(hex_col, 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_P)
     )
 
 
@@ -92,7 +110,7 @@ def shingle_ids(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     return (
         shingles(documents, k)
         .withColumn("__h", F.md5("shingle"))
-        .select("doc_id", F.expr(horner_hash_sql("__h")).alias("tid"))
+        .select("doc_id", _portable_id("__h").alias("tid"))
         .distinct()
     )
 
@@ -105,7 +123,7 @@ def token_ids(documents: DataFrame) -> DataFrame:
         tokens(documents)
         .distinct()
         .withColumn("__h", F.md5("tok"))
-        .select("doc_id", F.expr(horner_hash_sql("__h")).alias("tid"))
+        .select("doc_id", _portable_id("__h").alias("tid"))
         .distinct()
     )
 

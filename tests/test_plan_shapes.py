@@ -133,3 +133,19 @@ def test_stateful_stream_uses_state_operator(spark):
     out = incremental_grid_stream(stream, GridSpec())
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "FlatMapGroupsInPandasWithState" in plan
+
+
+def test_minhash_plan_has_no_global_window(spark):
+    """Round-1's token ids used dense_rank over the whole vocabulary — a
+    single-partition WindowExec Spark itself warns about.  The md5+Horner
+    spelling must keep the signature pipeline window-free and must not
+    broadcast a vocabulary dimension."""
+    from rgr_pdal_topo_spark.operators import dedup
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sig = dedup.minhash_signatures(dedup.shingle_ids(docs))
+    plan = _plan(sig)
+    assert "Window" not in plan
+    # the only broadcast is the 16-row permutation dim
+    assert plan.count("BroadcastExchange") <= 1
