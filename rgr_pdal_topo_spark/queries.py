@@ -1035,9 +1035,10 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, n_queries=10, k=5)
 
 
-@query("cosine_topk_lsh")  # approximate — rows-only check + recall pytest
+@query("cosine_topk_lsh")  # oracle registered below, after the plane CTEs
 def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed approximate top-k (the 100 TB scale path)."""
+    """Multi-probe hyperplane-LSH approximate top-k (the 100 TB scale
+    path); recall vs exact covered in tests/test_similarity.py."""
     from rgr_pdal_topo_spark.sources.tables import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1067,6 +1068,26 @@ _PROBES_DUCK = "[bucket, " + ", ".join(
 _NORMB_DUCK = (
     "SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm, "
     f"{_BUCKET_DUCK} AS bucket FROM e"
+)
+
+
+# the multi-probe structure is deterministic, so the approximate top-k path
+# itself is oracle-checkable: same probe keys, same rounded-cosine ordering
+ORACLES["cosine_topk_lsh"] = (
+    _with(
+        f"e AS ({_EMB_DUCK})",
+        f"n AS ({_NORMB_DUCK})",
+        "lq AS (SELECT vec_id AS query_id, v AS qv, nrm AS qnrm, "
+        f"unnest({_PROBES_DUCK}) AS bucket FROM n WHERE vec_id < 10)",
+    )
+    + "SELECT query_id, rank, nn_id, cosine FROM ("
+    "SELECT lq.query_id, n.vec_id AS nn_id, "
+    "ROUND(list_dot_product(n.v, lq.qv) / (n.nrm * lq.qnrm), 5) AS cosine, "
+    "ROW_NUMBER() OVER (PARTITION BY lq.query_id ORDER BY "
+    "ROUND(list_dot_product(n.v, lq.qv) / (n.nrm * lq.qnrm), 5) DESC, "
+    "n.vec_id ASC) AS rank "
+    "FROM lq JOIN n ON n.bucket = lq.bucket AND n.vec_id <> lq.query_id) r "
+    "WHERE rank <= 5"
 )
 
 
@@ -2089,12 +2110,48 @@ def q_random_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("flow_main_path")  # iterative argmax walk — no SQL analogue
+# tie-break twin of flow_kernels._kernel_pos: position of the donor->down
+# offset in the D8 kernel order
+_KPOS_CASE = "CASE " + " ".join(
+    f"WHEN up_row - cell_row = {int(D8_ROW_KERNEL[k])} AND "
+    f"up_col - cell_col = {int(D8_COL_KERNEL[k])} THEN {k}"
+    for k in range(8)
+) + " ELSE 8 END"
+_MP_UPS = (
+    "SELECT e.down_row AS cell_row, e.down_col AS cell_col, "
+    "e.cell_row AS up_row, e.cell_col AS up_col, a.area AS up_area "
+    "FROM edges e JOIN area a ON a.cell_row = e.cell_row "
+    "AND a.cell_col = e.cell_col"
+)
+_MP_BEST = (
+    "SELECT cell_row, cell_col, up_row, up_col, ROW_NUMBER() OVER ("
+    f"PARTITION BY cell_row, cell_col ORDER BY up_area DESC, {_KPOS_CASE} "
+    "ASC) AS rn FROM mup"
+)
+_MP_WALK = (
+    "SELECT f.cell_row, f.cell_col, "
+    f"CAST(f.cell_row * {FG.ncols} + f.cell_col AS BIGINT) AS basin_id, "
+    "CAST(0 AS BIGINT) AS path_step FROM fd f WHERE f.fd = 0 "
+    "UNION ALL SELECT b.up_row, b.up_col, w.basin_id, w.path_step + 1 "
+    "FROM mwalk w JOIN mbest b ON b.cell_row = w.cell_row "
+    "AND b.cell_col = w.cell_col AND b.rn = 1"
+)
+
+
+@query(
+    "flow_main_path",
+    _FLOW_BASE
+    + f", reach AS ({_FREACH}), area AS MATERIALIZED ({_FAREA}), "
+    f"mup AS ({_MP_UPS}), mbest AS MATERIALIZED ({_MP_BEST}), "
+    f"mwalk AS ({_MP_WALK}) "
+    "SELECT cell_row, cell_col, basin_id, path_step FROM mwalk",
+)
 def q_flow_main_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G9: greatest-area path upstream from every outlet
     (findGreatestAreaPathUpstream, flowRoutingGrids.py:904-944) —
-    computed inside the per-basin sweep; rows-only driver check, exact
-    parity vs the sequential walk in tests/test_flow.py."""
+    computed inside the per-basin sweep; the oracle precomputes each
+    cell's argmax donor (area desc, kernel position asc — the reference's
+    np.argmax tie-break) and walks the pointers with a recursive CTE."""
     m = _flow_metrics_raw(spark, sf_dir)
     return m.filter(F.col("path_step") >= 0).select(
         "cell_row", "cell_col", "basin_id",
