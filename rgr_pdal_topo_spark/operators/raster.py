@@ -81,6 +81,13 @@ def resample(
 ) -> DataFrame:
     """Regrid a long-form raster from src to dst geometry (the xRes/yRes +
     resampleAlg leg of merge_warp_dems).  Modes: near | average | bilinear.
+
+    Scale shape: the dest cell universe comes from spark.range (generated
+    distributively, never collected or hand-broadcast), and the corner
+    lookup is a pure equi-join on source cell ids — at test scale Spark
+    broadcasts the small raster side (asserted in test_plan_shapes); when
+    the raster grows with the data AQE falls back to a shuffle-hash join
+    on the same keys, so no plan rewrite is needed at 100 TB.
     """
     spark = grid_df.sparkSession
     if mode == "average":

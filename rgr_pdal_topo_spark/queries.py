@@ -1865,6 +1865,72 @@ def q_reproject_mercator(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rgr_pdal_topo_spark.functions import cells as cellfn  # noqa: E402
+
+_LONLAT_SQL = (
+    "SELECT pid, x / 100.0 - 5.0 AS lon, y / 100.0 + 40.0 AS lat "
+    f"FROM ({PTS}) p"
+)
+_QUAD_COLS_DUCK = ", ".join(
+    f"{cellfn.quad_cell_sql('lon', 'lat', r)} AS h3_r{r}"
+    for r in cellfn.H3_RES_RANGE
+)
+
+
+@query(
+    "cell_index",
+    f"SELECT s.pid, s.lon, s.lat, {_QUAD_COLS_DUCK}, t.s2_cell "
+    f"FROM ({_LONLAT_SQL}) s JOIN ("
+    + cellfn.s2_cell_sql_query(_LONLAT_SQL, "pid")
+    + ") t ON t.pid = s.pid",
+)
+def q_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule spatial index layer: multi-resolution hierarchical cell
+    ids per page coordinate — H3-API quadkey stand-in at res 5..12
+    (parent == id >> 2) plus an S2-style cube-face cell at level 16
+    (functions/cells.py; replaces getRowColFromXY, baseGrid.py:656-668,
+    as the partition/join/prefilter key family).  Pure Column integer
+    arithmetic — whole-stage codegen, no UDF on the hot path; the
+    Arrow-batched pandas_udf spelling (s2_cell_udf) is pinned equal in
+    tests/test_cells.py."""
+    pts = points_df(spark, sf_dir).selectExpr(
+        "pid", "x / 100.0 - 5.0 AS lon", "y / 100.0 + 40.0 AS lat"
+    )
+    out = pts
+    for r in cellfn.H3_RES_RANGE:
+        out = out.withColumn(
+            f"h3_r{r}", cellfn.quad_cell(F.col("lon"), F.col("lat"), r)
+        )
+    return out.withColumn(
+        "s2_cell", cellfn.s2_cell(F.col("lon"), F.col("lat"))
+    )
+
+
+@query(
+    "cell_rollup",
+    # oracle encodes DIRECTLY at res 7; the engine rolls res-8 partials up
+    # through quad_parent — equality proves parent(enc_r8) == enc_r7 on
+    # the whole payload (hierarchical rollup, two map-side-combinable aggs)
+    f"SELECT {cellfn.quad_cell_sql('lon', 'lat', 7)} AS cell, "
+    f"COUNT(*) AS n_points FROM ({_LONLAT_SQL}) s "
+    f"GROUP BY {cellfn.quad_cell_sql('lon', 'lat', 7)}",
+)
+def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical cell rollup: per-res-8-cell counts aggregated to res 7
+    via the 2-bit parent shift (the hypertable-rollup pattern over the
+    spatial index; each level is a partial+final hash agg)."""
+    pts = points_df(spark, sf_dir).selectExpr(
+        "pid", "x / 100.0 - 5.0 AS lon", "y / 100.0 + 40.0 AS lat"
+    )
+    fine = pts.groupBy(
+        cellfn.quad_cell(F.col("lon"), F.col("lat"), 8).alias("cell8")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        fine.groupBy(cellfn.quad_parent(F.col("cell8")).alias("cell"))
+        .agg(F.sum("n").alias("n_points"))
+    )
+
+
 _UTMX_DUCK, _UTMY_DUCK = rasterops.utm_forward_sql("lon", "lat", zone=31)
 
 
@@ -2175,17 +2241,21 @@ DRIVER_WINDOW: list[str] = [
     "points_extract", "filter_noise", "grid_extent", "grid_mean",
     "grid_idw", "grid_stats", "binned_intensity", "pip_pairs", "knn_gps",
     "profile_extract", "swath_profile", "hag", "grid_residuals",
-    "tpch_pricing", "events_hourly", "sessionize", "slope_hillshade",
+    "tpch_pricing", "cell_index", "sessionize", "slope_hillshade",
     "windowed_std", "tpi", "text_stats", "quality_filter", "langid",
     "dedup_exact", "minhash_buckets", "minhash_pairs", "simhash",
     "doc_fingerprint", "cosine_topk", "embedding_near_dups",
     "multimodal_meta", "flow_d8", "flow_area", "flow_chi", "flow_basins",
     "flow_maxl", "flow_order", "network_ksn", "network_dissolve",
     "plane_fit", "detrend_grid", "perm_ensemble", "kmeans_scarp",
-    "mosaic_tiles", "resample_bilinear", "reproject_mercator",
-    "reproject_utm", "radial_histogram", "stratified_sample",
+    "mosaic_tiles", "resample_bilinear", "reproject_utm",
+    "profile_peaks", "radial_histogram", "stratified_sample",
     "extract_pages", "events_sliding",
 ]
+# F5 keeps one window slot (reproject_utm exercises the full registry);
+# reproject_mercator, the redundant J7/A2/J1 variants and the other
+# oracle-backed extras sit just past the 50-slot window, still pytest-
+# parity-checked every run.
 
 
 def _reorder_registration() -> None:

@@ -1,0 +1,100 @@
+"""Spatial cell-index tests (functions/cells.py): hierarchy, k-ring,
+UDF==Column equality, S2 face geometry."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from rgr_pdal_topo_spark.functions import cells
+
+
+def _df(spark, pts):
+    return spark.createDataFrame(pts, "pid long, lon double, lat double")
+
+
+def test_parent_is_two_bit_shift(spark):
+    df = _df(spark, [(1, -3.2, 41.7), (2, 179.9, -88.0), (3, 0.0, 0.0)])
+    out = df.select(
+        cells.quad_cell(F.col("lon"), F.col("lat"), 8).alias("c8"),
+        cells.quad_cell(F.col("lon"), F.col("lat"), 7).alias("c7"),
+        cells.quad_parent(
+            cells.quad_cell(F.col("lon"), F.col("lat"), 8)
+        ).alias("p8"),
+    ).collect()
+    for r in out:
+        assert r.p8 == r.c7  # containment: parent id == coarser encoding
+        assert r.c8 >> 2 == r.c7
+
+
+def test_marker_bit_makes_ids_resolution_unique(spark):
+    df = _df(spark, [(1, 10.0, 10.0)])
+    vals = df.select(
+        *[
+            cells.quad_cell(F.col("lon"), F.col("lat"), r).alias(f"r{r}")
+            for r in cells.H3_RES_RANGE
+        ]
+    ).collect()[0]
+    ids = [vals[f"r{r}"] for r in cells.H3_RES_RANGE]
+    assert len(set(ids)) == len(ids)
+    for r, cid in zip(cells.H3_RES_RANGE, ids):
+        assert cid.bit_length() == 2 * r + 1  # marker at bit 2r
+
+
+def test_k_ring_contains_cell_and_neighbors(spark):
+    df = _df(spark, [(1, 10.0, 10.0)])
+    row = df.select(
+        cells.quad_cell(F.col("lon"), F.col("lat"), 6).alias("c"),
+        cells.quad_k_ring(
+            cells.quad_cell(F.col("lon"), F.col("lat"), 6), 6
+        ).alias("ring"),
+    ).collect()[0]
+    assert row.c in row.ring
+    assert len(row.ring) == 9  # interior cell: full 3x3
+    # a tiny lon nudge lands in the same or an adjacent cell -> in ring
+    nudged = _df(spark, [(1, 10.0 + 360.0 / (1 << 6) * 0.6, 10.0)]).select(
+        cells.quad_cell(F.col("lon"), F.col("lat"), 6).alias("c")
+    ).collect()[0]
+    assert nudged.c in row.ring
+
+
+def test_k_ring_clamped_at_edges(spark):
+    df = _df(spark, [(1, -179.99, 89.99)])
+    row = df.select(
+        cells.quad_k_ring(
+            cells.quad_cell(F.col("lon"), F.col("lat"), 5), 5
+        ).alias("ring")
+    ).collect()[0]
+    assert 4 <= len(row.ring) <= 9  # corner: clamped, deduped
+
+
+def test_s2_udf_equals_column(spark):
+    rng = np.random.RandomState(2)
+    pts = [
+        (i, float(rng.uniform(-180, 180)), float(rng.uniform(-89, 89)))
+        for i in range(300)
+    ]
+    df = _df(spark, pts)
+    out = df.select(
+        cells.s2_cell(F.col("lon"), F.col("lat")).alias("col_id"),
+        cells.s2_cell_udf(F.col("lon"), F.col("lat")).alias("udf_id"),
+    ).collect()
+    assert all(r.col_id == r.udf_id for r in out)
+
+
+def test_s2_faces():
+    lon = np.array([0.0, 90.0, 0.0, 180.0, -90.0, 0.0])
+    lat = np.array([0.0, 0.0, 89.9, 0.0, 0.0, -89.9])
+    face = cells.s2_cell_np(lon, lat) >> (2 * cells.S2_LEVEL)
+    assert list(face) == [0, 1, 2, 3, 4, 5]
+
+
+def test_s2_locality():
+    # two nearby points share a face and a long common Morton prefix;
+    # antipodal points do not share a face
+    a = cells.s2_cell_np(np.array([12.001]), np.array([45.001]))[0]
+    b = cells.s2_cell_np(np.array([12.002]), np.array([45.002]))[0]
+    far = cells.s2_cell_np(np.array([-168.0]), np.array([-45.0]))[0]
+    assert a >> 18 == b >> 18  # agree above the lowest ~9 levels
+    assert a >> (2 * cells.S2_LEVEL) != far >> (2 * cells.S2_LEVEL)
