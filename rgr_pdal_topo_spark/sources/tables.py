@@ -31,8 +31,22 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one canonical table.
+
+    ``sf_dir`` is either a directory of parquet files (the sandbox
+    layout) or ``table:<namespace>`` to resolve through the session
+    catalog — with an Iceberg catalog configured this reads the real
+    Iceberg table (e.g. ``table:lake.cc`` -> ``lake.cc.documents``)
+    with identical query code: filters and column pruning push into
+    either source the same way (asserted on PushedFilters/ReadSchema in
+    tests/test_plan_shapes.py), and a ``days(warc_ts)`` / cell-id
+    partition spec prunes at the manifest level."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
+    if sf_dir.startswith("table:"):
+        ns = sf_dir[len("table:"):]
+        qualified = f"{ns.rstrip('.')}.{name}" if ns else name
+        return spark.read.table(qualified)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
