@@ -92,6 +92,7 @@ def random_priority_fill(
     theta: float | None = None,
     area_map: dict[float, np.ndarray] | None = None,
     outlet_areas: np.ndarray | None = None,
+    allow_unfilled: bool = False,
 ) -> dict[str, np.ndarray]:
     """X8 core: procedural terrain by random-priority upstream filling
     from outlets (Barnes priority flood run in reverse; Johnstone et al.
@@ -208,6 +209,18 @@ def random_priority_fill(
                 counter += 1
             closed[nr, nc] = True
 
+    # a NaN priority deliberately terminates a flow path (reference
+    # semantics, randomGrids.py:443-445) — but a terminated path can
+    # orphan enclosed cells, which would silently keep z=0/fd=0 and
+    # masquerade as interior outlets.  Fail loudly unless the caller
+    # opted into the reference's silent behavior.
+    unfilled = int((~closed).sum())
+    if unfilled and not allow_unfilled:
+        raise ValueError(
+            f"{unfilled} masked cells were never reached (NaN priorities "
+            "terminated every path into them); pass allow_unfilled=True "
+            "to keep the reference's silent z=0 behavior"
+        )
     out = {"z": z, "fd": fd}
     if chi_mode:
         out["area"] = area

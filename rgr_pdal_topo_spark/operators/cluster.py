@@ -31,6 +31,11 @@ def kmeans_1d(
     """Deterministic 1-D Lloyd: centers init at evenly spaced quantile-free
     positions between min and max, then `iters` assign/update rounds.
     Returns (df + cluster column under final centers, centers)."""
+    # cut the upstream lineage BEFORE the first action: the min/max init,
+    # every Lloyd iteration and the final assignment would otherwise each
+    # recompute the full feature pipeline (gridding + stencil shuffle for
+    # kmeans_scarp) — ~(iters+2)x redundant
+    df = df.localCheckpoint(eager=True)
     row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
     if row["lo"] is None:  # empty / all-NULL feature column
         return df.withColumn("cluster", F.lit(0).cast("int")), [
@@ -38,10 +43,6 @@ def kmeans_1d(
         ] * k
     lo, hi = float(row["lo"]), float(row["hi"])
     centers = [lo + (hi - lo) * i / (k - 1) for i in range(k)] if k > 1 else [lo]
-    # cut the upstream lineage once: every Lloyd iteration (plus the final
-    # assignment) would otherwise recompute the full feature pipeline
-    # (gridding + stencil shuffle for kmeans_scarp) — ~(iters+1)x redundant
-    df = df.localCheckpoint(eager=True)
     for _ in range(iters):
         assigned = _assign(df, col, centers)
         means = {

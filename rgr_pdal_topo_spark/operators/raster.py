@@ -220,7 +220,11 @@ def reproject_4326_to_3857(
 # workflows actually use (geographic -> web mercator / UTM).  Constants are
 # computed once in Python and embedded as identical literals in the numpy
 # path and the oracle SQL, and every power is spelled as explicit
-# multiplication, so both engines execute the same float operation sequence.
+# multiplication — the op SEQUENCE matches, but the two sides' trig
+# libraries (numpy vs DuckDB libm) differ by ulps on some inputs, so
+# outputs are only identical after the mm-level rounding the queries
+# apply (empirically ~50 ulp-different raw doubles per 150k rows, zero
+# after rounding; asserted by the parity sweep, not assumed).
 # ---------------------------------------------------------------------------
 
 _UTM_K0 = 0.9996
@@ -276,8 +280,9 @@ def _utm_forward_np(lon: np.ndarray, lat: np.ndarray, zone: int,
 
 def utm_forward_sql(lon_expr: str, lat_expr: str, zone: int,
                     south: bool = False) -> tuple[str, str]:
-    """The identical series as SQL text (DuckDB oracle twin of
-    _utm_forward_np; same literals, same operation order)."""
+    """The series as SQL text (DuckDB oracle twin of _utm_forward_np;
+    same literals and operation order — equal only up to trig-library
+    ulps, see the section comment above)."""
     a, k0, e2, ep2 = _R_MAJOR, _UTM_K0, _UTM_E2, _UTM_EP2
     lam0 = math.radians(zone * 6.0 - 183.0)
     phi = f"RADIANS({lat_expr})"

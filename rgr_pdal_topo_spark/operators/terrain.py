@@ -233,20 +233,35 @@ def radial_ensemble_histogram(
     ensemble: DataFrame,
     n_length_bins: int = 5,
     max_length: float = 1000.0,
-    theta_win: float = math.pi / 8.0,
+    n_theta: int = 8,
 ) -> DataFrame:
     """lengthThetaRadialDensityPlot's ensemble statistics
     (randomGrids.py:504-606): per member, counts of cells whose
-    (max_l, mean_dir) fall in each (length bin x wrapped theta window);
-    then min / median / max across members per bin — the null-model
-    envelope an observed grid is compared against.  Pure relational:
-    broadcast bin dimension, two aggs."""
+    (max_l, mean_dir) fall in each (length bin x theta sector); then
+    min / median / max across ALL members per bin — the null-model
+    envelope an observed grid is compared against.
+
+    Two correctness details this spelling pins down (both found live on
+    D8 data, where mean_dir is very often EXACTLY a cardinal angle):
+
+    * sector boundaries are the shared values ``-pi + k*(2pi/n)`` so
+      adjacent half-open sectors tile [-pi, pi) with no float cracks
+      (mid +/- win computed per-window leaves gaps at pi/2 etc.), and
+      ``mean_dir == +pi`` (atan2 of a due-west path) is normalized to
+      -pi first so it lands in sector 0 instead of nowhere;
+    * a member with ZERO cells in a bin still contributes 0 to the
+      envelope (fixed-shape histograms, as the reference builds) — the
+      bin universe is generated and members left-joined, so min_cells
+      can be 0 rather than min-over-nonzero-members.
+
+    Pure relational: generated bin/member dims, one count agg, one
+    envelope agg."""
     spark = ensemble.sparkSession
-    mids = [-math.pi + (k + 0.5) * math.pi / 4.0 for k in range(8)]
-    mids_df = spark.createDataFrame(
-        [(j, m) for j, m in enumerate(mids)], "t_bin int, t_mid double"
-    )
     lw = max_length / n_length_bins
+    tw = 2.0 * math.pi / n_theta
+    theta_n = F.when(
+        F.col("mean_dir") >= F.lit(math.pi), F.col("mean_dir") - 2 * math.pi
+    ).otherwise(F.col("mean_dir"))
     base = (
         ensemble.filter(F.col("mean_dir").isNotNull()
                         & ~F.isnan(F.col("mean_dir"))
@@ -254,25 +269,26 @@ def radial_ensemble_histogram(
         .withColumn("l_bin",
                     F.floor(F.col("max_l") / F.lit(lw)).cast("int"))
         .filter(F.col("l_bin") < n_length_bins)
+        .withColumn(
+            "t_bin",
+            F.least(
+                F.floor((theta_n + F.lit(math.pi)) / F.lit(tw)).cast("int"),
+                F.lit(n_theta - 1),
+            ),
+        )
     )
-    lo = F.col("t_mid") - theta_win
-    hi = F.col("t_mid") + theta_win
-    in_win = (
-        F.when(lo < -math.pi,
-               (F.col("mean_dir") >= lo + 2 * math.pi)
-               | (F.col("mean_dir") < hi))
-        .when(hi > math.pi,
-              (F.col("mean_dir") >= lo)
-              | (F.col("mean_dir") < hi - 2 * math.pi))
-        .otherwise((F.col("mean_dir") >= lo) & (F.col("mean_dir") < hi))
+    per_member = base.groupBy("member_id", "l_bin", "t_bin").agg(
+        F.count(F.lit(1)).alias("n_cells")
     )
-    per_member = (
-        base.crossJoin(F.broadcast(mids_df))
-        .filter(in_win)
-        .groupBy("member_id", "l_bin", "t_bin")
-        .agg(F.count(F.lit(1)).alias("n_cells"))
+    members = ensemble.select("member_id").distinct()
+    bins = spark.range(n_length_bins * n_theta).select(
+        (F.col("id") / n_theta).cast("int").alias("l_bin"),
+        F.pmod(F.col("id"), F.lit(n_theta)).cast("int").alias("t_bin"),
     )
-    return per_member.groupBy("l_bin", "t_bin").agg(
+    full = members.crossJoin(F.broadcast(bins)).join(
+        per_member, ["member_id", "l_bin", "t_bin"], "left"
+    ).withColumn("n_cells", F.coalesce(F.col("n_cells"), F.lit(0)))
+    return full.groupBy("l_bin", "t_bin").agg(
         F.count(F.lit(1)).alias("n_members"),
         F.min("n_cells").alias("min_cells"),
         F.expr("percentile(n_cells, 0.5)").alias("med_cells"),

@@ -942,7 +942,11 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rgr_pdal_topo_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    dt = dedup.shingle_ids(docs)
+    # dt feeds the signatures plus three sides of the Jaccard verify;
+    # Spark does not CSE common subplans across joins, so materialize the
+    # shingle+md5 pipeline once (the oracle marks the same CTE
+    # MATERIALIZED for the same reason)
+    dt = dedup.shingle_ids(docs).localCheckpoint(eager=True)
     sig = dedup.minhash_signatures(dt)
     pairs = dedup.minhash_candidate_pairs(sig)
     jc = dedup.jaccard_pairs(dt, pairs)
@@ -1415,9 +1419,10 @@ def q_flow_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f", reach AS ({_FREACH}), area AS MATERIALIZED ({_FAREA}), "
     f"walkup AS MATERIALIZED ({_FWALKUP}) "
     "SELECT r.r AS cell_row, r.c AS cell_col, "
-    # integer 1e-5 units: the two sides accumulate L with different float
-    # associations (ulp apart), so ROUND(...,5) near a half boundary could
-    # flip the driver hash; rounding to integers keeps them aligned.
+    # integer 1e-5 units: fixes the REPRESENTATION class (int64 on both
+    # sides — no -0.0 / dtype drift in the driver hash).  It does NOT
+    # remove half-boundary risk from ulp-different accumulations; that
+    # residual risk is accepted and watched by the parity sweep.
     "CAST(ROUND(MAX(ws.flow_l - wc.flow_l) * 100000.0) AS BIGINT) "
     "AS max_l_um "
     "FROM reach r JOIN walkup ws ON ws.cell_row = r.r0 "
@@ -2259,6 +2264,11 @@ DRIVER_WINDOW: list[str] = [
 
 
 def _reorder_registration() -> None:
+    missing = set(DRIVER_WINDOW) - set(QUERIES)
+    # a typo / rename in DRIVER_WINDOW would otherwise silently shrink
+    # the curated 50-slot driver window
+    assert not missing, f"DRIVER_WINDOW names not registered: {missing}"
+    assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
     ranked = [n for n in DRIVER_WINDOW if n in QUERIES]
     rest_oracle = sorted(n for n in QUERIES if n not in ranked and n in ORACLES)
     rest_plain = sorted(n for n in QUERIES if n not in ranked and n not in ORACLES)

@@ -140,3 +140,36 @@ def test_chi_area_mapping(spark):
     }
     # donors with area > 1 pixel only: 200 -> 400; 100-area leaves excluded
     assert got == {(400.0, 200.0)}
+
+
+def test_radial_envelope_cardinal_angles_and_zero_members(spark):
+    import math
+
+    from rgr_pdal_topo_spark.operators.terrain import (
+        radial_ensemble_histogram,
+    )
+
+    # D8 sweeps emit mean_dir EXACTLY pi/2 (due north) and pi (due west);
+    # both must land in a sector (round-1 window arithmetic dropped them),
+    # and a member with zero cells in a bin must pull min_cells to 0
+    rows = [
+        (0, 50.0, math.pi / 2.0),
+        (0, 50.0, math.pi),
+        (0, 50.0, -math.pi),
+        (1, 50.0, math.pi / 2.0),
+    ]
+    ens = spark.createDataFrame(
+        rows, "member_id long, max_l double, mean_dir double"
+    )
+    env = radial_ensemble_histogram(
+        ens, n_length_bins=2, max_length=200.0
+    ).toPandas()
+    assert len(env) == 2 * 8  # fixed-shape bin universe
+    by_bin = env.set_index(["l_bin", "t_bin"])
+    # pi/2 sector (t_bin 6 = [pi/2, 3pi/4)): both members have 1 -> min 1
+    assert by_bin.loc[(0, 6)].min_cells == 1
+    assert by_bin.loc[(0, 6)].max_cells == 1
+    # pi/-pi sector (t_bin 0 = [-pi, -3pi/4)): member 0 has 2, member 1
+    # has 0 -> the zero-member rule makes min_cells 0
+    assert by_bin.loc[(0, 0)].max_cells == 2
+    assert by_bin.loc[(0, 0)].min_cells == 0
