@@ -143,18 +143,26 @@ def exact_duplicates(documents: DataFrame) -> DataFrame:
 
 
 def minhash_signatures(doc_tids: DataFrame, n_perm: int = N_PERM) -> DataFrame:
-    """(doc_id, perm, minhash) long-form signature."""
-    spark = doc_tids.sparkSession
-    perms = spark.createDataFrame(
-        [(j, MINHASH_A[j], MINHASH_B[j]) for j in range(n_perm)],
-        "perm int, a long, b long",
+    """(doc_id, perm, minhash) long-form signature.
+
+    All ``n_perm`` mins are computed in ONE groupBy(doc_id) pass (16 agg
+    columns, then an unpivot) instead of exploding every (doc_id, tid)
+    row 16x through a permutation cross join — same values, 1/16th the
+    shuffle input at any scale."""
+    aggs = [
+        F.min(
+            (F.lit(MINHASH_A[j]) * F.col("tid") + F.lit(MINHASH_B[j]))
+            % F.lit(MINHASH_P)
+        ).alias(f"m{j}")
+        for j in range(n_perm)
+    ]
+    wide = doc_tids.groupBy("doc_id").agg(*aggs)
+    stack = (
+        f"stack({n_perm}, "
+        + ", ".join(f"{j}, m{j}" for j in range(n_perm))
+        + ") AS (perm, minhash)"
     )
-    h = (F.col("a") * F.col("tid") + F.col("b")) % F.lit(MINHASH_P)
-    return (
-        doc_tids.crossJoin(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(F.min(h).alias("minhash"))
-    )
+    return wide.select("doc_id", F.expr(stack))
 
 
 def _check_banding(bands: int, rows_per_band: int) -> None:
