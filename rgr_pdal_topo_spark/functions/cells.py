@@ -27,8 +27,14 @@ Both encoders exist twice, by design:
 * as Arrow-batched ``pandas_udf`` encoders (the north-star's stated API
   shape, and the form a library-backed H3/S2 would take).
 
-Both are exact integer arithmetic, so the DuckDB oracles replay them
-bit-for-bit.
+The quadkey family is exact integer arithmetic end to end, so its DuckDB
+oracle replays it bit-for-bit.  The S2 family passes through trig/sqrt
+doubles before discretizing; JVM Math and DuckDB libm can differ by ulps
+there, so an input landing within an ulp of a cell boundary (or exactly
+on a cube-face boundary) could get a different id in the two engines —
+no rounding absorbs that for a discrete id.  Parity on the driver
+payload is asserted empirically (cell_index oracle + parity sweep), not
+assumed.
 """
 
 from __future__ import annotations

@@ -144,6 +144,7 @@ def random_terrain_ensemble(
     ksn: float | None = None,
     theta: float | None = None,
     area_map_df: DataFrame | None = None,
+    allow_unfilled: bool = False,
 ) -> DataFrame:
     """X8 as a Spark ensemble: each member is one seeded sequential
     random-priority fill (functions/terrain.random_priority_fill) running
@@ -188,6 +189,7 @@ def random_terrain_ensemble(
         out = random_priority_fill(
             nrows, ncols, dx, fill_slope, seed=seed_base + m, mode=mode,
             priority_grid=pg, ksn=ksn, theta=theta, area_map=amap,
+            allow_unfilled=allow_unfilled,
         )
         z, fd = out["z"], out["fd"]
         rr, cc = np.where(~np.isnan(z))
@@ -234,6 +236,7 @@ def radial_ensemble_histogram(
     n_length_bins: int = 5,
     max_length: float = 1000.0,
     n_theta: int = 8,
+    n_members: int | None = None,
 ) -> DataFrame:
     """lengthThetaRadialDensityPlot's ensemble statistics
     (randomGrids.py:504-606): per member, counts of cells whose
@@ -280,7 +283,15 @@ def radial_ensemble_histogram(
     per_member = base.groupBy("member_id", "l_bin", "t_bin").agg(
         F.count(F.lit(1)).alias("n_cells")
     )
-    members = ensemble.select("member_id").distinct()
+    if n_members is not None:
+        # the member universe is known a priori — deriving it from the
+        # ensemble would re-run the whole applyInPandas generation (Spark
+        # does not CSE common subplans across joins)
+        members = spark.range(n_members).select(
+            F.col("id").alias("member_id")
+        )
+    else:
+        members = ensemble.select("member_id").distinct()
     bins = spark.range(n_length_bins * n_theta).select(
         (F.col("id") / n_theta).cast("int").alias("l_bin"),
         F.pmod(F.col("id"), F.lit(n_theta)).cast("int").alias("t_bin"),

@@ -2174,7 +2174,9 @@ def q_random_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     ens = terrainops.random_terrain_ensemble(
         spark, FG, n_members=8, fill_slope=0.01, mode="random"
     )
-    out = terrainops.radial_ensemble_histogram(ens, max_length=1000.0)
+    out = terrainops.radial_ensemble_histogram(
+        ens, max_length=1000.0, n_members=8
+    )
     return out.select(
         "l_bin", "t_bin", "n_members", "min_cells",
         F.round("med_cells", 1).alias("med_cells"), "max_cells",

@@ -9,9 +9,6 @@ here.
   dropDuplicates would grow state forever at 10^12 docs), and the key the
   state store holds is the 32-char digest, never the document body —
   the same shuffle-width argument as the batch operator.
-* ``first_seen_stream``   — per-digest first-seen projection via the same
-  mechanism but keeping the earliest arrival, for building the canonical
-  mapping incrementally.
 """
 
 from __future__ import annotations
@@ -54,12 +51,6 @@ def exact_dedup_stream(
 
 def run_stream_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Drain an append-mode stream into an in-memory sink."""
-    q = (
-        stream_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .start()
-    )
-    q.processAllAvailable()
-    q.stop()
-    return stream_df.sparkSession.table(name)
+    from rgr_pdal_topo_spark.streaming.windows import run_to_memory
+
+    return run_to_memory(stream_df, name, output_mode="append")

@@ -41,13 +41,14 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
-def run_to_memory(stream_df: DataFrame, name: str = "hourly") -> DataFrame:
-    """Drain the stream into an in-memory sink (complete mode) and return
-    the result table."""
+def run_to_memory(stream_df: DataFrame, name: str = "hourly",
+                  output_mode: str = "complete") -> DataFrame:
+    """Drain the stream into an in-memory sink and return the result
+    table."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .start()
     )
     q.processAllAvailable()

@@ -26,3 +26,15 @@ def test_contract_shapes(spark):
     assert len(qs) >= 30
     for name, fn in qs.items():
         assert callable(fn), name
+
+
+def test_driver_window_is_fully_oracle_backed():
+    """The driver's correctness harness hashes only the FIRST 50
+    registered queries — every slot must carry a DuckDB oracle, and the
+    curated ranking must be what's actually registered."""
+    from rgr_pdal_topo_spark.queries import DRIVER_WINDOW, ORACLES, QUERIES
+
+    first50 = list(QUERIES)[:50]
+    assert first50 == DRIVER_WINDOW
+    missing = [n for n in first50 if n not in ORACLES]
+    assert not missing, f"window queries without oracles: {missing}"

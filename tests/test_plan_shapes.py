@@ -147,5 +147,6 @@ def test_minhash_plan_has_no_global_window(spark):
     sig = dedup.minhash_signatures(dedup.shingle_ids(docs))
     plan = _plan(sig)
     assert "Window" not in plan
-    # the only broadcast is the 16-row permutation dim
-    assert plan.count("BroadcastExchange") <= 1
+    # the one-pass signature agg has NO broadcast at all (the old 16-row
+    # permutation cross join is gone too)
+    assert plan.count("BroadcastExchange") == 0
