@@ -1152,6 +1152,65 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mm_features_oracle() -> str:
+    """SQL replay of the deterministic fake decoder
+    (multimodal._decode_stub): sha256 of the UTF-8 payload -> repeated
+    digest bytes -> little-endian u4 per dim -> f32(u4 / 2^32).  Every
+    step is integer or a single IEEE f32 rounding, identical in both
+    engines."""
+    hexd = "0123456789abcdef"
+
+    def byte(k: int) -> str:
+        hb = f"(instr('{hexd}', substr(h, {2 * k + 1}, 1)) - 1)"
+        lb = f"(instr('{hexd}', substr(h, {2 * k + 2}, 1)) - 1)"
+        return f"({hb} * 16 + {lb})"
+
+    fcols = []
+    for j in range(16):
+        terms = " + ".join(
+            f"{byte((4 * j + i) % 32)} * {256 ** i}" for i in range(4)
+        )
+        fcols.append(
+            f"CAST(({terms}) / 4294967296.0 AS REAL) AS f{j}"
+        )
+    fcase = "CASE u.dim " + " ".join(
+        f"WHEN {j} THEN f{j}" for j in range(16)
+    ) + " END"
+    return (
+        "WITH base AS (SELECT doc_id, "
+        "CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image/png' "
+        "WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type, "
+        "octet_length(encode(text)) AS payload_bytes, sha256(text) AS h "
+        "FROM documents), "
+        "feat AS (SELECT doc_id, media_type, payload_bytes, "
+        + ", ".join(fcols)
+        + " FROM base) "
+        "SELECT doc_id, media_type, payload_bytes, u.dim, "
+        + fcase
+        + " AS fval FROM feat, "
+        "LATERAL (SELECT unnest(generate_series(0, 15)) AS dim) u"
+    )
+
+
+@query("multimodal_features", _mm_features_oracle())
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads
+    (operators/multimodal.extract_features via mapInPandas); the decoder
+    is the documented deterministic fake (sha256-derived floats — a real
+    image/audio decoder replaces one function), and the oracle replays it
+    exactly, so the whole plumbing chain — binary column, Arrow batches,
+    schema, explode — is driver-verified end to end."""
+    from rgr_pdal_topo_spark.operators import multimodal as mm
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = mm.extract_features(mm.attach_payload(docs))
+    return feats.select(
+        "doc_id", "media_type", "payload_bytes",
+        F.posexplode("feature").alias("dim", "fval"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # G1-G13: flow routing / channel network (operators/flow.py)
 #
@@ -2115,12 +2174,69 @@ def q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("smrf_ground")  # morphological filter — no SQL analogue
+def _smrf_oracle_sql(max_window: int = 4, slope: float = 0.15,
+                     dh: float = 0.5) -> str:
+    """SQL replay of the SMRF pipeline: grey erosion/dilation are MIN/MAX
+    neighbor joins (in-grid neighbors only — the stencil engine's 'nan'
+    boundary mode ignores out-of-grid cells), the progressive-opening
+    update is a CASE whose NULL comparison matches NaN semantics, and
+    every surface value is a pure selection of an input double, so both
+    engines carry bit-identical floats."""
+    ctes = [
+        "pf AS (SELECT * FROM cells WHERE cls <> 7)",
+        "minz AS (SELECT cell_row, cell_col, MIN(z) AS v FROM pf "
+        "GROUP BY cell_row, cell_col)",
+        "du AS MATERIALIZED (SELECT a.cell_row, a.cell_col, m.v FROM "
+        "(SELECT CAST(id // 100 AS INT) AS cell_row, CAST(id % 100 AS INT) "
+        "AS cell_col FROM range(10000) t(id)) a LEFT JOIN minz m "
+        "ON m.cell_row = a.cell_row AND m.cell_col = a.cell_col)",
+    ]
+    prev = "du"
+    for r in range(1, max_window + 1):
+        offs = ", ".join(
+            f"({dr}, {dc})"
+            for dr in range(-r, r + 1)
+            for dc in range(-r, r + 1)
+        )
+        ctes.append(f"o{r} AS (SELECT * FROM (VALUES {offs}) o(dr, dc))")
+        ctes.append(
+            f"e{r} AS (SELECT d.cell_row, d.cell_col, MIN(n.v) AS v "
+            f"FROM du d JOIN o{r} ON TRUE JOIN {prev} n "
+            f"ON n.cell_row = d.cell_row + o{r}.dr "
+            f"AND n.cell_col = d.cell_col + o{r}.dc "
+            "GROUP BY d.cell_row, d.cell_col)"
+        )
+        ctes.append(
+            f"g{r} AS (SELECT d.cell_row, d.cell_col, MAX(n.v) AS v "
+            f"FROM du d JOIN o{r} ON TRUE JOIN e{r} n "
+            f"ON n.cell_row = d.cell_row + o{r}.dr "
+            f"AND n.cell_col = d.cell_col + o{r}.dc "
+            "GROUP BY d.cell_row, d.cell_col)"
+        )
+        thresh = repr(slope * r * 10.0)  # slope * r * G.cell
+        ctes.append(
+            f"s{r} AS MATERIALIZED (SELECT p.cell_row, p.cell_col, "
+            f"CASE WHEN p.v - g.v > {thresh} THEN g.v ELSE p.v END AS v "
+            f"FROM {prev} p JOIN g{r} g ON g.cell_row = p.cell_row "
+            "AND g.cell_col = p.cell_col)"
+        )
+        prev = f"s{r}"
+    return (
+        _BASE.rstrip() + ", " + ", ".join(ctes)
+        + f" SELECT c.pid, ROUND(s.v, 6) AS ground_surface, "
+        "CASE WHEN s.v IS NOT NULL AND ABS(c.z - s.v) <= "
+        f"{dh!r} THEN 1 ELSE 0 END AS is_ground "
+        f"FROM pf c JOIN {prev} s ON s.cell_row = c.cell_row "
+        "AND s.cell_col = c.cell_col"
+    )
+
+
+@query("smrf_ground", _smrf_oracle_sql())
 def q_smrf_ground(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X13: SMRF-style ground/non-ground classification (filters.smrf,
     pointCloudCreation.py:257-262) — per-tile morphological opening of the
     min-z surface + threshold join; properties asserted in
-    tests/test_smrf.py (rows-only driver check)."""
+    tests/test_smrf.py, full pipeline replayed by the SQL oracle."""
     pts = points_df(spark, sf_dir).filter("cls <> 7")
     out = smrfops.classify_ground(pts, G, tile_cells=50)
     return out.select(
@@ -2250,9 +2366,9 @@ DRIVER_WINDOW: list[str] = [
     "profile_extract", "swath_profile", "hag", "grid_residuals",
     "tpch_pricing", "cell_index", "sessionize", "slope_hillshade",
     "windowed_std", "tpi", "text_stats", "quality_filter", "langid",
-    "dedup_exact", "minhash_buckets", "minhash_pairs", "simhash",
+    "dedup_exact", "minhash_buckets", "smrf_ground", "simhash",
     "doc_fingerprint", "cosine_topk", "embedding_near_dups",
-    "multimodal_meta", "flow_d8", "flow_area", "flow_chi", "flow_basins",
+    "multimodal_features", "flow_d8", "flow_area", "flow_chi", "flow_basins",
     "flow_maxl", "flow_order", "network_ksn", "network_dissolve",
     "plane_fit", "detrend_grid", "perm_ensemble", "kmeans_scarp",
     "mosaic_tiles", "resample_bilinear", "reproject_utm",
