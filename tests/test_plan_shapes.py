@@ -150,3 +150,23 @@ def test_minhash_plan_has_no_global_window(spark):
     # the one-pass signature agg has NO broadcast at all (the old 16-row
     # permutation cross join is gone too)
     assert plan.count("BroadcastExchange") == 0
+
+
+def test_cell_index_is_pure_codegen(spark):
+    """The spatial-index encode must stay JVM-side: no Python eval node,
+    no shuffle — one projected scan."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["cell_index"](spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_multimodal_features_single_python_stage(spark):
+    """extract_features is ONE Arrow mapInPandas over the scan — the
+    binary payload must not cross extra shuffles."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["multimodal_features"](spark, SF_DIR))
+    assert plan.count("MapInPandas") == 1
+    assert "Exchange" not in plan
