@@ -2175,21 +2175,34 @@ def q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _smrf_oracle_sql(max_window: int = 4, slope: float = 0.15,
-                     dh: float = 0.5) -> str:
-    """SQL replay of the SMRF pipeline: grey erosion/dilation are MIN/MAX
-    neighbor joins (in-grid neighbors only — the stencil engine's 'nan'
-    boundary mode ignores out-of-grid cells), the progressive-opening
-    update is a CASE whose NULL comparison matches NaN semantics, and
-    every surface value is a pure selection of an input double, so both
-    engines carry bit-identical floats."""
+                     dh: float = 0.5, n: int = 100, cell: float = 10.0,
+                     prelude: str | None = None,
+                     final: str = "points") -> str:
+    """SQL replay of the SMRF pipeline.
+
+    Boundary semantics match the engine's NaN-margin model exactly: the
+    stencil engine surrounds the grid with a NaN halo, so EROSION also
+    produces values AT out-of-grid positions (nanmin over the in-grid
+    part of their window), and the dilation max at a border cell reads
+    those — an in-grid-only erosion universe flattens border relief the
+    engine keeps (caught by adversarial replay: an edge ridge differed on
+    20/400 cells).  Hence erosion runs over the grid extended by a
+    margin of r per round, values still sourced from in-grid cells only;
+    the surface update keeps out-of-grid positions NULL between rounds,
+    as np.where leaves them NaN.  Every surface value is a pure
+    selection of an input double, so both engines carry identical
+    floats.  ``prelude``/``final`` exist so tests can replay the
+    morphology on synthetic grids (final="cells" emits the surface
+    itself)."""
     ctes = [
         "pf AS (SELECT * FROM cells WHERE cls <> 7)",
         "minz AS (SELECT cell_row, cell_col, MIN(z) AS v FROM pf "
         "GROUP BY cell_row, cell_col)",
-        "du AS MATERIALIZED (SELECT a.cell_row, a.cell_col, m.v FROM "
-        "(SELECT CAST(id // 100 AS INT) AS cell_row, CAST(id % 100 AS INT) "
-        "AS cell_col FROM range(10000) t(id)) a LEFT JOIN minz m "
-        "ON m.cell_row = a.cell_row AND m.cell_col = a.cell_col)",
+        f"du AS MATERIALIZED (SELECT a.cell_row, a.cell_col, m.v FROM "
+        f"(SELECT CAST(id // {n} AS INT) AS cell_row, "
+        f"CAST(id % {n} AS INT) AS cell_col FROM range({n * n}) t(id)) a "
+        "LEFT JOIN minz m ON m.cell_row = a.cell_row "
+        "AND m.cell_col = a.cell_col)",
     ]
     prev = "du"
     for r in range(1, max_window + 1):
@@ -2199,21 +2212,29 @@ def _smrf_oracle_sql(max_window: int = 4, slope: float = 0.15,
             for dc in range(-r, r + 1)
         )
         ctes.append(f"o{r} AS (SELECT * FROM (VALUES {offs}) o(dr, dc))")
+        # erosion universe: grid extended by the round's reach (the NaN
+        # margin where erosion still yields values)
+        w = n + 2 * r
         ctes.append(
-            f"e{r} AS (SELECT d.cell_row, d.cell_col, MIN(n.v) AS v "
-            f"FROM du d JOIN o{r} ON TRUE JOIN {prev} n "
-            f"ON n.cell_row = d.cell_row + o{r}.dr "
-            f"AND n.cell_col = d.cell_col + o{r}.dc "
+            f"x{r} AS (SELECT CAST(id // {w} - {r} AS INT) AS cell_row, "
+            f"CAST(id % {w} - {r} AS INT) AS cell_col "
+            f"FROM range({w * w}) t(id))"
+        )
+        ctes.append(
+            f"e{r} AS (SELECT d.cell_row, d.cell_col, MIN(nb.v) AS v "
+            f"FROM x{r} d JOIN o{r} ON TRUE JOIN {prev} nb "
+            f"ON nb.cell_row = d.cell_row + o{r}.dr "
+            f"AND nb.cell_col = d.cell_col + o{r}.dc "
             "GROUP BY d.cell_row, d.cell_col)"
         )
         ctes.append(
-            f"g{r} AS (SELECT d.cell_row, d.cell_col, MAX(n.v) AS v "
-            f"FROM du d JOIN o{r} ON TRUE JOIN e{r} n "
-            f"ON n.cell_row = d.cell_row + o{r}.dr "
-            f"AND n.cell_col = d.cell_col + o{r}.dc "
+            f"g{r} AS (SELECT d.cell_row, d.cell_col, MAX(nb.v) AS v "
+            f"FROM du d JOIN o{r} ON TRUE JOIN e{r} nb "
+            f"ON nb.cell_row = d.cell_row + o{r}.dr "
+            f"AND nb.cell_col = d.cell_col + o{r}.dc "
             "GROUP BY d.cell_row, d.cell_col)"
         )
-        thresh = repr(slope * r * 10.0)  # slope * r * G.cell
+        thresh = repr(slope * r * cell)
         ctes.append(
             f"s{r} AS MATERIALIZED (SELECT p.cell_row, p.cell_col, "
             f"CASE WHEN p.v - g.v > {thresh} THEN g.v ELSE p.v END AS v "
@@ -2221,14 +2242,18 @@ def _smrf_oracle_sql(max_window: int = 4, slope: float = 0.15,
             "AND g.cell_col = p.cell_col)"
         )
         prev = f"s{r}"
-    return (
-        _BASE.rstrip() + ", " + ", ".join(ctes)
-        + f" SELECT c.pid, ROUND(s.v, 6) AS ground_surface, "
-        "CASE WHEN s.v IS NOT NULL AND ABS(c.z - s.v) <= "
-        f"{dh!r} THEN 1 ELSE 0 END AS is_ground "
-        f"FROM pf c JOIN {prev} s ON s.cell_row = c.cell_row "
-        "AND s.cell_col = c.cell_col"
-    )
+    head = (prelude if prelude is not None else _BASE.rstrip() + ", ")
+    if final == "cells":
+        tail = f" SELECT cell_row, cell_col, v FROM {prev}"
+    else:
+        tail = (
+            " SELECT c.pid, ROUND(s.v, 6) AS ground_surface, "
+            "CASE WHEN s.v IS NOT NULL AND ABS(c.z - s.v) <= "
+            f"{dh!r} THEN 1 ELSE 0 END AS is_ground "
+            f"FROM pf c JOIN {prev} s ON s.cell_row = c.cell_row "
+            "AND s.cell_col = c.cell_col"
+        )
+    return head + ", ".join(ctes) + tail
 
 
 @query("smrf_ground", _smrf_oracle_sql())

@@ -9,9 +9,20 @@ bit-for-bit against a committed parquet.  Any unintended change to a
 kernel, tiling, seed derivation or query projection fails here even if
 the per-kernel property tests still hold.
 
-Regenerate (after an INTENDED change) by re-running the snippet in this
-file's git history; review the diff of row counts/values before
-committing a new golden.
+Regenerate (after an INTENDED change) with exactly this recipe — any
+deviation in sorting or dtypes pins the wrong bytes:
+
+    from rgr_pdal_topo_spark.session import get_spark
+    from rgr_pdal_topo_spark.queries import QUERIES
+    spark = get_spark(app_name="golden", master="local[8]",
+                      shuffle_partitions=8)
+    for name in NAMES:
+        pdf = QUERIES[name](spark, "/root/testdata/sf0.01").toPandas()
+        pdf = pdf.sort_values(list(pdf.columns), kind="mergesort")
+        pdf.reset_index(drop=True).to_parquet(
+            f"tests/golden/{name}_sf0.01.parquet", index=False)
+
+Review the value/row-count diff before committing a new golden.
 """
 
 from __future__ import annotations

@@ -60,3 +60,47 @@ def test_classify_ground_scene(spark):
     assert (roof.is_ground == 0).mean() > 0.95
     # open terrain: overwhelmingly ground
     assert (open_t.is_ground == 1).mean() > 0.90
+
+
+def test_oracle_matches_kernel_on_edge_ridge(ddb):
+    """Adversarial boundary case: a ridge on the outermost grid rows.  The
+    engine's NaN-margin opening keeps border relief that an in-grid-only
+    erosion universe would flatten (20/400 cells differed before the
+    oracle gained the extended erosion universe); replay the SQL oracle's
+    morphology on a synthetic 20x20 grid and require bit-equality with
+    the NumPy kernel."""
+    import numpy as np
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.operators.smrf import _smrf_halo, smrf_surface
+    from rgr_pdal_topo_spark.queries import _smrf_oracle_sql
+
+    n, cell = 20, 10.0
+    z = np.zeros((n, n))
+    z[0, :] = 10.0       # ridge on the border
+    z[:, n - 1] = 10.0
+    z[7, 7] = np.nan     # interior hole
+
+    h = _smrf_halo({"max_window": 4})
+    arr = np.full((n + 2 * h, n + 2 * h), np.nan)
+    arr[h:-h, h:-h] = z
+    expected = smrf_surface(arr, cell, cell)
+
+    rows = [
+        (r * n + c, float(z[r, c]))
+        for r in range(n) for c in range(n)
+        if not np.isnan(z[r, c])
+    ]
+    con = ddb.cursor()
+    con.execute("CREATE TEMP TABLE ridge(pid BIGINT, zz DOUBLE)")
+    con.executemany("INSERT INTO ridge VALUES (?, ?)", rows)
+    prelude = (
+        f"WITH cells AS (SELECT pid, CAST(pid // {n} AS INT) AS cell_row, "
+        f"CAST(pid % {n} AS INT) AS cell_col, zz AS z, 2 AS cls "
+        "FROM ridge), "
+    )
+    sql = _smrf_oracle_sql(n=n, cell=cell, prelude=prelude, final="cells")
+    got_df = con.execute(sql).df()
+    got = np.full((n, n), np.nan)
+    got[got_df.cell_row, got_df.cell_col] = got_df.v.to_numpy()
+    np.testing.assert_array_equal(got, expected)
