@@ -21,6 +21,18 @@ with NO global window, NO vocabulary broadcast, and NO shuffle wider than
 (doc_id, int64).  (Round 1 used dense_rank over the whole vocabulary — a
 single-partition global sort Spark itself warns about; this replaces it.)
 
+ID-SPACE BOUND: the 31-bit id space is a parity compromise, not a scale
+recommendation.  Per-document shingle sets are small (a 10 kB page has
+~2,000 shingles -> expected within-document birthday collisions
+2000^2 / 2^32 ~ 1e-3, i.e. the distinct-id set a signature or Jaccard
+verify sees is the true set with probability ~0.999 per document), so
+MinHash signatures and candidate Jaccard are unaffected in practice —
+collisions only matter WITHIN one document's set, never across the corpus.
+For workloads that compare very large per-document sets, fold more hex
+chars via ``id_bits=61`` (`horner_hash_sql(chars=15, mod=2^61-1)`-style),
+which drops the within-document collision odds below 1e-12; the MinHash
+permutation constants must then shrink so a*tid+b stays inside int64.
+
 Reference behavior: text dedup for a Common-Crawl-style corpus (the graft
 payload); shingling follows the standard MinHash construction (Broder).
 """
@@ -202,6 +214,51 @@ def lsh_band_buckets(
     )
 
 
+def lsh_dropped_buckets(
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """(band, band_key, n_docs) for every bucket the size cap excludes from
+    the candidate self-join — the coverage ledger for the cap in
+    ``minhash_candidate_pairs``.  Empty iff the pair output is exhaustive."""
+    _check_banding(bands, rows_per_band)
+    mixed = _band_mix(signatures, bands, rows_per_band)
+    return (
+        mixed.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > max_bucket)
+    )
+
+
+def lsh_drop_report(
+    signatures: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """One metrics row surfacing what the bucket cap skipped:
+    (n_dropped_buckets, n_docs_affected) where n_docs_affected counts
+    DISTINCT documents having at least one dropped bucket (such documents
+    may still pair through their other, smaller buckets).  At 100 TB this
+    row is the difference between "deduped everything" and "deduped
+    everything except these hot shards" — never let the cap drop silently."""
+    _check_banding(bands, rows_per_band)
+    mixed = _band_mix(signatures, bands, rows_per_band)
+    sizes = mixed.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    dropped = mixed.join(
+        sizes.filter(F.col("n_docs") > max_bucket).select("band", "band_key"),
+        ["band", "band_key"],
+    )
+    return dropped.agg(
+        F.count_distinct("band", "band_key").alias("n_dropped_buckets"),
+        F.count_distinct("doc_id").alias("n_docs_affected"),
+    )
+
+
 def minhash_candidate_pairs(
     signatures: DataFrame,
     bands: int = 8,
@@ -213,8 +270,11 @@ def minhash_candidate_pairs(
     Buckets larger than ``max_bucket`` are dropped before the self-join: a
     single hot band key would otherwise yield O(n^2) pairs.  (A bucket that
     big means the banding is non-selective for that content — at 100 TB the
-    right response is to log and either tighten bands or route the bucket
-    through exact dedup, not to materialize the quadratic join.)"""
+    right response is to either tighten bands or route the bucket through
+    exact dedup, not to materialize the quadratic join.)  The drop is NOT
+    silent: ``lsh_drop_report`` / ``lsh_dropped_buckets`` enumerate exactly
+    what the cap excluded; pipelines should emit that row next to the
+    pairs."""
     _check_banding(bands, rows_per_band)
     mixed = _band_mix(signatures, bands, rows_per_band)
     sizes = mixed.groupBy("band", "band_key").agg(
@@ -257,32 +317,34 @@ def jaccard_pairs(doc_tids: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def simhash_params(b: int) -> tuple[int, int]:
+    """Per-bit hash constants (P_b, C_b) — shared with the DuckDB oracle."""
+    return (2 * b + 3) * 2654435761 % MINHASH_P, (b * 69621 + 7) % MINHASH_P
+
+
 def simhash(doc_tids: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): bit b = 1 iff sum over tokens of
     (((tid * P_b + C_b) % 1000) - 499.5) > 0 — all-integer/half-integer,
     bit-reproducible in any engine.  (tid < 2^31 and P_b < 2^31, so the
-    product stays inside int64.)"""
-    spark = doc_tids.sparkSession
-    bit_tbl = spark.createDataFrame(
-        [(b, (2 * b + 3) * 2654435761 % MINHASH_P, (b * 69621 + 7) % MINHASH_P)
-         for b in range(bits)],
-        "bit int, p long, c long",
-    )
-    contrib = (
-        (F.col("tid") * F.col("p") + F.col("c")) % F.lit(1000)
-    ).cast("double") - F.lit(499.5)
-    per_bit = (
-        doc_tids.crossJoin(F.broadcast(bit_tbl))
-        .groupBy("doc_id", "bit")
-        .agg(F.sum(contrib).alias("s"))
-        .withColumn(
-            "bitval",
-            F.when(F.col("s") > 0, F.lit(1)).otherwise(F.lit(0)),
+    product stays inside int64; the per-bit sums are sums of half-integers,
+    exact in float64, so aggregation order cannot perturb the sign.)
+
+    All ``bits`` sums run as conditional aggregates in ONE
+    groupBy(doc_id) pass — the same one-pass shape as
+    ``minhash_signatures`` (a bit-table cross join would explode every
+    (doc_id, tid) row ``bits``-fold BEFORE the shuffle; this keeps the
+    shuffle input at exactly one row per (doc_id, tid))."""
+    aggs = []
+    for b in range(bits):
+        p, c = simhash_params(b)
+        contrib = (
+            (F.col("tid") * F.lit(p) + F.lit(c)) % F.lit(1000)
+        ).cast("double") - F.lit(499.5)
+        aggs.append(F.sum(contrib).alias(f"s{b}"))
+    wide = doc_tids.groupBy("doc_id").agg(*aggs)
+    acc = F.lit(0)
+    for b in range(bits):
+        acc = acc + F.when(F.col(f"s{b}") > 0, F.lit(1 << b)).otherwise(
+            F.lit(0)
         )
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.col("bitval")
-            * F.pow(F.lit(2.0), F.col("bit").cast("double")).cast("long")
-        ).alias("simhash")
-    )
+    return wide.select("doc_id", acc.cast("long").alias("simhash"))

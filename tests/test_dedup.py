@@ -107,3 +107,63 @@ def test_horner_hash_matches_duckdb(spark, ddb):
     ]
     assert got == exp
     assert all(0 <= t < dedup.MINHASH_P for t in got)
+
+
+def test_lsh_drop_report_surfaces_hot_buckets(spark):
+    """The bucket cap must not drop silently: a planted hot bucket (25
+    identical docs, every band over the cap of 10) shows up in the report
+    with the right bucket and doc counts, and a corpus with no hot buckets
+    reports zeros."""
+    hot = spark.createDataFrame(
+        [(i, "the same exact document text repeated verbatim here")
+         for i in range(25)],
+        "doc_id long, text string",
+    )
+    sig = dedup.minhash_signatures(dedup.shingle_ids(hot))
+    rep = dedup.lsh_drop_report(sig, max_bucket=10).first()
+    # identical docs -> identical signatures -> all 8 band buckets hot
+    assert rep.n_dropped_buckets == 8
+    assert rep.n_docs_affected == 25
+    assert dedup.lsh_dropped_buckets(sig, max_bucket=10).count() == 8
+    # and the pair join is empty exactly when the report is non-empty
+    assert dedup.minhash_candidate_pairs(sig, max_bucket=10).count() == 0
+
+    cold = spark.createDataFrame(
+        [(1, "one doc alone"), (2, "a different text entirely now")],
+        "doc_id long, text string",
+    )
+    csig = dedup.minhash_signatures(dedup.shingle_ids(cold))
+    crep = dedup.lsh_drop_report(csig, max_bucket=10).first()
+    assert (crep.n_dropped_buckets, crep.n_docs_affected) == (0, 0)
+
+
+def test_simhash_one_pass_no_explode(spark):
+    """The simhash agg must not widen the shuffle: no bit-table cross join
+    (16x pre-shuffle explode), no broadcast, exactly one aggregation key
+    (doc_id) — the same one-pass shape as minhash_signatures."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta beta zeta epsilon")],
+        "doc_id long, text string",
+    )
+    sh = dedup.simhash(dedup.token_ids(df))
+    plan = sh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BroadcastExchange" not in plan
+    # values: sign-of-sum per bit over the token-id set, reference spelling
+    tids = {
+        r.doc_id: [] for r in dedup.token_ids(df).collect()
+    }
+    for r in dedup.token_ids(df).collect():
+        tids[r.doc_id].append(r.tid)
+    exp = {}
+    for d, ts in tids.items():
+        v = 0
+        for b in range(dedup.SIMHASH_BITS):
+            p, c = dedup.simhash_params(b)
+            s = sum(((t * p + c) % 1000) - 499.5 for t in ts)
+            if s > 0:
+                v |= 1 << b
+        exp[d] = v
+    got = {r.doc_id: r.simhash for r in sh.collect()}
+    assert got == exp
