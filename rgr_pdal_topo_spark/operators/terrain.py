@@ -161,34 +161,58 @@ def random_terrain_ensemble(
 
     Returns (member_id, cell_row, cell_col, z, fd, max_l, mean_dir).
     """
-    from rgr_pdal_topo_spark.functions.flow_kernels import basin_sweeps
-    from rgr_pdal_topo_spark.functions.terrain import random_priority_fill
-
-    pg = None
+    # The priority surface and area multimap are shared read-only inputs
+    # for every ensemble member: ship them ONCE per executor as torrent
+    # broadcasts.  Capturing the raw arrays in the UDF closure instead
+    # would re-pickle the full grid into every task (and at 100x raster
+    # scale make task serialization itself the bottleneck).
+    pg_bc = None
     if priority_grid_df is not None:
         pdf = priority_grid_df.toPandas()
         pg = np.full((grid.nrows, grid.ncols), np.nan)
         pg[pdf["cell_row"], pdf["cell_col"]] = pdf["value"]
+        del pdf
         lo, hi = np.nanmin(pg), np.nanmax(pg)
         pg = (pg - lo) / (hi - lo) if hi > lo else np.zeros_like(pg)
-    amap = None
+        pg_bc = spark.sparkContext.broadcast(pg)
+        del pg
+    amap_bc = None
     if area_map_df is not None:
         ampdf = area_map_df.toPandas()
-        amap = {
+        amap_bc = spark.sparkContext.broadcast({
             float(k): g["donor_area"].to_numpy(dtype="float64")
             for k, g in ampdf.groupby("down_area")
-        }
+        })
+        del ampdf
 
     members = spark.range(n_members).select(F.col("id").alias("member_id"))
     schema = ("member_id long, cell_row int, cell_col int, z double, "
               "fd int, max_l double, mean_dir double")
-    nrows, ncols, dx = grid.nrows, grid.ncols, float(grid.cell)
+    per_member = _member_fill_fn(
+        grid.nrows, grid.ncols, float(grid.cell), fill_slope, seed_base,
+        mode, ksn, theta, allow_unfilled, pg_bc, amap_bc,
+    )
+    return members.groupBy("member_id").applyInPandas(per_member, schema)
+
+
+def _member_fill_fn(
+    nrows, ncols, dx, fill_slope, seed_base, mode, ksn, theta,
+    allow_unfilled, pg_bc, amap_bc,
+):
+    """Build the per-member kernel.  Separated from the plan assembly so a
+    test can assert the closure serializes small — it must capture only
+    scalars and Broadcast HANDLES, never the dense arrays themselves
+    (tests/test_terrain_x8.py)."""
+    from rgr_pdal_topo_spark.functions.flow_kernels import basin_sweeps
+    from rgr_pdal_topo_spark.functions.terrain import random_priority_fill
 
     def per_member(pdf: pd.DataFrame) -> pd.DataFrame:
         m = int(pdf["member_id"].iloc[0])
         out = random_priority_fill(
             nrows, ncols, dx, fill_slope, seed=seed_base + m, mode=mode,
-            priority_grid=pg, ksn=ksn, theta=theta, area_map=amap,
+            priority_grid=None if pg_bc is None else pg_bc.value,
+            ksn=ksn, theta=theta,
+            area_map=None if amap_bc is None else amap_bc.value,
             allow_unfilled=allow_unfilled,
         )
         z, fd = out["z"], out["fd"]
@@ -205,7 +229,7 @@ def random_terrain_ensemble(
             "mean_dir": sweeps["mean_dir"],
         })
 
-    return members.groupBy("member_id").applyInPandas(per_member, schema)
+    return per_member
 
 
 def chi_area_mapping(flow_metrics: DataFrame, pxl: float) -> DataFrame:

@@ -173,3 +173,22 @@ def test_radial_envelope_cardinal_angles_and_zero_members(spark):
     # has 0 -> the zero-member rule makes min_cells 0
     assert by_bin.loc[(0, 0)].max_cells == 2
     assert by_bin.loc[(0, 0)].min_cells == 0
+
+
+def test_ensemble_closure_carries_no_raster(spark):
+    """The ensemble UDF ships the priority surface by Broadcast HANDLE:
+    its serialized closure must stay KB-sized even when the surface is
+    MB-sized (closure capture would re-pickle the grid into every task)."""
+    from pyspark.serializers import CloudPickleSerializer
+
+    from rgr_pdal_topo_spark.operators.terrain import _member_fill_fn
+
+    big = np.zeros((600, 600))  # 2.9 MB as float64
+    pg_bc = spark.sparkContext.broadcast(big)
+    fn = _member_fill_fn(
+        600, 600, 10.0, 0.01, 4242, "priority_grid", None, None, False,
+        pg_bc, None,
+    )
+    n = len(CloudPickleSerializer().dumps(fn))
+    assert n < 50_000, f"per-member closure serialized to {n} bytes"
+    pg_bc.destroy()
