@@ -26,16 +26,24 @@ def _assign(df: DataFrame, col: str, centers: list[float]) -> DataFrame:
 
 
 def kmeans_1d(
-    df: DataFrame, col: str, k: int = 2, iters: int = 5
+    df: DataFrame, col: str, k: int = 2, iters: int = 5,
+    checkpoint: bool = True,
 ) -> tuple[DataFrame, list[float]]:
     """Deterministic 1-D Lloyd: centers init at evenly spaced quantile-free
     positions between min and max, then `iters` assign/update rounds.
-    Returns (df + cluster column under final centers, centers)."""
-    # cut the upstream lineage BEFORE the first action: the min/max init,
-    # every Lloyd iteration and the final assignment would otherwise each
-    # recompute the full feature pipeline (gridding + stencil shuffle for
-    # kmeans_scarp) — ~(iters+2)x redundant
-    df = df.localCheckpoint(eager=True)
+    Returns (df + cluster column under final centers, centers).
+
+    checkpoint=True cuts the upstream lineage BEFORE the first action: the
+    min/max init, every Lloyd iteration and the final assignment would
+    otherwise each recompute the full feature pipeline (gridding + stencil
+    shuffle for kmeans_scarp) — ~(iters+2)x redundant.  Callers whose input
+    is already cached/materialized should pass checkpoint=False.  Caveat:
+    localCheckpoint blocks live in executor storage and are NOT
+    fault-tolerant — a lost executor makes the lineage unrecoverable
+    mid-run; on a real cluster prefer persist(StorageLevel.DISK_ONLY) or a
+    reliable checkpoint() to a distributed store for long Lloyd loops."""
+    if checkpoint:
+        df = df.localCheckpoint(eager=True)
     row = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
     if row["lo"] is None:  # empty / all-NULL feature column
         return df.withColumn("cluster", F.lit(0).cast("int")), [
@@ -58,11 +66,13 @@ def kmeans_1d(
 
 
 def kmeans_relabel_hi(
-    df: DataFrame, col: str, iters: int = 5
+    df: DataFrame, col: str, iters: int = 5, checkpoint: bool = True
 ) -> DataFrame:
     """2-cluster KMeans on `col`, relabeled so 1 = the higher-mean cluster
     (the notebook's scarp class)."""
-    assigned, centers = kmeans_1d(df, col, k=2, iters=iters)
+    assigned, centers = kmeans_1d(
+        df, col, k=2, iters=iters, checkpoint=checkpoint
+    )
     hi = 1 if centers[1] >= centers[0] else 0
     return assigned.withColumn(
         "scarp_class", F.when(F.col("cluster") == hi, 1).otherwise(0)

@@ -257,11 +257,18 @@ def profile_peaks(
     Savitzky-Golay window-5/order-2 weights).
 
     Input: (profile_id, l, z) swath points.  Stations are l-bins of
-    ``station_width``; per station the exact median z; smoothing is the
-    5-tap convolution over consecutive stations (only full windows emit a
-    value, matching mode-less convolution); a peak is a strict local
-    maximum of the smoothed series.  Pure window functions per profile —
-    no UDF, parallel across profiles at any scale."""
+    ``station_width``, DENSIFIED to the full min..max station range per
+    profile (the reference smooths a dense array, so an empty bin must be
+    a NaN the 5-tap window sees — lag/lead over data rows alone would
+    silently convolve ACROSS the gap); per station the exact median z;
+    smoothing is the 5-tap convolution over consecutive stations (only
+    full all-valid windows emit a value, matching mode-less convolution
+    over an array with NaN holes); a peak is a strict local maximum of
+    the smoothed series ON ADJACENT STATIONS (a NaN neighbor compares
+    false, as in find_peaks).  Pure window functions per profile — no
+    UDF, parallel across profiles at any scale; the station universe is
+    a per-profile sequence (bounded by profile length / station_width,
+    never by point count)."""
     binned = (
         swath_pts.withColumn(
             "station",
@@ -273,6 +280,15 @@ def profile_peaks(
             F.expr("percentile(z, 0.5)").alias("z_med"),
         )
     )
+    universe = (
+        binned.groupBy("profile_id")
+        .agg(F.min("station").alias("s0"), F.max("station").alias("s1"))
+        .select(
+            "profile_id",
+            F.explode(F.sequence(F.col("s0"), F.col("s1"))).alias("station"),
+        )
+    )
+    dense = universe.join(binned, ["profile_id", "station"], "left")
     w = Window.partitionBy("profile_id").orderBy("station")
     c = SAVGOL_5_2
     z_sm = (
@@ -282,7 +298,9 @@ def profile_peaks(
         + F.lit(c[3]) * F.lead("z_med", 1).over(w)
         + F.lit(c[4]) * F.lead("z_med", 2).over(w)
     ) / F.lit(SAVGOL_5_2_DENOM)
-    sm = binned.withColumn("z_sm", z_sm).filter(F.col("z_sm").isNotNull())
+    sm = dense.withColumn("z_sm", z_sm)
+    # peak test BEFORE dropping the gap rows: neighbors are station-
+    # adjacent by construction, and a NULL (gap) neighbor -> not a peak
     prev = F.lag("z_sm", 1).over(w)
     nxt = F.lead("z_sm", 1).over(w)
     is_peak = (
@@ -293,7 +311,7 @@ def profile_peaks(
     )
     return sm.withColumn(
         "is_peak", F.when(is_peak, F.lit(True)).otherwise(F.lit(False))
-    )
+    ).filter(F.col("z_sm").isNotNull())
 
 
 def swath_filter(projected: DataFrame, swath_width: float) -> DataFrame:

@@ -388,11 +388,22 @@ _PEAKS_BINNED = (
     "COUNT(*) AS n, QUANTILE_CONT(z, 0.5) AS z_med FROM swpts "
     "GROUP BY profile_id, CAST(FLOOR(l / 10.0) AS INT)"
 )
+# dense station universe per profile: an empty bin must be a NULL the
+# 5-tap window SEES (lag/lead over data rows alone would convolve across
+# the gap — mirrors the engine's sequence+left-join densification)
+_PEAKS_DENSE = (
+    "SELECT u.profile_id, CAST(u.station AS INT) AS station, b.n, b.z_med "
+    "FROM (SELECT profile_id, UNNEST(generate_series(mn, mx)) AS station "
+    "FROM (SELECT profile_id, MIN(station) AS mn, MAX(station) AS mx "
+    "FROM binned GROUP BY profile_id) ext) u "
+    "LEFT JOIN binned b ON b.profile_id = u.profile_id "
+    "AND b.station = u.station"
+)
 _PEAKS_SM = (
     "SELECT profile_id, station, n, z_med, "
     "(-3.0 * LAG(z_med, 2) OVER w + 12.0 * LAG(z_med, 1) OVER w "
     "+ 17.0 * z_med + 12.0 * LEAD(z_med, 1) OVER w "
-    "+ -3.0 * LEAD(z_med, 2) OVER w) / 35.0 AS z_sm FROM binned "
+    "+ -3.0 * LEAD(z_med, 2) OVER w) / 35.0 AS z_sm FROM dense_st "
     "WINDOW w AS (PARTITION BY profile_id ORDER BY station)"
 )
 
@@ -413,14 +424,19 @@ _PEAKS_SM = (
         + ") AS sw(profile_id, swath_width))",
         f"swpts AS ({_SWATH_SQL})",
         f"binned AS ({_PEAKS_BINNED})",
+        f"dense_st AS ({_PEAKS_DENSE})",
         f"sm AS ({_PEAKS_SM})",
+        # peak test on the DENSE series (NULL gap neighbor -> FALSE),
+        # then the gap rows drop
+        "smpk AS (SELECT profile_id, station, n, z_med, z_sm, "
+        "COALESCE(z_sm > LAG(z_sm, 1) OVER w2 AND "
+        "z_sm > LEAD(z_sm, 1) OVER w2, FALSE) AS is_peak FROM sm "
+        "WINDOW w2 AS (PARTITION BY profile_id ORDER BY station))",
     )
     + "SELECT profile_id, station, n, "
     "CAST(ROUND(z_med * 1000000.0) AS BIGINT) AS z_med_um, "
     "CAST(ROUND(z_sm * 1000000.0) AS BIGINT) AS z_sm_um, "
-    "COALESCE(z_sm > LAG(z_sm, 1) OVER w2 AND z_sm > LEAD(z_sm, 1) OVER w2, "
-    "FALSE) AS is_peak FROM sm WHERE z_sm IS NOT NULL "
-    "WINDOW w2 AS (PARTITION BY profile_id ORDER BY station)",
+    "is_peak FROM smpk WHERE z_sm IS NOT NULL",
 )
 def q_profile_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X12: savgol(5,2)-smoothed binned-median swath profile + strict
@@ -1943,20 +1959,21 @@ _QUAD_COLS_DUCK = ", ".join(
 
 @query(
     "cell_index",
-    f"SELECT s.pid, s.lon, s.lat, {_QUAD_COLS_DUCK}, t.s2_cell "
-    f"FROM ({_LONLAT_SQL}) s JOIN ("
-    + cellfn.s2_cell_sql_query(_LONLAT_SQL, "pid")
-    + ") t ON t.pid = s.pid",
+    f"SELECT s.pid, s.lon, s.lat, {_QUAD_COLS_DUCK} "
+    f"FROM ({_LONLAT_SQL}) s",
 )
 def q_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule spatial index layer: multi-resolution hierarchical cell
     ids per page coordinate — H3-API quadkey stand-in at res 5..12
-    (parent == id >> 2) plus an S2-style cube-face cell at level 16
-    (functions/cells.py; replaces getRowColFromXY, baseGrid.py:656-668,
-    as the partition/join/prefilter key family).  Pure Column integer
-    arithmetic — whole-stage codegen, no UDF on the hot path; the
-    Arrow-batched pandas_udf spelling (s2_cell_udf) is pinned equal in
-    tests/test_cells.py."""
+    (parent == id >> 2) (functions/cells.py; replaces getRowColFromXY,
+    baseGrid.py:656-668, as the partition/join/prefilter key family).
+    Pure Column integer arithmetic on fixed-point lon/lat — whole-stage
+    codegen, no UDF on the hot path, and every column is
+    exact-integer-derived so cross-engine parity is arithmetic, not
+    float-coincidental.  (The trig-derived S2-style face cell rides in
+    ``s2_cell_index`` instead: a discrete id computed through
+    sqrt/atan-free but still double arithmetic should not sit in the
+    bit-exact driver window — ADVICE r2.)"""
     pts = points_df(spark, sf_dir).selectExpr(
         "pid", "x / 100.0 - 5.0 AS lon", "y / 100.0 + 40.0 AS lat"
     )
@@ -1965,7 +1982,27 @@ def q_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.withColumn(
             f"h3_r{r}", cellfn.quad_cell(F.col("lon"), F.col("lat"), r)
         )
-    return out.withColumn(
+    return out
+
+
+@query(
+    "s2_cell_index",
+    f"SELECT s.pid, s.lon, s.lat, t.s2_cell "
+    f"FROM ({_LONLAT_SQL}) s JOIN ("
+    + cellfn.s2_cell_sql_query(_LONLAT_SQL, "pid")
+    + ") t ON t.pid = s.pid",
+)
+def q_s2_cell_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2-style cube-face cell at level 16 (functions/cells.py).  The id
+    derives from cube-face projection doubles; JVM vs libm ulp drift at a
+    cell boundary could flip a discrete id, so this query lives OUTSIDE
+    the bit-exact driver window (pytest parity still runs it every
+    session; empirically exact at sf0.01).  The Arrow-batched pandas_udf
+    spelling (s2_cell_udf) is pinned equal in tests/test_cells.py."""
+    pts = points_df(spark, sf_dir).selectExpr(
+        "pid", "x / 100.0 - 5.0 AS lon", "y / 100.0 + 40.0 AS lat"
+    )
+    return pts.withColumn(
         "s2_cell", cellfn.s2_cell(F.col("lon"), F.col("lat"))
     )
 
@@ -2407,11 +2444,17 @@ DRIVER_WINDOW: list[str] = [
 
 
 def _reorder_registration() -> None:
-    missing = set(DRIVER_WINDOW) - set(QUERIES)
     # a typo / rename in DRIVER_WINDOW would otherwise silently shrink
-    # the curated 50-slot driver window
-    assert not missing, f"DRIVER_WINDOW names not registered: {missing}"
-    assert len(DRIVER_WINDOW) == 50, len(DRIVER_WINDOW)
+    # the curated 50-slot driver window; raise (not assert — asserts
+    # vanish under python -O) so misregistration is loud everywhere
+    missing = set(DRIVER_WINDOW) - set(QUERIES)
+    if missing:
+        raise ValueError(f"DRIVER_WINDOW names not registered: {missing}")
+    if len(DRIVER_WINDOW) != 50:
+        raise ValueError(
+            f"DRIVER_WINDOW must list exactly 50 queries, got "
+            f"{len(DRIVER_WINDOW)}"
+        )
     ranked = [n for n in DRIVER_WINDOW if n in QUERIES]
     rest_oracle = sorted(n for n in QUERIES if n not in ranked and n in ORACLES)
     rest_plain = sorted(n for n in QUERIES if n not in ranked and n not in ORACLES)

@@ -37,10 +37,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     layout) or ``table:<namespace>`` to resolve through the session
     catalog — with an Iceberg catalog configured this reads the real
     Iceberg table (e.g. ``table:lake.cc`` -> ``lake.cc.documents``)
-    with identical query code: filters and column pruning push into
-    either source the same way (asserted on PushedFilters/ReadSchema in
-    tests/test_plan_shapes.py), and a ``days(warc_ts)`` / cell-id
-    partition spec prunes at the manifest level."""
+    with identical query code.  For the parquet path, predicate pushdown
+    and column pruning are asserted on PushedFilters/ReadSchema in
+    tests/test_plan_shapes.py; the ``table:`` resolution path itself is
+    exercised against session-catalog views in tests/test_sources.py
+    (a real Iceberg catalog additionally prunes at the manifest level
+    under a ``days(warc_ts)`` / cell-id partition spec — not available
+    in this sandbox)."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; one of {TABLES}")
     if sf_dir.startswith("table:"):

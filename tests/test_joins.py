@@ -262,3 +262,21 @@ def test_profile_peaks_savgol_and_peak(spark):
         exp = float(np.dot(np.array(zs[s - 2:s + 3]), c))
         assert out[s].z_sm == _pt.approx(exp, rel=1e-12)
     assert [s for s in out if out[s].is_peak] == [4]
+
+
+def test_profile_peaks_gap_blocks_convolution(spark):
+    """An empty l-bin must be a NULL the 5-tap window sees: stations whose
+    window spans the gap emit no smoothed value, and nothing pairs across
+    the gap for the peak test (the reference smooths a DENSE array, so a
+    hole is a NaN, not a seam)."""
+    # profile 0: stations 0..4 and 6..10 populated, station 5 EMPTY
+    zs = {s: float(s) for s in range(5)}
+    zs.update({s: float(10 - s) + 20.0 for s in range(6, 11)})
+    rows = [(0, 10.0 * s + 5.0, z) for s, z in zs.items()]
+    df = spark.createDataFrame(rows, "profile_id int, l double, z double")
+    out = {r.station: r for r in joins.profile_peaks(df).collect()}
+    # full valid windows only: 2 (0..4) and 8 (6..10); every window
+    # touching station 5 (stations 3..7) must emit nothing
+    assert sorted(out) == [2, 8]
+    assert not any(out[s].is_peak for s in out)
+
