@@ -753,6 +753,246 @@ def q_tpi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# stencil_suite: W3/W4/W6/W7-W9/W10/W11/W12/W13/W14 in ONE oracle-backed
+# query — every remaining stencil kernel through the tiled applyInPandas
+# engine, each with a neighbor-join SQL twin (the smrf_ground morphology
+# oracle proved the pattern).  The float-parity strategy per column:
+#   * pure +-*/sqrt chains (laplacian, contour curvature, windowed diffs,
+#     median) are IEEE-correctly-rounded per op, so mirroring the exact
+#     association makes them BIT-equal before rounding;
+#   * trig (aspect) and order-dependent sums (gaussian, std, tpi) round
+#     at 4-6 dp like the proven slope_hillshade / windowed_std / tpi
+#     oracles.
+# ---------------------------------------------------------------------------
+
+from rgr_pdal_topo_spark.functions import kernels as _kfn  # noqa: E402
+
+_DEG = repr(180.0 / math.pi)
+
+# strict (constant-NaN BC) neighbor pivot: radius-1 ring members used by
+# contour curvature + the +/-2 offsets of the N=2 windowed differences
+_STRICT_OFFS = (
+    "(0, 1, 'ev'), (0, -1, 'wv'), (-1, 0, 'nv'), (1, 0, 'sv'), "
+    "(1, 1, 'sev'), (-1, -1, 'nwv'), "
+    "(0, 2, 'e2v'), (0, -2, 'w2v'), (-2, 0, 'n2v'), (2, 0, 's2v')"
+)
+_STRICT_DUCK = (
+    "SELECT d.cell_row, d.cell_col, d.value, "
+    + ", ".join(
+        f"MAX(CASE WHEN o.tag = '{t}' THEN n.value END) AS {t}"
+        for t in ("ev", "wv", "nv", "sv", "sev", "nwv",
+                  "e2v", "w2v", "n2v", "s2v")
+    )
+    + f" FROM dense d JOIN (VALUES {_STRICT_OFFS}) o(dr, dc, tag) ON TRUE "
+    "LEFT JOIN dense n ON n.cell_row = d.cell_row + o.dr "
+    "AND n.cell_col = d.cell_col + o.dc "
+    "GROUP BY d.cell_row, d.cell_col, d.value"
+)
+# contour curvature (Mitasova & Hofierka; dem.py:225-257) — association
+# mirrors functions/kernels.py:65-77 token-for-token so the doubles are
+# bit-equal
+_CC_TERMS = (
+    "SELECT cell_row, cell_col, value, "
+    "(ev - wv) / 20.0 AS fx, (nv - sv) / 20.0 AS fy, "
+    "(ev - 2 * value + wv) / 100.0 AS fxx, "
+    "(sv - 2 * value + nv) / 100.0 AS fyy, "
+    "(sev - sv - ev + 2 * value - nv - wv + nwv) / 400.0 AS fxy, "
+    "(e2v - w2v) / 40.0 AS wsx, (n2v - s2v) / 40.0 AS wsy, "
+    "(e2v - 2 * value + w2v) / 1600.0 + (s2v - 2 * value + n2v) / 1600.0 "
+    "AS wlap FROM strictnb"
+)
+# "+ 0" after every ROUND: DuckDB ROUND keeps IEEE -0.0 for tiny
+# negatives while Spark's BigDecimal round yields +0.0; adding integer
+# zero normalizes -0.0 -> +0.0 and is exact for every other double
+_CC_OUT = (
+    "SELECT cell_row, cell_col, "
+    "CASE WHEN (fx * fx + fy * fy) * SQRT((fx * fx + fy * fy) + 1) = 0 "
+    "THEN NULL ELSE ROUND((fxx * (fy * fy) - 2 * fxy * fx * fy + "
+    "fyy * (fx * fx)) / ((fx * fx + fy * fy) * "
+    "SQRT((fx * fx + fy * fy) + 1)), 6) + 0 END AS contour_curv, "
+    "ROUND(wsx, 6) + 0 AS wsx, ROUND(wsy, 6) + 0 AS wsy, "
+    "ROUND(SQRT(wsx * wsx + wsy * wsy), 6) + 0 AS wsmag, "
+    "ROUND(wlap, 9) + 0 AS wlap FROM ccterms"
+)
+# laplacian + aspect on the edge-repeat neighbors/slopes the
+# slope_hillshade oracle already pins (dem.py:202-223, 293-355);
+# (-1.0) * x (not 0 - x) so a 0.0 slope negates to -0.0 in both engines
+# and ATAN2 picks the same branch
+_LAPASP_DUCK = (
+    "SELECT n.cell_row, n.cell_col, "
+    "ROUND((n.rv - 2 * n.value + n.lv) / 100.0 + "
+    "(n.sv - 2 * n.value + n.nv) / 100.0, 6) + 0 AS laplacian, "
+    "ROUND(CASE WHEN ATAN2((-1.0) * s.sy, (-1.0) * s.sx) * "
+    f"{_DEG} - 90.0 >= 0 THEN 360.0 - (ATAN2((-1.0) * s.sy, (-1.0) * s.sx)"
+    f" * {_DEG} - 90.0) ELSE (-1.0) * (ATAN2((-1.0) * s.sy, "
+    f"(-1.0) * s.sx) * {_DEG} - 90.0) END, 4) AS aspect "
+    "FROM nbrs n JOIN slopes s ON s.cell_row = n.cell_row "
+    "AND s.cell_col = n.cell_col"
+)
+# gaussian (W10, dem.py:444-460): sigma=1, radius=4, scipy-reflect BC;
+# weights are the exact doubles the engine kernel computes, reflection
+# mirrors np.pad mode='symmetric'
+_GK1 = _kfn._gaussian_kernel1d(1.0, 4)
+_GW_VALUES = ", ".join(
+    f"({i - 4}, {j - 4}, {float(_GK1[i] * _GK1[j])!r})"
+    for i in range(9) for j in range(9)
+)
+
+
+def _reflect_idx(expr: str, n: int) -> str:
+    return (
+        f"CASE WHEN {expr} < 0 THEN -({expr}) - 1 "
+        f"WHEN {expr} > {n - 1} THEN {2 * n - 1} - ({expr}) "
+        f"ELSE {expr} END"
+    )
+
+
+_GAUSS_DUCK = (
+    "SELECT d.cell_row, d.cell_col, COUNT(n.value) AS n_valid, "
+    "SUM(o.w * n.value) AS s "
+    f"FROM dense d JOIN (VALUES {_GW_VALUES}) o(dr, dc, w) ON TRUE "
+    f"JOIN dense n ON n.cell_row = "
+    f"({_reflect_idx('d.cell_row + o.dr', 100)}) "
+    f"AND n.cell_col = ({_reflect_idx('d.cell_col + o.dc', 100)}) "
+    "GROUP BY d.cell_row, d.cell_col"
+)
+# windowed std+median, 5x5 square footprint (W11/W12, dem.py:462-520):
+# any NaN in the footprint -> NaN, like generic_filter cval=NaN
+_WIN5_DUCK = (
+    "SELECT d.cell_row, d.cell_col, COUNT(n.value) AS n_valid, "
+    "ROUND(STDDEV_POP(n.value), 6) + 0 AS sd, "
+    "ROUND(MEDIAN(n.value), 6) + 0 AS med "
+    "FROM dense d JOIN offs5 o ON TRUE "
+    "LEFT JOIN dense n ON n.cell_row = d.cell_row + o.dr "
+    "AND n.cell_col = d.cell_col + o.dc "
+    "GROUP BY d.cell_row, d.cell_col"
+)
+# presence-mask boundary cells (W14, baseGrid.py:1198-1229): 3x3 window
+# holds both mask and non-mask members (out-of-grid excluded, nanmax-like)
+_MASKE_DUCK = (
+    "SELECT d.cell_row, d.cell_col, CASE WHEN d.m = 1.0 AND "
+    "MAX(n.m) <> MIN(n.m) THEN 1.0 ELSE 0.0 END AS mask_edge "
+    "FROM maskg d JOIN offs3 o ON TRUE "
+    "LEFT JOIN maskg n ON n.cell_row = d.cell_row + o.dr "
+    "AND n.cell_col = d.cell_col + o.dc "
+    "GROUP BY d.cell_row, d.cell_col, d.m"
+)
+_TPIW_DUCK = (
+    "SELECT d.cell_row, d.cell_col, d.value, COUNT(n.value) AS n_any, "
+    "SUM(CASE WHEN a.dist > 30.0 AND a.dist <= 60.0 THEN n.value END) "
+    "AS s_ann FROM dense d JOIN ann a ON TRUE "
+    "LEFT JOIN dense n ON n.cell_row = d.cell_row + a.dr "
+    "AND n.cell_col = d.cell_col + a.dc "
+    "GROUP BY d.cell_row, d.cell_col, d.value"
+)
+
+
+@query(
+    "stencil_suite",
+    _BASE.rstrip()
+    + f", gmean AS ({GRID_MEAN_CTE}), dense AS MATERIALIZED ({_DENSE_DUCK}), "
+    f"nbrs AS ({_NBRS_DUCK}), slopes AS ({_SLOPES_DUCK}), "
+    f"lapasp AS ({_LAPASP_DUCK}), "
+    f"strictnb AS ({_STRICT_DUCK}), ccterms AS ({_CC_TERMS}), "
+    f"ccout AS ({_CC_OUT}), "
+    f"gaussq AS ({_GAUSS_DUCK}), "
+    f"offs5 AS ({_offsets_duck(2, exclude_center=False)}), "
+    f"win5 AS ({_WIN5_DUCK}), "
+    f"offs13 AS ({_offsets_duck(6, exclude_center=False)}), "
+    "ann AS (SELECT dr, dc, SQRT((dr * 10.0) * (dr * 10.0) + (dc * 10.0) * "
+    "(dc * 10.0)) AS dist FROM offs13), "
+    f"tpiw AS ({_TPIW_DUCK}), "
+    "maskg AS (SELECT cell_row, cell_col, CASE WHEN value IS NULL THEN 0.0 "
+    "ELSE 1.0 END AS m FROM dense), "
+    f"offs3 AS ({_offsets_duck(1, exclude_center=False)}), "
+    f"maske AS ({_MASKE_DUCK}) "
+    "SELECT l.cell_row, l.cell_col, l.laplacian, l.aspect, "
+    "c.contour_curv, c.wsx, c.wsy, c.wsmag, c.wlap, "
+    "CASE WHEN g.n_valid = 81 THEN ROUND(g.s, 4) + 0 END AS gauss, "
+    "CASE WHEN w.n_valid = 25 THEN w.sd END AS wstd, "
+    "CASE WHEN w.n_valid = 25 THEN w.med END AS wmed, "
+    "CASE WHEN t.n_any = 169 THEN ROUND(t.value - t.s_ann / 112.0, 6) + 0 "
+    "END AS tpi, m.mask_edge "
+    "FROM lapasp l "
+    "JOIN ccout c ON c.cell_row = l.cell_row AND c.cell_col = l.cell_col "
+    "JOIN gaussq g ON g.cell_row = l.cell_row AND g.cell_col = l.cell_col "
+    "JOIN win5 w ON w.cell_row = l.cell_row AND w.cell_col = l.cell_col "
+    "JOIN tpiw t ON t.cell_row = l.cell_row AND t.cell_col = l.cell_col "
+    "JOIN maske m ON m.cell_row = l.cell_row AND m.cell_col = l.cell_col",
+)
+def q_stencil_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W4/W6/W7-W9/W10/W11/W12/W13/W14 in one tiled pass: laplacian,
+    contour curvature, aspect, N=2 windowed slope-x/y/mag + windowed
+    laplacian, sigma=1 gaussian mean, 5x5 windowed std + median, TPI
+    annulus, and presence-mask boundaries (dem.py:202-565,
+    baseGrid.py:1198-1229).
+
+    Plan shape: the eleven DEM kernels share ONE halo-replication shuffle
+    + ONE applyInPandas stage (halo = max over kernels = 6); the mask
+    kernel runs over a different input grid (the dense 0/1 presence
+    mask), so it is a second tiled pass joined back on the cell key —
+    both sides carry identical tiling, so the join co-locates under
+    bucketed layout at scale."""
+    from rgr_pdal_topo_spark.operators.stencils import run_stencil, run_stencils
+
+    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    out = run_stencils(
+        g,
+        G,
+        {
+            "laplacian": ("laplacian", {}),
+            "contour_curv": ("contour_curvature", {}),
+            "aspect": ("aspect", {}),
+            "wsx": ("windowed_slope_x", {}),
+            "wsy": ("windowed_slope_y", {}),
+            "wsmag": ("windowed_slope_mag", {}),
+            "wlap": ("windowed_laplacian", {}),
+            "gauss": ("gaussian_mean", {"pixel_width": 1.0}),
+            "wstd": ("windowed_std", {"pixel_width": 5}),
+            "wmed": ("windowed_median", {"pixel_width": 5}),
+            "tpi": ("tpi", {"inner_radius": 30.0, "outer_radius": 60.0}),
+        },
+        tile_cells=50,
+    )
+    universe = spark.range(G.nrows * G.ncols).selectExpr(
+        f"CAST(id DIV {G.ncols} AS INT) AS cell_row",
+        f"CAST(id % {G.ncols} AS INT) AS cell_col",
+    )
+    mask = universe.join(
+        g.select("cell_row", "cell_col", F.lit(1.0).alias("m")),
+        ["cell_row", "cell_col"],
+        "left",
+    ).select(
+        "cell_row", "cell_col", F.coalesce("m", F.lit(0.0)).alias("value")
+    )
+    me = run_stencil(
+        mask, G, "mask_boundaries", tile_cells=50, out_col="mask_edge"
+    )
+    out = out.join(me, ["cell_row", "cell_col"])
+    out = out.select(
+        "cell_row",
+        "cell_col",
+        F.round("laplacian", 6).alias("laplacian"),
+        F.round("aspect", 4).alias("aspect"),
+        F.round("contour_curv", 6).alias("contour_curv"),
+        F.round("wsx", 6).alias("wsx"),
+        F.round("wsy", 6).alias("wsy"),
+        F.round("wsmag", 6).alias("wsmag"),
+        F.round("wlap", 9).alias("wlap"),
+        F.round("gauss", 4).alias("gauss"),
+        F.round("wstd", 6).alias("wstd"),
+        F.round("wmed", 6).alias("wmed"),
+        F.round("tpi", 6).alias("tpi"),
+        "mask_edge",
+    )
+    return _nan_to_null(
+        out,
+        ["laplacian", "aspect", "contour_curv", "wsx", "wsy", "wsmag",
+         "wlap", "gauss", "wstd", "wmed", "tpi", "mask_edge"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # text analysis (documents)
 # ---------------------------------------------------------------------------
 
