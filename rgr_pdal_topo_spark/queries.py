@@ -79,6 +79,15 @@ def _with(*ctes: str) -> str:
     return "WITH " + ", ".join(ctes) + " "
 
 
+def _offsets_duck(radius: int, exclude_center: bool = True) -> str:
+    lo, n = -radius, 2 * radius + 1
+    cond = "WHERE NOT (dr = 0 AND dc = 0)" if exclude_center else ""
+    return (
+        f"SELECT CAST(a.id + {lo} AS INT) AS dr, CAST(b.id + {lo} AS INT) "
+        f"AS dc FROM range({n}) a(id) CROSS JOIN range({n}) b(id) {cond}"
+    )
+
+
 _BASE = _with(f"pts AS ({PTS})", f"cells AS ({CELLS})")
 
 
@@ -107,6 +116,29 @@ def q_filter_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     return points_df(spark, sf_dir).filter("cls <> 7").select(
         "pid", "x", "y", "z", "cls"
     )
+
+
+from rgr_pdal_topo_spark.sources import pointcloud as _pc  # noqa: E402
+
+_DECIMATE_DENSITY = 0.2  # reference requests 5 pts/m^2 -> keep 1/5
+
+
+@query(
+    "points_decimate",
+    f"SELECT pid, x, y, z, cls FROM ({PTS}) p WHERE cls <> 7 AND "
+    f"{_pc.decimate_rank_sql('pid')} < "
+    f"{int(_DECIMATE_DENSITY * _pc.DECIMATE_P)}",
+)
+def q_points_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17: resolution-decimation pushdown (readers.ept ``resolution =
+    1/sqrt(density)``, pointCloudCreation.py:191-192, 697-698) as a
+    deterministic multiplicative-hash rank predicate evaluated AT THE
+    SCAN — replayable across retries (a seeded Bernoulli sample is not
+    partition-stable under AQE re-planning) and exactly replicated by
+    the oracle."""
+    return _pc.read_points(
+        spark, sf_dir, density=_DECIMATE_DENSITY, drop_noise=True
+    ).select("pid", "x", "y", "z", "cls")
 
 
 @query(
@@ -168,6 +200,63 @@ def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="idw")
     return g.select(
         "cell_row", "cell_col", F.round("value", 6).alias("value"), "n"
+    )
+
+
+_IDW_DENSE_DUCK = (
+    "SELECT a.cell_row, a.cell_col, g.value, COALESCE(g.n, 0) AS n FROM "
+    "(SELECT CAST(id // 100 AS INT) AS cell_row, CAST(id % 100 AS INT) "
+    "AS cell_col FROM range(10000) t(id)) a "
+    "LEFT JOIN gidw g ON a.cell_row = g.cell_row AND a.cell_col = g.cell_col"
+)
+_FILL_W = (
+    "(1.0 / ((o.dr * 10.0) * (o.dr * 10.0) + "
+    "(o.dc * 10.0) * (o.dc * 10.0)))"
+)
+_FILLS_DUCK = (
+    "SELECT e.cell_row, e.cell_col, "
+    f"SUM({_FILL_W} * nb.value) / SUM({_FILL_W}) AS value "
+    "FROM densei e JOIN offsf o ON TRUE "
+    "JOIN densei nb ON nb.cell_row = e.cell_row + o.dr "
+    "AND nb.cell_col = e.cell_col + o.dc "
+    "WHERE e.value IS NULL AND nb.value IS NOT NULL "
+    "GROUP BY e.cell_row, e.cell_col"
+)
+
+
+@query(
+    "grid_idw_filled",
+    _BASE.rstrip()
+    + f", gidw AS ({GRID_IDW_CTE}), densei AS MATERIALIZED "
+    f"({_IDW_DENSE_DUCK}), "
+    f"offsf AS ({_offsets_duck(6, exclude_center=True)}), "
+    f"fills AS ({_FILLS_DUCK}) "
+    "SELECT d.cell_row, d.cell_col, "
+    "CASE WHEN d.value IS NOT NULL THEN ROUND(d.value, 6) + 0 "
+    "ELSE ROUND(f.value, 6) + 0 END AS value, "
+    "CASE WHEN d.value IS NOT NULL THEN d.n ELSE CAST(0 AS BIGINT) END "
+    "AS n, "
+    "CASE WHEN d.value IS NULL AND f.value IS NOT NULL THEN 1 ELSE 0 END "
+    "AS filled "
+    "FROM densei d LEFT JOIN fills f ON f.cell_row = d.cell_row "
+    "AND f.cell_col = d.cell_col",
+)
+def q_grid_idw_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + A3: IDW gridding followed by the points2grid empty-cell window
+    fallback — empty cells take the 1/d^2-weighted mean of filled cells
+    within Chebyshev radius 6 (``window_size=6``,
+    pointCloudCreation.py:311-322 at :320); cells with no filled neighbor
+    in range stay explicit NoData.  The fill is a broadcast-offset
+    equi-join + one agg (operators/gridding.py:145-209) — the oracle
+    replays the identical ring-union weighted mean."""
+    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="idw")
+    out = gridding.fill_empty_cells(g, G, window_size=6)
+    return out.select(
+        "cell_row",
+        "cell_col",
+        F.round("value", 6).alias("value"),
+        F.col("n").cast("long").alias("n"),
+        "filled",
     )
 
 
@@ -678,15 +767,6 @@ def q_slope_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hillshade", 4).alias("hillshade"),
     )
     return _nan_to_null(out, ["sx", "sy", "smag", "hillshade"])
-
-
-def _offsets_duck(radius: int, exclude_center: bool = True) -> str:
-    lo, n = -radius, 2 * radius + 1
-    cond = "WHERE NOT (dr = 0 AND dc = 0)" if exclude_center else ""
-    return (
-        f"SELECT CAST(a.id + {lo} AS INT) AS dr, CAST(b.id + {lo} AS INT) "
-        f"AS dc FROM range({n}) a(id) CROSS JOIN range({n}) b(id) {cond}"
-    )
 
 
 @query(
@@ -2272,6 +2352,54 @@ def q_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "lineage_resume",
+    _BASE
+    + "SELECT CAST(pid % 4 AS INT) AS batch_id, "
+    "COUNT(DISTINCT cell_row * 100 + cell_col) AS n_rows, "
+    "COUNT(*) AS n_pts FROM cells GROUP BY CAST(pid % 4 AS INT)",
+)
+def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: per-partition checkpoint lineage with a LIVE kill/resume — the
+    north_rule's "resumable from checkpoint with per-partition lineage +
+    metrics" clause exercised end-to-end (reference memoizes derived
+    grids as suffixed files, loadDerivedGrid baseGrid.py:1150-1173).
+
+    Phase 1 runs the per-batch gridding for batches {0,1} only and stops
+    (simulating a crash after two of four batch commits); phase 2 hands
+    the FULL input to a fresh checkpointer over the same manifest, which
+    fingerprint-validates the completed batches and computes only the
+    pending two.  The returned per-batch metrics must equal a straight
+    one-shot computation — which is exactly what the oracle runs."""
+    import tempfile
+
+    from rgr_pdal_topo_spark.plans.lineage import BatchCheckpointer
+
+    base = tempfile.mkdtemp(prefix="lineage_resume_")
+    pts = points_df(spark, sf_dir).select("pid", "x", "y", "z")
+
+    def transform(df: DataFrame) -> DataFrame:
+        c = gridding.with_cell(df, G)
+        return c.groupBy("batch_id", "cell_row", "cell_col").agg(
+            F.count(F.lit(1)).alias("n_pts")
+        )
+
+    phase1 = BatchCheckpointer(base, n_batches=4)
+    phase1.run(pts.filter(F.pmod(F.col("pid"), F.lit(4)) < 2), transform)
+    n_done = phase1.completed(spark).count()
+    if n_done != 2:  # loud self-check: the "crash" must leave 2 of 4
+        raise RuntimeError(f"phase 1 committed {n_done} batches, wanted 2")
+
+    resumed = BatchCheckpointer(base, n_batches=4)  # fresh process stand-in
+    out = resumed.run(pts, transform)
+    return out.groupBy(
+        F.col("batch_id").cast("int").alias("batch_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("n_pts").alias("n_pts"),
+    )
+
+
 _UTMX_DUCK, _UTMY_DUCK = rasterops.utm_forward_sql("lon", "lat", zone=31)
 
 
@@ -2664,23 +2792,35 @@ def q_flow_main_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DRIVER_WINDOW: list[str] = [
     "points_extract", "filter_noise", "grid_extent", "grid_mean",
-    "grid_idw", "grid_stats", "binned_intensity", "pip_pairs", "knn_gps",
-    "profile_extract", "swath_profile", "hag", "grid_residuals",
+    "grid_idw_filled", "grid_stats", "binned_intensity", "pip_pairs",
+    "knn_gps",
+    "profile_extract", "stencil_suite", "hag", "grid_residuals",
     "tpch_pricing", "cell_index", "sessionize", "slope_hillshade",
-    "windowed_std", "tpi", "text_stats", "quality_filter", "langid",
+    "points_decimate", "lineage_resume", "text_stats", "quality_filter",
+    "langid",
     "dedup_exact", "minhash_buckets", "smrf_ground", "simhash",
     "doc_fingerprint", "cosine_topk", "embedding_near_dups",
     "multimodal_features", "flow_d8", "flow_area", "flow_chi", "flow_basins",
     "flow_maxl", "flow_order", "network_ksn", "network_dissolve",
     "plane_fit", "detrend_grid", "perm_ensemble", "kmeans_scarp",
-    "mosaic_tiles", "resample_bilinear", "reproject_utm",
+    "mosaic_tiles", "flow_main_path", "reproject_utm",
     "profile_peaks", "radial_histogram", "stratified_sample",
-    "extract_pages", "events_sliding",
+    "extract_pages", "minhash_pairs",
 ]
-# F5 keeps one window slot (reproject_utm exercises the full registry);
-# reproject_mercator, the redundant J7/A2/J1 variants and the other
-# oracle-backed extras sit just past the 50-slot window, still pytest-
-# parity-checked every run.
+# Round-3 rotation (VERDICT r2 "Next round" #1/#5/#6/#7/#8): six slots
+# whose operators stay green elsewhere rotated OUT for six new
+# oracle-backed queries —
+#   IN:  stencil_suite (W3/W4/W6/W7-W9/W10/W11/W12/W13/W14),
+#        grid_idw_filled (A1+A3), points_decimate (F17),
+#        lineage_resume (S4), flow_main_path (G9), minhash_pairs
+#   OUT: grid_idw (A1/K1 via grid_idw_filled), windowed_std + tpi
+#        (W11/W13 via stencil_suite), swath_profile (J2 via
+#        profile_extract, F4/X14 still exercised inside profile_peaks),
+#        resample_bilinear (K7 via mosaic_tiles), events_sliding
+#        (windowed-agg family via sessionize).
+# All rotated-out queries remain registered and pytest-parity-checked
+# every run; reproject_mercator and the other oracle-backed extras sit
+# just past the 50-slot window likewise.
 
 
 def _reorder_registration() -> None:

@@ -14,8 +14,31 @@ sample — the same work-avoidance the EPT reader does server-side.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from rgr_pdal_topo_spark.synth import points_df
+
+# Knuth multiplicative hash over the prime P: the same replayable
+# rank construction stratified_sample uses (operators/raster.py), so
+# decimation is deterministic, partition-independent, and expressible
+# verbatim in the DuckDB oracle.  ((pid % P) * A) <= (P-1)*A < 2^63:
+# no int64 overflow in either engine.
+DECIMATE_P = 1000000007
+DECIMATE_A = 2654435761
+
+
+def decimate_rank(pid_col) -> F.Column:
+    """Deterministic per-point rank in [0, P) — uniform under the
+    multiplicative hash; keep rank < density * P for an unbiased
+    density-fraction subsample."""
+    return (pid_col % F.lit(DECIMATE_P)) * F.lit(DECIMATE_A) % F.lit(
+        DECIMATE_P
+    )
+
+
+def decimate_rank_sql(pid_expr: str) -> str:
+    """The identical rank in ANSI SQL (oracle twin)."""
+    return f"(({pid_expr} % {DECIMATE_P}) * {DECIMATE_A}) % {DECIMATE_P}"
 
 
 def read_points(
@@ -24,15 +47,17 @@ def read_points(
     bounds: tuple[float, float, float, float] | None = None,
     density: float | None = None,
     drop_noise: bool = True,
-    seed: int = 13,
 ) -> DataFrame:
     """S1/S2 scan with the reference's pushdowns.
 
     bounds: (minx, maxx, miny, maxy) — bbox predicate, pushed to the scan
     (filters.crop / readers.ept bounds).
     density: target fraction in (0, 1] — EPT resolution decimation
-    (``pointResolution = 1/sqrt(density)``); implemented as seeded
-    Bernoulli sample BEFORE any shuffle.
+    (``pointResolution = 1/sqrt(density)``, pointCloudCreation.py:191-192,
+    697-698); implemented as a deterministic hash-rank predicate BEFORE
+    any shuffle (replaces the earlier seeded Bernoulli sample: same
+    work-avoidance, but replayable across retries/resumes and oracle-
+    checkable — F17).
     drop_noise: Classification![7:7] (F1).
     """
     pts = points_df(spark, sf_dir)
@@ -45,5 +70,7 @@ def read_points(
     if drop_noise:
         pts = pts.filter("cls <> 7")
     if density is not None and density < 1.0:
-        pts = pts.sample(fraction=density, seed=seed)
+        pts = pts.filter(
+            decimate_rank(F.col("pid")) < F.lit(int(density * DECIMATE_P))
+        )
     return pts
