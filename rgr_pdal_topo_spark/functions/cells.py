@@ -15,10 +15,13 @@ Two families:
   library-H3 later only changes this module.
 * ``s2_cell``    — S2-style id: unit-sphere point -> cube face (argmax
   axis) -> (u,v) -> quadratic s/t transform (the published S2 formula) ->
-  leaf (i,j) -> ``face*4^level + morton(i,j)``.  Deviation from library
-  S2, recorded here: bit interleave is Morton rather than Hilbert (no
-  library to match ids against in this sandbox; locality/containment
-  properties are equivalent for partitioning purposes).
+  leaf (i,j) -> ``face*4^level + pos(i,j)``.  Position-on-curve is
+  Morton by default (the Column/SQL-twin spelling) with a Hilbert
+  option (``interleave="hilbert"`` / ``s2_cell_hilbert_udf``) matching
+  library-S2's ordering — both have the ``parent == child >> 2`` prefix
+  property; Hilbert additionally keeps successive ids 4-adjacent in the
+  grid (property-tested).  No library exists in this sandbox to match
+  ids against bit-for-bit.
 
 Both encoders exist twice, by design:
 
@@ -182,13 +185,63 @@ def _morton_np(ix: np.ndarray, iy: np.ndarray, level: int) -> np.ndarray:
     return out
 
 
+def _hilbert_np(ix: np.ndarray, iy: np.ndarray, level: int) -> np.ndarray:
+    """Vectorized xy -> Hilbert-curve position at ``level`` (the classic
+    iterative quadrant-rotate walk).  Like Morton it has the prefix
+    property ``parent == child >> 2`` (each parent's four children are
+    consecutive on the curve, in parent order), and additionally
+    successive curve positions are always 4-adjacent in the grid — the
+    stronger locality library S2 gets from its Hilbert ordering.  Both
+    are property-tested in tests/test_cells.py."""
+    x = ix.astype(np.int64).copy()
+    y = iy.astype(np.int64).copy()
+    d = np.zeros_like(x)
+    s = np.int64(1 << (level - 1))
+    while s > 0:
+        rx = ((x & s) > 0).astype(np.int64)
+        ry = ((y & s) > 0).astype(np.int64)
+        d += s * s * ((3 * rx) ^ ry)
+        # rotate the lower quadrant into canonical orientation
+        swap = ry == 0
+        flip = swap & (rx == 1)
+        xf = np.where(flip, s - 1 - x, x)
+        yf = np.where(flip, s - 1 - y, y)
+        x, y = np.where(swap, yf, xf), np.where(swap, xf, yf)
+        s >>= 1
+    return d
+
+
 def s2_cell_np(lon: np.ndarray, lat: np.ndarray,
-               level: int = S2_LEVEL) -> np.ndarray:
+               level: int = S2_LEVEL,
+               interleave: str = "morton") -> np.ndarray:
+    """interleave="morton" (default, matches the Column/SQL twins) or
+    "hilbert" (library-S2's ordering; same face, same leaf (i, j), only
+    the position-on-curve differs).  The Hilbert spelling closes the
+    documented Morton deviation for callers that want S2's
+    consecutive-range locality; it is numpy/pandas_udf-only — the
+    whole-stage-codegen hot path stays on the quadkey/Morton family."""
     face, u, v = _s2_face_uv_np(lon, lat)
     n = 1 << level
     i = np.clip((_s2_st_np(u) * n).astype(np.int64), 0, n - 1)
     j = np.clip((_s2_st_np(v) * n).astype(np.int64), 0, n - 1)
-    return face * (1 << (2 * level)) + _morton_np(i, j, level)
+    if interleave == "hilbert":
+        pos = _hilbert_np(i, j, level)
+    elif interleave == "morton":
+        pos = _morton_np(i, j, level)
+    else:
+        raise ValueError(f"unknown interleave {interleave!r}")
+    return face * (1 << (2 * level)) + pos
+
+
+@pandas_udf(LongType())
+def s2_cell_hilbert_udf(lon: pd.Series, lat: pd.Series) -> pd.Series:
+    """Arrow-batched S2-style encoder with Hilbert position-on-curve."""
+    return pd.Series(
+        s2_cell_np(
+            lon.to_numpy(dtype="float64"), lat.to_numpy(dtype="float64"),
+            interleave="hilbert",
+        )
+    )
 
 
 @pandas_udf(LongType())

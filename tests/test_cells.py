@@ -98,3 +98,65 @@ def test_s2_locality():
     far = cells.s2_cell_np(np.array([-168.0]), np.array([-45.0]))[0]
     assert a >> 18 == b >> 18  # agree above the lowest ~9 levels
     assert a >> (2 * cells.S2_LEVEL) != far >> (2 * cells.S2_LEVEL)
+
+
+def test_hilbert_interleave_properties():
+    """The Hilbert position-on-curve must (a) bijectively cover the level
+    grid, (b) step to a 4-adjacent grid cell at every curve increment
+    (the locality Morton lacks), and (c) share Morton's parent ==
+    child >> 2 prefix containment across levels."""
+    import numpy as np
+
+    from rgr_pdal_topo_spark.functions.cells import _hilbert_np, _morton_np
+
+    level = 5
+    n = 1 << level
+    jj, ii = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    ii, jj = ii.ravel(), jj.ravel()
+    d = _hilbert_np(ii, jj, level)
+    assert sorted(d.tolist()) == list(range(n * n))  # bijection
+    order = np.argsort(d)
+    steps = (np.abs(np.diff(ii[order])) + np.abs(np.diff(jj[order])))
+    assert (steps == 1).all()  # every curve step is grid-adjacent
+
+    rng = np.random.default_rng(7)
+    ix = rng.integers(0, 1 << 16, size=2000)
+    iy = rng.integers(0, 1 << 16, size=2000)
+    fine = _hilbert_np(ix, iy, 16)
+    coarse = _hilbert_np(ix >> 1, iy >> 1, 15)
+    assert (fine >> 2 == coarse).all()  # prefix containment
+    # Morton has the same containment (shared contract)
+    assert (_morton_np(ix, iy, 16) >> 2 == _morton_np(ix >> 1, iy >> 1, 15)).all()
+
+
+def test_s2_hilbert_same_face_and_leaf(spark):
+    """Hilbert and Morton spellings agree on face and leaf cell — only the
+    position-on-curve encoding differs; the pandas_udf twin matches the
+    numpy kernel."""
+    import numpy as np
+
+    from rgr_pdal_topo_spark.functions import cells as cellfn
+
+    rng = np.random.default_rng(11)
+    lon = rng.uniform(-179.9, 179.9, size=500)
+    lat = rng.uniform(-89.9, 89.9, size=500)
+    m = cellfn.s2_cell_np(lon, lat)
+    h = cellfn.s2_cell_np(lon, lat, interleave="hilbert")
+    lvl = 1 << (2 * cellfn.S2_LEVEL)
+    assert (m // lvl == h // lvl).all()  # same cube face
+    assert (m != h).mean() > 0.9  # orderings genuinely differ
+
+    df = spark.createDataFrame(
+        [(float(a), float(b)) for a, b in zip(lon, lat)],
+        "lon double, lat double",
+    )
+    got = np.array(
+        [r.c for r in df.select(
+            cellfn.s2_cell_hilbert_udf("lon", "lat").alias("c")
+        ).collect()]
+    )
+    df2 = df.toPandas()
+    exp = cellfn.s2_cell_np(
+        df2.lon.to_numpy(), df2.lat.to_numpy(), interleave="hilbert"
+    )
+    assert sorted(got.tolist()) == sorted(exp.tolist())
