@@ -143,7 +143,8 @@ def neighbor_offsets(spark, radius: int, exclude_center: bool = True) -> DataFra
 
 
 def fill_empty_cells(
-    grid_df: DataFrame, grid: GridSpec, window_size: int = 6
+    grid_df: DataFrame, grid: GridSpec, window_size: int = 6,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """points2grid window fallback (A3): fill empty cells from filled
     neighbor-cell values within Chebyshev radius ``window_size``, weighted
@@ -151,9 +152,19 @@ def fill_empty_cells(
 
     Returns the dense grid with columns (cell_row, cell_col, value, n,
     filled int) where filled=1 marks fallback-filled cells.
+
+    checkpoint=True materializes the densified grid once before the
+    three branches that reuse it (filled pass-through, neighbor join,
+    unreachable anti-join) — Spark does not CSE common subplans, so the
+    upstream gridding aggregation would otherwise run 4x.  Same caveat
+    as cluster.kmeans_1d: localCheckpoint blocks are executor-local; on
+    a real cluster prefer DISK persist / reliable checkpoint if the
+    upstream pipeline is very expensive to replay.
     """
     spark = grid_df.sparkSession
     dense = densify(grid_df, grid)
+    if checkpoint:
+        dense = dense.localCheckpoint(eager=True)
     filled = dense.filter(F.col("value").isNotNull())
     empty = dense.filter(F.col("value").isNull()).select("cell_row", "cell_col")
 

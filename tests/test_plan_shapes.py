@@ -170,3 +170,23 @@ def test_multimodal_features_single_python_stage(spark):
     plan = _plan(QUERIES["multimodal_features"](spark, SF_DIR))
     assert plan.count("MapInPandas") == 1
     assert "Exchange" not in plan
+
+
+def test_stencil_suite_two_arrow_stages(spark):
+    """Eleven DEM kernels must share ONE applyInPandas stage (plus one for
+    the mask grid) — per-kernel stages would multiply the halo shuffle."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["stencil_suite"](spark, SF_DIR))
+    assert plan.count("FlatMapGroupsInPandas") == 2
+    assert "CartesianProduct" not in plan
+
+
+def test_points_decimate_is_scan_side(spark):
+    """Hash-rank decimation must stay a zero-shuffle, Python-free filter
+    evaluated at the scan."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["points_decimate"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
