@@ -1015,7 +1015,11 @@ def q_stencil_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed layout at scale."""
     from rgr_pdal_topo_spark.operators.stencils import run_stencil, run_stencils
 
-    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    # the gridded DEM feeds both the kernel pass and the presence-mask
+    # pass; materialize it once (Spark does not CSE common subplans)
+    g = gridding.grid_points(
+        points_df(spark, sf_dir), G, output_type="mean"
+    ).localCheckpoint(eager=True)
     out = run_stencils(
         g,
         G,
