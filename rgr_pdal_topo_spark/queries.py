@@ -1551,6 +1551,31 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "frame_sample",
+    "WITH fr AS (SELECT doc_id, text, LEAST(8, GREATEST(1, "
+    "length(text) // 64)) AS n FROM documents), "
+    "idx AS (SELECT doc_id, text, "
+    "UNNEST(generate_series(0, n - 1)) AS fi FROM fr) "
+    "SELECT doc_id, CAST(fi AS INT) AS frame_idx, "
+    "CAST(fi * 64 AS BIGINT) AS frame_offset, "
+    "substring(md5(substring(text, CAST(fi * 64 + 1 AS INT), 64)), 1, 16) "
+    "AS frame_digest FROM idx",
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing: 1->N mapInPandas over binary
+    payloads, one row per sampled frame offset with a frame digest
+    (operators/multimodal.frame_sample; a real video pipeline emits
+    decoded frames from the same shape).  The synthetic payload is the
+    UTF-8 text bytes — ASCII by construction — so the oracle replays the
+    byte slicing + md5 with plain substring arithmetic."""
+    from rgr_pdal_topo_spark.operators import multimodal as mm
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.frame_sample(mm.attach_payload(docs))
+
+
 # ---------------------------------------------------------------------------
 # G1-G13: flow routing / channel network (operators/flow.py)
 #
