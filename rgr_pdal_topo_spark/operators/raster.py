@@ -424,9 +424,16 @@ def stratified_sample(
 ) -> DataFrame:
     """Per-bin top-n under a deterministic integer hash of the key —
     the engine's replayable analogue of rand()-ranked subsampling
-    (baseGrid.py:992-1024); same hash runs in the DuckDB oracle."""
+    (baseGrid.py:992-1024); same hash runs in the DuckDB oracle.
+
+    The key is reduced mod P BEFORE the multiply: (P-1) * 2654435761 <
+    2^63, so the rank never overflows int64 in ANY engine — a raw
+    key * A would wrap silently in Spark (ANSI off) but error/diverge
+    elsewhere once keys pass ~3.5e9 (the 10^12-row regime)."""
     rank_key = F.pmod(
-        F.col(key_col).cast("long") * F.lit(2654435761), F.lit(1000000007)
+        F.pmod(F.col(key_col).cast("long"), F.lit(1000000007))
+        * F.lit(2654435761),
+        F.lit(1000000007),
     )
     w = Window.partitionBy(bin_col).orderBy(rank_key, F.col(key_col))
     return df.withColumn("rn", F.row_number().over(w)).filter(

@@ -238,11 +238,14 @@ def fft_binned_power_tiles(
 # ---------------------------------------------------------------------------
 
 #: SQL fragment for the deterministic per-(cell, perm) noise value; the
-#: identical text runs in Spark SQL and DuckDB.
+#: identical text runs in Spark SQL and DuckDB.  cell_id is reduced mod
+#: 2^31-1 before the multiply so the product stays inside int64 at any
+#: raster size (a raw cell_id * A would wrap in Spark but error/diverge
+#: in ANSI engines once cell ids pass ~3.5e9).
 def perm_noise_sql(lo: float, rng: float) -> str:
     return (
-        f"({lo!r} + {rng!r} * CAST((cell_id * 2654435761 + perm * 40503 "
-        "+ 12289) % 100000 AS DOUBLE) / 100000.0)"
+        f"({lo!r} + {rng!r} * CAST(((cell_id % 2147483647) * 2654435761 "
+        "+ perm * 40503 + 12289) % 100000 AS DOUBLE) / 100000.0)"
     )
 
 

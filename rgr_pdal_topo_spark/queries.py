@@ -2507,7 +2507,7 @@ def q_radial_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"SELECT z_bucket, pid, x, y FROM (SELECT "
     "CAST(FLOOR((z - 100.0) / 5.0) AS INT) AS z_bucket, pid, x, y, "
     "ROW_NUMBER() OVER (PARTITION BY CAST(FLOOR((z - 100.0) / 5.0) AS INT) "
-    "ORDER BY (pid * 2654435761) % 1000000007, pid) AS rn "
+    "ORDER BY ((pid % 1000000007) * 2654435761) % 1000000007, pid) AS rn "
     f"FROM ({PTS}) p) s WHERE rn <= 10",
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
