@@ -142,6 +142,26 @@ def q_points_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "points_assign",
+    f"SELECT pid, cls, CASE WHEN z < 95.0 THEN 2 ELSE cls END AS "
+    f"cls_assigned, CAST(1 AS INT) AS unit FROM ({PTS}) p",
+)
+def q_points_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: column assignment — constant and predicated dimension writes
+    (filters.assign; the reference stamps Classification/unit columns
+    during pipeline assembly).  Pure projection, zero shuffle."""
+    pts = points_df(spark, sf_dir)
+    return pts.select(
+        "pid",
+        "cls",
+        F.when(F.col("z") < 95.0, F.lit(2))
+        .otherwise(F.col("cls"))
+        .alias("cls_assigned"),
+        F.lit(1).alias("unit"),
+    )
+
+
+@query(
     "grid_extent",
     _BASE
     + "SELECT MIN(x) AS minx, MAX(x) AS maxx, MIN(y) AS miny, MAX(y) AS maxy, "
