@@ -83,6 +83,46 @@ def extract_features(
     return payloads.mapInPandas(run, schema=schema)
 
 
+def resize_stub(
+    payloads: DataFrame, width: int = 32, height: int = 32,
+    strict: bool = False,
+) -> DataFrame:
+    """'Resize' plumbing: a real image pipeline decodes the payload and
+    resamples pixels to (width, height) here; the STUB emits the resize
+    metadata plus a deterministic content digest bound to the target
+    geometry, so the Spark-side contract — one Arrow stage, binary never
+    in row serde, typed output schema — is real and testable.  Swapping
+    in PIL changes only the per-row body."""
+    schema = (
+        "doc_id long, width int, height int, n_pixels long, "
+        "resized_digest string"
+    )
+    suffix = f":{width}x{height}".encode()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if strict:
+                raise NotImplementedError(
+                    "image resize requires an image library not present "
+                    "in this environment; run with strict=False for the "
+                    "deterministic stub"
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": np.int32(width),
+                    "height": np.int32(height),
+                    "n_pixels": np.int64(width) * height,
+                    "resized_digest": [
+                        hashlib.sha256(bytes(p) + suffix).hexdigest()[:16]
+                        for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return payloads.mapInPandas(run, schema=schema)
+
+
 def frame_sample(
     payloads: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
 ) -> DataFrame:

@@ -1572,6 +1572,26 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "resize_images",
+    "SELECT doc_id, CAST(32 AS INT) AS width, CAST(32 AS INT) AS height, "
+    "CAST(1024 AS BIGINT) AS n_pixels, "
+    "substring(sha256(text || ':32x32'), 1, 16) AS resized_digest "
+    "FROM documents",
+)
+def q_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing (operators/multimodal.resize_stub):
+    one Arrow stage over the binary payload emitting target-geometry
+    metadata + a digest bound to (payload, WxH); the oracle replays the
+    sha256 over the ASCII payload text.  A real decoder/resampler
+    replaces the stub body only."""
+    from rgr_pdal_topo_spark.operators import multimodal as mm
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mm.resize_stub(mm.attach_payload(docs), width=32, height=32)
+
+
+@query(
     "frame_sample",
     "WITH fr AS (SELECT doc_id, text, LEAST(8, GREATEST(1, "
     "length(text) // 64)) AS n FROM documents), "
