@@ -244,13 +244,11 @@ def lsh_drop_report(
     may still pair through their other, smaller buckets).  At 100 TB this
     row is the difference between "deduped everything" and "deduped
     everything except these hot shards" — never let the cap drop silently."""
-    _check_banding(bands, rows_per_band)
     mixed = _band_mix(signatures, bands, rows_per_band)
-    sizes = mixed.groupBy("band", "band_key").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
     dropped = mixed.join(
-        sizes.filter(F.col("n_docs") > max_bucket).select("band", "band_key"),
+        lsh_dropped_buckets(
+            signatures, bands, rows_per_band, max_bucket
+        ).select("band", "band_key"),
         ["band", "band_key"],
     )
     return dropped.agg(

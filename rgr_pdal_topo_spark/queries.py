@@ -835,12 +835,18 @@ def q_windowed_std(spark: SparkSession, sf_dir: str) -> DataFrame:
     "AND n.cell_col = d.cell_col + a.dc "
     "GROUP BY d.cell_row, d.cell_col, d.value) "
     "SELECT cell_row, cell_col, CASE WHEN n_any = 169 "
-    "THEN ROUND(value - s_ann / 112.0, 6) ELSE NULL END AS tpi FROM win",
+    "THEN ROUND(value - s_ann / 84.0, 6) + 0 ELSE NULL END AS tpi FROM win",
 )
 def q_tpi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W13: TPI annulus (inner 30 m, outer 60 m at 10 m cells -> 112 annulus
-    members in a 13x13 kernel; NaN propagates through the full square like
-    ndi.convolve cval=NaN — dem.py:522-565)."""
+    """W13: TPI annulus (inner 30 m, outer 60 m at 10 m cells -> 84 annulus
+    members in a 13x13 kernel, the engine kernel's footprint.sum(); NaN
+    propagates through the full square like ndi.convolve cval=NaN —
+    dem.py:522-565).  The divisor is pinned to the kernel in
+    tests/test_stencils.py::test_tpi_oracle_divisor_and_dense_parity —
+    at driver data density no 13x13 window is ever fully populated, so
+    the driver row alone cannot exercise this column (the r1-r2 oracle
+    divided by 112 and no gate caught it; the 8-member stencil_suite
+    annulus is non-vacuous instead)."""
     from rgr_pdal_topo_spark.operators.stencils import run_stencil
 
     g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
@@ -871,6 +877,8 @@ _DEG = repr(180.0 / math.pi)
 
 # strict (constant-NaN BC) neighbor pivot: radius-1 ring members used by
 # contour curvature + the +/-2 offsets of the N=2 windowed differences
+_DENSE_DUCK_Q = _DENSE_DUCK.replace("LEFT JOIN gmean g", "LEFT JOIN gq g")
+
 _STRICT_OFFS = (
     "(0, 1, 'ev'), (0, -1, 'wv'), (-1, 0, 'nv'), (1, 0, 'sv'), "
     "(1, 1, 'sev'), (-1, -1, 'nwv'), "
@@ -977,9 +985,14 @@ _MASKE_DUCK = (
     "AND n.cell_col = d.cell_col + o.dc "
     "GROUP BY d.cell_row, d.cell_col, d.m"
 )
+# TPI over a 5x5 annulus (inner 10 m, outer 20 m -> 8 members of 25):
+# small enough that full windows EXIST at driver data density, so the
+# tpi column is non-vacuously oracle-checked (the 13x13 30/60 annulus of
+# the dedicated tpi query never fully populates at sf0.01 — its r1-r2
+# oracle divided by 112 instead of the kernel's 84 and no gate noticed)
 _TPIW_DUCK = (
     "SELECT d.cell_row, d.cell_col, d.value, COUNT(n.value) AS n_any, "
-    "SUM(CASE WHEN a.dist > 30.0 AND a.dist <= 60.0 THEN n.value END) "
+    "SUM(CASE WHEN a.dist > 10.0 AND a.dist <= 20.0 THEN n.value END) "
     "AS s_ann FROM dense d JOIN ann a ON TRUE "
     "LEFT JOIN dense n ON n.cell_row = d.cell_row + a.dr "
     "AND n.cell_col = d.cell_col + a.dc "
@@ -987,10 +1000,23 @@ _TPIW_DUCK = (
 )
 
 
+# the suite's DEM is quantized to 2^-20 m (exact binary grid): every
+# annulus/window SUM over quantized values is then EXACT in float64, so
+# aggregation order — which neither engine lets us pin — cannot flip a
+# rounding boundary (caught live: an 8-member annulus sum differed in
+# the last ulp between Spark's tap-order accumulation and DuckDB's join
+# -order SUM, flipping ROUND(,6) at one cell in 2000)
+_GQUANT_CTE = (
+    "SELECT cell_row, cell_col, CAST(FLOOR(value * 1048576.0 + 0.5) AS "
+    "DOUBLE) / 1048576.0 AS value, n FROM gmean"
+)
+
+
 @query(
     "stencil_suite",
     _BASE.rstrip()
-    + f", gmean AS ({GRID_MEAN_CTE}), dense AS MATERIALIZED ({_DENSE_DUCK}), "
+    + f", gmean AS ({GRID_MEAN_CTE}), gq AS ({_GQUANT_CTE}), "
+    f"dense AS MATERIALIZED ({_DENSE_DUCK_Q}), "
     f"nbrs AS ({_NBRS_DUCK}), slopes AS ({_SLOPES_DUCK}), "
     f"lapasp AS ({_LAPASP_DUCK}), "
     f"strictnb AS ({_STRICT_DUCK}), ccterms AS ({_CC_TERMS}), "
@@ -998,9 +1024,8 @@ _TPIW_DUCK = (
     f"gaussq AS ({_GAUSS_DUCK}), "
     f"offs5 AS ({_offsets_duck(2, exclude_center=False)}), "
     f"win5 AS ({_WIN5_DUCK}), "
-    f"offs13 AS ({_offsets_duck(6, exclude_center=False)}), "
     "ann AS (SELECT dr, dc, SQRT((dr * 10.0) * (dr * 10.0) + (dc * 10.0) * "
-    "(dc * 10.0)) AS dist FROM offs13), "
+    "(dc * 10.0)) AS dist FROM offs5), "
     f"tpiw AS ({_TPIW_DUCK}), "
     "maskg AS (SELECT cell_row, cell_col, CASE WHEN value IS NULL THEN 0.0 "
     "ELSE 1.0 END AS m FROM dense), "
@@ -1011,7 +1036,7 @@ _TPIW_DUCK = (
     "CASE WHEN g.n_valid = 81 THEN ROUND(g.s, 4) + 0 END AS gauss, "
     "CASE WHEN w.n_valid = 25 THEN w.sd END AS wstd, "
     "CASE WHEN w.n_valid = 25 THEN w.med END AS wmed, "
-    "CASE WHEN t.n_any = 169 THEN ROUND(t.value - t.s_ann / 112.0, 6) + 0 "
+    "CASE WHEN t.n_any = 25 THEN ROUND(t.value - t.s_ann / 8.0, 6) + 0 "
     "END AS tpi, m.mask_edge "
     "FROM lapasp l "
     "JOIN ccout c ON c.cell_row = l.cell_row AND c.cell_col = l.cell_col "
@@ -1036,9 +1061,16 @@ def q_stencil_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rgr_pdal_topo_spark.operators.stencils import run_stencil, run_stencils
 
     # the gridded DEM feeds both the kernel pass and the presence-mask
-    # pass; materialize it once (Spark does not CSE common subplans)
+    # pass; materialize it once (Spark does not CSE common subplans).
+    # Quantize to the 2^-20 binary grid FIRST (see the oracle comment:
+    # makes every window sum exact, so agg order cannot flip a rounding)
     g = gridding.grid_points(
         points_df(spark, sf_dir), G, output_type="mean"
+    ).withColumn(
+        "value",
+        F.floor(F.col("value") * F.lit(1048576.0) + F.lit(0.5)).cast(
+            "double"
+        ) / F.lit(1048576.0),
     ).localCheckpoint(eager=True)
     out = run_stencils(
         g,
@@ -1054,14 +1086,11 @@ def q_stencil_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gauss": ("gaussian_mean", {"pixel_width": 1.0}),
             "wstd": ("windowed_std", {"pixel_width": 5}),
             "wmed": ("windowed_median", {"pixel_width": 5}),
-            "tpi": ("tpi", {"inner_radius": 30.0, "outer_radius": 60.0}),
+            "tpi": ("tpi", {"inner_radius": 10.0, "outer_radius": 20.0}),
         },
         tile_cells=50,
     )
-    universe = spark.range(G.nrows * G.ncols).selectExpr(
-        f"CAST(id DIV {G.ncols} AS INT) AS cell_row",
-        f"CAST(id % {G.ncols} AS INT) AS cell_col",
-    )
+    universe = gridding.all_cells(spark, G)
     mask = universe.join(
         g.select("cell_row", "cell_col", F.lit(1.0).alias("m")),
         ["cell_row", "cell_col"],
@@ -2440,11 +2469,29 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint-validates the completed batches and computes only the
     pending two.  The returned per-batch metrics must equal a straight
     one-shot computation — which is exactly what the oracle runs."""
+    import os
+    import shutil
     import tempfile
+    import time
 
     from rgr_pdal_topo_spark.plans.lineage import BatchCheckpointer
 
-    base = tempfile.mkdtemp(prefix="lineage_resume_")
+    # scratch dirs must OUTLIVE this call (the returned DataFrame reads
+    # the written parquet lazily), so cleanup is deferred: sweep stale
+    # siblings (> 1 h old, i.e. from earlier driver/pytest runs) at each
+    # invocation instead of leaking one dir per run forever
+    scratch_root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_lineage_resume"
+    )
+    os.makedirs(scratch_root, exist_ok=True)
+    for entry in os.listdir(scratch_root):
+        p = os.path.join(scratch_root, entry)
+        try:
+            if time.time() - os.path.getmtime(p) > 3600:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    base = tempfile.mkdtemp(prefix="run_", dir=scratch_root)
     pts = points_df(spark, sf_dir).select("pid", "x", "y", "z")
 
     def transform(df: DataFrame) -> DataFrame:

@@ -173,3 +173,48 @@ def test_d8_codes_point_downhill(spark):
     assert fd[7, 5] == 64.0
     assert fd[3, 5] == 4.0
     assert fd[5, 5] == 0.0  # pit: no positive descent -> code 0
+
+
+def test_tpi_oracle_divisor_and_dense_parity():
+    """Regression for a live bug (rounds 1-2): the q_tpi oracle divided
+    the annulus sum by 112 while the kernel normalizes by
+    footprint.sum() == 84 — invisible because no 13x13 window fully
+    populates at driver data density.  Pin the divisors the SQL strings
+    hardcode to the kernel's footprint counts, and check the oracle
+    formula (value - s_ann / n) against the kernel on a fully dense
+    grid for both annulus configs."""
+    import numpy as np
+
+    from rgr_pdal_topo_spark.functions.kernels import tpi, tpi_halo
+    from rgr_pdal_topo_spark.queries import ORACLES
+
+    for inner, outer, members, square in [
+        (30.0, 60.0, 84, 169),   # dedicated tpi query
+        (10.0, 20.0, 8, 25),     # stencil_suite (non-vacuous at sf0.01)
+    ]:
+        wx = int(np.ceil(outer / 10.0))
+        X, Y = np.meshgrid(
+            np.arange(-wx, wx + 1) * 10.0, np.arange(-wx, wx + 1) * 10.0
+        )
+        dist = np.sqrt(X * X + Y * Y)
+        ann = (dist > inner) & (dist <= outer)
+        assert ann.sum() == members
+        assert (2 * wx + 1) ** 2 == square
+
+        rng = np.random.default_rng(3)
+        grid = rng.uniform(90.0, 130.0, size=(40, 40))
+        h = tpi_halo(outer, 10.0, 10.0)
+        p = np.pad(grid, h, mode="constant", constant_values=np.nan)
+        k = tpi(p, 10.0, 10.0, inner_radius=inner, outer_radius=outer)
+        # oracle arithmetic on the same dense interior
+        for r, c in [(h + 1, h + 2), (20, 20), (39 - h - 1, 39 - h - 1)]:
+            win = grid[r - wx : r + wx + 1, c - wx : c + wx + 1]
+            if win.shape != (2 * wx + 1, 2 * wx + 1):
+                continue
+            expect = grid[r, c] - win[ann].sum() / members
+            assert abs(k[r, c] - expect) < 1e-9, (inner, outer, r, c)
+
+    # and the SQL strings actually carry those divisors
+    assert "s_ann / 84.0" in ORACLES["tpi"]
+    assert "s_ann / 8.0" in ORACLES["stencil_suite"]
+    assert "112" not in ORACLES["tpi"]
