@@ -118,3 +118,47 @@ def test_streaming_equals_batch(spark, tmp_path):
     assert len(got) == len(batch)
     assert (got.n.to_numpy() == batch.n.to_numpy()).all()
     np.testing.assert_allclose(got.sum_value, batch.sum_value, atol=2e-6)
+
+
+def test_langid_discriminates_languages(spark):
+    """The driver corpus is English-shaped for every lang label, so the
+    driver row only exercises the all-zero/en path — discrimination must
+    be pinned here: planted function-word texts predict their language,
+    and score ties keep the earlier code in the en<es<de<fr preference
+    order (strict > to switch)."""
+    from rgr_pdal_topo_spark.operators.textstats import langid_scores
+
+    rows = [
+        (1, "en", "the cat and the dog of a house to go"),
+        (2, "es", "el perro de la casa que ladra y corre"),
+        (3, "de", "der hund und die katze das ist gut"),
+        (4, "fr", "le chat et les chiens de le parc"),
+        (5, "tie", "la de"),  # es == fr == 2 -> es (earlier preference)
+        (6, "none", "zebra quark flux"),  # all-zero -> en default
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {r.doc_id: r for r in langid_scores(df).collect()}
+    assert got[1].pred_lang == "en" and got[1].score_en == 6
+    assert got[2].pred_lang == "es" and got[2].score_es == 5
+    assert got[3].pred_lang == "de" and got[3].score_de == 5
+    assert got[4].pred_lang == "fr" and got[4].score_fr == 5
+    assert got[5].pred_lang == "es" and got[5].score_es == 2
+    assert got[5].score_fr == 2
+    assert got[6].pred_lang == "en" and got[6].score_en == 0
+
+
+def test_exact_dedup_groups_on_planted_duplicates(spark):
+    """The driver corpus has no exact duplicate texts (every group_size
+    is 1), so real grouping must be pinned here: planted duplicate texts
+    collapse to min-doc_id canonicals with correct group sizes."""
+    from rgr_pdal_topo_spark.operators.dedup import exact_duplicates
+
+    rows = [(i, "common crawl page body") for i in (5, 9, 2)] + [
+        (7, "unique page"), (8, "another unique page"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.canonical_doc, r.group_size)
+        for r in exact_duplicates(df).collect()
+    }
+    assert got == {(2, 3), (7, 1), (8, 1)}
