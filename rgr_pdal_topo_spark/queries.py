@@ -61,10 +61,40 @@ _CX = G.sql_cell_cx("cell_col")
 _CY = G.sql_cell_cy("cell_row")
 _W = f"(1.0 / ((x - {_CX}) * (x - {_CX}) + (y - {_CY}) * (y - {_CY}) + 1e-12))"
 
+# Mean-DEM float-parity hardening: z is quantized to the 2^-20 binary
+# grid BEFORE the per-cell sum, in BOTH engines.  Quantized values carry
+# <= 27 significant bits, so any per-cell sum (up to ~10^7 points) is
+# EXACT in float64 and the mean (one correctly-rounded division of
+# identical operands) is bit-equal across engines regardless of
+# aggregation order.  Without this the margin is real, not theoretical:
+# at sf0.1 two cells of 10000 landed on a ROUND(,6) half-boundary and
+# hashed differently (Spark partial-agg order vs DuckDB join order).
+# The quantization perturbs the DEM by < 5e-7 m — far below the 1e-6
+# rounding every mean-DEM query already applies.  IDW grids cannot be
+# hardened this way (irrational 1/d^2 weights); their rounding margin
+# is the documented residual risk.
+ZQ_SQL = "CAST(FLOOR(z * 1048576.0 + 0.5) AS DOUBLE) / 1048576.0"
 GRID_MEAN_CTE = (
-    "SELECT cell_row, cell_col, SUM(z) / COUNT(*) AS value, COUNT(*) AS n "
-    "FROM cells GROUP BY cell_row, cell_col"
+    f"SELECT cell_row, cell_col, SUM({ZQ_SQL}) / COUNT(*) AS value, "
+    "COUNT(*) AS n FROM cells GROUP BY cell_row, cell_col"
 )
+
+
+def zq(df: DataFrame) -> DataFrame:
+    """Engine twin of ZQ_SQL: quantize z to the 2^-20 binary grid."""
+    return df.withColumn(
+        "z",
+        F.floor(F.col("z") * F.lit(1048576.0) + F.lit(0.5)).cast("double")
+        / F.lit(1048576.0),
+    )
+
+
+def mean_dem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-stable mean DEM over the default grid (pairs with
+    GRID_MEAN_CTE; see the parity note above)."""
+    return gridding.grid_points(
+        zq(points_df(spark, sf_dir)), G, output_type="mean"
+    )
 GRID_IDW_CTE = (
     f"SELECT cell_row, cell_col, SUM({_W} * z) / SUM({_W}) AS value, "
     "COUNT(*) AS n FROM cells GROUP BY cell_row, cell_col"
@@ -191,7 +221,7 @@ def q_grid_extent(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_grid_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: per-cell mean gridding (writers.gdal output_type=mean)."""
-    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    g = mean_dem(spark, sf_dir)
     return g.select(
         "cell_row", "cell_col", F.round("value", 6).alias("value"), "n"
     )
@@ -292,7 +322,7 @@ def q_grid_idw_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_grid_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: NaN-aware global grid statistics incl. relief = max - min
     (baseGrid.py:544-609)."""
-    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    g = mean_dem(spark, sf_dir)
     return g.agg(
         F.round(F.avg("value"), 4).alias("mean_z"),
         F.round(F.min("value"), 4).alias("min_z"),
@@ -611,7 +641,7 @@ def q_grid_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5: grid-vs-grid cellwise L2 residuals
     (sumSquaredResiduals, baseGrid.py:611-628)."""
     pts = points_df(spark, sf_dir)
-    a = gridding.grid_points(pts, G, output_type="mean")
+    a = gridding.grid_points(zq(pts), G, output_type="mean")
     b = gridding.grid_points(pts, G, output_type="idw")
     return joins.grid_residuals(a, b).select(
         F.round("ssr", 4).alias("ssr"), "n_cells"
@@ -766,7 +796,7 @@ def q_slope_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from rgr_pdal_topo_spark.operators.stencils import run_stencils
 
-    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    g = mean_dem(spark, sf_dir)
     out = run_stencils(
         g,
         G,
@@ -808,7 +838,7 @@ def q_windowed_std(spark: SparkSession, sf_dir: str) -> DataFrame:
     NaN-in-window propagates like generic_filter cval=NaN)."""
     from rgr_pdal_topo_spark.operators.stencils import run_stencil
 
-    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    g = mean_dem(spark, sf_dir)
     out = run_stencil(
         g, G, "windowed_std", {"pixel_width": 5}, tile_cells=50,
         out_col="roughness",
@@ -849,7 +879,7 @@ def q_tpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     annulus is non-vacuous instead)."""
     from rgr_pdal_topo_spark.operators.stencils import run_stencil
 
-    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    g = mean_dem(spark, sf_dir)
     out = run_stencil(
         g, G, "tpi", {"inner_radius": 30.0, "outer_radius": 60.0},
         tile_cells=50, out_col="tpi",
@@ -1064,9 +1094,7 @@ def q_stencil_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pass; materialize it once (Spark does not CSE common subplans).
     # Quantize to the 2^-20 binary grid FIRST (see the oracle comment:
     # makes every window sum exact, so agg order cannot flip a rounding)
-    g = gridding.grid_points(
-        points_df(spark, sf_dir), G, output_type="mean"
-    ).withColumn(
+    g = mean_dem(spark, sf_dir).withColumn(
         "value",
         F.floor(F.col("value") * F.lit(1048576.0) + F.lit(0.5)).cast(
             "double"
@@ -2063,7 +2091,7 @@ _PLANE_CTES = (
 def q_plane_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1: distributed least-squares plane fit over the mean DEM
     (normal equations + Cramer — one partial+final agg, one output row)."""
-    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    g = mean_dem(spark, sf_dir)
     c = spectralops.plane_fit_coeffs(g, G)
     return c.select(
         F.round("sx_coef", 6).alias("sx_coef"),
@@ -2085,7 +2113,7 @@ def q_plane_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_detrend_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2: subtract the fitted plane (removePlaneFromGrid, dem.py:66-88)."""
-    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    g = mean_dem(spark, sf_dir)
     return spectralops.detrend(g, G).select(
         "cell_row", "cell_col", F.round("detrended", 4).alias("detrended")
     )
@@ -2136,7 +2164,7 @@ def q_fft_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_perm_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10/A10: permutation-ensemble per-cell median + exceedance count
     over 8 deterministic hash-noise null grids."""
-    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    g = mean_dem(spark, sf_dir)
     out = spectralops.permutation_ensemble(g, G, n_perms=8)
     return out.select(
         "cell_row", "cell_col",
@@ -2191,7 +2219,7 @@ def q_kmeans_scarp(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd with min/max init, 5 distributed assign/update rounds."""
     from rgr_pdal_topo_spark.operators.stencils import run_stencils
 
-    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    g = mean_dem(spark, sf_dir)
     smag = run_stencils(g, G, {"smag": ("slope_mag", {})}, tile_cells=50)
     feat = smag.filter(
         F.col("smag").isNotNull() & ~F.isnan("smag")
@@ -2208,7 +2236,7 @@ def q_kmeans_scarp(spark: SparkSession, sf_dir: str) -> DataFrame:
 from rgr_pdal_topo_spark.operators import raster as rasterops  # noqa: E402
 
 _GROUND_MEAN_CTE = (
-    "SELECT cell_row, cell_col, SUM(z) / COUNT(*) AS value "
+    f"SELECT cell_row, cell_col, SUM({ZQ_SQL}) / COUNT(*) AS value "
     "FROM cells WHERE cls = 2 GROUP BY cell_row, cell_col"
 )
 
@@ -2226,7 +2254,7 @@ _GROUND_MEAN_CTE = (
 def q_mosaic_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K7/J6/U3: mosaic two overlapping rasters with average blend
     (merge_warp_dems, pointCloudCreation.py:641-677)."""
-    pts = points_df(spark, sf_dir)
+    pts = zq(points_df(spark, sf_dir))
     g1 = gridding.grid_points(pts, G, output_type="mean").withColumn(
         "value", F.round("value", 6)
     )
@@ -2262,7 +2290,7 @@ def q_resample_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K7: nearest-neighbor regrid 10 m -> 20 m (GDAL resampleAlg=near)."""
     from rgr_pdal_topo_spark.operators.flow import FLOW_GRID as DG
 
-    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    g = mean_dem(spark, sf_dir)
     out = rasterops.resample(g, G, DG, mode="near")
     return out.select(
         "cell_row", "cell_col", F.round("value", 6).alias("value")
@@ -2286,9 +2314,9 @@ def q_resample_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K7: average-resampling regrid (GDAL resampleAlg=average)."""
     from rgr_pdal_topo_spark.operators.flow import FLOW_GRID as DG
 
-    g = gridding.grid_points(
-        points_df(spark, sf_dir), G, output_type="mean"
-    ).withColumn("value", F.round("value", 6))
+    g = mean_dem(spark, sf_dir).withColumn(
+        "value", F.round("value", 6)
+    )
     out = rasterops.resample(g, G, DG, mode="average")
     return out.select(
         "cell_row", "cell_col",
@@ -2331,9 +2359,9 @@ def q_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     (GDAL resampleAlg=bilinear) — pure Catalyst, no UDF."""
     from rgr_pdal_topo_spark.operators.flow import FLOW_GRID as DG
 
-    g = gridding.grid_points(
-        points_df(spark, sf_dir), G, output_type="mean"
-    ).withColumn("value", F.round("value", 6))
+    g = mean_dem(spark, sf_dir).withColumn(
+        "value", F.round("value", 6)
+    )
     out = rasterops.resample(g, G, DG, mode="bilinear")
     return out.select(
         "cell_row", "cell_col",
@@ -2583,7 +2611,7 @@ _RH_BASE = (
 def q_radial_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: 2-D radial (length x theta) histogram with wrap-around theta
     windows (_radialLengthThetaHistogram, randomGrids.py:572-606)."""
-    g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="mean")
+    g = mean_dem(spark, sf_dir)
     return rasterops.radial_histogram(
         g, G, n_length_bins=5, max_length=500.0
     )
