@@ -241,15 +241,29 @@ def q_grid_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "grid_idw",
     _BASE
-    + "SELECT cell_row, cell_col, ROUND(value, 6) AS value, n FROM "
-    f"({GRID_IDW_CTE}) g",
+    + "SELECT cell_row, cell_col, CAST(FLOOR(value * 8192.0 + 0.5) AS "
+    f"BIGINT) AS value_q13, n FROM ({GRID_IDW_CTE}) g",
 )
 def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: per-cell IDW gridding, w=1/d^2 to cell center
-    (points2grid core, pointCloudCreation.py:311-322)."""
+    (points2grid core, pointCloudCreation.py:311-322).
+
+    Hashed on the BINARY 2^-13 grid, not a decimal ROUND: IDW sums carry
+    irrational weights, so — unlike the quantized mean family — they
+    cannot be made aggregation-order-exact, and the synthetic z values
+    are decimal-structured, which makes decimal rounding boundaries
+    systematically CLOSE to the data (ROUND(,4) flipped a cell that
+    ROUND(,6) did not).  Binary steps are generic for decimal-ish data:
+    the nearest half-boundary is O(step) away in distribution, giving
+    ~1000x margin over the observed cross-engine ulp drift.  The
+    operator itself stays full precision."""
     g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="idw")
     return g.select(
-        "cell_row", "cell_col", F.round("value", 6).alias("value"), "n"
+        "cell_row", "cell_col",
+        F.floor(F.col("value") * F.lit(8192.0) + F.lit(0.5))
+        .cast("long")
+        .alias("value_q13"),
+        "n",
     )
 
 
@@ -282,8 +296,8 @@ _FILLS_DUCK = (
     f"offsf AS ({_offsets_duck(6, exclude_center=True)}), "
     f"fills AS ({_FILLS_DUCK}) "
     "SELECT d.cell_row, d.cell_col, "
-    "CASE WHEN d.value IS NOT NULL THEN ROUND(d.value, 6) + 0 "
-    "ELSE ROUND(f.value, 6) + 0 END AS value, "
+    "CAST(FLOOR(COALESCE(d.value, f.value) * 8192.0 + 0.5) AS BIGINT) "
+    "AS value_q13, "
     "CASE WHEN d.value IS NOT NULL THEN d.n ELSE CAST(0 AS BIGINT) END "
     "AS n, "
     "CASE WHEN d.value IS NULL AND f.value IS NOT NULL THEN 1 ELSE 0 END "
@@ -301,10 +315,14 @@ def q_grid_idw_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the identical ring-union weighted mean."""
     g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="idw")
     out = gridding.fill_empty_cells(g, G, window_size=6)
+    # binary 2^-13 hashed precision: IDW weights are irrational and the
+    # data is decimal-structured, see q_grid_idw
     return out.select(
         "cell_row",
         "cell_col",
-        F.round("value", 6).alias("value"),
+        F.floor(F.col("value") * F.lit(8192.0) + F.lit(0.5))
+        .cast("long")
+        .alias("value_q13"),
         F.col("n").cast("long").alias("n"),
         "filled",
     )
@@ -608,9 +626,12 @@ def q_profile_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     _BASE.rstrip()
     + f", ground AS ({GRID_IDW_GROUND_CTE}) "
     "SELECT c.pid, c.cell_row, c.cell_col, "
-    # integer micrometers: ROUND(x, 6) emits -0.0 for tiny negatives, which
-    # hashes differently from Spark's +0.0 even though the values are equal.
-    "CAST(ROUND((c.z - g.value) * 1000000.0) AS BIGINT) AS hag_um "
+    # binary 2^-13 m integer units: the ground surface is an IDW value
+    # whose sum order is engine-dependent and the data is decimal-
+    # structured, so binary steps keep boundaries generically far from
+    # the values (see q_grid_idw); integer cast also avoids ROUND's
+    # -0.0-vs-+0.0 hash mismatch for tiny negatives.
+    "CAST(FLOOR((c.z - g.value) * 8192.0 + 0.5) AS BIGINT) AS hag_q13 "
     "FROM cells c "
     "JOIN ground g ON c.cell_row = g.cell_row AND c.cell_col = g.cell_col "
     "WHERE c.cls <> 7",
@@ -625,7 +646,9 @@ def q_hag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pid",
         "cell_row",
         "cell_col",
-        F.round(F.col("hag") * 1e6, 0).cast("long").alias("hag_um"),
+        F.floor(F.col("hag") * F.lit(8192.0) + F.lit(0.5))
+        .cast("long")
+        .alias("hag_q13"),
     )
 
 
