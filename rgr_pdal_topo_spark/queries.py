@@ -73,7 +73,33 @@ _W = f"(1.0 / ((x - {_CX}) * (x - {_CX}) + (y - {_CY}) * (y - {_CY}) + 1e-12))"
 # rounding every mean-DEM query already applies.  IDW grids cannot be
 # hardened this way (irrational 1/d^2 weights); their rounding margin
 # is the documented residual risk.
-ZQ_SQL = "CAST(FLOOR(z * 1048576.0 + 0.5) AS DOUBLE) / 1048576.0"
+Q20 = 1048576.0  # 2^20: input-z quantization step (mean-DEM family)
+Q13 = 8192.0     # 2^13: hashed-output step (IDW family, binary generic)
+
+
+def quant_sql(expr: str, scale: float) -> str:
+    """Half-up quantize ``expr`` onto the 1/scale binary grid (SQL)."""
+    return f"CAST(FLOOR({expr} * {scale!r} + 0.5) AS DOUBLE) / {scale!r}"
+
+
+def quant_col(c: Column, scale: float) -> Column:
+    """Column twin of quant_sql — MUST stay the exact same formula."""
+    return F.floor(c * F.lit(scale) + F.lit(0.5)).cast("double") / F.lit(
+        scale
+    )
+
+
+def qint_sql(expr: str, scale: float) -> str:
+    """Half-up integer units of 1/scale (SQL)."""
+    return f"CAST(FLOOR({expr} * {scale!r} + 0.5) AS BIGINT)"
+
+
+def qint_col(c: Column, scale: float) -> Column:
+    """Column twin of qint_sql."""
+    return F.floor(c * F.lit(scale) + F.lit(0.5)).cast("long")
+
+
+ZQ_SQL = quant_sql("z", Q20)
 GRID_MEAN_CTE = (
     f"SELECT cell_row, cell_col, SUM({ZQ_SQL}) / COUNT(*) AS value, "
     "COUNT(*) AS n FROM cells GROUP BY cell_row, cell_col"
@@ -82,11 +108,7 @@ GRID_MEAN_CTE = (
 
 def zq(df: DataFrame) -> DataFrame:
     """Engine twin of ZQ_SQL: quantize z to the 2^-20 binary grid."""
-    return df.withColumn(
-        "z",
-        F.floor(F.col("z") * F.lit(1048576.0) + F.lit(0.5)).cast("double")
-        / F.lit(1048576.0),
-    )
+    return df.withColumn("z", quant_col(F.col("z"), Q20))
 
 
 def mean_dem(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -241,8 +263,8 @@ def q_grid_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "grid_idw",
     _BASE
-    + "SELECT cell_row, cell_col, CAST(FLOOR(value * 8192.0 + 0.5) AS "
-    f"BIGINT) AS value_q13, n FROM ({GRID_IDW_CTE}) g",
+    + f"SELECT cell_row, cell_col, {qint_sql('value', Q13)} "
+    f"AS value_q13, n FROM ({GRID_IDW_CTE}) g",
 )
 def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: per-cell IDW gridding, w=1/d^2 to cell center
@@ -260,9 +282,7 @@ def q_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = gridding.grid_points(points_df(spark, sf_dir), G, output_type="idw")
     return g.select(
         "cell_row", "cell_col",
-        F.floor(F.col("value") * F.lit(8192.0) + F.lit(0.5))
-        .cast("long")
-        .alias("value_q13"),
+        qint_col(F.col("value"), Q13).alias("value_q13"),
         "n",
     )
 
@@ -296,8 +316,7 @@ _FILLS_DUCK = (
     f"offsf AS ({_offsets_duck(6, exclude_center=True)}), "
     f"fills AS ({_FILLS_DUCK}) "
     "SELECT d.cell_row, d.cell_col, "
-    "CAST(FLOOR(COALESCE(d.value, f.value) * 8192.0 + 0.5) AS BIGINT) "
-    "AS value_q13, "
+    f"{qint_sql('COALESCE(d.value, f.value)', Q13)} AS value_q13, "
     "CASE WHEN d.value IS NOT NULL THEN d.n ELSE CAST(0 AS BIGINT) END "
     "AS n, "
     "CASE WHEN d.value IS NULL AND f.value IS NOT NULL THEN 1 ELSE 0 END "
@@ -320,9 +339,7 @@ def q_grid_idw_filled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "cell_row",
         "cell_col",
-        F.floor(F.col("value") * F.lit(8192.0) + F.lit(0.5))
-        .cast("long")
-        .alias("value_q13"),
+        qint_col(F.col("value"), Q13).alias("value_q13"),
         F.col("n").cast("long").alias("n"),
         "filled",
     )
@@ -631,7 +648,7 @@ def q_profile_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # structured, so binary steps keep boundaries generically far from
     # the values (see q_grid_idw); integer cast also avoids ROUND's
     # -0.0-vs-+0.0 hash mismatch for tiny negatives.
-    "CAST(FLOOR((c.z - g.value) * 8192.0 + 0.5) AS BIGINT) AS hag_q13 "
+    f"{qint_sql('(c.z - g.value)', Q13)} AS hag_q13 "
     "FROM cells c "
     "JOIN ground g ON c.cell_row = g.cell_row AND c.cell_col = g.cell_col "
     "WHERE c.cls <> 7",
@@ -646,9 +663,7 @@ def q_hag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pid",
         "cell_row",
         "cell_col",
-        F.floor(F.col("hag") * F.lit(8192.0) + F.lit(0.5))
-        .cast("long")
-        .alias("hag_q13"),
+        qint_col(F.col("hag"), Q13).alias("hag_q13"),
     )
 
 
@@ -1060,8 +1075,8 @@ _TPIW_DUCK = (
 # the last ulp between Spark's tap-order accumulation and DuckDB's join
 # -order SUM, flipping ROUND(,6) at one cell in 2000)
 _GQUANT_CTE = (
-    "SELECT cell_row, cell_col, CAST(FLOOR(value * 1048576.0 + 0.5) AS "
-    "DOUBLE) / 1048576.0 AS value, n FROM gmean"
+    f"SELECT cell_row, cell_col, {quant_sql('value', Q20)} AS value, n "
+    "FROM gmean"
 )
 
 
@@ -1118,10 +1133,7 @@ def q_stencil_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Quantize to the 2^-20 binary grid FIRST (see the oracle comment:
     # makes every window sum exact, so agg order cannot flip a rounding)
     g = mean_dem(spark, sf_dir).withColumn(
-        "value",
-        F.floor(F.col("value") * F.lit(1048576.0) + F.lit(0.5)).cast(
-            "double"
-        ) / F.lit(1048576.0),
+        "value", quant_col(F.col("value"), Q20)
     ).localCheckpoint(eager=True)
     out = run_stencils(
         g,

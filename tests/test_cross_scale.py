@@ -57,8 +57,11 @@ def _window_pairs():
     return [(n, QUERIES[n], ORACLES[n]) for n in DRIVER_WINDOW]
 
 
+_PAIRS = _window_pairs()
+
+
 @pytest.mark.parametrize(
-    "name,fn,sql", _window_pairs(), ids=[n for n, _, _ in _window_pairs()]
+    "name,fn,sql", _PAIRS, ids=[n for n, _, _ in _PAIRS]
 )
 def test_window_query_matches_oracle_at_xscale(spark, xddb, name, fn, sql):
     from tests.parity import assert_parity
