@@ -315,6 +315,74 @@ def jaccard_pairs(doc_tids: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def duplicate_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
+    """(doc_id, cluster): connected components of the verified near-dup
+    pair graph, cluster = MIN doc_id in the component — the canonical
+    assignment that completes the dedup pipeline (keep cluster == doc_id,
+    drop the rest).  Only docs that appear in at least one pair are
+    emitted; singletons are trivially their own cluster.
+
+    Min-label propagation with per-round path compression (label <-
+    label-of-label), each round two hash joins over (id, label) rows.
+    Near-dup components are shallow (stars/cliques around shared
+    templates), so few rounds suffice; a pathologically long chain at
+    100 TB would call for the large-star/small-star CC algorithm — the
+    loop raises rather than silently truncating if it has not converged
+    within ``max_rounds``."""
+    sym = pairs.select(
+        F.col("doc_a").alias("x"), F.col("doc_b").alias("y")
+    ).union(pairs.select(F.col("doc_b").alias("x"), F.col("doc_a").alias("y")))
+    sym = sym.localCheckpoint(eager=True)
+    lab = (
+        sym.select("x").distinct()
+        .select(F.col("x").alias("id"), F.col("x").alias("lbl"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        nb = (
+            sym.join(
+                lab.select(F.col("id").alias("y"), F.col("lbl").alias("ylbl")),
+                "y",
+            )
+            .groupBy("x")
+            .agg(F.min("ylbl").alias("nlbl"))
+        )
+        prop = lab.join(nb, lab.id == nb.x, "left").select(
+            "id",
+            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl")))
+            .alias("lbl"),
+        )
+        comp = (
+            prop.alias("a")
+            .join(
+                prop.select(
+                    F.col("id").alias("bid"), F.col("lbl").alias("blbl")
+                ),
+                F.col("a.lbl") == F.col("bid"),
+                "left",
+            )
+            .select(
+                F.col("a.id").alias("id"),
+                F.coalesce(F.col("blbl"), F.col("a.lbl")).alias("lbl"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_moving = (
+            comp.alias("n")
+            .join(lab.alias("o"), "id")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        lab = comp
+        if n_moving == 0:
+            return lab.select(
+                F.col("id").alias("doc_id"), F.col("lbl").alias("cluster")
+            )
+    raise RuntimeError(
+        f"component labeling did not converge within {max_rounds} rounds"
+    )
+
+
 def simhash_params(b: int) -> tuple[int, int]:
     """Per-bit hash constants (P_b, C_b) — shared with the DuckDB oracle."""
     return (2 * b + 3) * 2654435761 % MINHASH_P, (b * 69621 + 7) % MINHASH_P

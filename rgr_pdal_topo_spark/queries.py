@@ -1407,6 +1407,61 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_VERIFIED_PAIRS_SQL = (
+    "bsz AS (SELECT band, band_key, COUNT(*) AS n FROM bandmix "
+    "GROUP BY band, band_key), "
+    "capped AS (SELECT m.* FROM bandmix m JOIN bsz ON bsz.band = m.band "
+    f"AND bsz.band_key = m.band_key AND bsz.n <= {dedup.MAX_BUCKET}), "
+    "cpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM capped a JOIN capped b ON a.band = b.band AND "
+    "a.band_key = b.band_key AND a.doc_id < b.doc_id), "
+    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id), "
+    "inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter FROM cpairs p "
+    "JOIN dt x ON x.doc_id = p.doc_a JOIN dt y ON y.doc_id = p.doc_b "
+    "AND y.tid = x.tid GROUP BY p.doc_a, p.doc_b), "
+    "verified AS (SELECT i.doc_a, i.doc_b FROM inter i "
+    "JOIN sizes sa ON sa.doc_id = i.doc_a "
+    "JOIN sizes sb ON sb.doc_id = i.doc_b "
+    "WHERE CAST(i.inter AS DOUBLE) / "
+    "CAST(sa.sz + sb.sz - i.inter AS DOUBLE) >= 0.5)"
+)
+
+
+@query(
+    "dedup_clusters",
+    "WITH RECURSIVE "
+    + _MINHASH_CTES[len("WITH "):].rstrip()
+    + ", "
+    + _VERIFIED_PAIRS_SQL
+    + ", sym AS (SELECT doc_a AS x, doc_b AS y FROM verified "
+    "UNION ALL SELECT doc_b, doc_a FROM verified), "
+    "reach(x, y) AS (SELECT x, y FROM sym "
+    "UNION SELECT r.x, s.y FROM reach r JOIN sym s ON s.x = r.y) "
+    "SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster "
+    "FROM reach GROUP BY x",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup dedup pipeline end to end: shingle ids ->
+    MinHash signatures -> capped LSH candidate pairs -> exact Jaccard
+    verification (>= 0.5) -> CONNECTED COMPONENTS over the verified pair
+    graph, cluster = min doc_id (the canonical to keep).  The engine
+    labels components by min-label propagation with path compression
+    (O(~diameter/2) join rounds — operators/dedup.duplicate_components);
+    the oracle computes the transitive closure with a recursive CTE and
+    takes the component minimum.  The Jaccard threshold compares a
+    single correctly-rounded division of identical integer operands, so
+    the verified edge set is engine-exact."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = dedup.shingle_ids(docs).localCheckpoint(eager=True)
+    sig = dedup.minhash_signatures(dt)
+    cand = dedup.minhash_candidate_pairs(sig)
+    jc = dedup.jaccard_pairs(dt, cand)
+    verified = jc.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    return dedup.duplicate_components(verified)
+
+
 _BITS_DUCK = "SELECT * FROM (VALUES " + ", ".join(
     f"({b}, {(2 * b + 3) * 2654435761 % dedup.MINHASH_P}, "
     f"{(b * 69621 + 7) % dedup.MINHASH_P})"

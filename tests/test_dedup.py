@@ -167,3 +167,21 @@ def test_simhash_one_pass_no_explode(spark):
         exp[d] = v
     got = {r.doc_id: r.simhash for r in sh.collect()}
     assert got == exp
+
+
+def test_duplicate_components_chain_and_clique(spark):
+    """Component labeling: a 4-chain (needs propagation across hops), a
+    3-clique, and an isolated pair all resolve to min-doc_id clusters;
+    docs not in any pair are not emitted."""
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13),   # chain 10-11-12-13
+         (5, 6), (6, 7), (5, 7),         # clique {5,6,7}
+         (2, 9)],                        # pair
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r.doc_id: r.cluster
+        for r in dedup.duplicate_components(pairs).collect()
+    }
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10,
+                   5: 5, 6: 5, 7: 5, 2: 2, 9: 2}
