@@ -175,6 +175,89 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_ivf(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-style approximate top-k: an inverted file over a coarse
+    quantizer.  Every vector is assigned to its argmax-cosine centroid
+    (ties on centroid id); a query scores only the members of its
+    ``n_probe`` nearest centroid lists.
+
+    The quantizer here is deterministic seed centroids (the first
+    ``n_centroids`` vectors) so the whole structure — assignment,
+    inverted lists, probe selection, in-list search — is replayable in
+    the SQL oracle; a production system trains the centroids offline
+    (k-means on a sample) and everything downstream is identical.  At
+    scale: centroids broadcast, the corpus partitions BY LIST ID (the
+    shuffle key), and each query moves to ``n_probe`` partitions — the
+    complement of the LSH variant's sign-bucket structure."""
+    base = with_norm(emb)
+    cents = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    cdot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "ccos",
+            F.round(cdot / (F.col("norm") * F.col("cnorm")), COS_ROUND),
+        )
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("ccos").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+    )
+    members = scored.filter(F.col("crn") == 1).select(
+        F.col(id_col).alias("nn_id"), "vec", "norm", "cid"
+    )
+    probes = scored.filter(
+        (F.col(id_col) < n_queries) & (F.col("crn") <= n_probe)
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        "cid",
+    )
+    # a member sits in exactly ONE list and probe cids are distinct, so
+    # each (query, candidate) pair scores at most once — no dedup needed
+    cand = members.join(
+        F.broadcast(probes.withColumnRenamed("cid", "pcid")),
+        (F.col("cid") == F.col("pcid"))
+        & (F.col("nn_id") != F.col("query_id")),
+    ).drop("pcid")
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("qvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = cand.withColumn(
+        "cosine", F.round(dot / (F.col("norm") * F.col("qnorm")), COS_ROUND)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nn_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nn_id", "cosine")
+    )
+
+
 def embedding_near_dups(
     emb: DataFrame,
     threshold: float = 0.95,

@@ -1556,6 +1556,45 @@ def q_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk_lsh(emb, n_queries=10, k=5)
 
 
+_IVF_COS = "ROUND(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 5)"
+
+
+@query(
+    "cosine_topk_ivf",
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+    "FROM embeddings), "
+    "n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e), "
+    "c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n "
+    "WHERE vec_id < 16), "
+    "asg AS (SELECT n.vec_id, n.v, n.nrm, c.cid, "
+    f"ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY {_IVF_COS} DESC, "
+    "c.cid ASC) AS crn FROM n JOIN c ON TRUE), "
+    "members AS (SELECT vec_id AS nn_id, v, nrm, cid FROM asg "
+    "WHERE crn = 1), "
+    "probes AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid "
+    "FROM asg WHERE vec_id < 10 AND crn <= 4), "
+    "cand AS (SELECT p.query_id, m.nn_id, "
+    "ROUND(list_dot_product(m.v, p.qv) / (m.nrm * p.qn), 5) AS cosine "
+    "FROM probes p JOIN members m ON m.cid = p.cid "
+    "AND m.nn_id <> p.query_id) "
+    "SELECT query_id, rank, nn_id, cosine FROM ("
+    "SELECT query_id, nn_id, cosine, ROW_NUMBER() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, nn_id ASC) AS rank "
+    "FROM cand) r WHERE rank <= 5",
+)
+def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-k: inverted lists under a deterministic
+    seed-centroid coarse quantizer, 4-probe search (the partition-by-
+    list-id scale path, complementing the LSH sign-bucket variant);
+    recall vs exact covered in tests/test_similarity.py."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf(
+        emb, n_queries=10, k=5, n_centroids=16, n_probe=4
+    )
+
+
 def _planes_duck(n_planes: int, dim: int = 64) -> list[str]:
     out = []
     for j in range(n_planes):

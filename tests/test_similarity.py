@@ -102,3 +102,27 @@ def test_n_planes_for_scaling():
     assert similarity.n_planes_for(500) == 4
     assert similarity.n_planes_for(10**6) == math.ceil(math.log2(10**6 / 64))
     assert similarity.n_planes_for(10**12) == 24
+
+
+def test_ivf_recall_and_structure(spark):
+    """IVF top-k: (a) every query emits exactly k ranked rows, (b) each
+    (query, neighbor) appears once (one list per member + distinct probe
+    cids), (c) recall@5 vs exact brute force clears a floor appropriate
+    for a 16-list 4-probe structure."""
+    from rgr_pdal_topo_spark.operators import similarity
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    ivf = similarity.cosine_topk_ivf(
+        emb, n_queries=10, k=5, n_centroids=16, n_probe=4
+    ).toPandas()
+    assert (ivf.groupby("query_id").size() == 5).all()
+    assert not ivf.duplicated(["query_id", "nn_id"]).any()
+    exact = similarity.cosine_topk(emb, n_queries=10, k=5).toPandas()
+    hits = 0
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g.nn_id)
+        got = set(ivf[ivf.query_id == qid].nn_id)
+        hits += len(truth & got)
+    recall = hits / len(exact)
+    assert recall >= 0.4, f"IVF recall@5 {recall:.2f} below floor"
