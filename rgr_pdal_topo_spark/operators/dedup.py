@@ -347,11 +347,13 @@ def duplicate_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
             .groupBy("x")
             .agg(F.min("ylbl").alias("nlbl"))
         )
+        # materialize before the compression self-join: prop feeds both
+        # sides and Spark would otherwise run the neighbor-min agg twice
         prop = lab.join(nb, lab.id == nb.x, "left").select(
             "id",
             F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl")))
             .alias("lbl"),
-        )
+        ).localCheckpoint(eager=True)
         comp = (
             prop.alias("a")
             .join(

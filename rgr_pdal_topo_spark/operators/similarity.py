@@ -202,32 +202,40 @@ def cosine_topk_ivf(
         F.col("vec").alias("cvec"),
         F.col("norm").alias("cnorm"),
     )
-    cdot = F.aggregate(
-        F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = (
-        base.crossJoin(F.broadcast(cents))
-        .withColumn(
-            "ccos",
-            F.round(cdot / (F.col("norm") * F.col("cnorm")), COS_ROUND),
+
+    def centroid_ranked(df: DataFrame) -> DataFrame:
+        """Rank the broadcast centroids per vector (crn 1 = nearest)."""
+        cdot = F.aggregate(
+            F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
         )
-        .withColumn(
-            "crn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(
-                    F.col("ccos").desc(), F.col("cid").asc()
-                )
-            ),
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "ccos",
+                F.round(cdot / (F.col("norm") * F.col("cnorm")), COS_ROUND),
+            )
+            .withColumn(
+                "crn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(
+                        F.col("ccos").desc(), F.col("cid").asc()
+                    )
+                ),
+            )
         )
-    )
-    members = scored.filter(F.col("crn") == 1).select(
+
+    # the corpus-sized assignment feeds ONLY the member side; probes
+    # re-rank just the tiny query subset (filter pushed below the
+    # scoring), so no corpus-sized subplan is duplicated across the
+    # join sides (Spark does not CSE common subplans)
+    members = centroid_ranked(base).filter(F.col("crn") == 1).select(
         F.col(id_col).alias("nn_id"), "vec", "norm", "cid"
     )
-    probes = scored.filter(
-        (F.col(id_col) < n_queries) & (F.col("crn") <= n_probe)
-    ).select(
+    probes = centroid_ranked(
+        base.filter(F.col(id_col) < n_queries)
+    ).filter(F.col("crn") <= n_probe).select(
         F.col(id_col).alias("query_id"),
         F.col("vec").alias("qvec"),
         F.col("norm").alias("qnorm"),

@@ -1369,20 +1369,28 @@ def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.lsh_band_buckets(sig)
 
 
-@query(
-    "minhash_pairs",
-    _MINHASH_CTES.rstrip()
-    + ", bsz AS (SELECT band, band_key, COUNT(*) AS n FROM bandmix "
+# capped LSH candidates + exact-Jaccard intersection — ONE definition
+# shared by the minhash_pairs and dedup_clusters oracles (the cap, the
+# banding join shape and the verify join must never drift apart)
+_CAND_JACCARD_CTES = (
+    "bsz AS (SELECT band, band_key, COUNT(*) AS n FROM bandmix "
     "GROUP BY band, band_key), "
     "capped AS (SELECT m.* FROM bandmix m JOIN bsz ON bsz.band = m.band "
     f"AND bsz.band_key = m.band_key AND bsz.n <= {dedup.MAX_BUCKET}), "
-    "pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "cpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
     "FROM capped a JOIN capped b ON a.band = b.band AND "
     "a.band_key = b.band_key AND a.doc_id < b.doc_id), "
     "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id), "
-    "inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter FROM pairs p "
+    "inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter FROM cpairs p "
     "JOIN dt x ON x.doc_id = p.doc_a JOIN dt y ON y.doc_id = p.doc_b "
-    "AND y.tid = x.tid GROUP BY p.doc_a, p.doc_b) "
+    "AND y.tid = x.tid GROUP BY p.doc_a, p.doc_b)"
+)
+
+
+@query(
+    "minhash_pairs",
+    _MINHASH_CTES.rstrip()
+    + ", " + _CAND_JACCARD_CTES + " "
     "SELECT i.doc_a, i.doc_b, i.inter, "
     "ROUND(CAST(i.inter AS DOUBLE) / CAST(sa.sz + sb.sz - i.inter AS DOUBLE), "
     "6) AS jaccard FROM inter i "
@@ -1408,18 +1416,8 @@ def q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _VERIFIED_PAIRS_SQL = (
-    "bsz AS (SELECT band, band_key, COUNT(*) AS n FROM bandmix "
-    "GROUP BY band, band_key), "
-    "capped AS (SELECT m.* FROM bandmix m JOIN bsz ON bsz.band = m.band "
-    f"AND bsz.band_key = m.band_key AND bsz.n <= {dedup.MAX_BUCKET}), "
-    "cpairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
-    "FROM capped a JOIN capped b ON a.band = b.band AND "
-    "a.band_key = b.band_key AND a.doc_id < b.doc_id), "
-    "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM dt GROUP BY doc_id), "
-    "inter AS (SELECT p.doc_a, p.doc_b, COUNT(*) AS inter FROM cpairs p "
-    "JOIN dt x ON x.doc_id = p.doc_a JOIN dt y ON y.doc_id = p.doc_b "
-    "AND y.tid = x.tid GROUP BY p.doc_a, p.doc_b), "
-    "verified AS (SELECT i.doc_a, i.doc_b FROM inter i "
+    _CAND_JACCARD_CTES
+    + ", verified AS (SELECT i.doc_a, i.doc_b FROM inter i "
     "JOIN sizes sa ON sa.doc_id = i.doc_a "
     "JOIN sizes sb ON sb.doc_id = i.doc_b "
     "WHERE CAST(i.inter AS DOUBLE) / "
@@ -1561,10 +1559,8 @@ _IVF_COS = "ROUND(list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm), 5)"
 
 @query(
     "cosine_topk_ivf",
-    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-    "FROM embeddings), "
-    "n AS (SELECT vec_id, v, SQRT(list_dot_product(v, v)) AS nrm FROM e), "
-    "c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n "
+    _with(f"e AS ({_EMB_DUCK})", f"n AS ({_NORM_DUCK})").rstrip()
+    + ", c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n "
     "WHERE vec_id < 16), "
     "asg AS (SELECT n.vec_id, n.v, n.nrm, c.cid, "
     f"ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY {_IVF_COS} DESC, "

@@ -109,10 +109,10 @@ def test_ivf_recall_and_structure(spark):
     (query, neighbor) appears once (one list per member + distinct probe
     cids), (c) recall@5 vs exact brute force clears a floor appropriate
     for a 16-list 4-probe structure."""
-    from rgr_pdal_topo_spark.operators import similarity
     from rgr_pdal_topo_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_ORACLE
 
-    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
     ivf = similarity.cosine_topk_ivf(
         emb, n_queries=10, k=5, n_centroids=16, n_probe=4
     ).toPandas()
