@@ -60,3 +60,59 @@ def test_portable_hash_cross_engine(s):
     hx = hashlib.md5(s.encode("utf-8")).hexdigest()
     assert got == int(hx[:15], 16) % dedup.MINHASH_P
     assert 0 <= got < dedup.MINHASH_P
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+    )
+)
+def test_quantization_twins_cross_engine(x):
+    """quant_sql/qint_sql (DuckDB) and the Python float arithmetic behind
+    quant_col/qint_col must agree bit-for-bit on arbitrary doubles —
+    including negatives and values parked exactly on half-boundaries
+    (the parity doctrine rests on these being exact twins)."""
+    import math
+
+    from rgr_pdal_topo_spark.queries import Q13, Q20, qint_sql, quant_sql
+
+    con = duckdb.connect()
+    for scale, sqlf in ((Q20, quant_sql), (Q13, quant_sql)):
+        got = con.execute(
+            f"SELECT {sqlf('?', scale)}", [x]
+        ).fetchone()[0]
+        exp = math.floor(x * scale + 0.5) / scale
+        assert got == exp and math.copysign(1.0, got) == math.copysign(
+            1.0, exp
+        )
+    got = con.execute(f"SELECT {qint_sql('?', Q13)}", [x]).fetchone()[0]
+    assert got == math.floor(x * Q13 + 0.5)
+    con.close()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=50.0, max_value=200.0, allow_nan=False),
+        min_size=1,
+        max_size=400,
+    )
+)
+def test_quantized_mean_is_order_independent(vals):
+    """The core bit-stability claim: sums of 2^-20-quantized values in
+    [50, 200] are EXACT in float64, so any summation order gives the
+    identical mean."""
+    import math
+    import random
+
+    q = [math.floor(v * 1048576.0 + 0.5) / 1048576.0 for v in vals]
+    ref = math.fsum(q) / len(q)  # exact rational result fits float64 sum
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        shuffled = q[:]
+        rng.shuffle(shuffled)
+        acc = 0.0
+        for v in shuffled:
+            acc += v
+        assert acc / len(q) == ref
