@@ -182,26 +182,37 @@ def cosine_topk_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: an inverted file over a coarse
     quantizer.  Every vector is assigned to its argmax-cosine centroid
     (ties on centroid id); a query scores only the members of its
     ``n_probe`` nearest centroid lists.
 
-    The quantizer here is deterministic seed centroids (the first
+    The default quantizer is deterministic seed centroids (the first
     ``n_centroids`` vectors) so the whole structure — assignment,
     inverted lists, probe selection, in-list search — is replayable in
-    the SQL oracle; a production system trains the centroids offline
-    (k-means on a sample) and everything downstream is identical.  At
+    the SQL oracle; pass ``centroids`` (e.g. from cluster.kmeans_nd) to
+    use a TRAINED quantizer with everything downstream identical.  At
     scale: centroids broadcast, the corpus partitions BY LIST ID (the
     shuffle key), and each query moves to ``n_probe`` partitions — the
     complement of the LSH variant's sign-bucket structure."""
     base = with_norm(emb)
-    cents = base.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cid"),
-        F.col("vec").alias("cvec"),
-        F.col("norm").alias("cnorm"),
-    )
+    if centroids is not None:
+        spark = emb.sparkSession
+        rows = [
+            (i, [float(x) for x in c], float(sum(x * x for x in c)) ** 0.5)
+            for i, c in enumerate(centroids)
+        ]
+        cents = spark.createDataFrame(
+            rows, "cid long, cvec array<double>, cnorm double"
+        )
+    else:
+        cents = base.filter(F.col(id_col) < n_centroids).select(
+            F.col(id_col).alias("cid"),
+            F.col("vec").alias("cvec"),
+            F.col("norm").alias("cnorm"),
+        )
 
     def centroid_ranked(df: DataFrame) -> DataFrame:
         """Rank the broadcast centroids per vector (crn 1 = nearest)."""

@@ -126,3 +126,57 @@ def test_ivf_recall_and_structure(spark):
         hits += len(truth & got)
     recall = hits / len(exact)
     assert recall >= 0.4, f"IVF recall@5 {recall:.2f} below floor"
+
+
+def test_kmeans_nd_matches_numpy_lloyd(spark):
+    """Distributed multi-dim Lloyd == sequential numpy Lloyd from the
+    same deterministic seeds: identical assignments, centroids equal to
+    float tolerance (mean aggregation order differs)."""
+    import numpy as np
+
+    from rgr_pdal_topo_spark.operators.cluster import kmeans_nd
+    from rgr_pdal_topo_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_ORACLE
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    assigned, cents = kmeans_nd(emb, "embedding", k=6, iters=3)
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    X = np.stack(pdf.embedding.to_numpy()).astype("float64")
+    C = X[:6].copy()
+    for _ in range(3):
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        lab = d.argmin(axis=1)  # argmin ties -> lowest index, same rule
+        for c in range(6):
+            if (lab == c).any():
+                C[c] = X[lab == c].mean(axis=0)
+    d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    lab = d.argmin(axis=1)
+    got = (
+        assigned.select("vec_id", "cluster")
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert (got.cluster.to_numpy() == lab).mean() > 0.999
+    np.testing.assert_allclose(np.array(cents), C, rtol=1e-9, atol=1e-9)
+
+
+def test_ivf_with_trained_centroids(spark):
+    """cosine_topk_ivf accepts trained centroids: structure invariants
+    hold and recall clears the same floor as the seed quantizer."""
+    from rgr_pdal_topo_spark.operators.cluster import kmeans_nd
+    from rgr_pdal_topo_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_ORACLE
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    _, cents = kmeans_nd(emb, "embedding", k=16, iters=2)
+    ivf = similarity.cosine_topk_ivf(
+        emb, n_queries=10, k=5, n_probe=4, centroids=cents
+    ).toPandas()
+    assert (ivf.groupby("query_id").size() == 5).all()
+    exact = similarity.cosine_topk(emb, n_queries=10, k=5).toPandas()
+    hits = sum(
+        len(set(g.nn_id) & set(ivf[ivf.query_id == q].nn_id))
+        for q, g in exact.groupby("query_id")
+    )
+    assert hits / len(exact) >= 0.4
