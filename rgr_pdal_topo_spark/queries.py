@@ -1821,9 +1821,12 @@ _FCELLS = (
     f"SELECT {FG.sql_row_of('y')} AS cell_row, {FG.sql_col_of('x')} AS "
     "cell_col, z FROM pts"
 )
+# z quantized before the sum — same bit-stability doctrine as
+# GRID_MEAN_CTE (the flow DEM mean would otherwise be aggregation-order
+# -dependent; at ~600 pts/cell a rounding half-boundary flip is real)
 _FGRID = (
-    "SELECT cell_row, cell_col, SUM(z) / COUNT(*) AS value FROM fcells "
-    "GROUP BY cell_row, cell_col"
+    f"SELECT cell_row, cell_col, SUM({ZQ_SQL}) / COUNT(*) AS value "
+    "FROM fcells GROUP BY cell_row, cell_col"
 )
 _FOFFS = "SELECT * FROM (VALUES " + ", ".join(
     f"({k}, {int(D8_ROW_KERNEL[k])}, {int(D8_COL_KERNEL[k])}, "
@@ -1898,7 +1901,10 @@ _FWALKUP = (
 
 
 def _flow_dem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gridding.grid_points(points_df(spark, sf_dir), FG, output_type="mean")
+    # zq: bit-stable mean (twin of _FGRID's quantized sum)
+    return gridding.grid_points(
+        zq(points_df(spark, sf_dir)), FG, output_type="mean"
+    )
 
 
 #: six flow/network queries share one metrics pipeline (fd stencil +
