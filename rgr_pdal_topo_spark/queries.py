@@ -1489,6 +1489,58 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash(dedup.token_ids(docs))
 
 
+_SIMHASH_PAIRS_BITS = 32
+_SIMHASH_PAIRS_BANDS = 4
+_BITS32_DUCK = "SELECT * FROM (VALUES " + ", ".join(
+    "({}, {}, {})".format(b, *dedup.simhash_params(b))
+    for b in range(_SIMHASH_PAIRS_BITS)
+) + ") AS bt(bit, p, c)"
+_SIMHASH_PAIRS_SQL = (
+    _with(
+        f"toks AS ({_TOKS_SET_DUCK})",
+        f"dt AS MATERIALIZED ({_TOKID_DUCK})",
+        f"bits AS ({_BITS32_DUCK})",
+        "perbit AS (SELECT doc_id, bit, SUM(CAST((tid * p + c) % 1000 AS "
+        "DOUBLE) - 499.5) AS s FROM dt CROSS JOIN bits GROUP BY doc_id, bit)",
+        "sh AS (SELECT doc_id, CAST(SUM((CASE WHEN s > 0 THEN 1 ELSE 0 END) "
+        "* CAST(POWER(2.0, bit) AS BIGINT)) AS BIGINT) AS simhash "
+        "FROM perbit GROUP BY doc_id)",
+        "bands AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS b(band))",
+        "banded AS (SELECT doc_id, simhash, band, "
+        "(simhash >> (band * 8)) & 255 AS band_key FROM sh CROSS JOIN bands)",
+        "szs AS (SELECT band, band_key, COUNT(*) AS n FROM banded "
+        "GROUP BY band, band_key)",
+        f"capped AS (SELECT bd.* FROM banded bd JOIN szs "
+        f"USING (band, band_key) WHERE szs.n <= {dedup.MAX_BUCKET})",
+        "cand AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b, "
+        "l.simhash AS sa, r.simhash AS sb FROM capped l JOIN capped r "
+        "ON l.band = r.band AND l.band_key = r.band_key "
+        "AND l.doc_id < r.doc_id)",
+    )
+    + "SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming "
+    f"FROM cand WHERE bit_count(xor(sa, sb)) <= {_SIMHASH_PAIRS_BANDS - 1}"
+)
+
+
+@query("simhash_pairs", _SIMHASH_PAIRS_SQL)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs via pigeonhole banding (Manku WWW'07 shape):
+    a 32-bit fingerprint split into 4 disjoint 8-bit bands; any pair
+    within Hamming <= 3 shares a band verbatim, so the equi-join on
+    (band, band_key) is exhaustive at that radius — no all-pairs compare.
+    Candidates verified with the exact XOR popcount.  32 bits (not the
+    signature query's 16) so each band spans 256 buckets: selectivity is
+    what keeps bucket sizes — and thus the self-join — bounded at corpus
+    scale.  All-integer arithmetic end to end -> engine-exact."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = dedup.simhash(dedup.token_ids(docs), bits=_SIMHASH_PAIRS_BITS)
+    return dedup.simhash_pairs(
+        sigs, n_bands=_SIMHASH_PAIRS_BANDS, bits=_SIMHASH_PAIRS_BITS
+    )
+
+
 @query(
     "doc_fingerprint",
     # DuckDB 1.0 lacks WITH ORDINALITY; positions come from a LATERAL

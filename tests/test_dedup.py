@@ -169,6 +169,42 @@ def test_simhash_one_pass_no_explode(spark):
     assert got == exp
 
 
+def test_simhash_pairs_pigeonhole_exhaustive(docs):
+    """Banding must find EVERY pair within Hamming <= n_bands - 1 (the
+    pigeonhole guarantee), and nothing beyond the radius — verified
+    against a brute-force all-pairs popcount on the same fingerprints."""
+    bits, n_bands = 32, 4
+    sigs = dedup.simhash(dedup.token_ids(docs), bits=bits)
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_pairs(
+            sigs, n_bands=n_bands, bits=bits, max_bucket=10**6
+        ).collect()
+    }
+    fp = {r.doc_id: r.simhash for r in sigs.collect()}
+    ids = sorted(fp)
+    exp = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(fp[a] ^ fp[b]).count("1")
+            if h <= n_bands - 1:
+                exp[(a, b)] = h
+    assert got == exp
+    assert exp, "planted near-dups should land within the Hamming radius"
+
+
+def test_simhash_pairs_bucket_cap(spark):
+    """A hot band bucket (here: identical fingerprints) above max_bucket is
+    excluded from the self-join instead of going quadratic."""
+    df = spark.createDataFrame(
+        [(i, "same text everywhere") for i in range(8)],
+        "doc_id long, text string",
+    )
+    sigs = dedup.simhash(dedup.token_ids(df), bits=32)
+    assert dedup.simhash_pairs(sigs, bits=32, max_bucket=4).count() == 0
+    assert dedup.simhash_pairs(sigs, bits=32, max_bucket=8).count() == 28
+
+
 def test_duplicate_components_chain_and_clique(spark):
     """Component labeling: a 4-chain (needs propagation across hops), a
     3-clique, and an isolated pair all resolve to min-doc_id clusters;
