@@ -418,6 +418,49 @@ def simhash(doc_tids: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     return wide.select("doc_id", acc.cast("long").alias("simhash"))
 
 
+def _simhash_banded(sigs: DataFrame, n_bands: int, bits: int) -> DataFrame:
+    """(doc_id, simhash, band, band_key): one row per disjoint contiguous
+    bit range of the fingerprint — the shared banding for pair search and
+    the drop report."""
+    if bits % n_bands != 0:
+        raise ValueError(f"n_bands ({n_bands}) must divide bits ({bits})")
+    band_bits = bits // n_bands
+    mask = (1 << band_bits) - 1
+    stack = (
+        f"stack({n_bands}, "
+        + ", ".join(
+            f"{b}, shiftright(simhash, {b * band_bits}) & {mask}"
+            for b in range(n_bands)
+        )
+        + ") AS (band, band_key)"
+    )
+    return sigs.select("doc_id", "simhash", F.expr(stack))
+
+
+def simhash_drop_report(
+    sigs: DataFrame,
+    n_bands: int = 4,
+    bits: int = SIMHASH_BITS,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """One metrics row (n_dropped_buckets, n_docs_affected) for the
+    ``simhash_pairs`` bucket cap — the fingerprint-side twin of
+    ``lsh_drop_report``, same never-silent contract: emit this next to
+    the pairs so a hot shard skipped by the cap is visible, not implied
+    covered."""
+    banded = _simhash_banded(sigs, n_bands, bits)
+    hot = (
+        banded.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > max_bucket)
+        .select("band", "band_key")
+    )
+    return banded.join(hot, ["band", "band_key"]).agg(
+        F.count_distinct("band", "band_key").alias("n_dropped_buckets"),
+        F.count_distinct("doc_id").alias("n_docs_affected"),
+    )
+
+
 def simhash_pairs(
     sigs: DataFrame,
     n_bands: int = 4,
@@ -446,23 +489,11 @@ def simhash_pairs(
     bits=32 -> 256 buckets/band at n_bands=4) rather than shrinking
     bands below the recall you need.  Buckets above ``max_bucket`` are
     dropped before the self-join — same O(n^2) rationale and the same
-    "never silent" contract as ``minhash_candidate_pairs`` (enumerate
-    them by grouping the banded rows yourself or raise the cap)."""
-    if bits % n_bands != 0:
-        raise ValueError(f"n_bands ({n_bands}) must divide bits ({bits})")
+    "never silent" contract as ``minhash_candidate_pairs``
+    (``simhash_drop_report`` surfaces what the cap excluded)."""
     if max_hamming is None:
         max_hamming = n_bands - 1
-    band_bits = bits // n_bands
-    mask = (1 << band_bits) - 1
-    stack = (
-        f"stack({n_bands}, "
-        + ", ".join(
-            f"{b}, shiftright(simhash, {b * band_bits}) & {mask}"
-            for b in range(n_bands)
-        )
-        + ") AS (band, band_key)"
-    )
-    banded = sigs.select("doc_id", "simhash", F.expr(stack))
+    banded = _simhash_banded(sigs, n_bands, bits)
     sizes = banded.groupBy("band", "band_key").agg(
         F.count(F.lit(1)).alias("__n")
     )

@@ -203,6 +203,12 @@ def test_simhash_pairs_bucket_cap(spark):
     sigs = dedup.simhash(dedup.token_ids(df), bits=32)
     assert dedup.simhash_pairs(sigs, bits=32, max_bucket=4).count() == 0
     assert dedup.simhash_pairs(sigs, bits=32, max_bucket=8).count() == 28
+    # the cap is never silent: all 4 bands of the identical fingerprints
+    # blow the cap, and every doc is affected
+    rep = dedup.simhash_drop_report(sigs, bits=32, max_bucket=4).collect()[0]
+    assert (rep.n_dropped_buckets, rep.n_docs_affected) == (4, 8)
+    rep = dedup.simhash_drop_report(sigs, bits=32, max_bucket=8).collect()[0]
+    assert (rep.n_dropped_buckets, rep.n_docs_affected) == (0, 0)
 
 
 def test_duplicate_components_chain_and_clique(spark):

@@ -190,3 +190,15 @@ def test_points_decimate_is_scan_side(spark):
     plan = _plan(QUERIES["points_decimate"](spark, SF_DIR))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_simhash_pairs_banded_equi_join(spark):
+    """The SimHash pair search must be the banded equi-join, never an
+    all-pairs compare: no cartesian / nested-loop node anywhere, and the
+    fingerprint build itself stays the one-pass window-free agg."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["simhash_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan
