@@ -201,17 +201,103 @@ def _band_mix(
     )
 
 
+def _shingle_tid_array(k: int = SHINGLE_K) -> Column:
+    """array<long> of portable shingle ids for one document row (expects a
+    materialized ``__toks`` token-array column) — the row-local twin of
+    ``shingle_ids``.  Duplicate ids are harmless under the min that
+    consumes them, so the exploded path's distinct is skipped."""
+    toks = F.col("__toks")
+    n = F.size(toks)
+    idx = F.when(
+        n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1))
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    sh = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + j) for j in range(k)]
+        ),
+    )
+    return F.transform(
+        F.array_distinct(sh),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_P),
+    )
+
+
+def minhash_bands_rowwise(
+    documents: DataFrame,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """(doc_id, band, band_key) computed entirely ROW-LOCALLY: shingles,
+    permutation minima and the band mix are array expressions over each
+    document row, so the whole banding runs with ZERO shuffle — vs the
+    exploded chain _band_mix(minhash_signatures(shingle_ids(docs)))'s
+    three (explode-distinct, signature groupBy, band-mix groupBy).
+    Bit-identical output (tests/test_streaming_neardup.py pins the two
+    spellings to each other); docs with fewer than ``k`` tokens produce
+    no rows, matching the exploded path.
+
+    When to use which: higher-order-function lambdas are INTERPRETED
+    (no whole-stage codegen), and measured ~6x more CPU than the
+    exploded chain at sf0.1 — more than the chain's narrow integer
+    shuffles cost on a healthy cluster, so BATCH pipelines should keep
+    the exploded spelling.  This one exists for STREAMING, where it is
+    structural: the banding must reach ``applyInPandasWithState``
+    stateless (a pre-state groupBy would be a second stateful operator,
+    which Structured Streaming rejects), and for shuffle-starved
+    deployments where network, not CPU, is the binding constraint."""
+    _check_banding(bands, rows_per_band)
+    tids = (
+        documents.select("doc_id", _tok_array().alias("__toks"))
+        .select("doc_id", _shingle_tid_array(k).alias("__tids"))
+        .filter(F.size("__tids") > 0)
+    )
+
+    def perm_min(j: int) -> Column:
+        # nb: exactly ONE lambda parameter — pyspark reads the signature
+        # and a second parameter means (element, index)
+        return F.array_min(
+            F.transform(
+                F.col("__tids"),
+                lambda t: (F.lit(MINHASH_A[j]) * t + F.lit(MINHASH_B[j]))
+                % F.lit(MINHASH_P),
+            )
+        ).alias(f"m{j}")
+
+    mins = tids.select("doc_id", *[perm_min(j) for j in range(N_PERM)])
+    band_keys = [
+        sum(
+            F.col(f"m{b * rows_per_band + pos}") * F.lit(31 ** pos)
+            for pos in range(rows_per_band)
+        ).alias(f"bk{b}")
+        for b in range(bands)
+    ]
+    stack = (
+        f"stack({bands}, "
+        + ", ".join(f"{b}, bk{b}" for b in range(bands))
+        + ") AS (band, band_key)"
+    )
+    return mins.select("doc_id", *band_keys).select("doc_id", F.expr(stack))
+
+
+def _bucket_stats(mixed: DataFrame) -> DataFrame:
+    return mixed.groupBy("band", "band_key").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("canonical_doc"),
+    )
+
+
 def lsh_band_buckets(
     signatures: DataFrame, bands: int = 8, rows_per_band: int = 2
 ) -> DataFrame:
     """(band, band_key, n_docs, canonical_doc): docs sharing a band key are
     near-dup candidates."""
     _check_banding(bands, rows_per_band)
-    mixed = _band_mix(signatures, bands, rows_per_band)
-    return mixed.groupBy("band", "band_key").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("doc_id").alias("canonical_doc"),
-    )
+    return _bucket_stats(_band_mix(signatures, bands, rows_per_band))
+
+
 
 
 def lsh_dropped_buckets(

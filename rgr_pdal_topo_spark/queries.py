@@ -1361,7 +1361,10 @@ _MINHASH_CTES = _with(
 def q_minhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH band buckets over 3-token shingles (16 perms, 8 bands x
     2 rows).  All hashing is explicit integer arithmetic
-    (oracle-replicable)."""
+    (oracle-replicable).  Keeps the exploded codegen chain: the
+    bit-identical zero-shuffle rowwise spelling (minhash_bands_rowwise)
+    measured ~6x slower here — interpreted higher-order-function lambdas
+    lose more CPU than the narrow integer shuffles cost."""
     from rgr_pdal_topo_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")

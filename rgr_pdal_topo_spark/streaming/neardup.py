@@ -37,8 +37,7 @@ from __future__ import annotations
 from typing import Any, Iterator
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
-from pyspark.sql import functions as F
+from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -51,35 +50,9 @@ from pyspark.sql.types import (
 
 from rgr_pdal_topo_spark.operators.dedup import (
     MAX_BUCKET,
-    MINHASH_A,
-    MINHASH_B,
-    MINHASH_P,
-    N_PERM,
     SHINGLE_K,
-    _tok_array,
+    minhash_bands_rowwise,
 )
-
-
-def _tid_array(k: int) -> Column:
-    """array<long> of portable shingle ids for one document row — the
-    per-row twin of shingle_ids (duplicates are harmless under min, so
-    the batch path's distinct is skipped)."""
-    toks = F.col("__toks")
-    n = F.size(toks)
-    idx = F.when(
-        n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1))
-    ).otherwise(F.expr("CAST(array() AS array<int>)"))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]
-        ),
-    )
-    return F.transform(
-        F.array_distinct(sh),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-        % F.lit(MINHASH_P),
-    )
 
 
 def banded_signatures(
@@ -89,45 +62,10 @@ def banded_signatures(
     k: int = SHINGLE_K,
 ) -> DataFrame:
     """(doc_id, band, band_key) — one row per band per doc, computed
-    entirely row-locally.  Bit-identical to the batch chain
-    _band_mix(minhash_signatures(shingle_ids(docs))); docs with fewer
-    than ``k`` tokens produce no rows (no shingles -> no signature),
-    matching the batch path."""
-    if bands * rows_per_band != N_PERM:
-        raise ValueError(
-            f"bands ({bands}) x rows_per_band ({rows_per_band}) must "
-            f"equal N_PERM ({N_PERM})"
-        )
-    tids = (
-        docs.select("doc_id", _tok_array().alias("__toks"))
-        .select("doc_id", _tid_array(k).alias("__tids"))
-        .filter(F.size("__tids") > 0)
-    )
-    def perm_min(j: int) -> Column:
-        # nb: the lambda must take exactly ONE parameter — pyspark reads
-        # the signature and a second parameter means (element, index)
-        return F.array_min(
-            F.transform(
-                F.col("__tids"),
-                lambda t: (F.lit(MINHASH_A[j]) * t + F.lit(MINHASH_B[j]))
-                % F.lit(MINHASH_P),
-            )
-        ).alias(f"m{j}")
-
-    mins = tids.select("doc_id", *[perm_min(j) for j in range(N_PERM)])
-    band_keys = [
-        sum(
-            F.col(f"m{b * rows_per_band + pos}") * F.lit(31 ** pos)
-            for pos in range(rows_per_band)
-        ).alias(f"bk{b}")
-        for b in range(bands)
-    ]
-    stack = (
-        f"stack({bands}, "
-        + ", ".join(f"{b}, bk{b}" for b in range(bands))
-        + ") AS (band, band_key)"
-    )
-    return mins.select("doc_id", *band_keys).select("doc_id", F.expr(stack))
+    entirely row-locally (operators/dedup.minhash_bands_rowwise, the
+    shared batch/stream spelling): bit-identical to the exploded batch
+    chain, and legal on an unbounded stream because nothing shuffles."""
+    return minhash_bands_rowwise(docs, bands, rows_per_band, k)
 
 
 _OUT = StructType(

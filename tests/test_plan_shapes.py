@@ -202,3 +202,16 @@ def test_simhash_pairs_banded_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" not in plan
+
+
+def test_minhash_rowwise_banding_zero_shuffle(spark):
+    """The streaming-legal row-local banding must plan as a pure
+    projection: zero Exchange, zero Python — the property that makes it
+    admissible before applyInPandasWithState."""
+    from rgr_pdal_topo_spark.operators import dedup
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(dedup.minhash_bands_rowwise(docs))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
