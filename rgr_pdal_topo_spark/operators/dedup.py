@@ -88,7 +88,17 @@ def shingles(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     makes Catalyst re-split the text per shingle position (O(len^2) — a
     measured 6x slowdown at sf0.1)."""
     d = documents.select("doc_id", _tok_array().alias("toks"))
-    toks = F.col("toks")
+    return d.select(
+        "doc_id",
+        F.explode(_shingle_array(F.col("toks"), k)).alias("shingle"),
+    )
+
+
+def _shingle_array(toks: Column, k: int) -> Column:
+    """array<string> of DISTINCT k-token shingles from a materialized
+    token-array column — the ONE spelling of the shingle window, shared
+    by the exploded (``shingles``) and row-local (``_shingle_tid_array``)
+    paths so they cannot drift apart."""
     n = F.size(toks)
     idx = F.when(
         n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1))
@@ -99,12 +109,10 @@ def shingles(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
             " ", *[F.element_at(toks, i + j) for j in range(k)]
         ),
     )
-    return d.select(
-        "doc_id", F.explode(F.array_distinct(sh)).alias("shingle")
-    )
+    return F.array_distinct(sh)
 
 
-def _portable_id(hex_col: str) -> Column:
+def _portable_id(hex_col: str | Column) -> Column:
     """Engine spelling of the portable id: one base-16 conv of the first
     15 md5 hex chars, mod P.  Numerically identical to horner_hash_sql
     (mod distributes over the fold) but a single JVM intrinsic instead of
@@ -204,23 +212,13 @@ def _band_mix(
 def _shingle_tid_array(k: int = SHINGLE_K) -> Column:
     """array<long> of portable shingle ids for one document row (expects a
     materialized ``__toks`` token-array column) — the row-local twin of
-    ``shingle_ids``.  Duplicate ids are harmless under the min that
-    consumes them, so the exploded path's distinct is skipped."""
-    toks = F.col("__toks")
-    n = F.size(toks)
-    idx = F.when(
-        n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1))
-    ).otherwise(F.expr("CAST(array() AS array<int>)"))
-    sh = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            " ", *[F.element_at(toks, i + j) for j in range(k)]
-        ),
-    )
+    ``shingle_ids``, built from the same ``_shingle_array`` +
+    ``_portable_id`` spellings.  Duplicate ids are harmless under the min
+    that consumes them, so the exploded path's tid-level distinct is
+    skipped."""
     return F.transform(
-        F.array_distinct(sh),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
-        % F.lit(MINHASH_P),
+        _shingle_array(F.col("__toks"), k),
+        lambda s: _portable_id(F.md5(s)),
     )
 
 
@@ -296,8 +294,6 @@ def lsh_band_buckets(
     near-dup candidates."""
     _check_banding(bands, rows_per_band)
     return _bucket_stats(_band_mix(signatures, bands, rows_per_band))
-
-
 
 
 def lsh_dropped_buckets(

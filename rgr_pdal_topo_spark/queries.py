@@ -1505,11 +1505,11 @@ _SIMHASH_PAIRS_SQL = (
         f"bits AS ({_BITS32_DUCK})",
         "perbit AS (SELECT doc_id, bit, SUM(CAST((tid * p + c) % 1000 AS "
         "DOUBLE) - 499.5) AS s FROM dt CROSS JOIN bits GROUP BY doc_id, bit)",
-        "sh AS (SELECT doc_id, CAST(SUM((CASE WHEN s > 0 THEN 1 ELSE 0 END) "
-        "* CAST(POWER(2.0, bit) AS BIGINT)) AS BIGINT) AS simhash "
-        "FROM perbit GROUP BY doc_id)",
+        "sh AS MATERIALIZED (SELECT doc_id, CAST(SUM((CASE WHEN s > 0 THEN "
+        "1 ELSE 0 END) * CAST(POWER(2.0, bit) AS BIGINT)) AS BIGINT) AS "
+        "simhash FROM perbit GROUP BY doc_id)",
         "bands AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS b(band))",
-        "banded AS (SELECT doc_id, simhash, band, "
+        "banded AS MATERIALIZED (SELECT doc_id, simhash, band, "
         "(simhash >> (band * 8)) & 255 AS band_key FROM sh CROSS JOIN bands)",
         "szs AS (SELECT band, band_key, COUNT(*) AS n FROM banded "
         "GROUP BY band, band_key)",
@@ -1538,7 +1538,13 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rgr_pdal_topo_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    sigs = dedup.simhash(dedup.token_ids(docs), bits=_SIMHASH_PAIRS_BITS)
+    # sigs feeds the bucket-size pass plus both self-join sides; Spark
+    # does not CSE common subplans across joins, so materialize the
+    # tokenize->md5->32-bit-agg pipeline once (same rationale and oracle
+    # MATERIALIZED twin as q_minhash_pairs)
+    sigs = dedup.simhash(
+        dedup.token_ids(docs), bits=_SIMHASH_PAIRS_BITS
+    ).localCheckpoint(eager=True)
     return dedup.simhash_pairs(
         sigs, n_bands=_SIMHASH_PAIRS_BANDS, bits=_SIMHASH_PAIRS_BITS
     )

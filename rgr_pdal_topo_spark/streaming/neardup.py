@@ -19,14 +19,18 @@ Semantics vs batch: the batch cap is RETROSPECTIVE (a bucket that ends
 up over ``max_bucket`` contributes no pairs at all); a stream cannot
 retract, so the cap here is PREFIX-GREEDY — the first ``max_bucket``
 residents pair normally, later arrivals are reported as skip rows
-(``doc_b IS NULL``, one per hot band) rather than dropped silently —
-the streaming twin of ``lsh_drop_report``'s never-silent contract.
-On a corpus where no bucket crosses the cap the drained pair set equals
-the batch candidate set exactly (asserted in tests/test_streaming_neardup.py).
+(``doc_b IS NULL``, one per hot band per arrival — at-least-once under
+redelivery; dedupe on (doc_a, band) for exact-once accounting) rather
+than dropped silently — the streaming twin of ``lsh_drop_report``'s
+never-silent contract.  On a corpus where no bucket crosses the cap the
+drained pair set equals the batch candidate set exactly (asserted in
+tests/test_streaming_neardup.py).
 
-Scale notes: per-bucket state is at most ``max_bucket`` int64s (plus a
-hot flag — hot buckets drop their resident list, so the hottest key
-holds the LEAST state); the only shuffle is the state-store hash on
+Scale notes: per-bucket state is at most ``max_bucket`` int64s (the
+resident list is kept even once hot — bounded, and forgetting it would
+mis-mark redelivered residents as skipped) plus a hot flag; post-hot
+arrivals are NOT added to state, so a hot bucket's state stops growing
+at the cap.  The only shuffle is the state-store hash on
 (band, band_key), the same key the batch self-join shuffles on.  For
 unbounded ingest add a state TTL (GroupStateTimeout) at the horizon
 your dedup window needs — candidates only form within bucket lifetime.
@@ -94,10 +98,12 @@ def _bucket_fold(max_bucket: int):
             seen, hot = [], False
         res = set(seen)
         out_a: list[int] = []
-        out_b: list[float | None] = []
+        out_b: list[int | None] = []
         for pdf in pdfs:
             for d in sorted(set(int(x) for x in pdf["doc_id"])):
                 if d in res:
+                    # already a resident: its pairs were emitted when it
+                    # arrived — at-least-once redelivery stays silent
                     continue
                 if hot or len(seen) >= max_bucket:
                     hot = True
@@ -109,12 +115,24 @@ def _bucket_fold(max_bucket: int):
                     out_b.append(max(s, d))
                 seen.append(d)
                 res.add(d)
-        # hot buckets keep NO resident list: state for the hottest key is
-        # the smallest, and arrival there stays O(1)
-        state.update((([] if hot else seen), hot))
+        # the resident list stays in state even once hot (bounded at
+        # max_bucket ids): dropping it would make redelivered RESIDENTS
+        # look new and emit spurious skip markers.  Post-hot arrivals are
+        # deliberately NOT recorded — remembering every skipped doc is
+        # exactly the unbounded state the cap exists to avoid, so their
+        # markers are at-least-once under redelivery (dedupe downstream
+        # on (doc_a, band) if exact-once accounting matters).
+        state.update((seen, hot))
         if out_a:
             yield pd.DataFrame(
-                {"doc_a": out_a, "doc_b": out_b, "band": int(band)}
+                {
+                    "doc_a": pd.array(out_a, dtype="Int64"),
+                    # plain int64 would be promoted to float64 by the None
+                    # markers and corrupt doc ids above 2^53 — keep the
+                    # nullable integer dtype through Arrow
+                    "doc_b": pd.array(out_b, dtype="Int64"),
+                    "band": int(band),
+                }
             )
 
     return fold

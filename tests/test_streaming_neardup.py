@@ -92,3 +92,50 @@ def test_stream_hot_bucket_prefix_greedy(spark):
         for r in res.filter(F.col("doc_b").isNull()).collect()
     }
     assert len(skipped) == 4 and skipped.isdisjoint({a for a, _ in pairs})
+
+
+def test_stream_redelivery_silent_and_bigint_exact(spark):
+    """At-least-once delivery: redelivered residents emit nothing extra
+    (pairs stay C(cap,2)); markers stay confined to the skipped docs; and
+    doc_ids above 2^53 survive marker-mixed batches exactly (a float64
+    round-trip would corrupt the odd ids)."""
+    import tempfile
+    import time
+
+    base = 2 ** 53
+    ids = [base + i for i in (1, 3, 5, 7, 9, 11)]
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in ids],
+        "doc_id long, text string",
+    )
+    src = tempfile.mkdtemp()
+    df.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    df.coalesce(1).write.mode("append").parquet(src)  # full redelivery
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out = neardup.lsh_candidate_stream(
+        neardup.banded_signatures(stream), max_bucket=3
+    )
+    res = run_to_memory(out, "redelivery_pairs", output_mode="append")
+    pairs = {
+        (r.doc_a, r.doc_b)
+        for r in res.filter(F.col("doc_b").isNotNull())
+        .select("doc_a", "doc_b")
+        .distinct()
+        .collect()
+    }
+    residents, skipped_exp = set(ids[:3]), set(ids[3:])
+    assert pairs == {
+        (a, b) for a in residents for b in residents if a < b
+    }
+    # exact-count check: redelivered residents are SILENT, so the only
+    # non-distinct pair rows are the 8 bands' worth from first arrival
+    assert (
+        res.filter(F.col("doc_b").isNotNull()).count() == 3 * 8
+    )
+    markers = [r.doc_a for r in res.filter(F.col("doc_b").isNull()).collect()]
+    assert set(markers) == skipped_exp  # int-exact above 2^53
