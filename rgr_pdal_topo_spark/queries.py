@@ -3156,7 +3156,13 @@ DRIVER_WINDOW: list[str] = [
 #        (windowed-agg family via sessionize).
 # All rotated-out queries remain registered and pytest-parity-checked
 # every run; reproject_mercator and the other oracle-backed extras sit
-# just past the 50-slot window likewise.
+# just past the 50-slot window likewise.  Round-4 rotation-IN
+# candidates (all oracle-backed, parity-green every run): simhash_pairs,
+# cell_rollup, multimodal_meta, events_hourly, grid_count,
+# resample_near/average, reproject_mercator, pip_stats, the TPC-H
+# variants, embedding_buckets, lang_dist, cosine_topk_lsh/_ivf,
+# s2_cell_index, frame_sample, resize_images, points_assign,
+# dedup_clusters.
 
 
 def _reorder_registration() -> None:
