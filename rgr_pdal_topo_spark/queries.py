@@ -2736,6 +2736,75 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "manifest_scan",
+    "SELECT lang, COUNT(*) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents WHERE doc_id BETWEEN "
+    "CAST(FLOOR((SELECT MAX(doc_id) FROM documents) * 0.1) AS BIGINT) AND "
+    "CAST(FLOOR((SELECT MAX(doc_id) FROM documents) * 0.3) AS BIGINT) "
+    "GROUP BY lang",
+)
+def q_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-lite manifest-pruned scan (sources/manifest.py): the
+    documents table is committed as TWO append snapshots of doc_id-range-
+    clustered files, then an interval predicate over ~20% of the id
+    space is answered by consulting the manifest stats and scanning only
+    the surviving files — the residual filter re-applies the predicate,
+    so the aggregate must equal a plain filtered scan, which is exactly
+    what the oracle runs.  File skipping is asserted LOUDLY (RuntimeError
+    if the manifest kept everything): the cluster-scale re-expression of
+    the EPT reader's bounds pushdown + derived-grid suffix cache
+    (pointCloudCreation.py:176-192, baseGrid.py:1118-1173), where
+    "consult KB of metadata, open 3 of 800 files" replaces "open every
+    footer under the prefix"."""
+    import math
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from rgr_pdal_topo_spark.sources import manifest as man
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    scratch_root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_manifest_scan"
+    )
+    os.makedirs(scratch_root, exist_ok=True)
+    for entry in os.listdir(scratch_root):  # sweep stale siblings
+        p = os.path.join(scratch_root, entry)
+        try:
+            if time.time() - os.path.getmtime(p) > 3600:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    root = tempfile.mkdtemp(prefix="tbl_", dir=scratch_root)
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    man.commit(
+        docs.filter(F.col("doc_id") <= mx // 2), root, ["doc_id"], n_files=4
+    )
+    man.commit(
+        docs.filter(F.col("doc_id") > mx // 2), root, ["doc_id"], n_files=4
+    )
+
+    # identical arithmetic to the oracle's subquery bounds
+    lo, hi = math.floor(mx * 0.1), math.floor(mx * 0.3)
+    pred = {"doc_id": (lo, hi)}
+    rep = man.scan_report(root, pred)
+    if rep["files_skipped"] == 0:  # loud: pruning must actually skip
+        raise RuntimeError(f"manifest kept all files: {rep}")
+    return (
+        man.scan(spark, root, pred)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 _UTMX_DUCK, _UTMY_DUCK = rasterops.utm_forward_sql("lon", "lat", zone=31)
 
 

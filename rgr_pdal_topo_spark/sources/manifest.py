@@ -1,0 +1,274 @@
+"""Iceberg-lite snapshot/manifest table layout: file skipping, time
+travel, incremental reads.
+
+The north rule frames the engine's canonical input as an Iceberg table;
+``sources/tables.py`` reads plain parquet (identical row-level pushdown)
+but, as its docstring concedes, plain ``spark.read.parquet`` cannot
+prune at the MANIFEST level — at 100 TB the difference between "open
+every footer under the prefix" and "consult a KB-sized manifest and open
+3 of 800 files" is the whole ballgame.  This module implements the part
+of the Iceberg design the engine actually relies on, from scratch:
+
+* **append-only snapshots** — each :func:`commit` writes data files into
+  a fresh ``data/snap=<id>/`` directory plus a ``manifest-<id>.json``
+  listing the files it ADDED with per-file row counts and per-column
+  min/max stats; the snapshot log is then swapped in with an atomic
+  rename.  A crash mid-commit leaves orphan files no manifest
+  references — readers never see them (same visibility rule as
+  Iceberg's metadata pointer swap).
+* **file skipping** — :func:`scan` evaluates interval predicates against
+  the manifest stats and hands Spark only the surviving files.  Stats
+  are collected DISTRIBUTED (read-back grouped by ``input_file_name``),
+  never by looping footers on the driver; the manifest itself is
+  files-not-rows sized, the one thing that is legitimately
+  driver-resident.  Pruning is conservative (a file is kept unless its
+  stats PROVE no row can match) and the residual row filter is always
+  re-applied, so correctness never depends on stats.
+* **never-silent metrics** — :func:`scan_report` returns how many files
+  each predicate kept/skipped (the ``lsh_drop_report`` doctrine: a scan
+  that silently read 1/800th of the table and a scan that pruned
+  796 files look identical in the result schema; the report is how you
+  tell).
+* **time travel / incremental** — ``snapshot=k`` reads the table as of
+  snapshot k; ``since_snapshot=k`` reads only files added after k (the
+  CDC-style incremental consumer the resumable-pipeline story needs:
+  re-process ONLY the new WARC batch, not the whole lake).
+
+Effective pruning needs clustered files: :func:`commit` therefore
+``repartitionByRange`` s on the leading stat column (Iceberg's
+sort-order spec plays this role), so each file owns a tight value range
+and interval predicates skip hard.
+
+Reference analogue: the EPT reader's bounds pushdown + the derived-grid
+suffix cache (pointCloudCreation.py:176-192, baseGrid.py:1118-1173);
+both are single-process file-naming conventions — the snapshot log,
+stats manifest, and atomic visibility swap are the cluster-scale
+re-expression.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from typing import Any, Iterable, Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = [
+    "commit",
+    "snapshots",
+    "manifest_entries",
+    "prune",
+    "scan",
+    "scan_report",
+]
+
+_LOG = "snapshots.json"
+
+
+def _data_dir(root: str, snap_id: int) -> str:
+    return os.path.join(root, "data", f"snap={snap_id}")
+
+
+def _manifest_path(root: str, snap_id: int) -> str:
+    return os.path.join(root, "manifest", f"manifest-{snap_id}.json")
+
+
+def _normalize_file(uri: str) -> str:
+    """input_file_name() yields file:///...; store plain paths."""
+    if uri.startswith("file:"):
+        uri = uri[len("file:"):]
+        while uri.startswith("//"):
+            uri = uri[1:]
+    return uri
+
+
+def snapshots(root: str) -> list[dict[str, Any]]:
+    """The committed snapshot log, oldest first (empty for a new table)."""
+    path = os.path.join(root, _LOG)
+    if not os.path.exists(path):
+        return []
+    with open(path) as fh:
+        return json.load(fh)["snapshots"]
+
+
+def commit(
+    df: DataFrame,
+    root: str,
+    stat_cols: Sequence[str],
+    n_files: int = 8,
+) -> int:
+    """Append ``df`` to the table at ``root`` as a new snapshot.
+
+    Files are range-clustered on ``stat_cols[0]`` so their min/max stats
+    are tight (one value range per file -> interval predicates skip
+    whole files).  Returns the new snapshot id.  Commit order: data
+    files, then the manifest, then an atomic snapshot-log rename — a
+    crash before the rename leaves invisible orphans, never a torn
+    table.
+    """
+    stat_cols = list(stat_cols)
+    if not stat_cols:
+        raise ValueError("need at least one stat column")
+    if n_files < 1:
+        raise ValueError(f"n_files must be >= 1, got {n_files}")
+    log = snapshots(root)
+    snap_id = (log[-1]["id"] + 1) if log else 1
+    ddir = _data_dir(root, snap_id)
+
+    clustered = (
+        df.repartitionByRange(n_files, *stat_cols) if n_files > 1 else df
+    )
+    clustered.write.mode("overwrite").parquet(ddir)
+
+    # Distributed stats pass: one partial+final agg over the files just
+    # written; the collect is manifest-sized (one row per FILE).
+    spark = df.sparkSession
+    stats = (
+        spark.read.parquet(ddir)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                agg(c).alias(f"{tag}__{c}")
+                for c in stat_cols
+                for tag, agg in (("min", F.min), ("max", F.max))
+            ],
+        )
+        .collect()
+    )
+    entries = [
+        {
+            "file": _normalize_file(r["file"]),
+            "snapshot": snap_id,
+            "n_rows": r["n_rows"],
+            "stats": {
+                c: [r[f"min__{c}"], r[f"max__{c}"]] for c in stat_cols
+            },
+        }
+        for r in stats
+    ]
+    entries.sort(key=lambda e: e["file"])
+
+    os.makedirs(os.path.dirname(_manifest_path(root, snap_id)), exist_ok=True)
+    with open(_manifest_path(root, snap_id), "w") as fh:
+        json.dump({"entries": entries}, fh, default=str)
+
+    log = log + [
+        {
+            "id": snap_id,
+            "added_files": len(entries),
+            "added_rows": int(sum(e["n_rows"] for e in entries)),
+        }
+    ]
+    fd, tmp = tempfile.mkstemp(dir=root, prefix=".snapshots-")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"snapshots": log}, fh)
+    os.replace(tmp, os.path.join(root, _LOG))  # the visibility swap
+    return snap_id
+
+
+def manifest_entries(
+    root: str,
+    snapshot: int | None = None,
+    since_snapshot: int | None = None,
+) -> list[dict[str, Any]]:
+    """All file entries visible in the requested snapshot range.
+
+    ``snapshot`` = read the table as of that snapshot (time travel);
+    ``since_snapshot`` = only files added AFTER that snapshot
+    (incremental).  Default: the current table.
+    """
+    log = snapshots(root)
+    ids = [s["id"] for s in log]
+    if snapshot is not None and snapshot not in ids:
+        raise ValueError(f"unknown snapshot {snapshot}; have {ids}")
+    if since_snapshot is not None and since_snapshot not in ids:
+        raise ValueError(f"unknown snapshot {since_snapshot}; have {ids}")
+    lo = since_snapshot if since_snapshot is not None else 0
+    hi = snapshot if snapshot is not None else (ids[-1] if ids else 0)
+    out: list[dict[str, Any]] = []
+    for sid in ids:
+        if lo < sid <= hi:
+            with open(_manifest_path(root, sid)) as fh:
+                out.extend(json.load(fh)["entries"])
+    return out
+
+
+def prune(
+    entries: Iterable[Mapping[str, Any]],
+    predicates: Mapping[str, tuple[Any, Any]] | None,
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+    """Split entries into (kept, skipped) under interval ``predicates``.
+
+    ``predicates`` maps column -> (lo, hi), either bound None for
+    one-sided.  Conservative: a file is skipped only when its stats
+    PROVE emptiness (max < lo or min > hi); missing/NULL stats keep the
+    file.  Pure function — unit-testable without Spark.
+    """
+    kept: list[dict[str, Any]] = []
+    skipped: list[dict[str, Any]] = []
+    for e in entries:
+        drop = False
+        for col, (lo, hi) in (predicates or {}).items():
+            stat = e.get("stats", {}).get(col)
+            if stat is None or stat[0] is None or stat[1] is None:
+                continue
+            if (lo is not None and stat[1] < lo) or (
+                hi is not None and stat[0] > hi
+            ):
+                drop = True
+                break
+        (skipped if drop else kept).append(dict(e))
+    return kept, skipped
+
+
+def scan(
+    spark: SparkSession,
+    root: str,
+    predicates: Mapping[str, tuple[Any, Any]] | None = None,
+    snapshot: int | None = None,
+    since_snapshot: int | None = None,
+) -> DataFrame:
+    """Manifest-pruned scan; the residual row filter is always applied.
+
+    Only files the manifest references are ever read (orphans from a
+    crashed commit are invisible); of those, only files whose stats
+    intersect ``predicates``.  When pruning eliminates every file, one
+    surviving-manifest file is still scanned so the result keeps its
+    schema (the residual filter returns zero of its rows).
+    """
+    entries = manifest_entries(root, snapshot, since_snapshot)
+    if not entries:
+        raise ValueError(
+            f"no data files in the requested snapshot range at {root}"
+        )
+    kept, _ = prune(entries, predicates)
+    files = [e["file"] for e in kept] or [entries[0]["file"]]
+    df = spark.read.parquet(*files)
+    for col, (lo, hi) in (predicates or {}).items():
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+    return df
+
+
+def scan_report(
+    root: str,
+    predicates: Mapping[str, tuple[Any, Any]] | None = None,
+    snapshot: int | None = None,
+    since_snapshot: int | None = None,
+) -> dict[str, int]:
+    """Never-silent pruning metrics for the matching :func:`scan`."""
+    entries = manifest_entries(root, snapshot, since_snapshot)
+    kept, skipped = prune(entries, predicates)
+    return {
+        "files_total": len(entries),
+        "files_kept": len(kept),
+        "files_skipped": len(skipped),
+        "rows_total": int(sum(e["n_rows"] for e in entries)),
+        "rows_kept_bound": int(sum(e["n_rows"] for e in kept)),
+    }

@@ -1,0 +1,123 @@
+"""Iceberg-lite manifest layer: pruning, time travel, incremental,
+crash-orphan invisibility (sources/manifest.py)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from rgr_pdal_topo_spark.sources import manifest as M
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    """Two-snapshot table over spark.range rows clustered on k."""
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 3).alias("v"),
+    )
+    s1 = M.commit(df.filter(F.col("k") < 200), root, ["k"], n_files=4)
+    s2 = M.commit(df.filter(F.col("k") >= 200), root, ["k"], n_files=4)
+    assert (s1, s2) == (1, 2)
+    return root
+
+
+def test_scan_equals_union(spark, table):
+    got = M.scan(spark, table).agg(
+        F.count(F.lit(1)), F.sum("v"), F.min("k"), F.max("k")
+    ).collect()[0]
+    assert tuple(got) == (400, sum(3 * i for i in range(400)), 0, 399)
+
+
+def test_prune_matches_residual_filter(spark, table):
+    pred = {"k": (90, 130)}
+    got = sorted(
+        tuple(r) for r in M.scan(spark, table, pred).select("k", "v").collect()
+    )
+    want = [(k, 3 * k) for k in range(90, 131)]
+    assert got == want
+    rep = M.scan_report(table, pred)
+    assert rep["files_total"] == 8
+    assert 0 < rep["files_kept"] < rep["files_total"]  # pruning really skips
+    assert rep["files_kept"] + rep["files_skipped"] == rep["files_total"]
+    assert rep["rows_kept_bound"] >= len(want)
+
+
+def test_pruned_scan_reads_fewer_files(spark, table):
+    full = M.scan(spark, table)
+    narrow = M.scan(spark, table, {"k": (0, 10)})
+    assert len(set(narrow.inputFiles())) < len(set(full.inputFiles()))
+
+
+def test_one_sided_and_empty_predicates(spark, table):
+    assert M.scan(spark, table, {"k": (350, None)}).count() == 50
+    assert M.scan(spark, table, {"k": (None, 49)}).count() == 50
+    # pruning eliminates every file -> empty result, schema intact
+    empty = M.scan(spark, table, {"k": (10_000, 20_000)})
+    assert empty.count() == 0
+    assert empty.columns == ["k", "grp", "v"]
+    rep = M.scan_report(table, {"k": (10_000, 20_000)})
+    assert rep["files_kept"] == 0 and rep["files_skipped"] == 8
+
+
+def test_time_travel_and_incremental(spark, table):
+    asof1 = M.scan(spark, table, snapshot=1)
+    assert asof1.agg(F.max("k")).collect()[0][0] == 199
+    assert asof1.count() == 200
+    inc = M.scan(spark, table, since_snapshot=1)
+    assert inc.agg(F.min("k")).collect()[0][0] == 200
+    assert inc.count() == 200
+    # since current snapshot -> nothing new
+    with pytest.raises(ValueError):
+        M.scan(spark, table, since_snapshot=2)
+    assert M.manifest_entries(table, since_snapshot=2) == []
+
+
+def test_orphans_invisible_and_snapshot_log(spark, table):
+    # simulate a crashed commit: data files land, no manifest/log update
+    entries = M.manifest_entries(table)
+    orphan_dir = os.path.join(table, "data", "snap=3")
+    os.makedirs(orphan_dir)
+    shutil.copy(
+        entries[0]["file"], os.path.join(orphan_dir, "part-orphan.parquet")
+    )
+    assert M.scan(spark, table).count() == 400  # unchanged
+    log = M.snapshots(table)
+    assert [s["id"] for s in log] == [1, 2]
+    assert all(s["added_rows"] == 200 for s in log)
+    # next commit after the "crash" gets id 3 and sees only its own files
+    df = spark.range(400, 410).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 3).alias("v"),
+    )
+    assert M.commit(df, table, ["k"], n_files=1) == 3
+    assert M.scan(spark, table).count() == 410
+
+
+def test_prune_is_conservative_on_null_stats():
+    entries = [
+        {"file": "a", "n_rows": 5, "stats": {"k": [None, None]}},
+        {"file": "b", "n_rows": 5, "stats": {}},
+        {"file": "c", "n_rows": 5, "stats": {"k": [0, 9]}},
+    ]
+    kept, skipped = M.prune(entries, {"k": (100, 200)})
+    assert [e["file"] for e in kept] == ["a", "b"]
+    assert [e["file"] for e in skipped] == ["c"]
+    kept, skipped = M.prune(entries, None)
+    assert len(kept) == 3 and not skipped
+
+
+def test_commit_validation(spark, tmp_path):
+    df = spark.range(3).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError):
+        M.commit(df, str(tmp_path), [], n_files=2)
+    with pytest.raises(ValueError):
+        M.commit(df, str(tmp_path), ["k"], n_files=0)
+    with pytest.raises(ValueError):
+        M.scan(spark, str(tmp_path / "nothing"), None)
