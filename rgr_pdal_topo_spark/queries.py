@@ -2805,6 +2805,70 @@ def q_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "manifest_bbox_scan",
+    "SELECT cls, COUNT(*) AS n_pts, MIN(pid) AS min_pid, "
+    f"MAX(pid) AS max_pid FROM ({PTS}) p "
+    "WHERE x BETWEEN 400.0 AND 600.0 AND y BETWEEN 420.0 AND 580.0 "
+    "GROUP BY cls",
+)
+def q_manifest_bbox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial file skipping via space-filling-curve clustering: points
+    are committed to a manifest table range-clustered on their Morton
+    quadkey (functions/cells.py quad_cell — the Iceberg cell-id
+    partition-spec story), so each file owns a spatially compact patch
+    and carries tight x AND y min/max stats; a bbox predicate then
+    prunes on both axes with plain interval stats — no quadtree range
+    decomposition needed.  This is the cluster-scale re-expression of
+    the EPT octree's bounds pushdown (readers open only nodes whose
+    bounds intersect the query box, pointCloudCreation.py:176-185):
+    here the "octree node bounds" are manifest rows.  Pruning must
+    skip at least half the files or the query fails loudly; the
+    residual bbox filter makes the aggregate equal the oracle's plain
+    filtered scan regardless."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from rgr_pdal_topo_spark.sources import manifest as man
+
+    scratch_root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_manifest_bbox"
+    )
+    os.makedirs(scratch_root, exist_ok=True)
+    for entry in os.listdir(scratch_root):  # sweep stale siblings
+        p = os.path.join(scratch_root, entry)
+        try:
+            if time.time() - os.path.getmtime(p) > 3600:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    root = tempfile.mkdtemp(prefix="tbl_", dir=scratch_root)
+
+    pts = points_df(spark, sf_dir)
+    zcell = cellfn.quad_cell(
+        F.col("x") / 100.0 - 5.0, F.col("y") / 100.0 + 40.0, 8
+    )
+    man.commit(
+        pts.withColumn("zcell", zcell), root, ["zcell", "x", "y"],
+        n_files=16,
+    )
+    pred = {"x": (400.0, 600.0), "y": (420.0, 580.0)}
+    rep = man.scan_report(root, pred)
+    if rep["files_skipped"] < rep["files_total"] // 2:  # loud 2-D check
+        raise RuntimeError(f"weak spatial pruning: {rep}")
+    return (
+        man.scan(spark, root, pred)
+        .groupBy("cls")
+        .agg(
+            F.count(F.lit(1)).alias("n_pts"),
+            F.min("pid").alias("min_pid"),
+            F.max("pid").alias("max_pid"),
+        )
+    )
+
+
 _UTMX_DUCK, _UTMY_DUCK = rasterops.utm_forward_sql("lon", "lat", zone=31)
 
 

@@ -113,6 +113,35 @@ def test_prune_is_conservative_on_null_stats():
     assert len(kept) == 3 and not skipped
 
 
+def test_zorder_clustering_prunes_both_axes(spark, tmp_path):
+    """Morton-clustered files carry tight x AND y stats, so a bbox
+    prunes files a single-axis clustering cannot (the cell-id
+    partition-spec rationale behind manifest_bbox_scan)."""
+    from rgr_pdal_topo_spark.functions import cells as cellfn
+
+    pts = spark.range(0, 4096).select(
+        (F.col("id") % 64).cast("double").alias("x"),
+        (F.col("id") / 64).cast("long").cast("double").alias("y"),
+    )
+    zroot, xroot = str(tmp_path / "z"), str(tmp_path / "x")
+    os.makedirs(zroot), os.makedirs(xroot)
+    zcell = cellfn.quad_cell(
+        F.col("x") / 100.0 - 5.0, F.col("y") / 100.0 + 40.0, 8
+    )
+    M.commit(pts.withColumn("c", zcell), zroot, ["c", "x", "y"], n_files=16)
+    M.commit(pts, xroot, ["x", "y"], n_files=16)
+    bbox = {"x": (10.0, 20.0), "y": (10.0, 20.0)}
+    zrep, xrep = M.scan_report(zroot, bbox), M.scan_report(xroot, bbox)
+    assert zrep["files_kept"] <= xrep["files_kept"]
+    assert zrep["files_skipped"] > zrep["files_total"] // 2
+    # identical answers either way
+    zs = sorted(tuple(r) for r in M.scan(spark, zroot, bbox)
+                .select("x", "y").collect())
+    xs = sorted(tuple(r) for r in M.scan(spark, xroot, bbox)
+                .select("x", "y").collect())
+    assert zs == xs and len(zs) == 11 * 11
+
+
 def test_commit_validation(spark, tmp_path):
     df = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):
