@@ -1,0 +1,84 @@
+"""Cursor-based incremental snapshot consumer (streaming/incremental.py)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rgr_pdal_topo_spark.sources import manifest as M
+from rgr_pdal_topo_spark.streaming.incremental import SnapshotConsumer
+
+
+def _batch(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+
+
+def _double(df):
+    return df.groupBy((F.col("k") % 10).alias("b")).agg(
+        F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    M.commit(_batch(spark, 0, 100), root, ["k"], n_files=2)
+    return root
+
+
+def test_processes_each_snapshot_once(spark, table, tmp_path):
+    c = SnapshotConsumer(table, str(tmp_path / "state"))
+    assert c.pending() == [1]
+    assert c.run(spark, _double) == [1]
+    assert c.run(spark, _double) == []  # idempotent no-op
+    M.commit(_batch(spark, 100, 150), table, ["k"], n_files=2)
+    M.commit(_batch(spark, 150, 300), table, ["k"], n_files=2)
+    assert c.pending() == [2, 3]
+    assert c.run(spark, _double) == [2, 3]
+    assert c.cursor() == 3
+    # rolled-up outputs equal a one-shot over the full table
+    got = (
+        c.outputs(spark).groupBy("b").agg(F.sum("sv").alias("sv"),
+                                          F.sum("n").alias("n"))
+    )
+    want = _double(M.scan(spark, table))
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_replay_after_crash_is_invisible(spark, table, tmp_path):
+    state = str(tmp_path / "state")
+    c = SnapshotConsumer(table, state)
+    c.run(spark, _double)
+    M.commit(_batch(spark, 100, 200), table, ["k"], n_files=2)
+    c.run(spark, _double)
+    before = sorted(map(tuple, c.outputs(spark).collect()))
+    # simulate a crash between output write and cursor advance: roll the
+    # cursor back one snapshot and re-run — snapshot 2 is replayed into
+    # the same directory
+    c._advance(1)
+    assert c.run(spark, _double) == [2]
+    after = sorted(map(tuple, c.outputs(spark).collect()))
+    assert after == before
+
+
+def test_fresh_consumer_resumes_from_durable_cursor(spark, table, tmp_path):
+    state = str(tmp_path / "state")
+    SnapshotConsumer(table, state).run(spark, _double)
+    M.commit(_batch(spark, 100, 120), table, ["k"], n_files=1)
+    c2 = SnapshotConsumer(table, state)  # new process stand-in
+    assert c2.cursor() == 1
+    assert c2.run(spark, _double) == [2]
+    assert c2.pending() == []
+
+
+def test_outputs_before_any_processing_raises(spark, table, tmp_path):
+    c = SnapshotConsumer(table, str(tmp_path / "state"))
+    with pytest.raises(ValueError):
+        c.outputs(spark)
