@@ -2759,27 +2759,11 @@ def q_manifest_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "consult KB of metadata, open 3 of 800 files" replaces "open every
     footer under the prefix"."""
     import math
-    import os
-    import shutil
-    import tempfile
-    import time
 
     from rgr_pdal_topo_spark.sources import manifest as man
     from rgr_pdal_topo_spark.sources.tables import load_table
 
-    scratch_root = os.path.join(
-        tempfile.gettempdir(), "spark_graft_manifest_scan"
-    )
-    os.makedirs(scratch_root, exist_ok=True)
-    for entry in os.listdir(scratch_root):  # sweep stale siblings
-        p = os.path.join(scratch_root, entry)
-        try:
-            if time.time() - os.path.getmtime(p) > 3600:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass
-    root = tempfile.mkdtemp(prefix="tbl_", dir=scratch_root)
-
+    root = _manifest_scratch("spark_graft_manifest_scan")
     docs = load_table(spark, sf_dir, "documents")
     mx = docs.agg(F.max("doc_id")).collect()[0][0]
     man.commit(
@@ -2826,26 +2810,9 @@ def q_manifest_bbox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     skip at least half the files or the query fails loudly; the
     residual bbox filter makes the aggregate equal the oracle's plain
     filtered scan regardless."""
-    import os
-    import shutil
-    import tempfile
-    import time
-
     from rgr_pdal_topo_spark.sources import manifest as man
 
-    scratch_root = os.path.join(
-        tempfile.gettempdir(), "spark_graft_manifest_bbox"
-    )
-    os.makedirs(scratch_root, exist_ok=True)
-    for entry in os.listdir(scratch_root):  # sweep stale siblings
-        p = os.path.join(scratch_root, entry)
-        try:
-            if time.time() - os.path.getmtime(p) > 3600:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass
-    root = tempfile.mkdtemp(prefix="tbl_", dir=scratch_root)
-
+    root = _manifest_scratch("spark_graft_manifest_bbox")
     pts = points_df(spark, sf_dir)
     zcell = cellfn.quad_cell(
         F.col("x") / 100.0 - 5.0, F.col("y") / 100.0 + 40.0, 8
@@ -2865,6 +2832,130 @@ def q_manifest_bbox_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_pts"),
             F.min("pid").alias("min_pid"),
             F.max("pid").alias("max_pid"),
+        )
+    )
+
+
+def _manifest_scratch(name: str) -> str:
+    """Fresh scratch table root under /tmp with stale-sibling sweep (the
+    lineage_resume pattern: the returned DataFrame reads lazily, so the
+    dir must outlive the call; >1h-old siblings are swept instead)."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    scratch_root = os.path.join(tempfile.gettempdir(), name)
+    os.makedirs(scratch_root, exist_ok=True)
+    for entry in os.listdir(scratch_root):
+        p = os.path.join(scratch_root, entry)
+        try:
+            if time.time() - os.path.getmtime(p) > 3600:
+                shutil.rmtree(p, ignore_errors=True)
+        except OSError:
+            pass
+    return tempfile.mkdtemp(prefix="tbl_", dir=scratch_root)
+
+
+# epoch days of 2024-01-08 .. 2024-01-15 (events span 2024-01); same
+# literals inlined into the oracle below
+_EVD_LO, _EVD_HI = 19730, 19737
+
+
+@query(
+    "manifest_time_scan",
+    "SELECT event_type, COUNT(*) AS n_events, MIN(event_id) AS min_eid, "
+    "MAX(event_id) AS max_eid FROM events "
+    "WHERE DATE_DIFF('day', DATE '1970-01-01', CAST(ts AS DATE)) "
+    f"BETWEEN {_EVD_LO} AND {_EVD_HI} GROUP BY event_type",
+)
+def q_manifest_time_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal file skipping — the Iceberg ``days(warc_ts)`` partition
+    transform re-expressed as manifest stats: events are committed
+    range-clustered on their epoch day, so an 8-day window opens only
+    the files whose day stats intersect it (≥ half must be skipped or
+    the query fails loudly).  Completes the pruning trio with
+    manifest_scan (id range) and manifest_bbox_scan (Z-order bbox)."""
+    from rgr_pdal_topo_spark.sources import manifest as man
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    root = _manifest_scratch("spark_graft_manifest_time")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day",
+        F.datediff(F.col("ts").cast("date"), F.to_date(F.lit("1970-01-01"))),
+    )
+    man.commit(ev, root, ["day"], n_files=8)
+    pred = {"day": (_EVD_LO, _EVD_HI)}
+    rep = man.scan_report(root, pred)
+    if rep["files_skipped"] < rep["files_total"] // 2:  # loud
+        raise RuntimeError(f"weak temporal pruning: {rep}")
+    return (
+        man.scan(spark, root, pred)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_eid"),
+            F.max("event_id").alias("max_eid"),
+        )
+    )
+
+
+@query(
+    "manifest_incremental",
+    "SELECT lang, COUNT(*) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS total_chars "
+    "FROM documents GROUP BY lang",
+)
+def q_manifest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental consumption over the snapshot manifest
+    (streaming/incremental.py): documents arrive as three append
+    snapshots; a cursor-based consumer processes the first two, a FRESH
+    consumer (new-process stand-in, durable cursor) picks up only the
+    third, and the rolled-up per-snapshot outputs must equal the
+    one-shot aggregate the oracle runs.  The driver-visible twin of the
+    test suite's crash-replay checks — "re-process only the new batch"
+    with per-snapshot lineage, generalizing the reference's
+    skip-what's-done suffix cache (flowRoutingGrids.py:122-173)."""
+    import os
+
+    from rgr_pdal_topo_spark.sources import manifest as man
+    from rgr_pdal_topo_spark.sources.tables import load_table
+    from rgr_pdal_topo_spark.streaming.incremental import SnapshotConsumer
+
+    base = _manifest_scratch("spark_graft_manifest_incr")
+    root, state = os.path.join(base, "tbl"), os.path.join(base, "state")
+    os.makedirs(root)
+
+    docs = load_table(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    third = mx // 3
+    man.commit(docs.filter(F.col("doc_id") <= third), root, ["doc_id"])
+    man.commit(
+        docs.filter(
+            (F.col("doc_id") > third) & (F.col("doc_id") <= 2 * third)
+        ),
+        root,
+        ["doc_id"],
+    )
+
+    def per_batch(df: DataFrame) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+
+    if SnapshotConsumer(root, state).run(spark, per_batch) != [1, 2]:
+        raise RuntimeError("expected snapshots [1, 2] in the first pass")
+    man.commit(docs.filter(F.col("doc_id") > 2 * third), root, ["doc_id"])
+    resumed = SnapshotConsumer(root, state)  # fresh process stand-in
+    if resumed.run(spark, per_batch) != [3]:  # loud: ONLY the new batch
+        raise RuntimeError("resume must process exactly snapshot 3")
+    return (
+        resumed.outputs(spark)
+        .groupBy("lang")
+        .agg(
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("total_chars").alias("total_chars"),
         )
     )
 
