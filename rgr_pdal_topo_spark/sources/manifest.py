@@ -58,6 +58,8 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "commit",
+    "compact",
+    "vacuum",
     "snapshots",
     "manifest_entries",
     "prune",
@@ -109,6 +111,80 @@ def commit(
     crash before the rename leaves invisible orphans, never a torn
     table.
     """
+    return _write_snapshot(df, root, stat_cols, n_files, [], "append")
+
+
+def compact(
+    spark: SparkSession,
+    root: str,
+    stat_cols: Sequence[str],
+    n_files: int = 8,
+) -> int:
+    """Rewrite the table's CURRENT live files into ``n_files``
+    re-clustered ones, as a new snapshot that replaces them.
+
+    Incremental appends accrete small files (the classic small-file
+    problem: at 100 TB, per-file overhead and loose stats eat the
+    pruning win); compaction restores tight range clustering without
+    changing a single row.  The replaced files stay on disk and every
+    pre-compaction snapshot stays exactly time-travelable — the new
+    manifest merely lists them as removed from the CURRENT state.
+    Readers that iterate snapshots (SnapshotConsumer) see
+    ``operation: "compact"`` in the log and skip it: it carries no new
+    rows.  (Full snapshot EXPIRY is deliberately out of scope: these
+    manifests are deltas, so state is a fold over all of them — Iceberg
+    can drop old metadata because every snapshot carries a complete
+    manifest list; here retiring history would mean squashing deltas
+    into a base manifest, complexity the engine doesn't need yet.)
+    """
+    entries = manifest_entries(root)
+    if not entries:
+        raise ValueError(f"nothing to compact at {root}")
+    files = [e["file"] for e in entries]
+    return _write_snapshot(
+        spark.read.parquet(*files), root, stat_cols, n_files, files,
+        "compact",
+    )
+
+
+def vacuum(root: str) -> list[str]:
+    """Delete data files no manifest references (crashed-commit orphans).
+
+    Files REPLACED by compaction are still referenced by their original
+    manifest and are kept — deleting them would break time travel; only
+    never-committed files go.  Returns the deleted paths (never-silent).
+    """
+    referenced = {
+        e["file"]
+        for s in snapshots(root)
+        for e in _read_manifest(root, s["id"])["entries"]
+    }
+    deleted: list[str] = []
+    data_root = os.path.join(root, "data")
+    for dirpath, _dirs, names in os.walk(data_root):
+        for name in names:
+            p = os.path.join(dirpath, name)
+            if name.endswith(".parquet") and p not in referenced:
+                os.remove(p)
+                deleted.append(p)
+    return deleted
+
+
+def _read_manifest(root: str, snap_id: int) -> dict[str, Any]:
+    with open(_manifest_path(root, snap_id)) as fh:
+        m = json.load(fh)
+    m.setdefault("removed_files", [])
+    return m
+
+
+def _write_snapshot(
+    df: DataFrame,
+    root: str,
+    stat_cols: Sequence[str],
+    n_files: int,
+    removed_files: list[str],
+    operation: str,
+) -> int:
     stat_cols = list(stat_cols)
     if not stat_cols:
         raise ValueError("need at least one stat column")
@@ -154,13 +230,19 @@ def commit(
 
     os.makedirs(os.path.dirname(_manifest_path(root, snap_id)), exist_ok=True)
     with open(_manifest_path(root, snap_id), "w") as fh:
-        json.dump({"entries": entries}, fh, default=str)
+        json.dump(
+            {"entries": entries, "removed_files": removed_files},
+            fh,
+            default=str,
+        )
 
     log = log + [
         {
             "id": snap_id,
+            "operation": operation,
             "added_files": len(entries),
             "added_rows": int(sum(e["n_rows"] for e in entries)),
+            "removed_files": len(removed_files),
         }
     ]
     fd, tmp = tempfile.mkstemp(dir=root, prefix=".snapshots-")
@@ -192,8 +274,11 @@ def manifest_entries(
     out: list[dict[str, Any]] = []
     for sid in ids:
         if lo < sid <= hi:
-            with open(_manifest_path(root, sid)) as fh:
-                out.extend(json.load(fh)["entries"])
+            m = _read_manifest(root, sid)
+            if m["removed_files"]:  # compaction replaces earlier files
+                gone = set(m["removed_files"])
+                out = [e for e in out if e["file"] not in gone]
+            out.extend(m["entries"])
     return out
 
 

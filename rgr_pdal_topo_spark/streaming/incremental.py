@@ -70,10 +70,18 @@ class SnapshotConsumer:
         os.replace(tmp, self._cursor_path)
 
     def pending(self) -> list[int]:
-        """Committed snapshot ids past the cursor, oldest first."""
+        """Committed APPEND snapshot ids past the cursor, oldest first.
+
+        Compaction snapshots rewrite rows the consumer already
+        processed (operation != "append", zero new rows) — processing
+        one would double-count, so they are skipped, exactly like
+        Iceberg CDC skips replace snapshots.
+        """
         cur = self.cursor()
         return [
-            s["id"] for s in man.snapshots(self.table_root) if s["id"] > cur
+            s["id"]
+            for s in man.snapshots(self.table_root)
+            if s["id"] > cur and s.get("operation", "append") == "append"
         ]
 
     def out_dir(self, snap_id: int) -> str:
@@ -115,6 +123,6 @@ class SnapshotConsumer:
         dirs = [
             self.out_dir(s["id"])
             for s in man.snapshots(self.table_root)
-            if s["id"] <= cur
+            if s["id"] <= cur and s.get("operation", "append") == "append"
         ]
         return spark.read.parquet(*dirs)

@@ -78,6 +78,17 @@ def test_fresh_consumer_resumes_from_durable_cursor(spark, table, tmp_path):
     assert c2.pending() == []
 
 
+def test_compaction_snapshots_are_skipped(spark, table, tmp_path):
+    c = SnapshotConsumer(table, str(tmp_path / "state"))
+    c.run(spark, _double)
+    M.compact(spark, table, ["k"], n_files=1)
+    assert c.pending() == []  # zero new rows -> nothing to process
+    M.commit(_batch(spark, 100, 140), table, ["k"], n_files=1)
+    assert c.run(spark, _double) == [3]
+    got = c.outputs(spark).groupBy("b").agg(F.sum("n").alias("n"))
+    assert sum(r["n"] for r in got.collect()) == 140  # no double-count
+
+
 def test_outputs_before_any_processing_raises(spark, table, tmp_path):
     c = SnapshotConsumer(table, str(tmp_path / "state"))
     with pytest.raises(ValueError):

@@ -142,6 +142,41 @@ def test_zorder_clustering_prunes_both_axes(spark, tmp_path):
     assert zs == xs and len(zs) == 11 * 11
 
 
+def test_compact_preserves_state_and_time_travel(spark, table):
+    before = sorted(tuple(r) for r in M.scan(spark, table).collect())
+    n_before = len(set(M.scan(spark, table).inputFiles()))
+    cid = M.compact(spark, table, ["k"], n_files=2)
+    assert cid == 3
+    assert M.snapshots(table)[-1]["operation"] == "compact"
+    after = sorted(tuple(r) for r in M.scan(spark, table).collect())
+    assert after == before  # not a single row changed
+    assert len(set(M.scan(spark, table).inputFiles())) == 2 < n_before
+    # pruning works against the recompacted stats
+    assert M.scan(spark, table, {"k": (90, 130)}).count() == 41
+    assert M.scan_report(table, {"k": (0, 10)})["files_skipped"] == 1
+    # every pre-compaction snapshot still time-travels exactly
+    assert M.scan(spark, table, snapshot=1).count() == 200
+    assert M.scan(spark, table, snapshot=2).count() == 400
+    # appends after compaction stack on the compacted state
+    df = spark.range(400, 450).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 3).alias("v"),
+    )
+    M.commit(df, table, ["k"], n_files=1)
+    assert M.scan(spark, table).count() == 450
+
+
+def test_vacuum_deletes_only_orphans(spark, table):
+    M.compact(spark, table, ["k"], n_files=2)
+    orphan = os.path.join(table, "data", "snap=1", "stray.parquet")
+    shutil.copy(M.manifest_entries(table)[0]["file"], orphan)
+    deleted = M.vacuum(table)
+    assert deleted == [orphan]  # replaced files stay: time travel intact
+    assert M.scan(spark, table, snapshot=2).count() == 400
+    assert M.scan(spark, table).count() == 400
+    assert M.vacuum(table) == []
+
+
 def test_commit_validation(spark, tmp_path):
     df = spark.range(3).select(F.col("id").alias("k"))
     with pytest.raises(ValueError):

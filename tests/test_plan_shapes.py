@@ -215,3 +215,23 @@ def test_minhash_rowwise_banding_zero_shuffle(spark):
     plan = _plan(dedup.minhash_bands_rowwise(docs))
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_manifest_scan_pushes_residual_filter(spark, tmp_path):
+    """Manifest pruning composes with, not replaces, parquet pushdown:
+    inside each KEPT file the residual interval predicate must still
+    reach the scan (row-group skipping is the second pruning tier)."""
+    import os
+
+    from rgr_pdal_topo_spark.sources import manifest as M
+
+    root = str(tmp_path / "tbl")
+    os.makedirs(root)
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    M.commit(df, root, ["k"], n_files=4)
+    pruned = M.scan(spark, root, {"k": (100, 200)})
+    plan = _plan(pruned)
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(k,100)" in plan
+    assert len(set(pruned.inputFiles())) == 1  # manifest tier pruned 3/4
