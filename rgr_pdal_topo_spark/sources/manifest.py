@@ -110,6 +110,16 @@ def commit(
     files, then the manifest, then an atomic snapshot-log rename — a
     crash before the rename leaves invisible orphans, never a torn
     table.
+
+    Scale note: stats here come from a distributed READ-BACK pass over
+    the files just written (footer-cheap in practice, but a second scan
+    nonetheless).  A production writer folds stats collection into the
+    write itself (per-task min/max accumulated as files close — what
+    Iceberg's writers do); the manifest format and everything downstream
+    are unchanged by that swap.  The manifest itself is files-not-rows
+    sized; past ~10^6 files per table the JSON-per-snapshot spelling
+    should become parquet manifests pruned BY a Spark job (Iceberg's
+    manifest-list tier) — same two-level design, bigger metadata tier.
     """
     return _write_snapshot(df, root, stat_cols, n_files, [], "append")
 
@@ -194,10 +204,9 @@ def _write_snapshot(
     snap_id = (log[-1]["id"] + 1) if log else 1
     ddir = _data_dir(root, snap_id)
 
-    clustered = (
-        df.repartitionByRange(n_files, *stat_cols) if n_files > 1 else df
-    )
-    clustered.write.mode("overwrite").parquet(ddir)
+    df.repartitionByRange(n_files, *stat_cols).write.mode(
+        "overwrite"
+    ).parquet(ddir)
 
     # Distributed stats pass: one partial+final agg over the files just
     # written; the collect is manifest-sized (one row per FILE).
