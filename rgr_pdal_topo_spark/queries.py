@@ -2689,29 +2689,9 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint-validates the completed batches and computes only the
     pending two.  The returned per-batch metrics must equal a straight
     one-shot computation — which is exactly what the oracle runs."""
-    import os
-    import shutil
-    import tempfile
-    import time
-
     from rgr_pdal_topo_spark.plans.lineage import BatchCheckpointer
 
-    # scratch dirs must OUTLIVE this call (the returned DataFrame reads
-    # the written parquet lazily), so cleanup is deferred: sweep stale
-    # siblings (> 1 h old, i.e. from earlier driver/pytest runs) at each
-    # invocation instead of leaking one dir per run forever
-    scratch_root = os.path.join(
-        tempfile.gettempdir(), "spark_graft_lineage_resume"
-    )
-    os.makedirs(scratch_root, exist_ok=True)
-    for entry in os.listdir(scratch_root):
-        p = os.path.join(scratch_root, entry)
-        try:
-            if time.time() - os.path.getmtime(p) > 3600:
-                shutil.rmtree(p, ignore_errors=True)
-        except OSError:
-            pass
-    base = tempfile.mkdtemp(prefix="run_", dir=scratch_root)
+    base = _manifest_scratch("spark_graft_lineage_resume")
     pts = points_df(spark, sf_dir).select("pid", "x", "y", "z")
 
     def transform(df: DataFrame) -> DataFrame:

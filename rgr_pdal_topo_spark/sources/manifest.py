@@ -157,24 +157,36 @@ def compact(
     )
 
 
-def vacuum(root: str) -> list[str]:
+def vacuum(root: str, grace_seconds: float = 3600.0) -> list[str]:
     """Delete data files no manifest references (crashed-commit orphans).
 
     Files REPLACED by compaction are still referenced by their original
     manifest and are kept — deleting them would break time travel; only
-    never-committed files go.  Returns the deleted paths (never-silent).
+    never-committed files go.  Files younger than ``grace_seconds`` are
+    also kept: an IN-FLIGHT commit's data files are unreferenced until
+    its log rename lands, and deleting them would break the snapshot
+    that is about to become visible (Iceberg's remove_orphan_files has
+    the same retention guard).  Returns the deleted paths
+    (never-silent).
     """
+    import time
+
     referenced = {
         e["file"]
         for s in snapshots(root)
         for e in _read_manifest(root, s["id"])["entries"]
     }
+    cutoff = time.time() - grace_seconds
     deleted: list[str] = []
     data_root = os.path.join(root, "data")
     for dirpath, _dirs, names in os.walk(data_root):
         for name in names:
             p = os.path.join(dirpath, name)
-            if name.endswith(".parquet") and p not in referenced:
+            if (
+                name.endswith(".parquet")
+                and p not in referenced
+                and os.path.getmtime(p) <= cutoff
+            ):
                 os.remove(p)
                 deleted.append(p)
     return deleted
@@ -195,11 +207,35 @@ def _write_snapshot(
     removed_files: list[str],
     operation: str,
 ) -> int:
+    """Single-writer commit: snapshot-id allocation is a read-modify-
+    write of the log, and the atomic ``os.replace`` protects READERS
+    from torn state, not two concurrent writers from each other — a
+    multi-writer deployment puts the log swap behind a catalog
+    compare-and-swap (exactly Iceberg's catalog requirement)."""
+    from pyspark.sql import types as T
+
     stat_cols = list(stat_cols)
     if not stat_cols:
         raise ValueError("need at least one stat column")
     if n_files < 1:
         raise ValueError(f"n_files must be >= 1, got {n_files}")
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    ok_types = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.StringType,
+    )
+    for c in stat_cols:
+        if c not in fields:
+            raise ValueError(f"stat column {c!r} not in {sorted(fields)}")
+        if not isinstance(fields[c], ok_types):
+            # JSON would stringify the min/max (default=str) and prune()
+            # would then compare lexicographically — silently wrong.
+            raise ValueError(
+                f"stat column {c!r} has type {fields[c]}, which does not "
+                "round-trip through JSON stats ordered; derive an "
+                "int/double/string column first (e.g. epoch day for "
+                "timestamps, as manifest_time_scan does)"
+            )
     log = snapshots(root)
     snap_id = (log[-1]["id"] + 1) if log else 1
     ddir = _data_dir(root, snap_id)
@@ -268,26 +304,34 @@ def manifest_entries(
 ) -> list[dict[str, Any]]:
     """All file entries visible in the requested snapshot range.
 
-    ``snapshot`` = read the table as of that snapshot (time travel);
-    ``since_snapshot`` = only files added AFTER that snapshot
-    (incremental).  Default: the current table.
+    ``snapshot`` = read the table as of that snapshot (time travel:
+    the fold of every delta up to it); ``since_snapshot`` = the CHANGE
+    STREAM after that snapshot — only rows that are genuinely new, so
+    non-append snapshots (compaction rewrites of already-delivered
+    rows) are excluded from it, exactly as Iceberg CDC skips replace
+    snapshots.  Default: the current table.
     """
     log = snapshots(root)
     ids = [s["id"] for s in log]
+    ops = {s["id"]: s.get("operation", "append") for s in log}
     if snapshot is not None and snapshot not in ids:
         raise ValueError(f"unknown snapshot {snapshot}; have {ids}")
     if since_snapshot is not None and since_snapshot not in ids:
         raise ValueError(f"unknown snapshot {since_snapshot}; have {ids}")
     lo = since_snapshot if since_snapshot is not None else 0
     hi = snapshot if snapshot is not None else (ids[-1] if ids else 0)
+    incremental = since_snapshot is not None
     out: list[dict[str, Any]] = []
     for sid in ids:
-        if lo < sid <= hi:
-            m = _read_manifest(root, sid)
-            if m["removed_files"]:  # compaction replaces earlier files
-                gone = set(m["removed_files"])
-                out = [e for e in out if e["file"] not in gone]
-            out.extend(m["entries"])
+        if not lo < sid <= hi:
+            continue
+        if incremental and ops[sid] != "append":
+            continue  # rewrite of rows the consumer already saw
+        m = _read_manifest(root, sid)
+        if m["removed_files"]:  # compaction replaces earlier files
+            gone = set(m["removed_files"])
+            out = [e for e in out if e["file"] not in gone]
+        out.extend(m["entries"])
     return out
 
 

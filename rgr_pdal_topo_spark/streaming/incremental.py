@@ -81,7 +81,9 @@ class SnapshotConsumer:
         return [
             s["id"]
             for s in man.snapshots(self.table_root)
-            if s["id"] > cur and s.get("operation", "append") == "append"
+            if s["id"] > cur
+            and s.get("operation", "append") == "append"
+            and s["added_rows"] > 0  # empty ingest batch: nothing to do
         ]
 
     def out_dir(self, snap_id: int) -> str:
@@ -123,6 +125,8 @@ class SnapshotConsumer:
         dirs = [
             self.out_dir(s["id"])
             for s in man.snapshots(self.table_root)
-            if s["id"] <= cur and s.get("operation", "append") == "append"
+            if s["id"] <= cur
+            and s.get("operation", "append") == "append"
+            and s["added_rows"] > 0  # skipped empties have no output
         ]
         return spark.read.parquet(*dirs)

@@ -89,6 +89,20 @@ def test_compaction_snapshots_are_skipped(spark, table, tmp_path):
     assert sum(r["n"] for r in got.collect()) == 140  # no double-count
 
 
+def test_empty_ingest_batch_does_not_wedge(spark, table, tmp_path):
+    """A zero-row append (normal in incremental pipelines) must be
+    skipped, not crash the consumer forever on an unscannable range."""
+    c = SnapshotConsumer(table, str(tmp_path / "state"))
+    c.run(spark, _double)
+    M.commit(_batch(spark, 100, 100), table, ["k"], n_files=1)  # empty
+    assert c.pending() == []
+    assert c.run(spark, _double) == []
+    M.commit(_batch(spark, 100, 130), table, ["k"], n_files=1)
+    assert c.run(spark, _double) == [3]  # sailed past the empty one
+    got = c.outputs(spark).agg(F.sum("n")).collect()[0][0]
+    assert got == 130
+
+
 def test_outputs_before_any_processing_raises(spark, table, tmp_path):
     c = SnapshotConsumer(table, str(tmp_path / "state"))
     with pytest.raises(ValueError):

@@ -170,11 +170,39 @@ def test_vacuum_deletes_only_orphans(spark, table):
     M.compact(spark, table, ["k"], n_files=2)
     orphan = os.path.join(table, "data", "snap=1", "stray.parquet")
     shutil.copy(M.manifest_entries(table)[0]["file"], orphan)
-    deleted = M.vacuum(table)
+    assert M.vacuum(table) == []  # default grace shields fresh files
+    deleted = M.vacuum(table, grace_seconds=0)
     assert deleted == [orphan]  # replaced files stay: time travel intact
     assert M.scan(spark, table, snapshot=2).count() == 400
     assert M.scan(spark, table).count() == 400
-    assert M.vacuum(table) == []
+    assert M.vacuum(table, grace_seconds=0) == []
+
+
+def test_incremental_excludes_compaction_rewrites(spark, table):
+    """scan(since_snapshot=k) is a change stream: a later compaction
+    must not re-deliver already-consumed rows as new."""
+    M.compact(spark, table, ["k"], n_files=2)
+    assert M.manifest_entries(table, since_snapshot=2) == []
+    df = spark.range(400, 420).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 3).alias("v"),
+    )
+    M.commit(df, table, ["k"], n_files=1)
+    inc = M.scan(spark, table, since_snapshot=2)
+    assert inc.count() == 20  # the genuinely new rows only
+    # time travel still folds the compaction
+    assert M.scan(spark, table, snapshot=4).count() == 420
+
+
+def test_commit_rejects_json_hostile_stat_types(spark, tmp_path):
+    df = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.to_timestamp(F.lit("2024-01-08 00:00:00")).alias("ts"),
+    )
+    with pytest.raises(ValueError, match="epoch day"):
+        M.commit(df, str(tmp_path), ["ts"])
+    with pytest.raises(ValueError, match="not in"):
+        M.commit(df, str(tmp_path), ["nope"])
 
 
 def test_commit_validation(spark, tmp_path):
