@@ -116,3 +116,67 @@ def test_quantized_mean_is_order_independent(vals):
         for v in shuffled:
             acc += v
         assert acc / len(q) == ref
+
+
+# --------------------------------------------------------------------------
+# manifest prune(): pure interval logic, ideal hypothesis territory
+# --------------------------------------------------------------------------
+
+from rgr_pdal_topo_spark.sources.manifest import prune  # noqa: E402
+
+_stat_v = st.one_of(st.none(), st.integers(min_value=-100, max_value=100))
+_bound = st.one_of(st.none(), st.integers(min_value=-100, max_value=100))
+
+
+@st.composite
+def _entries(draw):
+    out = []
+    for i in range(draw(st.integers(min_value=0, max_value=12))):
+        a, b = draw(_stat_v), draw(_stat_v)
+        if a is not None and b is not None and a > b:
+            a, b = b, a
+        out.append({"file": f"f{i}", "n_rows": 1, "stats": {"c": [a, b]}})
+    return out
+
+
+@st.composite
+def _pred(draw):
+    lo, hi = draw(_bound), draw(_bound)
+    if lo is not None and hi is not None and lo > hi:
+        lo, hi = hi, lo
+    return {"c": (lo, hi)}
+
+
+@settings(max_examples=300, deadline=None)
+@given(_entries(), _pred())
+def test_prune_partitions_and_is_sound(entries, pred):
+    kept, skipped = prune(entries, pred)
+    assert sorted(e["file"] for e in kept + skipped) == sorted(
+        e["file"] for e in entries
+    )
+    lo, hi = pred["c"]
+    for e in skipped:  # skipping must be PROVEN by the stats
+        mn, mx = e["stats"]["c"]
+        assert mn is not None and mx is not None
+        assert (lo is not None and mx < lo) or (hi is not None and mn > hi)
+    for e in kept:  # any intersecting (or unknown) interval is kept
+        mn, mx = e["stats"]["c"]
+        if mn is None or mx is None:
+            continue
+        if lo is not None and mx < lo:
+            raise AssertionError(f"kept provably-empty file {e}")
+        if hi is not None and mn > hi:
+            raise AssertionError(f"kept provably-empty file {e}")
+
+
+@settings(max_examples=300, deadline=None)
+@given(_entries(), _pred())
+def test_prune_narrowing_shrinks_kept(entries, pred):
+    lo, hi = pred["c"]
+    nlo = lo + 1 if lo is not None else None
+    nhi = hi - 1 if hi is not None else None
+    if nlo is not None and nhi is not None and nlo > nhi:
+        return  # narrowed interval became empty-and-inverted; skip
+    wide, _ = prune(entries, pred)
+    narrow, _ = prune(entries, {"c": (nlo, nhi)})
+    assert {e["file"] for e in narrow} <= {e["file"] for e in wide}
