@@ -1226,14 +1226,22 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "quality_filter",
-    _with(f"toks AS ({_TOKS_DUCK})")
-    + "SELECT doc_id, CASE WHEN len(t) >= 20 AND "
+# C4-style keep decision over a token list `t` — ONE spelling shared by
+# quality_filter and corpus_pipeline (oracle drift between the solo and
+# composed queries would be invisible otherwise)
+_KEEP_CASE_DUCK = (
+    "CASE WHEN len(t) >= 20 AND "
     "CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE) / "
     "CAST(len(t) AS DOUBLE) <= 12.0 AND "
     "CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) >= 0.1 "
-    "THEN 1 ELSE 0 END AS keep FROM toks",
+    "THEN 1 ELSE 0 END"
+)
+
+
+@query(
+    "quality_filter",
+    _with(f"toks AS ({_TOKS_DUCK})")
+    + f"SELECT doc_id, {_KEEP_CASE_DUCK} AS keep FROM toks",
 )
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style quality gating decision per document."""
@@ -1253,10 +1261,9 @@ def _lang_scores_duck() -> str:
     return ", ".join(cols)
 
 
-@query(
-    "langid",
-    _with(f"toks AS ({_TOKS_DUCK})")
-    + f"SELECT doc_id, lang, {_lang_scores_duck()}, "
+# deterministic-argmax language pick over a token list `t` — shared by
+# langid and corpus_pipeline (same single-spelling rationale as above)
+_PRED_LANG_CASE_DUCK = (
     "CASE WHEN len(list_filter(t, x -> x IN ('le','la','de','et','les'))) > "
     "GREATEST(len(list_filter(t, x -> x IN ('the','a','and','of','to'))), "
     "len(list_filter(t, x -> x IN ('el','la','de','que','y'))), "
@@ -1266,7 +1273,15 @@ def _lang_scores_duck() -> str:
     "len(list_filter(t, x -> x IN ('el','la','de','que','y')))) THEN 'de' "
     "WHEN len(list_filter(t, x -> x IN ('el','la','de','que','y'))) > "
     "len(list_filter(t, x -> x IN ('the','a','and','of','to'))) THEN 'es' "
-    "ELSE 'en' END AS pred_lang FROM toks",
+    "ELSE 'en' END"
+)
+
+
+@query(
+    "langid",
+    _with(f"toks AS ({_TOKS_DUCK})")
+    + f"SELECT doc_id, lang, {_lang_scores_duck()}, "
+    f"{_PRED_LANG_CASE_DUCK} AS pred_lang FROM toks",
 )
 def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram/stopword language-ID heuristic with deterministic argmax."""
@@ -1301,6 +1316,59 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rgr_pdal_topo_spark.sources.tables import load_table
 
     return dedup.exact_duplicates(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "corpus_pipeline",
+    _with(
+        f"toks AS ({_TOKS_DUCK})",
+        "winners AS (SELECT MIN(doc_id) AS doc_id FROM documents "
+        "GROUP BY md5(text))",
+        "kept AS (SELECT toks.* FROM toks JOIN winners USING (doc_id))",
+        "scored AS (SELECT doc_id, len(t) AS n_tokens, "
+        "CAST(list_sum(list_transform(t, x -> CAST(ceil(length(x) / 4.0) "
+        "AS BIGINT))) AS BIGINT) AS bpe, "
+        f"{_KEEP_CASE_DUCK} AS keep, "
+        f"{_PRED_LANG_CASE_DUCK} AS pred_lang FROM kept)",
+    )
+    + "SELECT pred_lang, COUNT(*) AS n_docs, "
+    "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
+    "CAST(SUM(bpe) AS BIGINT) AS total_bpe_tokens "
+    "FROM scored WHERE keep = 1 GROUP BY pred_lang",
+)
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline composed END TO END in one plan:
+    exact dedup (keep the min-doc_id copy per content digest) ->
+    C4-style quality gate -> language-ID -> per-predicted-language
+    document and token totals.  Each stage is verified solo elsewhere
+    (dedup_exact, quality_filter, langid, text_stats); this query pins
+    that they COMPOSE — same single-spelling oracle fragments, so any
+    drift between solo and composed semantics fails parity.
+
+    Scale shape: the digest groupBy shuffles 32-char digests (never
+    bodies), the winner semi-join co-partitions on doc_id, and the
+    quality+langid stage is one columnar pass (no UDF, no second
+    tokenize — quality_filter's stats reuse the same split), ending in
+    a 4-row partial+final agg."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    winners = docs.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = docs.join(winners.select("doc_id"), "doc_id", "left_semi")
+    qf = textstats.quality_filter(kept).filter(F.col("keep") == 1)
+    lid = textstats.langid_scores(kept).select("doc_id", "pred_lang")
+    return (
+        qf.join(lid, "doc_id")
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum("bpe_tokens_est").alias("total_bpe_tokens"),
+        )
+    )
+
 
 # Shingle/token ids are md5 -> base-16 Horner fold mod 2^31-1
 # (dedup.horner_hash_sql): pure built-ins, identical in both engines, and —
