@@ -3434,9 +3434,10 @@ DRIVER_WINDOW: list[str] = [
 # resample_near/average, reproject_mercator, pip_stats, the TPC-H
 # variants, embedding_buckets, lang_dist, cosine_topk_lsh/_ivf,
 # s2_cell_index, frame_sample, resize_images, points_assign,
-# dedup_clusters, and the manifest family (manifest_scan,
-# manifest_bbox_scan, manifest_time_scan, manifest_incremental —
-# the Iceberg-lite file-skipping/incremental layer, prime candidates).
+# dedup_clusters, corpus_pipeline (the composed dedup->quality->langid
+# plan), and the manifest family (manifest_scan, manifest_bbox_scan,
+# manifest_time_scan, manifest_incremental — the Iceberg-lite
+# file-skipping/incremental layer, prime candidates).
 
 
 def _reorder_registration() -> None:
