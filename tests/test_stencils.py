@@ -103,6 +103,36 @@ def test_tile_size_invariance(spark, dem_df):
     np.testing.assert_allclose(ga, gb, rtol=0, atol=0, equal_nan=True)
 
 
+def test_arrow_pandas_transport_bit_exact(spark, dem_df):
+    """applyInArrow and applyInPandas transports share one tile core and
+    must be bit-for-bit identical — incl. NaN positions and masked
+    (NULL-value) input cells."""
+    import pyspark.sql.functions as F
+
+    masked = dem_df.withColumn(
+        "value",
+        F.when((F.col("cell_row") * 97 + F.col("cell_col")) % 13 == 5, None)
+        .otherwise(F.col("value")),
+    )
+    specs = {
+        "hs": ("hillshade", {}),
+        "tpi": ("tpi", {"inner_radius": 10.0, "outer_radius": 30.0}),
+        "med": ("windowed_median", {"pixel_width": 5}),
+    }
+    key = ["cell_row", "cell_col"]
+    a = (run_stencils(masked, GRID, specs, tile_cells=32, transport="arrow")
+         .toPandas().sort_values(key).reset_index(drop=True))
+    p = (run_stencils(masked, GRID, specs, tile_cells=32, transport="pandas")
+         .toPandas().sort_values(key).reset_index(drop=True))
+    assert len(a) == len(p) == GRID.nrows * GRID.ncols
+    for c in specs:
+        assert np.array_equal(
+            a[c].to_numpy().view("int64"), p[c].to_numpy().view("int64")
+        ), c
+    with pytest.raises(ValueError, match="transport"):
+        run_stencils(dem_df, GRID, specs, transport="rowwise")
+
+
 def test_multi_kernel_single_shuffle(spark, dem_df):
     out = run_stencils(
         dem_df,
