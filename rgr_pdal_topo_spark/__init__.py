@@ -10,7 +10,8 @@ such a table needs.
 
 Design rules (see SURVEY.md):
   * DataFrame / Spark SQL only — no RDDs, no per-row Python UDFs.
-  * Python reached only through Arrow-vectorized pandas UDFs / applyInPandas,
+  * Python reached only through Arrow-vectorized UDFs (applyInArrow /
+    applyInPandas / pandas_udf),
     and only where built-in operators cannot express the semantics
     (tile-local stencil kernels, exact geometry tests).
   * Every spatial operator is cell-prefiltered so the expensive exact test

@@ -7,7 +7,8 @@ kernels eagerly per grid (dem.py).  Here the same shape is Spark-native:
   1. long-form grid rows are assigned to their home tile AND replicated
      into the halo region of up-to-3 neighboring tiles (a deliberate
      row-duplication transform — Catalyst cannot invent it, SURVEY.md §4);
-  2. one ``applyInPandas`` group per tile materializes a dense
+  2. one grouped-map stage per tile (``applyInArrow`` by default,
+     ``applyInPandas`` spelling available) materializes a dense
      (T+2h) x (T+2h) float64 array (NaN = missing/NoData) and runs the
      *identical* reference kernel (functions/kernels.py);
   3. each tile emits only its own core cells, so the union over tiles is

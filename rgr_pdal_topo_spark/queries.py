@@ -830,7 +830,7 @@ def _nan_to_null(df: DataFrame, cols: list[str]) -> DataFrame:
 )
 def q_slope_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/W2/W5: slopes + hillshade over the mean DEM — runs the tiled
-    applyInPandas stencil engine (edge-repeat BC, dem.py:162-186, 259-291).
+    applyInArrow stencil engine (edge-repeat BC, dem.py:162-186, 259-291).
     """
     from rgr_pdal_topo_spark.operators.stencils import run_stencils
 
@@ -1121,7 +1121,7 @@ def q_stencil_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseGrid.py:1198-1229).
 
     Plan shape: the eleven DEM kernels share ONE halo-replication shuffle
-    + ONE applyInPandas stage (halo = max over kernels = 6); the mask
+    + ONE grouped applyInArrow stage (halo = max over kernels = 6); the mask
     kernel runs over a different input grid (the dense 0/1 presence
     mask), so it is a second tiled pass joined back on the cell key —
     both sides carry identical tiling, so the join co-locates under
