@@ -78,8 +78,11 @@ Q13 = 8192.0     # 2^13: hashed-output step (IDW family, binary generic)
 
 
 def quant_sql(expr: str, scale: float) -> str:
-    """Half-up quantize ``expr`` onto the 1/scale binary grid (SQL)."""
-    return f"CAST(FLOOR({expr} * {scale!r} + 0.5) AS DOUBLE) / {scale!r}"
+    """Half-up quantize ``expr`` onto the 1/scale binary grid (SQL).
+    ``expr`` is parenthesized: compound expressions (a - b / c) must not
+    rebind against the scale multiply (caught live: an unparenthesized
+    TPI expr turned s_ann / 8.0 * 8192.0 into s_ann * 1024)."""
+    return f"CAST(FLOOR(({expr}) * {scale!r} + 0.5) AS DOUBLE) / {scale!r}"
 
 
 def quant_col(c: Column, scale: float) -> Column:
@@ -90,8 +93,9 @@ def quant_col(c: Column, scale: float) -> Column:
 
 
 def qint_sql(expr: str, scale: float) -> str:
-    """Half-up integer units of 1/scale (SQL)."""
-    return f"CAST(FLOOR({expr} * {scale!r} + 0.5) AS BIGINT)"
+    """Half-up integer units of 1/scale (SQL; expr parenthesized, see
+    quant_sql)."""
+    return f"CAST(FLOOR(({expr}) * {scale!r} + 0.5) AS BIGINT)"
 
 
 def qint_col(c: Column, scale: float) -> Column:
@@ -805,6 +809,27 @@ _SLOPES_DUCK = (
     "SELECT cell_row, cell_col, value, (rv - lv) / 20.0 AS sx, "
     "(nv - sv) / 20.0 AS sy FROM nbrs"
 )
+# raw (unrounded) slope magnitude over a `slopes` row — ONE spelling shared
+# by slope_hillshade and terrain_pipeline (single-spelling rationale:
+# solo/composed oracle drift must be impossible)
+_SMAG_RAW_DUCK = "SQRT(sx * sx + sy * sy)"
+# TPI annulus CTEs + raw expression over `dense` — shared by tpi and
+# terrain_pipeline likewise (84-member annulus in a 13x13 kernel; the
+# n_any = 169 gate mirrors ndi.convolve NaN propagation)
+_TPI_CTES_DUCK = (
+    f"offs AS ({_offsets_duck(6, exclude_center=False)}), "
+    "ann AS (SELECT dr, dc, SQRT((dr * 10.0) * (dr * 10.0) + (dc * 10.0) * "
+    "(dc * 10.0)) AS dist FROM offs), "
+    "win AS (SELECT d.cell_row, d.cell_col, d.value, "
+    "COUNT(n.value) AS n_any, "
+    "SUM(CASE WHEN a.dist > 30.0 AND a.dist <= 60.0 THEN n.value END) AS s_ann, "
+    "COUNT(CASE WHEN a.dist > 30.0 AND a.dist <= 60.0 THEN n.value END) AS n_ann "
+    "FROM dense d JOIN ann a ON TRUE "
+    "LEFT JOIN dense n ON n.cell_row = d.cell_row + a.dr "
+    "AND n.cell_col = d.cell_col + a.dc "
+    "GROUP BY d.cell_row, d.cell_col, d.value)"
+)
+_TPI_RAW_DUCK = "value - s_ann / 84.0"
 
 
 def _nan_to_null(df: DataFrame, cols: list[str]) -> DataFrame:
@@ -821,10 +846,10 @@ def _nan_to_null(df: DataFrame, cols: list[str]) -> DataFrame:
     + f", gmean AS ({GRID_MEAN_CTE}), dense AS ({_DENSE_DUCK}), "
     f"nbrs AS ({_NBRS_DUCK}), slopes AS ({_SLOPES_DUCK}) "
     "SELECT cell_row, cell_col, ROUND(sx, 6) AS sx, ROUND(sy, 6) AS sy, "
-    "ROUND(SQRT(sx * sx + sy * sy), 6) AS smag, "
+    f"ROUND({_SMAG_RAW_DUCK}, 6) AS smag, "
     "CASE WHEN value IS NULL THEN NULL ELSE ROUND(255.0 * ("
-    f"{_SIN_ALT} * SIN(PI() / 2.0 - ATAN(SQRT(sx * sx + sy * sy))) + "
-    f"{_COS_ALT} * COS(PI() / 2.0 - ATAN(SQRT(sx * sx + sy * sy))) * "
+    f"{_SIN_ALT} * SIN(PI() / 2.0 - ATAN({_SMAG_RAW_DUCK})) + "
+    f"{_COS_ALT} * COS(PI() / 2.0 - ATAN({_SMAG_RAW_DUCK})) * "
     f"COS({_AZC} - ATAN2(sy, sx))), 4) END AS hillshade "
     "FROM slopes",
 )
@@ -891,19 +916,9 @@ def q_windowed_std(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tpi",
     _BASE.rstrip()
     + f", gmean AS ({GRID_MEAN_CTE}), dense AS ({_DENSE_DUCK}), "
-    f"offs AS ({_offsets_duck(6, exclude_center=False)}), "
-    "ann AS (SELECT dr, dc, SQRT((dr * 10.0) * (dr * 10.0) + (dc * 10.0) * "
-    "(dc * 10.0)) AS dist FROM offs), "
-    "win AS (SELECT d.cell_row, d.cell_col, d.value, "
-    "COUNT(n.value) AS n_any, "
-    "SUM(CASE WHEN a.dist > 30.0 AND a.dist <= 60.0 THEN n.value END) AS s_ann, "
-    "COUNT(CASE WHEN a.dist > 30.0 AND a.dist <= 60.0 THEN n.value END) AS n_ann "
-    "FROM dense d JOIN ann a ON TRUE "
-    "LEFT JOIN dense n ON n.cell_row = d.cell_row + a.dr "
-    "AND n.cell_col = d.cell_col + a.dc "
-    "GROUP BY d.cell_row, d.cell_col, d.value) "
+    f"{_TPI_CTES_DUCK} "
     "SELECT cell_row, cell_col, CASE WHEN n_any = 169 "
-    "THEN ROUND(value - s_ann / 84.0, 6) + 0 ELSE NULL END AS tpi FROM win",
+    f"THEN ROUND({_TPI_RAW_DUCK}, 6) + 0 ELSE NULL END AS tpi FROM win",
 )
 def q_tpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W13: TPI annulus (inner 30 m, outer 60 m at 10 m cells -> 84 annulus
@@ -924,6 +939,16 @@ def q_tpi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = out.select("cell_row", "cell_col", F.round("tpi", 6).alias("tpi"))
     return _nan_to_null(out, ["tpi"])
+
+
+# ground-return mean DEM (points2grid over cls = 2, z pre-quantized to the
+# 2^-20 binary grid so per-cell sums are exact — same doctrine as
+# GRID_MEAN_CTE); pairs with zq(pts.filter('cls = 2')) on the engine side
+GRID_MEAN_GROUND_CTE = (
+    f"SELECT cell_row, cell_col, SUM({ZQ_SQL}) / COUNT(*) AS value, "
+    "COUNT(*) AS n FROM cells WHERE cls = 2 GROUP BY cell_row, cell_col"
+)
+
 
 
 # ---------------------------------------------------------------------------
@@ -1066,6 +1091,9 @@ _TPIW_DUCK = (
     "AND n.cell_col = d.cell_col + a.dc "
     "GROUP BY d.cell_row, d.cell_col, d.value"
 )
+# raw 5x5 TPI over a `tpiw t` row — ONE spelling shared by stencil_suite
+# and terrain_pipeline (8 annulus members, kernel divisor 8.0)
+_TPI5_RAW_DUCK = "t.value - t.s_ann / 8.0"
 
 
 # the suite's DEM is quantized to 2^-20 m (exact binary grid): every
@@ -1104,7 +1132,7 @@ _GQUANT_CTE = (
     "CASE WHEN g.n_valid = 81 THEN ROUND(g.s, 4) + 0 END AS gauss, "
     "CASE WHEN w.n_valid = 25 THEN w.sd END AS wstd, "
     "CASE WHEN w.n_valid = 25 THEN w.med END AS wmed, "
-    "CASE WHEN t.n_any = 25 THEN ROUND(t.value - t.s_ann / 8.0, 6) + 0 "
+    f"CASE WHEN t.n_any = 25 THEN ROUND({_TPI5_RAW_DUCK}, 6) + 0 "
     "END AS tpi, m.mask_edge "
     "FROM lapasp l "
     "JOIN ccout c ON c.cell_row = l.cell_row AND c.cell_col = l.cell_col "
@@ -1185,6 +1213,116 @@ def q_stencil_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         ["laplacian", "aspect", "contour_curv", "wsx", "wsy", "wsmag",
          "wlap", "gauss", "wstd", "wmed", "tpi", "mask_edge"],
+    )
+
+
+@query(
+    "terrain_pipeline",
+    _with(
+        f"pts AS ({PTS})",
+        f"cells AS ({CELLS})",
+        f"gmean AS ({GRID_MEAN_GROUND_CTE})",
+        f"gq AS ({_GQUANT_CTE})",
+        f"dense AS MATERIALIZED ({_DENSE_DUCK_Q})",
+        f"nbrs AS ({_NBRS_DUCK})",
+        f"slopes AS ({_SLOPES_DUCK})",
+        f"offs5 AS ({_offsets_duck(2, exclude_center=False)})",
+        "ann AS (SELECT dr, dc, SQRT((dr * 10.0) * (dr * 10.0) + "
+        "(dc * 10.0) * (dc * 10.0)) AS dist FROM offs5)",
+        f"tpiw AS ({_TPIW_DUCK})",
+        "cellm AS (SELECT s.cell_row, s.cell_col, "
+        f"{qint_sql(_SMAG_RAW_DUCK, Q13)} AS smag_q, "
+        f"CASE WHEN t.n_any = 25 THEN {qint_sql(_TPI5_RAW_DUCK, Q13)} "
+        "ELSE NULL END AS tpi_q "
+        "FROM slopes s JOIN tpiw t ON t.cell_row = s.cell_row "
+        "AND t.cell_col = s.cell_col)",
+        f"poly AS ({_POLY})",
+        "joined AS (SELECT p.*, c.smag_q, c.tpi_q FROM cells p "
+        "LEFT JOIN cellm c ON c.cell_row = p.cell_row "
+        "AND c.cell_col = p.cell_col WHERE p.cls <> 7)",
+    )
+    + "SELECT g.polygon_id, g.unit, COUNT(*) AS n_points, "
+    "ROUND(SUM(p.z) / COUNT(*), 6) AS mean_z, "
+    "COUNT(p.smag_q) AS n_slope_pts, "
+    "ROUND(CAST(SUM(p.smag_q) AS DOUBLE) / COUNT(p.smag_q) / 8192.0, 6) "
+    "+ 0 AS mean_slope, "
+    "COUNT(p.tpi_q) AS n_tpi_pts, "
+    "ROUND(CAST(SUM(p.tpi_q) AS DOUBLE) / COUNT(p.tpi_q) / 8192.0, 6) "
+    "+ 0 AS mean_tpi "
+    "FROM joined p JOIN poly g ON "
+    "p.x >= g.xmin AND p.x < g.xmin + g.width AND "
+    "p.y >= g.ymin AND p.y < g.ymin + g.height "
+    "GROUP BY g.polygon_id, g.unit",
+)
+def q_terrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's full geomorphology pipeline composed END TO END in
+    one oracle-backed plan (the geospatial twin of corpus_pipeline):
+    noise filter -> ground-return mean DEM (points2grid) -> tiled
+    slope-magnitude + TPI stencils -> point->cell enrichment ->
+    point-in-polygon join -> per-map-unit statistics (the ClusterScarp /
+    FanRoughness pattern, clusterScarps.py + pointCloudCreation.py end to
+    end).  Every stage is driver-verified solo (filter_noise, grid_mean,
+    slope_hillshade, stencil_suite, pip_stats); this query pins that they
+    COMPOSE, via the same shared-fragment oracle spelling corpus_pipeline
+    uses (_SMAG_RAW_DUCK / _TPI5_RAW_DUCK / _GQUANT_CTE / _TPIW_DUCK).
+
+    Bit-stability (the full r3 doctrine in one query): z is Q20-quantized
+    before the DEM mean (exact per-cell sums), the DEM is re-quantized to
+    Q20 after the mean so the TPI annulus SUM is exact (stencil_suite's
+    lesson), slope is a chain of exact differences and correctly-rounded
+    single ops (bit-equal by construction), and both stencil outputs are
+    quantized to the 2^-13 binary grid BEFORE the per-polygon averages —
+    integer sums, so aggregation order cannot perturb the result.  The
+    5x5 (10 m / 20 m) TPI annulus keeps the column non-vacuous at driver
+    density (the 13x13 gate of the solo tpi query never fills there).
+    Hillshade is deliberately excluded: its trig-chain parity is
+    ROUND-guarded, not arithmetic, and composing it under a further
+    aggregate would compound that risk; it stays driver-verified solo.
+
+    Scale shape: one partial+final agg for the DEM, ONE halo-replication
+    shuffle for both stencil kernels (applyInArrow tiles), a broadcast
+    range join for PIP, and a small final agg — no driver collect, no
+    per-row Python."""
+    from rgr_pdal_topo_spark.operators import gridding, joins
+    from rgr_pdal_topo_spark.operators.stencils import run_stencils
+    from rgr_pdal_topo_spark.synth import points_df, polygons_df
+
+    pts = points_df(spark, sf_dir)
+    dem = gridding.grid_points(
+        zq(pts.filter("cls = 2")), G, output_type="mean"
+    ).withColumn("value", quant_col(F.col("value"), Q20))
+    metrics = run_stencils(
+        dem,
+        G,
+        {
+            "smag": ("slope_mag", {}),
+            "tpi_v": ("tpi", {"inner_radius": 10.0, "outer_radius": 20.0}),
+        },
+        tile_cells=50,
+    )
+    metrics = _nan_to_null(metrics, ["smag", "tpi_v"])
+    metrics = metrics.select(
+        "cell_row",
+        "cell_col",
+        qint_col(F.col("smag"), Q13).alias("smag_q"),
+        qint_col(F.col("tpi_v"), Q13).alias("tpi_q"),
+    )
+    fpts = gridding.with_cell(pts.filter("cls <> 7"), G)
+    joined = fpts.join(metrics, ["cell_row", "cell_col"], "left")
+    pip = joins.pip_join_rect(joined, polygons_df(spark, sf_dir))
+    return pip.groupBy("polygon_id", "unit").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("z") / F.count(F.lit(1)), 6).alias("mean_z"),
+        F.count("smag_q").alias("n_slope_pts"),
+        F.round(
+            F.sum("smag_q").cast("double") / F.count("smag_q")
+            / F.lit(8192.0), 6,
+        ).alias("mean_slope"),
+        F.count("tpi_q").alias("n_tpi_pts"),
+        F.round(
+            F.sum("tpi_q").cast("double") / F.count("tpi_q")
+            / F.lit(8192.0), 6,
+        ).alias("mean_tpi"),
     )
 
 
@@ -3435,9 +3573,11 @@ DRIVER_WINDOW: list[str] = [
 # variants, embedding_buckets, lang_dist, cosine_topk_lsh/_ivf,
 # s2_cell_index, frame_sample, resize_images, points_assign,
 # dedup_clusters, corpus_pipeline (the composed dedup->quality->langid
-# plan), and the manifest family (manifest_scan, manifest_bbox_scan,
-# manifest_time_scan, manifest_incremental — the Iceberg-lite
-# file-skipping/incremental layer, prime candidates).
+# plan), terrain_pipeline (the composed noise->DEM->stencil->PIP->stats
+# plan — the flagship, prime candidate), and the manifest family
+# (manifest_scan, manifest_bbox_scan, manifest_time_scan,
+# manifest_incremental — the Iceberg-lite file-skipping/incremental
+# layer, prime candidates).
 
 
 def _reorder_registration() -> None:

@@ -173,12 +173,17 @@ def test_multimodal_features_single_python_stage(spark):
 
 
 def test_stencil_suite_two_arrow_stages(spark):
-    """Eleven DEM kernels must share ONE applyInPandas stage (plus one for
-    the mask grid) — per-kernel stages would multiply the halo shuffle."""
+    """Eleven DEM kernels must share ONE grouped-map stage (plus one for
+    the mask grid) — per-kernel stages would multiply the halo shuffle.
+    The stencil engine defaults to applyInArrow (FlatMapGroupsInArrow);
+    count both spellings so a transport change can't hide extra stages."""
     from rgr_pdal_topo_spark.queries import QUERIES
 
     plan = _plan(QUERIES["stencil_suite"](spark, SF_DIR))
-    assert plan.count("FlatMapGroupsInPandas") == 2
+    n_grouped = plan.count("FlatMapGroupsInArrow") + plan.count(
+        "FlatMapGroupsInPandas"
+    )
+    assert n_grouped == 2
     assert "CartesianProduct" not in plan
 
 
