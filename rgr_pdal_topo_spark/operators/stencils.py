@@ -197,8 +197,13 @@ def run_stencils(
             data.column("cell_col").to_numpy().astype("int64"),
             data.column("value").to_numpy().astype("float64"),
         )
+        # from_pandas=True converts NaN -> NULL, matching what the
+        # applyInPandas serializer does implicitly: both transports must
+        # emit the SAME null mask (missing cell = SQL NULL, never NaN)
+        # or the default-transport switch would silently change the
+        # engine's output contract.
         return pa.table(
-            {k: pa.array(v) for k, v in out.items()}
+            {k: pa.array(v, from_pandas=True) for k, v in out.items()}
         )
 
     tiles = _materialize_with_halo(grid_df, grid, tile_cells, halo)

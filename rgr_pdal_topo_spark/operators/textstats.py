@@ -21,16 +21,17 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 STOPWORDS_FLAT = tuple(sorted({w for ws in LANG_STOPWORDS.values() for w in ws}))
 
 
-def text_stats(documents: DataFrame) -> DataFrame:
-    """Per-doc quality statistics: token counts, average token length,
-    stopword ratio, distinct-token ratio, BPE-ish token estimate
-    (sum of ceil(len(tok)/4))."""
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+def _toks():
+    """The ONE tokenizer spelling (whitespace split, empties dropped)."""
+    return F.filter(F.split(F.col("text"), " "), lambda t: t != "")
+
+
+def _stat_cols(toks) -> list:
+    """text_stats' output columns as expressions over a token array —
+    shared by text_stats and the one-pass quality_langid."""
     stop_list = F.array(*[F.lit(w) for w in STOPWORDS_FLAT])
     n_tokens = F.size(toks)
-    return documents.select(
-        "doc_id",
-        "lang",
+    return [
         F.length("text").alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
@@ -47,7 +48,52 @@ def text_stats(documents: DataFrame) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)),
         ).alias("bpe_tokens_est"),
-    )
+    ]
+
+
+def _keep_expr(
+    min_tokens: int, max_avg_token_len: float, min_distinct_ratio: float
+):
+    """C4 keep decision over already-computed stat columns."""
+    return (
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("avg_token_len") <= max_avg_token_len)
+        & (
+            F.col("n_distinct_tokens") / F.col("n_tokens").cast("double")
+            >= min_distinct_ratio
+        )
+    ).cast("int")
+
+
+def _score_cols(toks) -> list:
+    """Per-language stopword-profile score columns."""
+    cols = []
+    for code, words in LANG_STOPWORDS.items():
+        arr = F.array(*[F.lit(w) for w in words])
+        cols.append(
+            F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+            .alias(f"score_{code}")
+        )
+    return cols
+
+
+def _pred_lang_expr():
+    """Deterministic argmax over score_* columns: highest wins, ties by
+    the explicit preference order en < es < de < fr."""
+    pred = F.lit("en")
+    best = F.col("score_en")
+    for code in ("es", "de", "fr"):
+        cond = F.col(f"score_{code}") > best
+        pred = F.when(cond, F.lit(code)).otherwise(pred)
+        best = F.when(cond, F.col(f"score_{code}")).otherwise(best)
+    return pred
+
+
+def text_stats(documents: DataFrame) -> DataFrame:
+    """Per-doc quality statistics: token counts, average token length,
+    stopword ratio, distinct-token ratio, BPE-ish token estimate
+    (sum of ceil(len(tok)/4))."""
+    return documents.select("doc_id", "lang", *_stat_cols(_toks()))
 
 
 def quality_filter(
@@ -58,15 +104,10 @@ def quality_filter(
 ) -> DataFrame:
     """C4-style heuristic keep/drop decision as a column (keep=1)."""
     s = text_stats(documents)
-    keep = (
-        (F.col("n_tokens") >= min_tokens)
-        & (F.col("avg_token_len") <= max_avg_token_len)
-        & (
-            F.col("n_distinct_tokens") / F.col("n_tokens").cast("double")
-            >= min_distinct_ratio
-        )
+    return s.withColumn(
+        "keep",
+        _keep_expr(min_tokens, max_avg_token_len, min_distinct_ratio),
     )
-    return s.withColumn("keep", keep.cast("int"))
 
 
 def langid_scores(documents: DataFrame) -> DataFrame:
@@ -74,24 +115,31 @@ def langid_scores(documents: DataFrame) -> DataFrame:
 
     Deterministic tie-break: highest score wins, ties resolved by language
     code order (en < es < de < fr by explicit preference list order)."""
-    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != "")
-    df = documents.select("doc_id", "lang", toks.alias("toks"))
-    score_cols = []
-    for code, words in LANG_STOPWORDS.items():
-        arr = F.array(*[F.lit(w) for w in words])
-        score_cols.append(
-            F.size(F.filter(F.col("toks"), lambda t: F.array_contains(arr, t)))
-            .alias(f"score_{code}")
-        )
-    df = df.select("doc_id", "lang", *score_cols)
-    # argmax with fixed preference order
-    pred = F.lit("en")
-    best = F.col("score_en")
-    for code in ("es", "de", "fr"):
-        cond = F.col(f"score_{code}") > best
-        pred = F.when(cond, F.lit(code)).otherwise(pred)
-        best = F.when(cond, F.col(f"score_{code}")).otherwise(best)
-    return df.withColumn("pred_lang", pred)
+    df = documents.select("doc_id", "lang", _toks().alias("toks"))
+    df = df.select("doc_id", "lang", *_score_cols(F.col("toks")))
+    return df.withColumn("pred_lang", _pred_lang_expr())
+
+
+def quality_langid(
+    documents: DataFrame,
+    min_tokens: int = 20,
+    max_avg_token_len: float = 12.0,
+    min_distinct_ratio: float = 0.1,
+) -> DataFrame:
+    """quality_filter + langid_scores in ONE projection over ONE scan:
+    the composed-pipeline spelling.  Joining the two solo operators on
+    doc_id would rescan and retokenize every document and add a join
+    shuffle; here codegen's common-subexpression elimination computes the
+    token split once per row and every downstream column reads it.  Same
+    expression builders as the solo operators, so semantics cannot
+    drift."""
+    s = documents.select(
+        "doc_id", "lang", *_stat_cols(_toks()), *_score_cols(_toks())
+    )
+    return s.withColumn(
+        "keep",
+        _keep_expr(min_tokens, max_avg_token_len, min_distinct_ratio),
+    ).withColumn("pred_lang", _pred_lang_expr())
 
 
 def doc_fingerprint(documents: DataFrame) -> DataFrame:

@@ -780,7 +780,7 @@ _shared_sql(
 
 # ---------------------------------------------------------------------------
 # W1/W2/W5 + W11 + W13: stencil queries — Spark side runs the tiled
-# applyInPandas engine (operators/stencils.py); oracle recomputes via
+# applyInArrow engine (operators/stencils.py); oracle recomputes via
 # window functions / neighbor-offset joins on the densified grid.
 # NaN (engine) <-> NULL (SQL) normalized on output.
 # ---------------------------------------------------------------------------
@@ -953,7 +953,7 @@ GRID_MEAN_GROUND_CTE = (
 
 # ---------------------------------------------------------------------------
 # stencil_suite: W3/W4/W6/W7-W9/W10/W11/W12/W13/W14 in ONE oracle-backed
-# query — every remaining stencil kernel through the tiled applyInPandas
+# query — every remaining stencil kernel through the tiled applyInArrow
 # engine, each with a neighbor-join SQL twin (the smrf_ground morphology
 # oracle proved the pattern).  The float-parity strategy per column:
 #   * pure +-*/sqrt chains (laplacian, contour curvature, windowed diffs,
@@ -1242,7 +1242,7 @@ def q_stencil_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "AND c.cell_col = p.cell_col WHERE p.cls <> 7)",
     )
     + "SELECT g.polygon_id, g.unit, COUNT(*) AS n_points, "
-    "ROUND(SUM(p.z) / COUNT(*), 6) AS mean_z, "
+    f"ROUND(SUM({quant_sql('p.z', Q20)}) / COUNT(*), 6) AS mean_z, "
     "COUNT(p.smag_q) AS n_slope_pts, "
     "ROUND(CAST(SUM(p.smag_q) AS DOUBLE) / COUNT(p.smag_q) / 8192.0, 6) "
     "+ 0 AS mean_slope, "
@@ -1310,9 +1310,14 @@ def q_terrain_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fpts = gridding.with_cell(pts.filter("cls <> 7"), G)
     joined = fpts.join(metrics, ["cell_row", "cell_col"], "left")
     pip = joins.pip_join_rect(joined, polygons_df(spark, sf_dir))
+    # Q20-quantize z before the polygon SUM (the DEM-mean doctrine): the
+    # sum is then exact, so partial-agg order cannot flip ROUND(,6) —
+    # pip_stats' raw-z spelling is safe only at driver group sizes
     return pip.groupBy("polygon_id", "unit").agg(
         F.count(F.lit(1)).alias("n_points"),
-        F.round(F.sum("z") / F.count(F.lit(1)), 6).alias("mean_z"),
+        F.round(
+            F.sum(quant_col(F.col("z"), Q20)) / F.count(F.lit(1)), 6
+        ).alias("mean_z"),
         F.count("smag_q").alias("n_slope_pts"),
         F.round(
             F.sum("smag_q").cast("double") / F.count("smag_q")
@@ -1485,9 +1490,10 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the digest groupBy shuffles 32-char digests (never
     bodies), the winner semi-join co-partitions on doc_id, and the
-    quality+langid stage is one columnar pass (no UDF, no second
-    tokenize — quality_filter's stats reuse the same split), ending in
-    a 4-row partial+final agg."""
+    quality+langid stage is textstats.quality_langid — ONE projection
+    over ONE scan (codegen CSE computes the token split once per row;
+    joining the solo operators would rescan + retokenize every document
+    and add a doc_id shuffle), ending in a tiny partial+final agg."""
     from rgr_pdal_topo_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1495,16 +1501,11 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").alias("doc_id")
     )
     kept = docs.join(winners.select("doc_id"), "doc_id", "left_semi")
-    qf = textstats.quality_filter(kept).filter(F.col("keep") == 1)
-    lid = textstats.langid_scores(kept).select("doc_id", "pred_lang")
-    return (
-        qf.join(lid, "doc_id")
-        .groupBy("pred_lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").alias("total_tokens"),
-            F.sum("bpe_tokens_est").alias("total_bpe_tokens"),
-        )
+    scored = textstats.quality_langid(kept).filter(F.col("keep") == 1)
+    return scored.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("bpe_tokens_est").alias("total_bpe_tokens"),
     )
 
 
@@ -2633,9 +2634,11 @@ def q_kmeans_scarp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from rgr_pdal_topo_spark.operators import raster as rasterops  # noqa: E402
 
+# single ground-DEM spelling: project the shared GRID_MEAN_GROUND_CTE
+# (defined with terrain_pipeline's fragments) down to the value column
 _GROUND_MEAN_CTE = (
-    f"SELECT cell_row, cell_col, SUM({ZQ_SQL}) / COUNT(*) AS value "
-    "FROM cells WHERE cls = 2 GROUP BY cell_row, cell_col"
+    "SELECT cell_row, cell_col, value FROM "
+    f"({GRID_MEAN_GROUND_CTE}) gg"
 )
 
 

@@ -120,10 +120,20 @@ def test_arrow_pandas_transport_bit_exact(spark, dem_df):
         "med": ("windowed_median", {"pixel_width": 5}),
     }
     key = ["cell_row", "cell_col"]
-    a = (run_stencils(masked, GRID, specs, tile_cells=32, transport="arrow")
-         .toPandas().sort_values(key).reset_index(drop=True))
-    p = (run_stencils(masked, GRID, specs, tile_cells=32, transport="pandas")
-         .toPandas().sort_values(key).reset_index(drop=True))
+    da = run_stencils(masked, GRID, specs, tile_cells=32, transport="arrow")
+    dp = run_stencils(masked, GRID, specs, tile_cells=32, transport="pandas")
+    # SQL-level null masks must agree BEFORE toPandas (which collapses
+    # NULL to NaN and would hide a transport that emits NaN where the
+    # other emits NULL — the exact bug from_pandas=True fixes)
+    import pyspark.sql.functions as SF
+    for c in specs:
+        na = da.select(SF.count(SF.when(SF.isnull(c), 1))).first()[0]
+        np_ = dp.select(SF.count(SF.when(SF.isnull(c), 1))).first()[0]
+        nana = da.select(SF.count(SF.when(SF.isnan(c), 1))).first()[0]
+        nanp = dp.select(SF.count(SF.when(SF.isnan(c), 1))).first()[0]
+        assert (na, nana) == (np_, nanp), (c, na, nana, np_, nanp)
+    a = da.toPandas().sort_values(key).reset_index(drop=True)
+    p = dp.toPandas().sort_values(key).reset_index(drop=True)
     assert len(a) == len(p) == GRID.nrows * GRID.ncols
     for c in specs:
         assert np.array_equal(
