@@ -47,6 +47,30 @@ WARC_EPOCH_SQL = f"CAST({EPOCH0} + doc_id * 37 AS BIGINT)"
 #: extraction regex: body paragraph content (lazy, RE2- and Java-compatible)
 EXTRACT_RE = "(?s)<p>(.*?)</p>"  # (?s): text may span lines
 
+# ---------------------------------------------------------------------------
+# geo-tagged page variant (north_star: cell ids batch-encoded from
+# coordinates extracted from each page).  Coordinates are embedded as
+# MILLI-DEGREE INTEGERS in an ICBM-style meta tag: integer -> string is
+# engine-identical (double formatting is NOT — Spark and DuckDB disagree
+# on trailing digits), so the page bytes, the regex capture, and the
+# derived lat/lon doubles (one correctly-rounded division each) are all
+# deterministic and bit-equal in both engines.
+# ---------------------------------------------------------------------------
+LAT_MILLI_SQL = "CAST((doc_id * 7919) % 160001 AS BIGINT) - 80000"
+LON_MILLI_SQL = "CAST((doc_id * 104729) % 360001 AS BIGINT) - 180000"
+GEO_HTML_SQL = (
+    "'<html lang=\"' || lang || '\"><head><title>doc-' || "
+    "CAST(doc_id AS STRING) || "
+    "'</title><meta name=\"ICBM\" content=\"' || "
+    f"CAST({LAT_MILLI_SQL} AS STRING) || ';' || "
+    f"CAST({LON_MILLI_SQL} AS STRING) || "
+    "'\"></head><body><p>' || "
+    f"{_ESCAPED_TEXT_SQL} || '</p></body></html>'"
+)
+#: geo capture: first match wins in both engines, and the head's meta tag
+#: precedes any body text that could contain a look-alike substring
+GEO_RE = 'content="(-?\\d+);(-?\\d+)"'
+
 
 def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> the input_hint page table
@@ -59,6 +83,18 @@ def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"encode({HTML_SQL}, 'UTF-8') AS html",
         "text",
         "lang",
+        "doc_id",
+    )
+
+
+def geo_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> geo-tagged pages (url, html binary, doc_id) whose head
+    carries an ICBM meta tag with deterministic milli-degree coordinates;
+    input to the pages_geocode cell-encoding pipeline."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.selectExpr(
+        f"{URL_SQL} AS url",
+        f"encode({GEO_HTML_SQL}, 'UTF-8') AS html",
         "doc_id",
     )
 

@@ -3328,6 +3328,58 @@ def q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pages_geocode",
+    _with(
+        f"pages AS (SELECT {pagesops.URL_SQL} AS url, "
+        f"{pagesops.GEO_HTML_SQL} AS h FROM documents)",
+        "coords AS (SELECT url, "
+        f"CAST(regexp_extract(h, '{pagesops.GEO_RE}', 1) AS BIGINT) "
+        "AS lat_milli, "
+        f"CAST(regexp_extract(h, '{pagesops.GEO_RE}', 2) AS BIGINT) "
+        "AS lon_milli FROM pages)",
+        "geo AS (SELECT url, lat_milli, lon_milli, "
+        "CAST(lat_milli AS DOUBLE) / 1000.0 AS lat, "
+        "CAST(lon_milli AS DOUBLE) / 1000.0 AS lon FROM coords)",
+    )
+    + "SELECT url, lat_milli, lon_milli, "
+    + ", ".join(
+        f"{cellfn.quad_cell_sql('lon', 'lat', r)} AS h3_r{r}"
+        for r in (5, 8, 12)
+    )
+    + " FROM geo",
+)
+def q_pages_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north_star's geocoding stage LITERALLY: coordinates extracted
+    from each web page's own markup (regex over the binary html payload,
+    JVM-side — no Python), then batch-encoded to hierarchical cell ids at
+    res 5/8/12 (pointCloudCreation.py tiling keys re-expressed as the
+    F13 quadkey layer).  Coordinates travel as milli-degree integers so
+    every derived value — page bytes, captures, lat/lon doubles, cell
+    ids — is arithmetically bit-equal across engines (integer ops + one
+    correctly-rounded division + floor; no trig).
+
+    Scale shape: a pure scan -> project plan, zero shuffles, whole-stage
+    codegen end to end; at 10^12 pages this is embarrassingly parallel
+    and the cell ids are the partition keys every downstream spatial
+    stage buckets on."""
+    p = pagesops.geo_pages_df(spark, sf_dir)
+    h = F.decode(F.col("html"), "UTF-8")
+    lat_m = F.regexp_extract(h, pagesops.GEO_RE, 1).cast("long")
+    lon_m = F.regexp_extract(h, pagesops.GEO_RE, 2).cast("long")
+    lat = lat_m.cast("double") / F.lit(1000.0)
+    lon = lon_m.cast("double") / F.lit(1000.0)
+    return p.select(
+        "url",
+        lat_m.alias("lat_milli"),
+        lon_m.alias("lon_milli"),
+        *[
+            cellfn.quad_cell(lon, lat, r).alias(f"h3_r{r}")
+            for r in (5, 8, 12)
+        ],
+    )
+
+
 def _smrf_oracle_sql(max_window: int = 4, slope: float = 0.15,
                      dh: float = 0.5, n: int = 100, cell: float = 10.0,
                      prelude: str | None = None,

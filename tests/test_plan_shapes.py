@@ -187,6 +187,17 @@ def test_stencil_suite_two_arrow_stages(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_pages_geocode_zero_shuffle_no_python(spark):
+    """Geocoding pages into cell ids is a pure scan -> project: any
+    Exchange or Python worker here would serialize 10^12 rows for
+    nothing."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["pages_geocode"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
 def test_points_decimate_is_scan_side(spark):
     """Hash-rank decimation must stay a zero-shuffle, Python-free filter
     evaluated at the scan."""
