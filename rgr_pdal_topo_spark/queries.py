@@ -3380,6 +3380,60 @@ def q_pages_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# page lon/lat -> the polygon layer's [0,1000]^2 plane: a linear map of
+# exact-integer milli-degrees (every op correctly rounded, no trig) —
+# shared spelling for pages_pip's Spark and SQL sides
+_PAGE_X_SQL = "(CAST(lon_milli AS DOUBLE) / 1000.0 + 180.0) / 360.0 * 1000.0"
+_PAGE_Y_SQL = "(CAST(lat_milli AS DOUBLE) / 1000.0 + 90.0) / 180.0 * 1000.0"
+
+
+@query(
+    "pages_pip",
+    _with(
+        f"pages AS (SELECT {pagesops.URL_SQL} AS url, "
+        f"{pagesops.GEO_HTML_SQL} AS h FROM documents)",
+        "coords AS (SELECT url, "
+        f"CAST(regexp_extract(h, '{pagesops.GEO_RE}', 1) AS BIGINT) "
+        "AS lat_milli, "
+        f"CAST(regexp_extract(h, '{pagesops.GEO_RE}', 2) AS BIGINT) "
+        "AS lon_milli FROM pages)",
+        f"recs AS (SELECT url, {_PAGE_X_SQL} AS x, {_PAGE_Y_SQL} AS y "
+        "FROM coords)",
+        f"poly AS ({_POLY})",
+    )
+    + "SELECT g.polygon_id, g.unit, COUNT(*) AS n_pages "
+    "FROM recs p JOIN poly g ON "
+    "p.x >= g.xmin AND p.x < g.xmin + g.width AND "
+    "p.y >= g.ymin AND p.y < g.ymin + g.height "
+    "GROUP BY g.polygon_id, g.unit",
+)
+def q_pages_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north_star's records-vs-polygons join LITERALLY: web pages
+    (coordinates extracted from their own markup, as pages_geocode) are
+    point-in-polygon joined against the map-unit polygon layer and
+    counted per unit (J1 over the webtext payload rather than the synth
+    point cloud).  All-integer output after an exact linear coordinate
+    map — no float aggregate anywhere.
+
+    Scale shape: scan -> project -> broadcast range join -> partial+final
+    count; the only shuffle is the tiny final aggregation."""
+    from rgr_pdal_topo_spark.synth import polygons_df
+
+    p = pagesops.geo_pages_df(spark, sf_dir)
+    h = F.decode(F.col("html"), "UTF-8")
+    recs = p.select(
+        "url",
+        F.regexp_extract(h, pagesops.GEO_RE, 1).cast("long")
+        .alias("lat_milli"),
+        F.regexp_extract(h, pagesops.GEO_RE, 2).cast("long")
+        .alias("lon_milli"),
+    ).selectExpr("url", f"{_PAGE_X_SQL} AS x", f"{_PAGE_Y_SQL} AS y")
+    pip = joins.pip_join_rect(recs, polygons_df(spark, sf_dir))
+    return pip.groupBy("polygon_id", "unit").agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+
+
 def _smrf_oracle_sql(max_window: int = 4, slope: float = 0.15,
                      dh: float = 0.5, n: int = 100, cell: float = 10.0,
                      prelude: str | None = None,
@@ -3629,10 +3683,11 @@ DRIVER_WINDOW: list[str] = [
 # s2_cell_index, frame_sample, resize_images, points_assign,
 # dedup_clusters, corpus_pipeline (the composed dedup->quality->langid
 # plan), terrain_pipeline (the composed noise->DEM->stencil->PIP->stats
-# plan — the flagship, prime candidate), and the manifest family
-# (manifest_scan, manifest_bbox_scan, manifest_time_scan,
-# manifest_incremental — the Iceberg-lite file-skipping/incremental
-# layer, prime candidates).
+# plan — the flagship, prime candidate), pages_geocode + pages_pip (the
+# north_star's page-geocoding and records-vs-polygons stages), and the
+# manifest family (manifest_scan, manifest_bbox_scan,
+# manifest_time_scan, manifest_incremental — the Iceberg-lite
+# file-skipping/incremental layer, prime candidates).
 
 
 def _reorder_registration() -> None:
