@@ -3434,6 +3434,54 @@ def q_pages_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pages_grid",
+    _with(
+        f"pages AS (SELECT {pagesops.URL_SQL} AS url, "
+        f"{pagesops.GEO_HTML_SQL} AS h FROM documents)",
+        "coords AS (SELECT url, "
+        f"CAST(regexp_extract(h, '{pagesops.GEO_RE}', 1) AS BIGINT) "
+        "AS lat_milli, "
+        f"CAST(regexp_extract(h, '{pagesops.GEO_RE}', 2) AS BIGINT) "
+        "AS lon_milli FROM pages)",
+        "geo AS (SELECT url, "
+        "CAST(lat_milli AS DOUBLE) / 1000.0 AS lat, "
+        "CAST(lon_milli AS DOUBLE) / 1000.0 AS lon FROM coords)",
+        "binned AS (SELECT url, "
+        f"{cellfn.quad_cell_sql('lon', 'lat', 5)} AS cell FROM geo)",
+    )
+    + "SELECT cell, COUNT(*) AS n_pages, "
+    "COUNT(DISTINCT regexp_extract(url, 'https://([^/]+)/', 1)) AS n_sites "
+    "FROM binned GROUP BY cell",
+)
+def q_pages_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north_star's points2grid binning applied to the record payload
+    itself: pages (coordinates extracted from their markup) gridded into
+    res-8 raster tiles with count-per-cell density and per-cell distinct
+    publishing sites (the count-variant of A2 over webtext; IDW/mean
+    variants need a z — they stay on the point cloud).  All-integer
+    output, so parity is arithmetic, not ROUND-guarded.
+
+    Scale shape: scan -> project -> ONE partial+final agg keyed by cell
+    id — the same key downstream spatial stages bucket on, so at 10^12
+    pages this materializes the density raster with a single shuffle;
+    distinct-site counts are partial per cell (no global distinct)."""
+    p = pagesops.geo_pages_df(spark, sf_dir)
+    h = F.decode(F.col("html"), "UTF-8")
+    lat = F.regexp_extract(h, pagesops.GEO_RE, 1).cast("long")\
+        .cast("double") / F.lit(1000.0)
+    lon = F.regexp_extract(h, pagesops.GEO_RE, 2).cast("long")\
+        .cast("double") / F.lit(1000.0)
+    binned = p.select(
+        "url", cellfn.quad_cell(lon, lat, 5).alias("cell")
+    )
+    site = F.regexp_extract(F.col("url"), "https://([^/]+)/", 1)
+    return binned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct(site).alias("n_sites"),
+    )
+
+
 def _smrf_oracle_sql(max_window: int = 4, slope: float = 0.15,
                      dh: float = 0.5, n: int = 100, cell: float = 10.0,
                      prelude: str | None = None,
