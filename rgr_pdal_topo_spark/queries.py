@@ -3731,8 +3731,9 @@ DRIVER_WINDOW: list[str] = [
 # s2_cell_index, frame_sample, resize_images, points_assign,
 # dedup_clusters, corpus_pipeline (the composed dedup->quality->langid
 # plan), terrain_pipeline (the composed noise->DEM->stencil->PIP->stats
-# plan — the flagship, prime candidate), pages_geocode + pages_pip (the
-# north_star's page-geocoding and records-vs-polygons stages), and the
+# plan — the flagship, prime candidate), pages_geocode + pages_pip +
+# pages_grid (the north_star's page-geocoding, records-vs-polygons and
+# record-gridding stages), and the
 # manifest family (manifest_scan, manifest_bbox_scan,
 # manifest_time_scan, manifest_incremental — the Iceberg-lite
 # file-skipping/incremental layer, prime candidates).

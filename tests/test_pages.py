@@ -40,6 +40,52 @@ def test_extract_handles_markup_and_newlines(spark):
     assert out.filter("extracted IS NULL OR extracted <> text").count() == 0
 
 
+def test_geo_capture_first_match_wins_over_body_lookalikes(spark):
+    """The ICBM capture must read the HEAD meta tag even when the body
+    text contains a look-alike content=\"a;b\" substring — both engines
+    take the FIRST regex match, and the meta precedes any body text."""
+    import tempfile
+
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    d = tempfile.mkdtemp()
+    df = pd.DataFrame(
+        {
+            # doc_id 0 pins the lattice edge: lat_milli = -80000,
+            # lon_milli = -180000
+            "doc_id": [0, 7, 123456],
+            "text": [
+                'decoy content="1;2" in plain text',
+                "no decoys here",
+                'content="999999;-999999" twice content="3;4"',
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [1] * 3,
+        }
+    )
+    spark.createDataFrame(df).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    p = pages.geo_pages_df(spark, d)
+    h = F.decode(F.col("html"), "UTF-8")
+    got = {
+        r["doc_id"]: (r["lat_m"], r["lon_m"])
+        for r in p.select(
+            "doc_id",
+            F.regexp_extract(h, pages.GEO_RE, 1).cast("long").alias("lat_m"),
+            F.regexp_extract(h, pages.GEO_RE, 2).cast("long").alias("lon_m"),
+        ).collect()
+    }
+    for doc_id in (0, 7, 123456):
+        exp_lat = (doc_id * 7919) % 160001 - 80000
+        exp_lon = (doc_id * 104729) % 360001 - 180000
+        assert got[doc_id] == (exp_lat, exp_lon), doc_id
+    # the embedded integers stay inside valid coordinate ranges
+    assert -80000 <= got[0][0] <= 80000 and -180000 <= got[0][1] <= 180000
+
+
 def test_extract_deterministic_across_runs(spark):
     a = pages.extract_text(pages.pages_df(spark, SF_DIR))
     b = pages.extract_text(pages.pages_df(spark, SF_DIR))
