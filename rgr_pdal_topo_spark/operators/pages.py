@@ -99,6 +99,32 @@ def geo_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def geo_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(url, lat_milli, lon_milli) captured back OUT of the geo pages'
+    binary html — the one Spark-side extraction spelling shared by every
+    pages_* query (decode -> regex -> integer cast, all JVM-side)."""
+    p = geo_pages_df(spark, sf_dir)
+    h = F.decode(F.col("html"), "UTF-8")
+    return p.select(
+        "url",
+        F.regexp_extract(h, GEO_RE, 1).cast("long").alias("lat_milli"),
+        F.regexp_extract(h, GEO_RE, 2).cast("long").alias("lon_milli"),
+    )
+
+
+def geo_lonlat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """geo_coords + degree doubles (one correctly-rounded division per
+    axis — bit-equal to the oracle's identical spelling)."""
+    c = geo_coords(spark, sf_dir)
+    return c.select(
+        "url",
+        "lat_milli",
+        "lon_milli",
+        (F.col("lat_milli").cast("double") / F.lit(1000.0)).alias("lat"),
+        (F.col("lon_milli").cast("double") / F.lit(1000.0)).alias("lon"),
+    )
+
+
 @pandas_udf(StringType())
 def _extract(html: pd.Series) -> pd.Series:
     decoded = html.apply(lambda b: b.decode("utf-8"))

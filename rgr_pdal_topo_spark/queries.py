@@ -3328,20 +3328,26 @@ def q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the geo-page extraction CTE chain — ONE spelling shared by the three
+# pages_* queries (pages -> regex capture -> milli ints -> degree doubles);
+# pairs with pages.geo_coords / pages.geo_lonlat on the engine side
+_GEO_CTES = (
+    f"pages AS (SELECT {pagesops.URL_SQL} AS url, "
+    f"{pagesops.GEO_HTML_SQL} AS h FROM documents)",
+    "coords AS (SELECT url, "
+    f"CAST(regexp_extract(h, '{pagesops.GEO_RE}', 1) AS BIGINT) "
+    "AS lat_milli, "
+    f"CAST(regexp_extract(h, '{pagesops.GEO_RE}', 2) AS BIGINT) "
+    "AS lon_milli FROM pages)",
+    "geo AS (SELECT url, lat_milli, lon_milli, "
+    "CAST(lat_milli AS DOUBLE) / 1000.0 AS lat, "
+    "CAST(lon_milli AS DOUBLE) / 1000.0 AS lon FROM coords)",
+)
+
+
 @query(
     "pages_geocode",
-    _with(
-        f"pages AS (SELECT {pagesops.URL_SQL} AS url, "
-        f"{pagesops.GEO_HTML_SQL} AS h FROM documents)",
-        "coords AS (SELECT url, "
-        f"CAST(regexp_extract(h, '{pagesops.GEO_RE}', 1) AS BIGINT) "
-        "AS lat_milli, "
-        f"CAST(regexp_extract(h, '{pagesops.GEO_RE}', 2) AS BIGINT) "
-        "AS lon_milli FROM pages)",
-        "geo AS (SELECT url, lat_milli, lon_milli, "
-        "CAST(lat_milli AS DOUBLE) / 1000.0 AS lat, "
-        "CAST(lon_milli AS DOUBLE) / 1000.0 AS lon FROM coords)",
-    )
+    _with(*_GEO_CTES)
     + "SELECT url, lat_milli, lon_milli, "
     + ", ".join(
         f"{cellfn.quad_cell_sql('lon', 'lat', r)} AS h3_r{r}"
@@ -3363,42 +3369,32 @@ def q_pages_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen end to end; at 10^12 pages this is embarrassingly parallel
     and the cell ids are the partition keys every downstream spatial
     stage buckets on."""
-    p = pagesops.geo_pages_df(spark, sf_dir)
-    h = F.decode(F.col("html"), "UTF-8")
-    lat_m = F.regexp_extract(h, pagesops.GEO_RE, 1).cast("long")
-    lon_m = F.regexp_extract(h, pagesops.GEO_RE, 2).cast("long")
-    lat = lat_m.cast("double") / F.lit(1000.0)
-    lon = lon_m.cast("double") / F.lit(1000.0)
-    return p.select(
+    g = pagesops.geo_lonlat(spark, sf_dir)
+    return g.select(
         "url",
-        lat_m.alias("lat_milli"),
-        lon_m.alias("lon_milli"),
+        "lat_milli",
+        "lon_milli",
         *[
-            cellfn.quad_cell(lon, lat, r).alias(f"h3_r{r}")
+            cellfn.quad_cell(F.col("lon"), F.col("lat"), r)
+            .alias(f"h3_r{r}")
             for r in (5, 8, 12)
         ],
     )
 
 
-# page lon/lat -> the polygon layer's [0,1000]^2 plane: a linear map of
-# exact-integer milli-degrees (every op correctly rounded, no trig) —
-# shared spelling for pages_pip's Spark and SQL sides
-_PAGE_X_SQL = "(CAST(lon_milli AS DOUBLE) / 1000.0 + 180.0) / 360.0 * 1000.0"
-_PAGE_Y_SQL = "(CAST(lat_milli AS DOUBLE) / 1000.0 + 90.0) / 180.0 * 1000.0"
+# page lon/lat degrees -> the polygon layer's [0,1000]^2 plane: a linear
+# map (every op correctly rounded, no trig) — shared spelling for
+# pages_pip's Spark and SQL sides, applied over the geo CTE / geo_lonlat
+_PAGE_X_SQL = "(lon + 180.0) / 360.0 * 1000.0"
+_PAGE_Y_SQL = "(lat + 90.0) / 180.0 * 1000.0"
 
 
 @query(
     "pages_pip",
     _with(
-        f"pages AS (SELECT {pagesops.URL_SQL} AS url, "
-        f"{pagesops.GEO_HTML_SQL} AS h FROM documents)",
-        "coords AS (SELECT url, "
-        f"CAST(regexp_extract(h, '{pagesops.GEO_RE}', 1) AS BIGINT) "
-        "AS lat_milli, "
-        f"CAST(regexp_extract(h, '{pagesops.GEO_RE}', 2) AS BIGINT) "
-        "AS lon_milli FROM pages)",
+        *_GEO_CTES,
         f"recs AS (SELECT url, {_PAGE_X_SQL} AS x, {_PAGE_Y_SQL} AS y "
-        "FROM coords)",
+        "FROM geo)",
         f"poly AS ({_POLY})",
     )
     + "SELECT g.polygon_id, g.unit, COUNT(*) AS n_pages "
@@ -3417,17 +3413,10 @@ def q_pages_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: scan -> project -> broadcast range join -> partial+final
     count; the only shuffle is the tiny final aggregation."""
-    from rgr_pdal_topo_spark.synth import polygons_df
-
-    p = pagesops.geo_pages_df(spark, sf_dir)
-    h = F.decode(F.col("html"), "UTF-8")
-    recs = p.select(
-        "url",
-        F.regexp_extract(h, pagesops.GEO_RE, 1).cast("long")
-        .alias("lat_milli"),
-        F.regexp_extract(h, pagesops.GEO_RE, 2).cast("long")
-        .alias("lon_milli"),
-    ).selectExpr("url", f"{_PAGE_X_SQL} AS x", f"{_PAGE_Y_SQL} AS y")
+    g = pagesops.geo_lonlat(spark, sf_dir)
+    recs = g.selectExpr(
+        "url", f"{_PAGE_X_SQL} AS x", f"{_PAGE_Y_SQL} AS y"
+    )
     pip = joins.pip_join_rect(recs, polygons_df(spark, sf_dir))
     return pip.groupBy("polygon_id", "unit").agg(
         F.count(F.lit(1)).alias("n_pages")
@@ -3437,16 +3426,7 @@ def q_pages_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "pages_grid",
     _with(
-        f"pages AS (SELECT {pagesops.URL_SQL} AS url, "
-        f"{pagesops.GEO_HTML_SQL} AS h FROM documents)",
-        "coords AS (SELECT url, "
-        f"CAST(regexp_extract(h, '{pagesops.GEO_RE}', 1) AS BIGINT) "
-        "AS lat_milli, "
-        f"CAST(regexp_extract(h, '{pagesops.GEO_RE}', 2) AS BIGINT) "
-        "AS lon_milli FROM pages)",
-        "geo AS (SELECT url, "
-        "CAST(lat_milli AS DOUBLE) / 1000.0 AS lat, "
-        "CAST(lon_milli AS DOUBLE) / 1000.0 AS lon FROM coords)",
+        *_GEO_CTES,
         "binned AS (SELECT url, "
         f"{cellfn.quad_cell_sql('lon', 'lat', 5)} AS cell FROM geo)",
     )
@@ -3457,23 +3437,20 @@ def q_pages_pip(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pages_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The north_star's points2grid binning applied to the record payload
     itself: pages (coordinates extracted from their markup) gridded into
-    res-8 raster tiles with count-per-cell density and per-cell distinct
-    publishing sites (the count-variant of A2 over webtext; IDW/mean
-    variants need a z — they stay on the point cloud).  All-integer
-    output, so parity is arithmetic, not ROUND-guarded.
+    res-5 raster tiles (res 8+ leaves every page alone in its cell at
+    driver density — a vacuous count) with count-per-cell density and
+    per-cell distinct publishing sites (the count-variant of A2 over
+    webtext; IDW/mean variants need a z — they stay on the point cloud).
+    All-integer output, so parity is arithmetic, not ROUND-guarded.
 
-    Scale shape: scan -> project -> ONE partial+final agg keyed by cell
-    id — the same key downstream spatial stages bucket on, so at 10^12
-    pages this materializes the density raster with a single shuffle;
-    distinct-site counts are partial per cell (no global distinct)."""
-    p = pagesops.geo_pages_df(spark, sf_dir)
-    h = F.decode(F.col("html"), "UTF-8")
-    lat = F.regexp_extract(h, pagesops.GEO_RE, 1).cast("long")\
-        .cast("double") / F.lit(1000.0)
-    lon = F.regexp_extract(h, pagesops.GEO_RE, 2).cast("long")\
-        .cast("double") / F.lit(1000.0)
-    binned = p.select(
-        "url", cellfn.quad_cell(lon, lat, 5).alias("cell")
+    Scale shape: scan -> project -> grouped agg keyed by cell id.  The
+    distinct-site count makes Catalyst plan the standard two-exchange
+    distinct rewrite (partial (cell, site) dedup before the per-cell
+    count — both exchanges carry one row per distinct pair, never raw
+    pages); dropping n_sites would make it one partial+final agg."""
+    g = pagesops.geo_lonlat(spark, sf_dir)
+    binned = g.select(
+        "url", cellfn.quad_cell(F.col("lon"), F.col("lat"), 5).alias("cell")
     )
     site = F.regexp_extract(F.col("url"), "https://([^/]+)/", 1)
     return binned.groupBy("cell").agg(

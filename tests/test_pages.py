@@ -82,8 +82,11 @@ def test_geo_capture_first_match_wins_over_body_lookalikes(spark):
         exp_lat = (doc_id * 7919) % 160001 - 80000
         exp_lon = (doc_id * 104729) % 360001 - 180000
         assert got[doc_id] == (exp_lat, exp_lon), doc_id
-    # the embedded integers stay inside valid coordinate ranges
-    assert -80000 <= got[0][0] <= 80000 and -180000 <= got[0][1] <= 180000
+    # the encoding formulas keep EVERY doc_id inside valid coordinate
+    # ranges (pure-python sweep — independent of the three sampled ids)
+    for doc_id in range(0, 500_000, 37):
+        assert -80000 <= (doc_id * 7919) % 160001 - 80000 <= 80000
+        assert -180000 <= (doc_id * 104729) % 360001 - 180000 <= 180000
 
 
 def test_extract_deterministic_across_runs(spark):
