@@ -75,11 +75,18 @@ class BatchCheckpointer:
 
         pending = batched.filter(~F.col("batch_id").isin(done_ids)) if done_ids else batched
 
-        # fingerprints of pending inputs (order-insensitive xor-ish sum)
+        # Fingerprint of pending inputs: bit_xor over per-row xxhash64.
+        # XOR is order-insensitive AND overflow-free — a SUM of uniform
+        # int64 hashes wraps with near-certainty past a few thousand rows,
+        # which is silent under ansi.enabled=false but ARITHMETIC_OVERFLOW
+        # under an ANSI session.  (Known xor caveat: adding the same row an
+        # even number of times cancels; drift detection on real inputs is
+        # about edits/appends, where this is negligible.)
         fps = (
-            pending.groupBy("batch_id")
+            pending.withColumn("__h", F.xxhash64(*inputs.columns))
+            .groupBy("batch_id")
             .agg(
-                F.sum(F.xxhash64(*inputs.columns)).alias("input_fingerprint"),
+                F.expr("bit_xor(__h)").alias("input_fingerprint"),
                 F.count(F.lit(1)).alias("n_input_rows"),
             )
         )
@@ -118,8 +125,10 @@ class BatchCheckpointer:
             "batch_id",
             F.pmod(F.col(batch_col), F.lit(self.n_batches)).cast("int"),
         )
-        fps = batched.groupBy("batch_id").agg(
-            F.sum(F.xxhash64(*inputs.columns)).alias("fp_now")
+        fps = (
+            batched.withColumn("__h", F.xxhash64(*inputs.columns))
+            .groupBy("batch_id")
+            .agg(F.expr("bit_xor(__h)").alias("fp_now"))
         )
         done = self.completed(spark)
         return (

@@ -3671,49 +3671,61 @@ def q_flow_main_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 DRIVER_WINDOW: list[str] = [
-    "points_extract", "filter_noise", "grid_extent", "grid_mean",
-    "grid_idw_filled", "grid_stats", "binned_intensity", "pip_pairs",
+    "points_extract", "grid_mean",
+    "grid_idw_filled", "binned_intensity", "pip_pairs",
     "knn_gps",
     "profile_extract", "stencil_suite", "hag", "grid_residuals",
     "tpch_pricing", "cell_index", "sessionize", "slope_hillshade",
-    "points_decimate", "lineage_resume", "text_stats", "quality_filter",
-    "langid",
-    "dedup_exact", "minhash_buckets", "smrf_ground", "simhash",
-    "doc_fingerprint", "cosine_topk", "embedding_near_dups",
+    "points_decimate", "lineage_resume",
+    "smrf_ground",
+    "cosine_topk",
     "multimodal_features", "flow_d8", "flow_area", "flow_chi", "flow_basins",
     "flow_maxl", "flow_order", "network_ksn", "network_dissolve",
-    "plane_fit", "detrend_grid", "perm_ensemble", "kmeans_scarp",
+    "plane_fit", "perm_ensemble", "kmeans_scarp",
     "mosaic_tiles", "flow_main_path", "reproject_utm",
     "profile_peaks", "radial_histogram", "stratified_sample",
     "extract_pages", "minhash_pairs",
+    # round-4 rotation IN (VERDICT r3 #3/#7): the composed flagships, the
+    # Iceberg-lite manifest layer, the north-star pages stages, the
+    # near-dup pair/cluster/ANN family, and the last past-window §2
+    # operators (F3 points_assign, K7 resample_average)
+    "terrain_pipeline", "corpus_pipeline",
+    "manifest_scan", "manifest_bbox_scan", "manifest_incremental",
+    "pages_geocode", "pages_pip",
+    "simhash_pairs", "dedup_clusters", "cosine_topk_ivf",
+    "points_assign", "resample_average",
 ]
-# Round-3 rotation (VERDICT r2 "Next round" #1/#5/#6/#7/#8): six slots
-# whose operators stay green elsewhere rotated OUT for six new
-# oracle-backed queries —
-#   IN:  stencil_suite (W3/W4/W6/W7-W9/W10/W11/W12/W13/W14),
-#        grid_idw_filled (A1+A3), points_decimate (F17),
-#        lineage_resume (S4), flow_main_path (G9), minhash_pairs
-#   OUT: grid_idw (A1/K1 via grid_idw_filled), windowed_std + tpi
-#        (W11/W13 via stencil_suite), swath_profile (J2 via
-#        profile_extract, F4/X14 still exercised inside profile_peaks),
-#        resample_bilinear (K7 via mosaic_tiles), events_sliding
-#        (windowed-agg family via sessionize).
+# Round-4 rotation (VERDICT r3 "Next round" #3 + #7): twelve slots whose
+# operators stay exercised by an in-window query rotated OUT for the
+# twelve subsystems that until now rested on pytest alone —
+#   IN:  terrain_pipeline + corpus_pipeline (the composed flagships),
+#        manifest_scan/bbox/incremental (Iceberg-lite file skipping,
+#        Z-order bbox pruning, cursor-based incremental consume),
+#        pages_geocode + pages_pip (north-star page stages),
+#        simhash_pairs, dedup_clusters, cosine_topk_ivf,
+#        points_assign (F3), resample_average (K7 variant).
+#   OUT (operator -> surviving window coverage):
+#        filter_noise    F1/U2  -> terrain_pipeline's noise stage
+#        grid_extent     F15    -> manifest_bbox_scan min/max bounds agg
+#        grid_stats      A4     -> terrain_pipeline per-unit stats
+#        doc_fingerprint        -> rolling-hash ids inside minhash_pairs'
+#                                  shingle/Horner fold
+#        langid + quality_filter + text_stats + dedup_exact
+#                               -> corpus_pipeline composes all four
+#        detrend_grid    X2     -> plane_fit (X1) stays; detrend is the
+#                                  fit minus surface, parity-green pytest
+#        simhash                -> simhash_pairs (same one-pass operator,
+#                                  32-bit variant) upstream of banding
+#        minhash_buckets        -> minhash_pairs (signatures + bands +
+#                                  capped bucket join) upstream
+#        embedding_near_dups    -> cosine_topk + cosine_topk_ivf
 # All rotated-out queries remain registered and pytest-parity-checked
-# every run; reproject_mercator and the other oracle-backed extras sit
-# just past the 50-slot window likewise.  Round-4 rotation-IN
-# candidates (all oracle-backed, parity-green every run): simhash_pairs,
-# cell_rollup, multimodal_meta, events_hourly, grid_count,
-# resample_near/average, reproject_mercator, pip_stats, the TPC-H
-# variants, embedding_buckets, lang_dist, cosine_topk_lsh/_ivf,
-# s2_cell_index, frame_sample, resize_images, points_assign,
-# dedup_clusters, corpus_pipeline (the composed dedup->quality->langid
-# plan), terrain_pipeline (the composed noise->DEM->stencil->PIP->stats
-# plan — the flagship, prime candidate), pages_geocode + pages_pip +
-# pages_grid (the north_star's page-geocoding, records-vs-polygons and
-# record-gridding stages), and the
-# manifest family (manifest_scan, manifest_bbox_scan,
-# manifest_time_scan, manifest_incremental — the Iceberg-lite
-# file-skipping/incremental layer, prime candidates).
+# every run (tests/test_query_parity.py sweeps every oracle pair).
+# Remaining past-window oracle-backed extras: cell_rollup,
+# multimodal_meta, events_hourly, grid_count, resample_near,
+# resample_bilinear, reproject_mercator, pip_stats, TPC-H variants,
+# embedding_buckets, lang_dist, cosine_topk_lsh, s2_cell_index,
+# frame_sample, resize_images, manifest_time_scan, pages_grid.
 
 
 def _reorder_registration() -> None:

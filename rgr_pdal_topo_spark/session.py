@@ -41,9 +41,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
-        # Deterministic float semantics: keep ANSI off (wrap-around bigint
-        # arithmetic is relied on nowhere; modulus operands are non-negative).
-        .config("spark.sql.ansi.enabled", "false")
+        # Keep ANSI off to match Spark's historical arithmetic defaults,
+        # but the engine must NOT depend on it either way: the driver's
+        # verification session runs ANSI-on, so every query has to be
+        # overflow-free under ANSI semantics too (the opt-in ANSI sweep in
+        # tests/test_ansi_sweep.py pins this; lineage fingerprints use
+        # bit_xor, hash-mix keys use (key % P) * A, never raw key * BIGCONST).
+        .config("spark.sql.ansi.enabled", os.environ.get("SPARK_GRAFT_ANSI", "false"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -51,7 +51,12 @@ POINTS_STEP2: dict[str, str] = {
         " + (CASE WHEN x >= 500.0 THEN 12.0 ELSE 0.0 END)"
         " + 15.0 * GREATEST(0.0, 1.0 - ((x - 250.0) * (x - 250.0)"
         " + (y - 250.0) * (y - 250.0)) / 40000.0)"
-        " + CAST((pid * 2654435761) % 1000 AS DOUBLE) / 1000.0"
+        # ((pid % 1000) * 761) % 1000 == (pid * 2654435761) % 1000 exactly
+        # (2654435761 % 1000 = 761), but the intermediate stays < 10^6 —
+        # raw pid * 2654435761 would raise ARITHMETIC_OVERFLOW under an
+        # ANSI session once pid > ~3.5e9.  Values (and thus all goldens
+        # and oracles) are unchanged.
+        " + CAST(((pid % 1000) * 761) % 1000 AS DOUBLE) / 1000.0"
     ),
 }
 
