@@ -143,6 +143,10 @@ def kmeans_nd(
         .collect()
     )
     cents = [list(map(float, r[0])) for r in seeds]
+    if len(cents) < k:
+        raise ValueError(
+            f"kmeans_nd needs at least k={k} vectors, got {len(cents)}"
+        )
     vecd = F.transform(F.col(vec_col), lambda v: v.cast("double"))
     dd = df.withColumn("__v", vecd)
     for _ in range(iters):

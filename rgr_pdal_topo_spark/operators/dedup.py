@@ -14,24 +14,26 @@ is a pure DataFrame composition designed for the 100 TB shape:
                token ids;
   * jaccard:   exact shingle-set verification on (small) candidate sets.
 
-PARITY DESIGN: shingle/token ids are a base-16 Horner fold of the first 15
-hex chars of md5 (mod 2^31-1) — pure string/integer built-ins that evaluate
-identically in Spark SQL and DuckDB, so every stage stays oracle-checkable
-with NO global window, NO vocabulary broadcast, and NO shuffle wider than
-(doc_id, int64).  (Round 1 used dense_rank over the whole vocabulary — a
-single-partition global sort Spark itself warns about; this replaces it.)
+PARITY DESIGN: shingle/token ids are the base-16 value of the first 15
+hex chars of md5 — a 60-bit space, pure string/integer built-ins that
+evaluate identically in Spark SQL and DuckDB, so every stage stays
+oracle-checkable with NO global window, NO vocabulary broadcast, and NO
+shuffle wider than (doc_id, int64).  (Round 1 used dense_rank over the
+whole vocabulary — a single-partition global sort Spark itself warns
+about; this replaces it.)
 
-ID-SPACE BOUND: the 31-bit id space is a parity compromise, not a scale
-recommendation.  Per-document shingle sets are small (a 10 kB page has
-~2,000 shingles -> expected within-document birthday collisions
-2000^2 / 2^32 ~ 1e-3, i.e. the distinct-id set a signature or Jaccard
-verify sees is the true set with probability ~0.999 per document), so
-MinHash signatures and candidate Jaccard are unaffected in practice —
-collisions only matter WITHIN one document's set, never across the corpus.
-For workloads that compare very large per-document sets, fold more hex
-chars via ``id_bits=61`` (`horner_hash_sql(chars=15, mod=2^61-1)`-style),
-which drops the within-document collision odds below 1e-12; the MinHash
-permutation constants must then shrink so a*tid+b stays inside int64.
+ID-SPACE BOUND: with 60-bit ids, a candidate pair's exact-Jaccard verify
+is perturbed only if two DIFFERENT shingles across the two documents
+collide in id: for ~2,000-shingle pages that is 2000 * 2000 / 2^60
+~ 3.5e-12 per pair — negligible at any corpus size, because Jaccard
+compares two documents' sets, never the whole corpus at once.  (The
+earlier 31-bit fold put that figure at ~2e-3 per pair and reached
+even-odds of SOME corpus-wide collision at ~65k distinct shingles;
+10^12-doc corpora hold ~10^13 distinct shingles.)  MinHash permutations
+map the 60-bit ids into the 31-bit signature space below — standard
+32-bit MinHash; a within-document permutation-value collision only
+matters if it lands exactly at the min, which perturbs one of 16
+signature slots with probability ~1e-6.
 
 Reference behavior: text dedup for a Common-Crawl-style corpus (the graft
 payload); shingling follows the standard MinHash construction (Broder).
@@ -42,11 +44,25 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame  # noqa: F401 (Column in hints)
 from pyspark.sql import functions as F
 
-# MinHash permutation parameters: (a_j, b_j) over prime P.
+# Portable-id space: ids are the first ID_CHARS md5 hex digits read as an
+# integer — [0, 16^15) = [0, 2^60), exact in int64 (and in DuckDB BIGINT).
+ID_CHARS = 15
+ID_SPACE = 16 ** ID_CHARS  # 2^60
+
+# MinHash permutation parameters over prime P — P is the SIGNATURE space
+# (31-bit, standard 32-bit MinHash), not the id space.  Because ids are
+# 60-bit, a_j * tid would overflow int64; each permutation therefore
+# hashes the id's 31-bit low half and 29-bit high half separately:
+#   h_j(tid) = (a_j * (tid % 2^31) + c_j * (tid // 2^31) + b_j) % P
+# max intermediate < 2^62 + 2^60 + 2^31 < 2^63 — ANSI-safe in both
+# engines, and a proper 2-term universal-style hash of the full 60 bits
+# (ids differing only in high bits do not collide systematically).
 MINHASH_P = 2147483647
 N_PERM = 16
 MINHASH_A = [(2 * j + 1) * 2654435761 % MINHASH_P for j in range(N_PERM)]
+MINHASH_C = [(2 * j + 1) * 3266489917 % MINHASH_P for j in range(N_PERM)]
 MINHASH_B = [(j * 40503 + 12345) % MINHASH_P for j in range(N_PERM)]
+TID_SPLIT = 1 << 31  # lo = tid % TID_SPLIT, hi = tid // TID_SPLIT
 
 SIMHASH_BITS = 16
 SHINGLE_K = 3
@@ -55,16 +71,21 @@ MAX_BUCKET = 64  # cap on band-bucket size before the candidate self-join
 _HEX = "0123456789abcdef"
 
 
-def horner_hash_sql(hex_col: str, chars: int = 15, mod: int = MINHASH_P) -> str:
+def horner_hash_sql(
+    hex_col: str, chars: int = ID_CHARS, mod: int | None = None
+) -> str:
     """SQL text folding the first ``chars`` hex digits of ``hex_col`` into an
-    integer (base-16 Horner, mod ``mod``).  Uses only instr/substring/%,
-    which evaluate identically in Spark SQL and DuckDB — the portable
-    stand-in for xxhash64 so oracles can replay the exact same ids."""
+    integer (base-16 Horner).  Uses only instr/substring (and % when a
+    modulus is requested), which evaluate identically in Spark SQL and
+    DuckDB — the portable stand-in for xxhash64 so oracles can replay the
+    exact same ids.  With ``mod=None`` (the default) the fold is exact:
+    intermediates are bounded by 16^chars = 2^60 at the default width, so
+    no modulus — and no overflow — is ever involved."""
     # BIGINT accumulator: Spark would otherwise fold in int32 and overflow
     v = "CAST(0 AS BIGINT)"
     for i in range(1, chars + 1):
         d = f"(instr('{_HEX}', substring({hex_col}, {i}, 1)) - 1)"
-        v = f"(({v} * 16 + {d}) % {mod})"
+        v = f"({v} * 16 + {d})" if mod is None else f"(({v} * 16 + {d}) % {mod})"
     return v
 
 
@@ -114,14 +135,20 @@ def _shingle_array(toks: Column, k: int) -> Column:
 
 def _portable_id(hex_col: str | Column) -> Column:
     """Engine spelling of the portable id: one base-16 conv of the first
-    15 md5 hex chars, mod P.  Numerically identical to horner_hash_sql
-    (mod distributes over the fold) but a single JVM intrinsic instead of
-    a 15-level expression tree; the DuckDB oracles keep the Horner text
-    and the parity sweep pins the two spellings to each other."""
-    return (
-        F.conv(F.substring(hex_col, 1, 15), 16, 10).cast("long")
-        % F.lit(MINHASH_P)
-    )
+    ID_CHARS md5 hex chars — a 60-bit value.  Numerically identical to
+    horner_hash_sql but a single JVM intrinsic instead of a 15-level
+    expression tree; the DuckDB oracles keep the Horner text and the
+    parity sweep pins the two spellings to each other."""
+    return F.conv(F.substring(hex_col, 1, ID_CHARS), 16, 10).cast("long")
+
+
+def _permute(tid: Column, a: int, c: int, b: int, m: int) -> Column:
+    """(a * lo + c * hi + b) % m over the 60-bit id's (31-bit lo, 29-bit
+    hi) halves — the overflow-free permutation spelling shared by the
+    exploded and row-local minhash paths and mirrored in the oracles."""
+    lo = tid % F.lit(TID_SPLIT)
+    hi = F.shiftright(tid, 31)
+    return (F.lit(a) * lo + F.lit(c) * hi + F.lit(b)) % F.lit(m)
 
 
 def shingle_ids(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
@@ -171,8 +198,10 @@ def minhash_signatures(doc_tids: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     shuffle input at any scale."""
     aggs = [
         F.min(
-            (F.lit(MINHASH_A[j]) * F.col("tid") + F.lit(MINHASH_B[j]))
-            % F.lit(MINHASH_P)
+            _permute(
+                F.col("tid"), MINHASH_A[j], MINHASH_C[j], MINHASH_B[j],
+                MINHASH_P,
+            )
         ).alias(f"m{j}")
         for j in range(n_perm)
     ]
@@ -259,8 +288,9 @@ def minhash_bands_rowwise(
         return F.array_min(
             F.transform(
                 F.col("__tids"),
-                lambda t: (F.lit(MINHASH_A[j]) * t + F.lit(MINHASH_B[j]))
-                % F.lit(MINHASH_P),
+                lambda t: _permute(
+                    t, MINHASH_A[j], MINHASH_C[j], MINHASH_B[j], MINHASH_P
+                ),
             )
         ).alias(f"m{j}")
 
@@ -467,16 +497,24 @@ def duplicate_components(pairs: DataFrame, max_rounds: int = 20) -> DataFrame:
     )
 
 
-def simhash_params(b: int) -> tuple[int, int]:
-    """Per-bit hash constants (P_b, C_b) — shared with the DuckDB oracle."""
-    return (2 * b + 3) * 2654435761 % MINHASH_P, (b * 69621 + 7) % MINHASH_P
+def simhash_params(b: int) -> tuple[int, int, int]:
+    """Per-bit hash constants (P_b, Q_b, C_b) — shared with the DuckDB
+    oracle.  P_b/Q_b multiply the 60-bit token id's lo/hi halves (the same
+    split-hash spelling as ``_permute``); C_b is the additive term."""
+    return (
+        (2 * b + 3) * 2654435761 % MINHASH_P,
+        (2 * b + 3) * 3266489917 % MINHASH_P,
+        (b * 69621 + 7) % MINHASH_P,
+    )
 
 
 def simhash(doc_tids: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): bit b = 1 iff sum over tokens of
-    (((tid * P_b + C_b) % 1000) - 499.5) > 0 — all-integer/half-integer,
-    bit-reproducible in any engine.  (tid < 2^31 and P_b < 2^31, so the
-    product stays inside int64; the per-bit sums are sums of half-integers,
+    (((P_b * lo(tid) + Q_b * hi(tid) + C_b) % 1000) - 499.5) > 0 —
+    all-integer/half-integer, bit-reproducible in any engine.  (lo < 2^31
+    and hi < 2^29 with P_b, Q_b < 2^31, so the two products stay inside
+    int64 — the split spelling exists exactly because tid itself is
+    60-bit; the per-bit sums are sums of half-integers,
     exact in float64, so aggregation order cannot perturb the sign.)
 
     All ``bits`` sums run as conditional aggregates in ONE
@@ -486,9 +524,9 @@ def simhash(doc_tids: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     shuffle input at exactly one row per (doc_id, tid))."""
     aggs = []
     for b in range(bits):
-        p, c = simhash_params(b)
+        p, q, c = simhash_params(b)
         contrib = (
-            (F.col("tid") * F.lit(p) + F.lit(c)) % F.lit(1000)
+            _permute(F.col("tid"), p, q, c, 1000)
         ).cast("double") - F.lit(499.5)
         aggs.append(F.sum(contrib).alias(f"s{b}"))
     wide = doc_tids.groupBy("doc_id").agg(*aggs)

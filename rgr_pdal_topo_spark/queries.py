@@ -1509,7 +1509,8 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shingle/token ids are md5 -> base-16 Horner fold mod 2^31-1
+# Shingle/token ids are md5 -> base-16 Horner fold of the first 15 hex
+# chars — an exact 60-bit value, no modulus involved
 # (dedup.horner_hash_sql): pure built-ins, identical in both engines, and —
 # unlike round 1's dense_rank spelling — no global window, no vocabulary
 # broadcast, no shuffle wider than (doc_id, int64).
@@ -1535,11 +1536,15 @@ _TOKID_DUCK = (
     "(SELECT doc_id, md5(tok) AS h FROM toks) hh"
 )
 _PERMS_DUCK = "SELECT * FROM (VALUES " + ", ".join(
-    f"({j}, {dedup.MINHASH_A[j]}, {dedup.MINHASH_B[j]})"
+    f"({j}, {dedup.MINHASH_A[j]}, {dedup.MINHASH_C[j]}, "
+    f"{dedup.MINHASH_B[j]})"
     for j in range(dedup.N_PERM)
-) + ") AS p(perm, a, b)"
+) + ") AS p(perm, a, c, b)"
+# 60-bit tids: a * tid would overflow BIGINT, so permutations hash the
+# (31-bit lo, 29-bit hi) halves — dedup._permute's oracle twin
 _SIG_DUCK = (
-    "SELECT doc_id, perm, MIN((a * tid + b) % 2147483647) AS minhash "
+    "SELECT doc_id, perm, MIN((a * (tid % 2147483648) + "
+    "c * (tid // 2147483648) + b) % 2147483647) AS minhash "
     "FROM dt CROSS JOIN perms GROUP BY doc_id, perm"
 )
 _BANDS_DUCK = (
@@ -1671,10 +1676,15 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BITS_DUCK = "SELECT * FROM (VALUES " + ", ".join(
-    f"({b}, {(2 * b + 3) * 2654435761 % dedup.MINHASH_P}, "
-    f"{(b * 69621 + 7) % dedup.MINHASH_P})"
+    "({}, {}, {}, {})".format(b, *dedup.simhash_params(b))
     for b in range(dedup.SIMHASH_BITS)
-) + ") AS bt(bit, p, c)"
+) + ") AS bt(bit, p, q, c)"
+# split-half contribution hash — dedup.simhash's oracle twin (60-bit tids)
+_PERBIT_DUCK = (
+    "SELECT doc_id, bit, SUM(CAST((p * (tid % 2147483648) + "
+    "q * (tid // 2147483648) + c) % 1000 AS "
+    "DOUBLE) - 499.5) AS s FROM dt CROSS JOIN bits GROUP BY doc_id, bit"
+)
 
 
 @query(
@@ -1683,8 +1693,7 @@ _BITS_DUCK = "SELECT * FROM (VALUES " + ", ".join(
         f"toks AS ({_TOKS_SET_DUCK})",
         f"dt AS MATERIALIZED ({_TOKID_DUCK})",
         f"bits AS ({_BITS_DUCK})",
-        "perbit AS (SELECT doc_id, bit, SUM(CAST((tid * p + c) % 1000 AS "
-        "DOUBLE) - 499.5) AS s FROM dt CROSS JOIN bits GROUP BY doc_id, bit)",
+        f"perbit AS ({_PERBIT_DUCK})",
     )
     + "SELECT doc_id, CAST(SUM((CASE WHEN s > 0 THEN 1 ELSE 0 END) * "
     "CAST(POWER(2.0, bit) AS BIGINT)) AS BIGINT) AS simhash "
@@ -1702,16 +1711,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIMHASH_PAIRS_BITS = 32
 _SIMHASH_PAIRS_BANDS = 4
 _BITS32_DUCK = "SELECT * FROM (VALUES " + ", ".join(
-    "({}, {}, {})".format(b, *dedup.simhash_params(b))
+    "({}, {}, {}, {})".format(b, *dedup.simhash_params(b))
     for b in range(_SIMHASH_PAIRS_BITS)
-) + ") AS bt(bit, p, c)"
+) + ") AS bt(bit, p, q, c)"
 _SIMHASH_PAIRS_SQL = (
     _with(
         f"toks AS ({_TOKS_SET_DUCK})",
         f"dt AS MATERIALIZED ({_TOKID_DUCK})",
         f"bits AS ({_BITS32_DUCK})",
-        "perbit AS (SELECT doc_id, bit, SUM(CAST((tid * p + c) % 1000 AS "
-        "DOUBLE) - 499.5) AS s FROM dt CROSS JOIN bits GROUP BY doc_id, bit)",
+        f"perbit AS ({_PERBIT_DUCK})",
         "sh AS MATERIALIZED (SELECT doc_id, CAST(SUM((CASE WHEN s > 0 THEN "
         "1 ELSE 0 END) * CAST(POWER(2.0, bit) AS BIGINT)) AS BIGINT) AS "
         "simhash FROM perbit GROUP BY doc_id)",

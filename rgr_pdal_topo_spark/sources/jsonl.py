@@ -59,11 +59,23 @@ def corrupt_lines(df: DataFrame) -> DataFrame:
     Spark disallows queries whose referenced columns are ONLY the
     corrupt-record column on a raw JSON scan
     (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the parsed
-    batch must be materialized first.  Dead-letter accounting runs on
-    bounded ingest batches, so caching here is the documented pattern."""
-    return (
-        df.cache().filter(F.col("_corrupt").isNotNull()).select("_corrupt")
-    )
+    batch must be materialized first.  The materialization is scoped to
+    this call: the input is persisted only long enough to checkpoint the
+    (small) quarantine, then unpersisted — an earlier spelling left
+    ``df.cache()`` pinned for the whole session, which accumulates
+    executor storage across repeated ingest batches.  Callers that also
+    query the parsed side should ``.cache()``/``.unpersist()`` around
+    their own two-query pattern (see tests/test_sources.py)."""
+    was_cached = df.is_cached
+    if not was_cached:
+        df.persist()
+    try:
+        return df.filter(F.col("_corrupt").isNotNull()).select(
+            "_corrupt"
+        ).localCheckpoint(eager=True)
+    finally:
+        if not was_cached:
+            df.unpersist()
 
 
 def write_documents_jsonl(docs: DataFrame, path: str) -> None:

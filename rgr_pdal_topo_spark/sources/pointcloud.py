@@ -47,6 +47,7 @@ def read_points(
     bounds: tuple[float, float, float, float] | None = None,
     density: float | None = None,
     drop_noise: bool = True,
+    seed: int | None = None,
 ) -> DataFrame:
     """S1/S2 scan with the reference's pushdowns.
 
@@ -59,7 +60,21 @@ def read_points(
     work-avoidance, but replayable across retries/resumes and oracle-
     checkable — F17).
     drop_noise: Classification![7:7] (F1).
+    seed: DEPRECATED and ignored — decimation was a seeded Bernoulli
+    sample through round 2; the hash-rank predicate is seed-free (and
+    selects a different, deterministic subset for the same density, so
+    goldens derived from the old sample shift).  Accepted for one
+    release so existing callers keep working; warns when passed.
     """
+    if seed is not None:
+        import warnings
+
+        warnings.warn(
+            "read_points(seed=...) is deprecated and ignored: decimation "
+            "is a deterministic hash-rank predicate since round 3",
+            DeprecationWarning,
+            stacklevel=2,
+        )
     pts = points_df(spark, sf_dir)
     if bounds is not None:
         minx, maxx, miny, maxy = bounds

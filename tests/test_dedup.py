@@ -106,7 +106,7 @@ def test_horner_hash_matches_duckdb(spark, ddb):
         for s in samples
     ]
     assert got == exp
-    assert all(0 <= t < dedup.MINHASH_P for t in got)
+    assert all(0 <= t < dedup.ID_SPACE for t in got)
 
 
 def test_lsh_drop_report_surfaces_hot_buckets(spark):
@@ -160,8 +160,11 @@ def test_simhash_one_pass_no_explode(spark):
     for d, ts in tids.items():
         v = 0
         for b in range(dedup.SIMHASH_BITS):
-            p, c = dedup.simhash_params(b)
-            s = sum(((t * p + c) % 1000) - 499.5 for t in ts)
+            p, q, c = dedup.simhash_params(b)
+            s = sum(
+                ((p * (t % 2**31) + q * (t >> 31) + c) % 1000) - 499.5
+                for t in ts
+            )
             if s > 0:
                 v |= 1 << b
         exp[d] = v

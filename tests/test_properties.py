@@ -58,8 +58,8 @@ def test_portable_hash_cross_engine(s):
     import hashlib
 
     hx = hashlib.md5(s.encode("utf-8")).hexdigest()
-    assert got == int(hx[:15], 16) % dedup.MINHASH_P
-    assert 0 <= got < dedup.MINHASH_P
+    assert got == int(hx[:15], 16)
+    assert 0 <= got < dedup.ID_SPACE
 
 
 @settings(max_examples=200, deadline=None)
