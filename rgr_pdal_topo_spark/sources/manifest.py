@@ -65,9 +65,13 @@ __all__ = [
     "prune",
     "scan",
     "scan_report",
+    "metadata_table",
+    "prune_via_metadata",
+    "scan_via_metadata",
 ]
 
 _LOG = "snapshots.json"
+_META_DIR = "manifest-pq"
 
 
 def _data_dir(root: str, snap_id: int) -> str:
@@ -117,9 +121,12 @@ def commit(
     write itself (per-task min/max accumulated as files close — what
     Iceberg's writers do); the manifest format and everything downstream
     are unchanged by that swap.  The manifest itself is files-not-rows
-    sized; past ~10^6 files per table the JSON-per-snapshot spelling
-    should become parquet manifests pruned BY a Spark job (Iceberg's
-    manifest-list tier) — same two-level design, bigger metadata tier.
+    sized; every commit ALSO writes the stats as long-format parquet
+    under ``manifest-pq/snap=<id>/`` (straight from the distributed
+    agg, never via the driver) — the metadata-as-a-table tier that
+    takes over past ~10^6 files, where pruning runs as a Spark job
+    (:func:`metadata_table` / :func:`scan_via_metadata`, Iceberg's
+    manifest-list tier) and only kept paths reach the driver.
     """
     return _write_snapshot(df, root, stat_cols, n_files, [], "append")
 
@@ -247,7 +254,7 @@ def _write_snapshot(
     # Distributed stats pass: one partial+final agg over the files just
     # written; the collect is manifest-sized (one row per FILE).
     spark = df.sparkSession
-    stats = (
+    stats_df = (
         spark.read.parquet(ddir)
         .groupBy(F.input_file_name().alias("file"))
         .agg(
@@ -258,8 +265,22 @@ def _write_snapshot(
                 for tag, agg in (("min", F.min), ("max", F.max))
             ],
         )
-        .collect()
     )
+    # Metadata-as-a-table tier: the same stats, written as PARQUET rows
+    # straight from the distributed agg (never via the driver) under
+    # manifest-pq/snap=<id>/.  Long format — one row per (file, stat
+    # col) with the min/max in a slot typed like the source column — so
+    # every snapshot shares ONE schema and the whole metadata tier reads
+    # back as a single partitioned table that a Spark job can prune
+    # (metadata_table / scan_via_metadata below).  This is the tier the
+    # JSON spelling hands over to past ~10^6 files: pruning becomes a
+    # filter+agg over parquet, and only the KEPT file list — not the
+    # manifest — ever reaches the driver.  Same visibility rule: written
+    # before the log swap, invisible until it lands.
+    _write_meta_parquet(
+        spark, stats_df, fields, stat_cols, removed_files, root, snap_id
+    )
+    stats = stats_df.collect()
     entries = [
         {
             "file": _normalize_file(r["file"]),
@@ -295,6 +316,216 @@ def _write_snapshot(
         json.dump({"snapshots": log}, fh)
     os.replace(tmp, os.path.join(root, _LOG))  # the visibility swap
     return snap_id
+
+
+def _meta_dir(root: str) -> str:
+    return os.path.join(root, _META_DIR)
+
+
+def _write_meta_parquet(
+    spark: SparkSession,
+    stats_df: DataFrame,
+    fields: Mapping[str, Any],
+    stat_cols: Sequence[str],
+    removed_files: list[str],
+    root: str,
+    snap_id: int,
+) -> None:
+    """One long-format parquet manifest per snapshot (schema-stable
+    across snapshots regardless of stat-column names/types): rows are
+    (file, op, n_rows, col, min_/max_ in the slot typed like the source
+    column).  Derived from ``stats_df`` WITHOUT collecting — the union
+    is over the (tiny) stat-column list, not over files."""
+    from pyspark.sql import types as T
+
+    norm = F.regexp_replace(F.col("file"), "^file:/+", "/")
+    nul = {
+        "long": F.lit(None).cast("long"),
+        "double": F.lit(None).cast("double"),
+        "string": F.lit(None).cast("string"),
+    }
+
+    def _typed(c: str) -> list:
+        t = fields[c]
+        slots = {k: (nul[k], nul[k]) for k in nul}
+        if isinstance(
+            t, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            slots["long"] = (
+                F.col(f"min__{c}").cast("long"),
+                F.col(f"max__{c}").cast("long"),
+            )
+        elif isinstance(t, (T.FloatType, T.DoubleType)):
+            slots["double"] = (
+                F.col(f"min__{c}").cast("double"),
+                F.col(f"max__{c}").cast("double"),
+            )
+        else:
+            slots["string"] = (
+                F.col(f"min__{c}").cast("string"),
+                F.col(f"max__{c}").cast("string"),
+            )
+        return [
+            slots[k][i].alias(f"{tag}_{k}")
+            for k in ("long", "double", "string")
+            for i, tag in ((0, "min"), (1, "max"))
+        ]
+
+    meta = None
+    for c in stat_cols:
+        part = stats_df.select(
+            norm.alias("file"),
+            F.lit("add").alias("op"),
+            F.col("n_rows"),
+            F.lit(c).alias("col"),
+            *_typed(c),
+        )
+        meta = part if meta is None else meta.unionByName(part)
+    if removed_files:
+        rem = spark.createDataFrame(
+            [(f,) for f in removed_files], "file string"
+        ).select(
+            "file",
+            F.lit("remove").alias("op"),
+            F.lit(None).cast("long").alias("n_rows"),
+            F.lit(None).cast("string").alias("col"),
+            *[
+                nul[k].alias(f"{tag}_{k}")
+                for k in ("long", "double", "string")
+                for tag in ("min", "max")
+            ],
+        )
+        meta = meta.unionByName(rem)
+    meta.write.mode("overwrite").parquet(
+        os.path.join(_meta_dir(root), f"snap={snap_id}")
+    )
+
+
+def metadata_table(
+    spark: SparkSession,
+    root: str,
+    snapshot: int | None = None,
+    since_snapshot: int | None = None,
+) -> DataFrame:
+    """The manifest tier AS A TABLE: live 'add' rows for the requested
+    snapshot range, resolved distributed (the JSON fold in
+    :func:`manifest_entries` re-expressed as a filter + anti-join over
+    the parquet manifests).  One row per (file, stat column); the
+    snapshot id is the ``snap`` partition column, so range requests
+    prune manifests at the directory level.  Nothing here touches the
+    driver except the (snapshot-count-sized) log consulted for ids and
+    operations — the path that stays small at a million files."""
+    log = snapshots(root)
+    ids = [s["id"] for s in log]
+    ops = {s["id"]: s.get("operation", "append") for s in log}
+    if snapshot is not None and snapshot not in ids:
+        raise ValueError(f"unknown snapshot {snapshot}; have {ids}")
+    if since_snapshot is not None and since_snapshot not in ids:
+        raise ValueError(f"unknown snapshot {since_snapshot}; have {ids}")
+    if not os.path.isdir(_meta_dir(root)):
+        raise ValueError(f"no parquet manifest tier at {root}")
+    lo = since_snapshot if since_snapshot is not None else 0
+    hi = snapshot if snapshot is not None else (ids[-1] if ids else 0)
+    meta = spark.read.parquet(_meta_dir(root)).filter(
+        (F.col("snap") > F.lit(lo)) & (F.col("snap") <= F.lit(hi))
+    )
+    if since_snapshot is not None:
+        # change stream: only genuinely-new rows — compaction rewrites
+        # of already-delivered rows are excluded, and no removal can
+        # apply to an append-only slice
+        app = [i for i in ids if lo < i <= hi and ops[i] == "append"]
+        if not app:
+            return meta.filter(F.lit(False))
+        return meta.filter(
+            (F.col("op") == "add") & F.col("snap").isin(app)
+        )
+    adds = meta.filter(F.col("op") == "add")
+    rems = meta.filter(F.col("op") == "remove").select("file").distinct()
+    return adds.join(rems, "file", "left_anti")
+
+
+def prune_via_metadata(
+    meta: DataFrame,
+    predicates: Mapping[str, tuple[Any, Any]] | None,
+) -> DataFrame:
+    """Per-file pruning verdicts as a DataFrame: (file, n_rows, skip).
+
+    Same conservative rule as :func:`prune` — a file is skipped only
+    when some stat row PROVES emptiness (max < lo or min > hi in the
+    slot matching the predicate's type); NULL stats and absent columns
+    keep the file — but evaluated as a distributed filter+agg, so the
+    decision for 10^6 files never loops on the driver."""
+    viol = F.lit(False)
+    for col, (lo, hi) in (predicates or {}).items():
+        here = F.col("col") == F.lit(col)
+        if isinstance(lo, str) or isinstance(hi, str):
+            slots = [("min_string", "max_string")]
+        else:
+            slots = [("min_long", "max_long"), ("min_double", "max_double")]
+        for mn, mx in slots:
+            if lo is not None:
+                viol = viol | (
+                    here & F.col(mx).isNotNull() & (F.col(mx) < F.lit(lo))
+                )
+            if hi is not None:
+                viol = viol | (
+                    here & F.col(mn).isNotNull() & (F.col(mn) > F.lit(hi))
+                )
+    return meta.groupBy("file").agg(
+        F.min("n_rows").alias("n_rows"),
+        (F.max(viol.cast("int")) == F.lit(1)).alias("skip"),
+    )
+
+
+def scan_via_metadata(
+    spark: SparkSession,
+    root: str,
+    predicates: Mapping[str, tuple[Any, Any]] | None = None,
+    snapshot: int | None = None,
+    since_snapshot: int | None = None,
+) -> tuple[DataFrame, dict[str, int]]:
+    """:func:`scan` + :func:`scan_report` through the parquet metadata
+    tier: pruning runs as a Spark job over the manifests and only the
+    KEPT file list is collected.  Returns (frame, report) — the report
+    comes with the scan because recomputing it would re-run the metadata
+    job, and the never-silent doctrine wants it looked at."""
+    per_file = prune_via_metadata(
+        metadata_table(spark, root, snapshot, since_snapshot), predicates
+    ).localCheckpoint(eager=True)  # two consumers; verdicts are tiny
+    agg = per_file.agg(
+        F.count(F.lit(1)).alias("files_total"),
+        F.sum(F.col("skip").cast("int")).alias("files_skipped"),
+        F.sum("n_rows").alias("rows_total"),
+        F.sum(F.when(~F.col("skip"), F.col("n_rows")).otherwise(0)).alias(
+            "rows_kept_bound"
+        ),
+    ).collect()[0]
+    if agg["files_total"] == 0:
+        raise ValueError(
+            f"no data files in the requested snapshot range at {root}"
+        )
+    # only KEPT paths reach the driver — the skip set stays distributed
+    kept = sorted(
+        r["file"]
+        for r in per_file.filter(~F.col("skip")).select("file").collect()
+    )
+    report = {
+        "files_total": int(agg["files_total"]),
+        "files_kept": len(kept),
+        "files_skipped": int(agg["files_skipped"]),
+        "rows_total": int(agg["rows_total"]),
+        "rows_kept_bound": int(agg["rows_kept_bound"]),
+    }
+    files = kept or [
+        per_file.select("file").orderBy("file").limit(1).collect()[0]["file"]
+    ]
+    df = spark.read.parquet(*files)
+    for col, (lo, hi) in (predicates or {}).items():
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+    return df, report
 
 
 def manifest_entries(

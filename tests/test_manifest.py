@@ -213,3 +213,105 @@ def test_commit_validation(spark, tmp_path):
         M.commit(df, str(tmp_path), ["k"], n_files=0)
     with pytest.raises(ValueError):
         M.scan(spark, str(tmp_path / "nothing"), None)
+
+
+# ---------------------------------------------------------------------------
+# metadata-as-a-table tier (parquet manifests pruned by a Spark job)
+# ---------------------------------------------------------------------------
+
+
+def _live_files_json(root, **kw):
+    return sorted(e["file"] for e in M.manifest_entries(root, **kw))
+
+
+def _live_files_meta(spark, root, **kw):
+    return sorted(
+        r["file"]
+        for r in M.metadata_table(spark, root, **kw)
+        .select("file").distinct().collect()
+    )
+
+
+def test_metadata_table_matches_json_fold(spark, table):
+    """The parquet metadata tier must agree with the JSON fold on the
+    live file set AND the per-file stats — current state, time travel,
+    the change stream, and across a compaction rewrite."""
+    assert _live_files_meta(spark, table) == _live_files_json(table)
+    # per-file stats: long slot carries the k min/max from the JSON tier
+    json_stats = {
+        e["file"]: tuple(e["stats"]["k"]) for e in M.manifest_entries(table)
+    }
+    meta_stats = {
+        r["file"]: (r["min_long"], r["max_long"])
+        for r in M.metadata_table(spark, table)
+        .filter(F.col("col") == "k").collect()
+    }
+    assert meta_stats == json_stats
+    n_rows_json = {
+        e["file"]: e["n_rows"] for e in M.manifest_entries(table)
+    }
+    n_rows_meta = {
+        r["file"]: r["n_rows"]
+        for r in M.metadata_table(spark, table)
+        .select("file", "n_rows").distinct().collect()
+    }
+    assert n_rows_meta == n_rows_json
+
+    M.compact(spark, table, ["k"], n_files=2)
+    assert _live_files_meta(spark, table) == _live_files_json(table)
+    # time travel pre-compaction
+    assert _live_files_meta(spark, table, snapshot=1) == _live_files_json(
+        table, snapshot=1
+    )
+    # change stream: compaction rewrites are not re-delivered
+    assert _live_files_meta(spark, table, since_snapshot=2) == []
+    df = spark.range(400, 420).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 3).alias("v"),
+    )
+    M.commit(df, table, ["k"], n_files=1)
+    assert _live_files_meta(
+        spark, table, since_snapshot=2
+    ) == _live_files_json(table, since_snapshot=2)
+
+
+def test_scan_via_metadata_matches_scan(spark, table):
+    pred = {"k": (90, 130)}
+    df, rep = M.scan_via_metadata(spark, table, pred)
+    got = sorted(tuple(r) for r in df.select("k", "v").collect())
+    assert got == [(k, 3 * k) for k in range(90, 131)]
+    assert rep == M.scan_report(table, pred)
+    assert rep["files_skipped"] > 0
+    # all-pruned: schema survives, zero rows, report says zero kept
+    empty, erep = M.scan_via_metadata(spark, table, {"k": (10_000, 20_000)})
+    assert empty.count() == 0 and empty.columns == df.columns
+    assert erep["files_kept"] == 0
+    # one-sided + time travel through the metadata path
+    half, hrep = M.scan_via_metadata(spark, table, {"k": (350, None)})
+    assert half.count() == 50
+    tt, _ = M.scan_via_metadata(spark, table, None, snapshot=1)
+    assert tt.count() == 200
+
+
+def test_metadata_prune_typed_slots(spark, tmp_path):
+    """Double- and string-typed stat columns prune through their own
+    slots; a predicate on an absent column keeps everything
+    (conservative, like prune())."""
+    root = str(tmp_path / "typed")
+    os.makedirs(root)
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 0.5).alias("x"),
+        F.format_string("s%03d", F.col("id")).alias("name"),
+    )
+    M.commit(df, root, ["x", "name"], n_files=4)
+    got, rep = M.scan_via_metadata(spark, root, {"x": (10.0, 14.5)})
+    assert sorted(r["k"] for r in got.collect()) == list(range(20, 30))
+    assert rep["files_skipped"] > 0
+    got2, rep2 = M.scan_via_metadata(spark, root, {"name": ("s090", "s094")})
+    assert sorted(r["k"] for r in got2.collect()) == list(range(90, 95))
+    assert rep2["files_skipped"] > 0
+    # absent stat column: conservative keep-everything, residual filters
+    got3, rep3 = M.scan_via_metadata(spark, root, {"k": (5, 6)})
+    assert rep3["files_skipped"] == 0
+    assert sorted(r["k"] for r in got3.collect()) == [5, 6]
