@@ -3742,7 +3742,7 @@ DRIVER_WINDOW: list[str] = [
     # near-dup pair/cluster/ANN family, and the last past-window §2
     # operators (F3 points_assign, K7 resample_average)
     "terrain_pipeline", "corpus_pipeline",
-    "manifest_scan", "manifest_bbox_scan", "manifest_incremental",
+    "manifest_meta_scan", "manifest_bbox_scan", "manifest_incremental",
     "pages_geocode", "pages_pip",
     "simhash_pairs", "dedup_clusters", "cosine_topk_ivf",
     "points_assign", "resample_average",
@@ -3751,8 +3751,11 @@ DRIVER_WINDOW: list[str] = [
 # operators stay exercised by an in-window query rotated OUT for the
 # twelve subsystems that until now rested on pytest alone —
 #   IN:  terrain_pipeline + corpus_pipeline (the composed flagships),
-#        manifest_scan/bbox/incremental (Iceberg-lite file skipping,
-#        Z-order bbox pruning, cursor-based incremental consume),
+#        manifest_meta_scan/bbox/incremental (Iceberg-lite file
+#        skipping through the parquet metadata tier, Z-order bbox
+#        pruning, cursor-based incremental consume; manifest_scan — the
+#        JSON-fold twin of meta_scan — stays past-window, its prune
+#        logic exercised in-window by manifest_bbox_scan),
 #        pages_geocode + pages_pip (north-star page stages),
 #        simhash_pairs, dedup_clusters, cosine_topk_ivf,
 #        points_assign (F3), resample_average (K7 variant).
