@@ -3511,6 +3511,53 @@ def q_pages_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rgr_pdal_topo_spark.functions import hexcells as hexfn  # noqa: E402
+
+
+@query(
+    "hex_pages",
+    _with(
+        *_GEO_CTES,
+        "hexed AS (SELECT url, lat_milli, "
+        f"{hexfn.hex_cell_sql('lon', 'lat', 5)} AS hex_r5 FROM geo)",
+        "withp AS (SELECT url, lat_milli, hex_r5, "
+        f"{hexfn.hex_parent_sql('hex_r5', 5)} AS hex_r4 FROM hexed)",
+    )
+    + "SELECT hex_r5, hex_r4, COUNT(*) AS n_pages, "
+    "MIN(url) AS first_url, "
+    "CAST(SUM(lat_milli) AS BIGINT) AS sum_lat_milli "
+    "FROM withp GROUP BY hex_r5, hex_r4",
+)
+def q_hex_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The genuinely-hexagonal half of the north rule's "H3" index:
+    geocoded pages snapped to their nearest hex cell (cube rounding) at
+    res 5, with the center-containment parent one res up and per-cell
+    density — the hex twin of pages_grid's quadkey binning
+    (functions/hexcells.py; reference tiling keys
+    pointCloudCreation.py:176-192 generalized to the hex lattice).
+
+    Parity is bit-exact despite the float path: the encoder is one fixed
+    token-for-token IEEE-double expression (sqrt(3) correctly rounded in
+    both engines, rounding spelled FLOOR(v + 0.5)), so DuckDB replays
+    the ids; the aggregates are integers and a string MIN.
+
+    Scale shape: scan -> project (whole-stage codegen, zero Python) ->
+    one partial+final agg keyed by the hex id — the same
+    embarrassingly-parallel shape as pages_geocode, and the id is the
+    partition key downstream hex k-ring joins bucket on."""
+    g = pagesops.geo_lonlat(spark, sf_dir)
+    hexed = g.select(
+        "url",
+        "lat_milli",
+        hexfn.hex_cell(F.col("lon"), F.col("lat"), 5).alias("hex_r5"),
+    ).withColumn("hex_r4", hexfn.hex_parent(F.col("hex_r5"), 5))
+    return hexed.groupBy("hex_r5", "hex_r4").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.min("url").alias("first_url"),
+        F.sum("lat_milli").alias("sum_lat_milli"),
+    )
+
+
 def _smrf_oracle_sql(max_window: int = 4, slope: float = 0.15,
                      dh: float = 0.5, n: int = 100, cell: float = 10.0,
                      prelude: str | None = None,
@@ -3780,7 +3827,8 @@ DRIVER_WINDOW: list[str] = [
 # multimodal_meta, events_hourly, grid_count, resample_near,
 # resample_bilinear, reproject_mercator, pip_stats, TPC-H variants,
 # embedding_buckets, lang_dist, cosine_topk_lsh, s2_cell_index,
-# frame_sample, resize_images, manifest_time_scan, pages_grid.
+# frame_sample, resize_images, manifest_time_scan, pages_grid,
+# hex_pages (r4: the genuinely-hexagonal cell index, hexcells.py).
 
 
 def _reorder_registration() -> None:
