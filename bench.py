@@ -46,6 +46,12 @@ HEADLINE = [
     "extract_pages",
     "perm_ensemble",
     "network_dissolve",
+    # round-4 additions — compare totals across rounds on the 20 queries
+    # above (the "comparable-20 subtotal" in BENCH/BASELINE.md); these
+    # three get their own per-query series from r4 on
+    "terrain_pipeline",
+    "corpus_pipeline",
+    "hex_pages",
 ]
 
 
