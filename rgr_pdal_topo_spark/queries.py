@@ -3201,6 +3201,60 @@ def q_manifest_meta_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "manifest_delete_scan",
+    "SELECT o_orderstatus, COUNT(*) AS n_orders, "
+    "MIN(o_orderkey) AS min_ok, MAX(o_orderkey) AS max_ok, "
+    "CAST(SUM(o_orderkey) AS BIGINT) AS sum_ok FROM orders "
+    "WHERE NOT (o_orderkey % 4 < 3 AND o_orderkey % 5 = 0) "
+    "GROUP BY o_orderstatus",
+)
+def q_manifest_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level DELETE with Iceberg v2 merge-on-read SEQUENCE semantics
+    (sources/manifest.py delete_keys): orders land in three append
+    snapshots (o_orderkey % 4 in {0,1} -> snap 1, = 2 -> snap 2,
+    = 3 -> snap 4); between the last two, an equality-delete snapshot
+    (snap 3) deletes every key with o_orderkey % 5 = 0.  The delete
+    applies only to rows committed BEFORE it, so snap-4 rows with
+    % 5 = 0 keys SURVIVE — no data file is rewritten, the scan
+    anti-joins against the delete keys with each side's snapshot id
+    derived from its file path.  The oracle states the net effect in one
+    predicate: a row is gone iff it predates the delete (% 4 < 3) and
+    matches a deleted key (% 5 = 0).  Deletes must be visible in the
+    scan report or the query fails loudly.
+
+    Scale shape: delete files are manifest-sized and broadcast (bounded
+    by stats BEFORE reading; past 5M keys the anti-join falls back to a
+    shuffle); data files are never rewritten until compact(), which
+    applies deletes physically and retires the delete files."""
+    from rgr_pdal_topo_spark.sources import manifest as man
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    root = _manifest_scratch("spark_graft_manifest_delete")
+    orders = load_table(spark, sf_dir, "orders")
+    ok = F.col("o_orderkey")
+    man.commit(orders.filter(ok % 4 < 2), root, ["o_orderkey"], n_files=4)
+    man.commit(orders.filter(ok % 4 == 2), root, ["o_orderkey"], n_files=4)
+    man.delete_keys(
+        orders.filter(ok % 5 == 0).select("o_orderkey"), root,
+        ["o_orderkey"],
+    )
+    man.commit(orders.filter(ok % 4 == 3), root, ["o_orderkey"], n_files=4)
+    rep = man.scan_report(root)
+    if rep["delete_files"] == 0 or rep["delete_rows_bound"] == 0:
+        raise RuntimeError(f"delete snapshot invisible to scan: {rep}")
+    return (
+        man.scan(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_orderkey").alias("min_ok"),
+            F.max("o_orderkey").alias("max_ok"),
+            F.sum("o_orderkey").alias("sum_ok"),
+        )
+    )
+
+
 _UTMX_DUCK, _UTMY_DUCK = rasterops.utm_forward_sql("lon", "lat", zone=31)
 
 
@@ -3828,7 +3882,8 @@ DRIVER_WINDOW: list[str] = [
 # resample_bilinear, reproject_mercator, pip_stats, TPC-H variants,
 # embedding_buckets, lang_dist, cosine_topk_lsh, s2_cell_index,
 # frame_sample, resize_images, manifest_time_scan, pages_grid,
-# hex_pages (r4: the genuinely-hexagonal cell index, hexcells.py).
+# hex_pages (r4: the genuinely-hexagonal cell index, hexcells.py),
+# manifest_delete_scan (r4: Iceberg v2 merge-on-read deletes).
 
 
 def _reorder_registration() -> None:

@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "commit",
+    "delete_keys",
     "compact",
     "vacuum",
     "snapshots",
@@ -131,6 +132,47 @@ def commit(
     return _write_snapshot(df, root, stat_cols, n_files, [], "append")
 
 
+def delete_keys(
+    df: DataFrame,
+    root: str,
+    key_cols: Sequence[str],
+    n_files: int = 1,
+) -> int:
+    """Row-level DELETE as an equality-delete snapshot (Iceberg v2
+    merge-on-read).
+
+    ``df``'s distinct ``key_cols`` tuples become a DELETE FILE committed
+    like any other snapshot (same stats read-back, same atomic log
+    swap); no data file is rewritten.  :func:`scan` then anti-joins data
+    rows against the keys with Iceberg's SEQUENCE rule — a delete
+    applies only to rows whose snapshot is OLDER than the delete's, so a
+    key re-inserted by a later append survives.  :func:`compact` applies
+    deletes physically and retires the delete files; the change stream
+    (``since_snapshot``) stays appends-only and never sees them, exactly
+    as Iceberg CDC surfaces row-level deletes only to readers that opt
+    into delete-aware scans.
+
+    All delete snapshots of a table must share one ``key_cols`` spelling
+    (checked loudly) — per-snapshot key schemas would turn the single
+    anti-join into one join per delete file.
+    """
+    key_cols = list(key_cols)
+    if not key_cols:
+        raise ValueError("need at least one key column")
+    log = snapshots(root)
+    for s in log:
+        if s.get("operation") == "delete" and s.get("delete_key_cols") != key_cols:
+            raise ValueError(
+                f"delete key columns {key_cols} differ from this table's "
+                f"existing delete snapshots ({s['delete_key_cols']})"
+            )
+    keys = df.select(*key_cols).dropDuplicates()
+    return _write_snapshot(
+        keys, root, key_cols, n_files, [], "delete",
+        extra_log={"delete_key_cols": key_cols},
+    )
+
+
 def compact(
     spark: SparkSession,
     root: str,
@@ -157,11 +199,20 @@ def compact(
     entries = manifest_entries(root)
     if not entries:
         raise ValueError(f"nothing to compact at {root}")
+    data_entries, del_entries = _split_deletes(entries)
+    if not data_entries:
+        raise ValueError(f"nothing to compact at {root}")
+    df = spark.read.parquet(*[e["file"] for e in data_entries])
+    if del_entries:
+        # compaction APPLIES pending equality deletes (Iceberg's
+        # rewrite_data_files with delete compaction): the rewritten
+        # files carry no deleted rows, and the delete files retire with
+        # the data files they applied to — scans after this pay no
+        # anti-join.  Time travel to pre-compaction snapshots still
+        # sees the delete files and re-applies them.
+        df = _apply_deletes(spark, df, del_entries, _delete_key_cols(root))
     files = [e["file"] for e in entries]
-    return _write_snapshot(
-        spark.read.parquet(*files), root, stat_cols, n_files, files,
-        "compact",
-    )
+    return _write_snapshot(df, root, stat_cols, n_files, files, "compact")
 
 
 def vacuum(root: str, grace_seconds: float = 3600.0) -> list[str]:
@@ -213,6 +264,7 @@ def _write_snapshot(
     n_files: int,
     removed_files: list[str],
     operation: str,
+    extra_log: Mapping[str, Any] | None = None,
 ) -> int:
     """Single-writer commit: snapshot-id allocation is a read-modify-
     write of the log, and the atomic ``os.replace`` protects READERS
@@ -309,6 +361,7 @@ def _write_snapshot(
             "added_files": len(entries),
             "added_rows": int(sum(e["n_rows"] for e in entries)),
             "removed_files": len(removed_files),
+            **(dict(extra_log) if extra_log else {}),
         }
     ]
     fd, tmp = tempfile.mkstemp(dir=root, prefix=".snapshots-")
@@ -483,15 +536,36 @@ def scan_via_metadata(
     predicates: Mapping[str, tuple[Any, Any]] | None = None,
     snapshot: int | None = None,
     since_snapshot: int | None = None,
+    apply_deletes: bool = True,
 ) -> tuple[DataFrame, dict[str, int]]:
     """:func:`scan` + :func:`scan_report` through the parquet metadata
     tier: pruning runs as a Spark job over the manifests and only the
     KEPT file list is collected.  Returns (frame, report) — the report
     comes with the scan because recomputing it would re-run the metadata
-    job, and the never-silent doctrine wants it looked at."""
-    per_file = prune_via_metadata(
-        metadata_table(spark, root, snapshot, since_snapshot), predicates
-    ).localCheckpoint(eager=True)  # two consumers; verdicts are tiny
+    job, and the never-silent doctrine wants it looked at.
+
+    Equality-delete files are split off by their snapshot ids (from the
+    log — snapshot-count-sized, the one driver-resident piece), never
+    predicate-pruned, and applied merge-on-read like :func:`scan`."""
+    meta = metadata_table(spark, root, snapshot, since_snapshot)
+    del_ids = [
+        s["id"] for s in snapshots(root) if s.get("operation") == "delete"
+    ]
+    del_entries: list[dict[str, Any]] = []
+    if del_ids and since_snapshot is None:
+        # (the since_snapshot change stream is appends-only: its
+        # metadata_table slice already excludes delete snapshots)
+        del_entries = [
+            {"file": r["file"], "n_rows": r["n_rows"]}
+            for r in meta.filter(F.col("snap").isin(del_ids))
+            .select("file", "n_rows")
+            .distinct()
+            .collect()
+        ]
+        meta = meta.filter(~F.col("snap").isin(del_ids))
+    per_file = prune_via_metadata(meta, predicates).localCheckpoint(
+        eager=True
+    )  # two consumers; verdicts are tiny
     agg = per_file.agg(
         F.count(F.lit(1)).alias("files_total"),
         F.sum(F.col("skip").cast("int")).alias("files_skipped"),
@@ -525,6 +599,12 @@ def scan_via_metadata(
             df = df.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
+    if apply_deletes and del_entries:
+        df = _apply_deletes(spark, df, del_entries, _delete_key_cols(root))
+    report["delete_files"] = len(del_entries)
+    report["delete_rows_bound"] = int(
+        sum(e["n_rows"] for e in del_entries)
+    )
     return df, report
 
 
@@ -562,7 +642,9 @@ def manifest_entries(
         if m["removed_files"]:  # compaction replaces earlier files
             gone = set(m["removed_files"])
             out = [e for e in out if e["file"] not in gone]
-        out.extend(m["entries"])
+        # tag each entry with its snapshot's operation so readers can
+        # split DATA files from equality-DELETE key files
+        out.extend({**e, "operation": ops[sid]} for e in m["entries"])
     return out
 
 
@@ -594,12 +676,64 @@ def prune(
     return kept, skipped
 
 
+_SNAP_RE = r"snap=(\d+)"
+# delete sets usually fit comfortably in a broadcast; past this row
+# bound (from manifest stats, so known BEFORE reading) fall back to a
+# shuffled anti-join rather than OOM-ing the driver
+_DELETE_BROADCAST_ROWS = 5_000_000
+
+
+def _split_deletes(
+    entries: list[dict[str, Any]],
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+    data = [e for e in entries if e.get("operation") != "delete"]
+    dels = [e for e in entries if e.get("operation") == "delete"]
+    return data, dels
+
+
+def _apply_deletes(
+    spark: SparkSession,
+    df: DataFrame,
+    del_entries: list[dict[str, Any]],
+    key_cols: Sequence[str],
+) -> DataFrame:
+    """Merge-on-read: anti-join data rows against the live delete keys
+    under Iceberg's sequence rule (a delete hits only rows whose
+    snapshot predates it).  Each side's snapshot id comes from its
+    ``data/snap=<id>/`` path — no stored column, no rewrite."""
+    from functools import reduce
+
+    snap_of = F.regexp_extract(F.input_file_name(), _SNAP_RE, 1).cast("long")
+    dels = (
+        spark.read.parquet(*[e["file"] for e in del_entries])
+        .select(*key_cols, snap_of.alias("__dsnap"))
+    )
+    del_rows = sum(e["n_rows"] for e in del_entries)
+    if del_rows <= _DELETE_BROADCAST_ROWS:
+        dels = F.broadcast(dels)
+    d = df.withColumn("__snap", snap_of).alias("d")
+    x = dels.alias("x")
+    cond = reduce(
+        lambda a, b: a & b,
+        [F.col(f"d.{k}") == F.col(f"x.{k}") for k in key_cols],
+    ) & (F.col("d.__snap") < F.col("x.__dsnap"))
+    return d.join(x, cond, "left_anti").drop("__snap")
+
+
+def _delete_key_cols(root: str) -> list[str]:
+    for s in snapshots(root):
+        if s.get("operation") == "delete":
+            return list(s["delete_key_cols"])
+    return []
+
+
 def scan(
     spark: SparkSession,
     root: str,
     predicates: Mapping[str, tuple[Any, Any]] | None = None,
     snapshot: int | None = None,
     since_snapshot: int | None = None,
+    apply_deletes: bool = True,
 ) -> DataFrame:
     """Manifest-pruned scan; the residual row filter is always applied.
 
@@ -608,20 +742,29 @@ def scan(
     intersect ``predicates``.  When pruning eliminates every file, one
     surviving-manifest file is still scanned so the result keeps its
     schema (the residual filter returns zero of its rows).
+
+    Row-level deletes (:func:`delete_keys`) are applied merge-on-read
+    unless ``apply_deletes=False``; the ``since_snapshot`` change stream
+    is appends-only and never sees them (its entries exclude non-append
+    snapshots already).  Delete key files are never predicate-pruned —
+    they are manifest-sized and dropping one would resurrect rows.
     """
     entries = manifest_entries(root, snapshot, since_snapshot)
-    if not entries:
+    data_entries, del_entries = _split_deletes(entries)
+    if not data_entries:
         raise ValueError(
             f"no data files in the requested snapshot range at {root}"
         )
-    kept, _ = prune(entries, predicates)
-    files = [e["file"] for e in kept] or [entries[0]["file"]]
+    kept, _ = prune(data_entries, predicates)
+    files = [e["file"] for e in kept] or [data_entries[0]["file"]]
     df = spark.read.parquet(*files)
     for col, (lo, hi) in (predicates or {}).items():
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
+    if apply_deletes and del_entries:
+        df = _apply_deletes(spark, df, del_entries, _delete_key_cols(root))
     return df
 
 
@@ -631,13 +774,20 @@ def scan_report(
     snapshot: int | None = None,
     since_snapshot: int | None = None,
 ) -> dict[str, int]:
-    """Never-silent pruning metrics for the matching :func:`scan`."""
+    """Never-silent pruning metrics for the matching :func:`scan`.
+
+    File/row figures cover DATA files; live equality-delete files are
+    reported separately (``delete_files`` / ``delete_rows_bound`` — an
+    upper bound on rows the merge-on-read anti-join can suppress)."""
     entries = manifest_entries(root, snapshot, since_snapshot)
-    kept, skipped = prune(entries, predicates)
+    data_entries, del_entries = _split_deletes(entries)
+    kept, skipped = prune(data_entries, predicates)
     return {
-        "files_total": len(entries),
+        "files_total": len(data_entries),
         "files_kept": len(kept),
         "files_skipped": len(skipped),
-        "rows_total": int(sum(e["n_rows"] for e in entries)),
+        "rows_total": int(sum(e["n_rows"] for e in data_entries)),
         "rows_kept_bound": int(sum(e["n_rows"] for e in kept)),
+        "delete_files": len(del_entries),
+        "delete_rows_bound": int(sum(e["n_rows"] for e in del_entries)),
     }

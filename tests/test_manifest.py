@@ -315,3 +315,111 @@ def test_metadata_prune_typed_slots(spark, tmp_path):
     got3, rep3 = M.scan_via_metadata(spark, root, {"k": (5, 6)})
     assert rep3["files_skipped"] == 0
     assert sorted(r["k"] for r in got3.collect()) == [5, 6]
+
+
+# ---------------------------------------------------------------------------
+# row-level deletes (equality-delete snapshots, merge-on-read)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def deleted_table(spark, table):
+    """The two-snapshot fixture plus: delete k % 10 == 0 (snap 3), then
+    re-append rows 400..449 including multiples of 10 (snap 4)."""
+    df = spark.range(0, 450).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 3).alias("v"),
+    )
+    s3 = M.delete_keys(
+        df.filter((F.col("k") % 10 == 0) & (F.col("k") < 450)).select("k"),
+        table, ["k"],
+    )
+    s4 = M.commit(df.filter(F.col("k") >= 400), table, ["k"], n_files=2)
+    assert (s3, s4) == (3, 4)
+    return table
+
+
+def _ks(df):
+    return sorted(r["k"] for r in df.select("k").collect())
+
+
+def test_delete_applies_with_sequence_semantics(spark, deleted_table):
+    """Rows before the delete lose their matching keys; the later append
+    keeps ALL its rows — including re-inserted multiples of 10."""
+    want = [k for k in range(400) if k % 10 != 0] + list(range(400, 450))
+    assert _ks(M.scan(spark, deleted_table)) == sorted(want)
+
+
+def test_delete_respects_time_travel_and_opt_out(spark, deleted_table):
+    # as-of snap 2: before the delete existed -> all 400 original rows
+    assert _ks(M.scan(spark, deleted_table, snapshot=2)) == list(range(400))
+    # as-of snap 3: delete applies, snap-4 rows not yet visible
+    assert _ks(M.scan(spark, deleted_table, snapshot=3)) == [
+        k for k in range(400) if k % 10 != 0
+    ]
+    # delete-blind scan (Iceberg's data-files-only read)
+    assert _ks(
+        M.scan(spark, deleted_table, apply_deletes=False)
+    ) == sorted(list(range(400)) + list(range(400, 450)))
+
+
+def test_delete_invisible_to_change_stream(spark, deleted_table):
+    """since_snapshot stays appends-only: the delete snapshot delivers
+    nothing and suppresses nothing."""
+    got = _ks(M.scan(spark, deleted_table, since_snapshot=2))
+    assert got == list(range(400, 450))
+    rep = M.scan_report(deleted_table, since_snapshot=2)
+    assert rep["delete_files"] == 0
+
+
+def test_delete_report_and_predicate_interplay(spark, deleted_table):
+    rep = M.scan_report(deleted_table)
+    assert rep["delete_files"] >= 1
+    # multiples of 10 in 0..449 — the delete file ALSO lists keys that
+    # only exist in the later snap-4 append; sequence rule keeps those
+    assert rep["delete_rows_bound"] == 45
+    # predicates prune data files; delete keys still apply inside
+    got = _ks(M.scan(spark, deleted_table, {"k": (95, 125)}))
+    assert got == [k for k in range(95, 126) if k % 10 != 0]
+
+
+def test_compact_applies_deletes_physically(spark, deleted_table):
+    before = _ks(M.scan(spark, deleted_table))
+    s5 = M.compact(spark, deleted_table, ["k"], n_files=3)
+    assert s5 == 5
+    # same logical table...
+    assert _ks(M.scan(spark, deleted_table)) == before
+    # ...but no delete files remain live and rows are PHYSICALLY gone
+    rep = M.scan_report(deleted_table)
+    assert rep["delete_files"] == 0
+    raw = spark.read.parquet(
+        *[e["file"] for e in M.manifest_entries(deleted_table)]
+    )
+    assert _ks(raw) == before
+    # pre-compaction time travel still re-applies the delete files
+    assert _ks(M.scan(spark, deleted_table, snapshot=3)) == [
+        k for k in range(400) if k % 10 != 0
+    ]
+
+
+def test_metadata_tier_matches_json_tier_with_deletes(spark, deleted_table):
+    got, rep = M.scan_via_metadata(spark, deleted_table, None)
+    assert _ks(got) == _ks(M.scan(spark, deleted_table))
+    assert rep["files_total"] == M.scan_report(deleted_table)["files_total"]
+    blind, _ = M.scan_via_metadata(
+        spark, deleted_table, None, apply_deletes=False
+    )
+    assert len(_ks(blind)) == 450
+
+
+def test_delete_key_cols_must_be_consistent(spark, deleted_table):
+    df = spark.range(0, 5).select(F.col("id").alias("grp"))
+    with pytest.raises(ValueError, match="key columns"):
+        M.delete_keys(df, deleted_table, ["grp"])
+
+
+def test_vacuum_keeps_live_delete_files(spark, deleted_table):
+    assert M.vacuum(deleted_table, grace_seconds=0.0) == []
+    rep = M.scan_report(deleted_table)
+    assert rep["delete_files"] >= 1
