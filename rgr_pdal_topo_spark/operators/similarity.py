@@ -323,3 +323,100 @@ def embedding_near_dups(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# SQ8: scalar-quantized compressed-vector search
+# ---------------------------------------------------------------------------
+
+def sq8_trained_scale(emb: DataFrame, vec_col: str = "embedding") -> float:
+    """FAISS-style trained quantizer scale: 127 / max|component| over the
+    corpus, so the int8 grid spans exactly the observed value range (a
+    fixed scale either clamps wide corpora or wastes grid on narrow
+    ones).  One distributed max-abs agg; the scalar division happens in
+    Python — IEEE double, bit-identical to the oracle's SQL spelling
+    ``127.0 / MAX(GREATEST(ABS(list_min(v)), ABS(list_max(v))))``."""
+    v = _vec_double(vec_col)
+    mx = emb.agg(
+        F.max(F.greatest(F.abs(F.array_min(v)), F.abs(F.array_max(v))))
+    ).collect()[0][0]
+    return 127.0 / mx
+
+
+def quantize_sq8(vec_col: str, scale: float) -> Column:
+    """Component-wise scalar quantization to the int8 grid (the FAISS
+    SQ8 idea): q_i = clamp(floor(v_i * scale + 0.5), -127, 127).
+
+    The 100 TB rationale is memory, not speed: float32 embeddings are
+    the dominant byte cost of a vector corpus, and 4x compression is the
+    difference between a corpus that fits executor memory and one that
+    spills.  Distances over quantized vectors are EXACT INTEGER
+    arithmetic — reproducible across engines bit-for-bit, unlike float
+    dot products whose aggregation order matters.  Rounding is spelled
+    FLOOR(v + 0.5) (Spark/DuckDB ROUND disagree on halves)."""
+    return F.transform(
+        F.col(vec_col),
+        lambda v: F.greatest(
+            F.least(
+                F.floor(v.cast("double") * F.lit(scale) + F.lit(0.5)),
+                F.lit(127),
+            ),
+            F.lit(-127),
+        ),
+    )
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk_sq8(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    id_col: str = "vec_id",
+    scale: float | None = None,
+) -> DataFrame:
+    """Top-k cosine over SQ8-quantized vectors (the compressed twin of
+    :func:`cosine_topk`): approximate cosine = qdot / sqrt(qn_a * qn_b),
+    integer until the one final sqrt+division, so the DuckDB oracle
+    replays it exactly (no agg-order float drift anywhere).  Recall vs
+    the exact float path is pinned in tests/test_similarity.py.
+    ``scale=None`` trains it from the corpus (:func:`sq8_trained_scale`)."""
+    if scale is None:
+        scale = sq8_trained_scale(emb)
+    qz = emb.withColumn("qv", quantize_sq8("embedding", scale))
+    base = qz.select(
+        F.col(id_col).alias("nn_id"),
+        "qv",
+        _int_dot(F.col("qv"), F.col("qv")).alias("qn"),
+    )
+    q = (
+        qz.filter(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("qv").alias("qqv"),
+            _int_dot(F.col("qv"), F.col("qv")).alias("qqn"),
+        )
+    )
+    j = base.crossJoin(F.broadcast(q)).filter(
+        F.col("nn_id") != F.col("query_id")
+    )
+    cos = F.round(
+        _int_dot(F.col("qv"), F.col("qqv"))
+        / F.sqrt((F.col("qn") * F.col("qqn")).cast("double")),
+        COS_ROUND,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nn_id").asc()
+    )
+    return (
+        j.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nn_id", "cosine")
+    )

@@ -1867,6 +1867,47 @@ def q_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQ8_COS = (
+    "ROUND(list_dot_product(n.qv, q.qv) / "
+    "SQRT(CAST(n.qn * q.qn AS DOUBLE)), 5)"
+)
+
+
+@query(
+    "cosine_topk_sq8",
+    _with(
+        f"e AS ({_EMB_DUCK})",
+        # trained quantizer scale: 127 / corpus max|component| — the
+        # engine computes the identical scalar via one distributed agg
+        "s AS (SELECT 127.0 / MAX(GREATEST(ABS(list_min(v)), "
+        "ABS(list_max(v)))) AS sc FROM e)",
+        "q8 AS (SELECT vec_id, list_transform(v, x -> CAST(GREATEST("
+        "LEAST(CAST(FLOOR(x * sc + 0.5) AS BIGINT), "
+        "127), -127) AS DOUBLE)) AS qv FROM e, s)",
+        "n AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS qn FROM q8)",
+    )
+    + "SELECT query_id, rank, nn_id, cosine FROM ("
+    "SELECT q.vec_id AS query_id, n.vec_id AS nn_id, "
+    f"{_SQ8_COS} AS cosine, "
+    "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+    f"{_SQ8_COS} DESC, n.vec_id ASC) AS rank "
+    "FROM n JOIN n q ON q.vec_id < 10 AND n.vec_id <> q.vec_id) r "
+    "WHERE rank <= 5",
+)
+def q_cosine_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-vector top-k: embeddings scalar-quantized to the int8
+    grid (FAISS SQ8 — 4x memory at 100 TB, where corpus bytes, not
+    FLOPs, decide whether search fits executor memory), distances in
+    exact integer arithmetic until one final sqrt+division, so the
+    oracle replays every value bit-for-bit with no agg-order float
+    drift.  Recall vs the exact float path is pinned in
+    tests/test_similarity.py."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_sq8(emb, n_queries=10, k=5)
+
+
 def _planes_duck(n_planes: int, dim: int = 64) -> list[str]:
     out = []
     for j in range(n_planes):
@@ -3612,6 +3653,66 @@ def q_hex_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the 7 packed-id ring offsets (self + 6 axial neighbours) as SQL adds —
+# mirrors hexcells.hex_k_ring's packed arithmetic
+_HEX_RING_DELTAS_SQL = "[" + ", ".join(
+    str((dq << 28) + dr)
+    for dq, dr in ((0, 0),) + hexfn.HEX_NEIGHBOR_DELTAS
+) + "]"
+
+
+@query(
+    "hex_ring_density",
+    _with(
+        *_GEO_CTES,
+        "hexed AS (SELECT url, "
+        f"{hexfn.hex_cell_sql('lon', 'lat', 6)} AS cell FROM geo)",
+        "counts AS (SELECT cell, COUNT(*) AS n_pages FROM hexed "
+        "GROUP BY cell)",
+        "ring AS (SELECT cell, cell + u.d AS nb FROM counts, "
+        f"LATERAL (SELECT unnest({_HEX_RING_DELTAS_SQL}) AS d) u)",
+    )
+    + "SELECT r.cell, CAST(SUM(c2.n_pages) AS BIGINT) AS ring_pages, "
+    "COUNT(c2.cell) AS ring_cells "
+    "FROM ring r JOIN counts c2 ON c2.cell = r.nb "
+    "GROUP BY r.cell",
+)
+def q_hex_ring_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex k-ring neighbourhood join — the operation the ring EXISTS
+    for: per-cell page density smoothed over the cell plus its six
+    equidistant edge neighbours (a honest distance band; a square
+    3x3 ring mixes two adjacency classes).  The ring ids are pure
+    packed-id adds, so the join is a plain equi-join on int64 keys and
+    the oracle replays it with a literal 7-element offset list.
+
+    Scale shape: one partial+final count per cell, explode(7) on the
+    CELL table (already aggregated — never on raw pages), then an
+    equi-join keyed by cell id and a second partial+final sum.  At
+    10^12 pages the exploded side is corpus-distinct-cells x 7 — the
+    k-ring equi-join is exactly how neighbour queries avoid range/theta
+    joins at scale."""
+    g = pagesops.geo_lonlat(spark, sf_dir)
+    counts = (
+        g.select(hexfn.hex_cell(F.col("lon"), F.col("lat"), 6).alias("cell"))
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_pages"))
+    )
+    ring = counts.select(
+        "cell", F.explode(hexfn.hex_k_ring(F.col("cell"))).alias("nb")
+    )
+    c2 = counts.select(
+        F.col("cell").alias("nb_cell"), F.col("n_pages").alias("nb_pages")
+    )
+    return (
+        ring.join(c2, ring["nb"] == c2["nb_cell"])
+        .groupBy("cell")
+        .agg(
+            F.sum("nb_pages").alias("ring_pages"),
+            F.count(F.lit(1)).alias("ring_cells"),
+        )
+    )
+
+
 def _smrf_oracle_sql(max_window: int = 4, slope: float = 0.15,
                      dh: float = 0.5, n: int = 100, cell: float = 10.0,
                      prelude: str | None = None,
@@ -3882,8 +3983,10 @@ DRIVER_WINDOW: list[str] = [
 # resample_bilinear, reproject_mercator, pip_stats, TPC-H variants,
 # embedding_buckets, lang_dist, cosine_topk_lsh, s2_cell_index,
 # frame_sample, resize_images, manifest_time_scan, pages_grid,
-# hex_pages (r4: the genuinely-hexagonal cell index, hexcells.py),
-# manifest_delete_scan (r4: Iceberg v2 merge-on-read deletes).
+# hex_pages + hex_ring_density (r4: the genuinely-hexagonal cell index
+# and its k-ring neighbourhood join, hexcells.py),
+# manifest_delete_scan (r4: Iceberg v2 merge-on-read deletes),
+# cosine_topk_sq8 (r4: int8 compressed-vector search).
 
 
 def _reorder_registration() -> None:

@@ -180,3 +180,45 @@ def test_ivf_with_trained_centroids(spark):
         for q, g in exact.groupby("query_id")
     )
     assert hits / len(exact) >= 0.4
+
+
+def test_sq8_recall_vs_exact(emb):
+    """SQ8 quantization is lossy in the 3rd decimal at scale 200 over
+    unit-ish vectors — top-5 sets should overlap the float path almost
+    everywhere, and top-1 (a planted near-dup) must survive."""
+    exact5 = {
+        (r.query_id, r.nn_id)
+        for r in similarity.cosine_topk(emb, n_queries=10, k=5).collect()
+    }
+    sq5 = {
+        (r.query_id, r.nn_id)
+        for r in similarity.cosine_topk_sq8(emb, n_queries=10, k=5).collect()
+    }
+    assert len(sq5 & exact5) / len(exact5) >= 0.8
+    exact1 = {
+        (r.query_id, r.nn_id)
+        for r in similarity.cosine_topk(emb, n_queries=10, k=1).collect()
+    }
+    sq1 = {
+        (r.query_id, r.nn_id)
+        for r in similarity.cosine_topk_sq8(emb, n_queries=10, k=1).collect()
+    }
+    assert len(sq1 & exact1) / len(exact1) >= 0.9
+
+
+def test_sq8_quantization_bounds(emb):
+    """Quantized components stay on the clamped int8 grid."""
+    from pyspark.sql import functions as F
+
+    scale = similarity.sq8_trained_scale(emb)
+    row = (
+        emb.select(
+            similarity.quantize_sq8("embedding", scale).alias("qv")
+        )
+        .select(
+            F.min(F.array_min("qv")).alias("lo"),
+            F.max(F.array_max("qv")).alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert -127 <= row.lo <= row.hi <= 127
