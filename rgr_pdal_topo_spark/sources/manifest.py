@@ -51,6 +51,7 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import time
 from typing import Any, Iterable, Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -59,9 +60,11 @@ from pyspark.sql import functions as F
 __all__ = [
     "commit",
     "delete_keys",
+    "upsert",
     "compact",
     "vacuum",
     "snapshots",
+    "snapshot_as_of",
     "manifest_entries",
     "prune",
     "scan",
@@ -99,6 +102,18 @@ def snapshots(root: str) -> list[dict[str, Any]]:
         return []
     with open(path) as fh:
         return json.load(fh)["snapshots"]
+
+
+def snapshot_as_of(root: str, ts: float) -> int:
+    """Timestamp time travel (Iceberg ``FOR SYSTEM_TIME AS OF``): the
+    last snapshot committed at or before ``ts``.  Compose with any
+    reader: ``scan(spark, root, snapshot=snapshot_as_of(root, t))``.
+    Raises if the table did not exist yet at ``ts`` — silently reading
+    an empty past is how backfills double-process."""
+    eligible = [s["id"] for s in snapshots(root) if s.get("ts", 0.0) <= ts]
+    if not eligible:
+        raise ValueError(f"no snapshot at or before ts={ts} at {root}")
+    return eligible[-1]
 
 
 def commit(
@@ -173,6 +188,26 @@ def delete_keys(
     )
 
 
+def upsert(
+    df: DataFrame,
+    root: str,
+    key_cols: Sequence[str],
+    stat_cols: Sequence[str],
+    n_files: int = 8,
+) -> tuple[int, int]:
+    """MERGE-style upsert: replace any existing rows matching ``df``'s
+    keys, then append ``df`` — composed as an equality-delete snapshot
+    followed by an append (two snapshots; Iceberg's single-snapshot
+    MERGE is this same pair under one commit boundary, a distinction
+    that matters only to concurrent readers between the two log swaps —
+    documented, not hidden).  Returns (delete_snap_id, append_snap_id).
+    The sequence rule makes it exact: the delete predates the append, so
+    the new rows survive their own keys' deletion."""
+    d = delete_keys(df.select(*key_cols), root, key_cols)
+    a = commit(df, root, stat_cols, n_files)
+    return d, a
+
+
 def compact(
     spark: SparkSession,
     root: str,
@@ -227,8 +262,6 @@ def vacuum(root: str, grace_seconds: float = 3600.0) -> list[str]:
     the same retention guard).  Returns the deleted paths
     (never-silent).
     """
-    import time
-
     referenced = {
         e["file"]
         for s in snapshots(root)
@@ -358,6 +391,11 @@ def _write_snapshot(
         {
             "id": snap_id,
             "operation": operation,
+            # wall-clock commit time: the `as_of_ts` time-travel key.
+            # Monotonicity follows from single-writer commits; a clock
+            # step back would make as_of_ts resolve conservatively
+            # (earlier snapshot), never expose uncommitted rows.
+            "ts": time.time(),
             "added_files": len(entries),
             "added_rows": int(sum(e["n_rows"] for e in entries)),
             "removed_files": len(removed_files),
@@ -734,8 +772,17 @@ def scan(
     snapshot: int | None = None,
     since_snapshot: int | None = None,
     apply_deletes: bool = True,
+    merge_schema: bool = False,
 ) -> DataFrame:
     """Manifest-pruned scan; the residual row filter is always applied.
+
+    ``merge_schema=True`` supports additive schema evolution (a later
+    snapshot added columns): the scan unions all surviving files'
+    schemas and older rows read NULL in the new columns — parquet's
+    mergeSchema, which pays a footer-union pass.  (Iceberg avoids that
+    pass by keeping the schema in table metadata; this layer's JSON log
+    could carry it the same way if the footer pass ever shows up in a
+    profile.)  Off by default: single-schema tables shouldn't pay it.
 
     Only files the manifest references are ever read (orphans from a
     crashed commit are invisible); of those, only files whose stats
@@ -757,7 +804,10 @@ def scan(
         )
     kept, _ = prune(data_entries, predicates)
     files = [e["file"] for e in kept] or [data_entries[0]["file"]]
-    df = spark.read.parquet(*files)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    df = reader.parquet(*files)
     for col, (lo, hi) in (predicates or {}).items():
         if lo is not None:
             df = df.filter(F.col(col) >= F.lit(lo))

@@ -423,3 +423,49 @@ def test_vacuum_keeps_live_delete_files(spark, deleted_table):
     assert M.vacuum(deleted_table, grace_seconds=0.0) == []
     rep = M.scan_report(deleted_table)
     assert rep["delete_files"] >= 1
+
+
+def test_upsert_replaces_matching_keys(spark, table):
+    """Upsert = delete-then-append under one call: changed rows replace
+    their old versions, new keys append, untouched keys survive."""
+    up = spark.range(150, 250).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 1000).alias("v"),  # new values
+    )
+    d, a = M.upsert(up, table, ["k"], ["k"], n_files=2)
+    assert (d, a) == (3, 4)
+    got = {r["k"]: r["v"] for r in M.scan(spark, table).collect()}
+    assert len(got) == 400
+    for k in range(400):
+        assert got[k] == (k * 1000 if 150 <= k < 250 else k * 3)
+
+
+def test_snapshot_as_of_timestamp(spark, table):
+    """Timestamp time travel resolves to the last snapshot committed at
+    or before ts; before table creation it refuses loudly."""
+    log = M.snapshots(table)
+    t1, t2 = log[0]["ts"], log[1]["ts"]
+    assert M.snapshot_as_of(table, t1) == 1
+    assert M.snapshot_as_of(table, (t1 + t2) / 2.0) == 1
+    assert M.snapshot_as_of(table, t2 + 1.0) == 2
+    with pytest.raises(ValueError, match="no snapshot"):
+        M.snapshot_as_of(table, t1 - 10.0)
+    asof = M.scan(spark, table, snapshot=M.snapshot_as_of(table, t1))
+    assert asof.count() == 200
+
+
+def test_scan_merge_schema_additive_evolution(spark, table):
+    """A later snapshot may ADD columns; merge_schema=True reads old
+    rows with NULL in the new column, and the default stays strict."""
+    df = spark.range(400, 420).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 3).alias("v"),
+        F.format_string("t%d", F.col("id")).alias("tag"),  # NEW column
+    )
+    M.commit(df, table, ["k"], n_files=1)
+    got = M.scan(spark, table, merge_schema=True)
+    assert set(got.columns) == {"k", "grp", "v", "tag"}
+    assert got.count() == 420
+    assert got.filter(F.col("tag").isNull()).count() == 400
+    assert got.filter(F.col("tag") == "t405").count() == 1

@@ -251,3 +251,45 @@ def test_manifest_scan_pushes_residual_filter(spark, tmp_path):
     plan = _plan(pruned)
     assert "PushedFilters" in plan and "GreaterThanOrEqual(k,100)" in plan
     assert len(set(pruned.inputFiles())) == 1  # manifest tier pruned 3/4
+
+
+def test_hex_pages_single_shuffle_no_python(spark):
+    """Hex encoding is pure codegen (scan -> project); the only Exchange
+    is the final partial+final aggregation on the cell id."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["hex_pages"](spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") <= 2  # partial->final agg only
+
+
+def test_hex_ring_join_is_equi_join(spark):
+    """The k-ring neighbourhood join must be a plain equi-join on packed
+    ids — no cartesian/nested-loop anywhere, no Python."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["hex_ring_density"](spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_sq8_broadcasts_query_side(spark):
+    """Compressed-vector top-k broadcasts the (tiny) query set; the
+    corpus side never shuffles before the ranking window."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["cosine_topk_sq8"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "EvalPython" not in plan
+
+
+def test_manifest_delete_scan_broadcasts_delete_keys(spark):
+    """Merge-on-read applies bounded delete sets as a broadcast
+    anti-join — a shuffled anti-join on every read would tax all scans
+    for a KB of keys."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["manifest_delete_scan"](spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "LeftAnti" in plan
