@@ -644,3 +644,91 @@ def simhash_pairs(
         .filter(F.col("hamming") <= F.lit(max_hamming))
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup: a persistent LSH index over manifest snapshots
+# ---------------------------------------------------------------------------
+
+def incremental_near_dups(
+    spark,
+    new_docs: DataFrame,
+    store_root: str,
+    bands: int = 8,
+    rows_per_band: int = 2,
+    max_bucket: int = MAX_BUCKET,
+    n_files: int = 4,
+) -> DataFrame:
+    """Near-dup pairs for ONE NEW BATCH against everything seen so far,
+    without recomputing the corpus — the shape incremental training-data
+    ingestion needs at 10^12 docs (re-banding the whole lake per WARC
+    drop is the quadratic trap).
+
+    The signature store is a MANIFEST TABLE (sources/manifest.py) of
+    banded keys ``(doc_id, band, band_key)``, range-clustered on
+    ``band_key`` so the probe join prunes store files by key range.
+    Protocol per batch:
+
+    1. band the new docs (one groupBy, as the batch path);
+    2. read the store PINNED at its current snapshot (later appends
+       cannot leak into this read — the exactly-once trick the
+       SnapshotConsumer uses);
+    3. emit new-vs-store and new-vs-new candidate pairs through the
+       usual bucket-size cap, sized over store+batch TOGETHER;
+    4. commit the new keys as the next snapshot (atomic visibility: a
+       crash before the commit re-processes the batch, never halves it).
+
+    Pair-set semantics vs one batch-mode run over the union: identical
+    while no bucket crosses ``max_bucket`` BETWEEN batches; a bucket
+    that grows past the cap mid-stream keeps the pairs it emitted while
+    small (no retraction), where batch mode would drop them all — the
+    incremental output is a superset in exactly that case, and
+    ``lsh_dropped_buckets`` over the store enumerates the affected keys.
+    Caller contract: doc_ids are unique across all batches.
+    """
+    from rgr_pdal_topo_spark.sources import manifest as man
+
+    mixed_new = _band_mix(
+        minhash_signatures(token_ids(new_docs)), bands, rows_per_band
+    )
+    log = man.snapshots(store_root)
+    mixed_old = (
+        man.scan(spark, store_root, snapshot=log[-1]["id"]) if log else None
+    )
+    union = (
+        mixed_new if mixed_old is None
+        else mixed_old.unionByName(mixed_new)
+    )
+    keep = (
+        union.groupBy("band", "band_key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") <= max_bucket)
+        .select("band", "band_key")
+    )
+    cn = mixed_new.join(keep, ["band", "band_key"]).select(
+        "doc_id", "band", "band_key"
+    )
+    l = cn.select(F.col("doc_id").alias("doc_a"), "band", "band_key")
+    r = cn.select(F.col("doc_id").alias("doc_b"), "band", "band_key")
+    pairs = (
+        l.join(r, ["band", "band_key"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+    )
+    if mixed_old is not None:
+        co = mixed_old.join(keep, ["band", "band_key"]).select(
+            F.col("doc_id").alias("doc_o"), "band", "band_key"
+        )
+        cross = (
+            cn.join(co, ["band", "band_key"])
+            .select(
+                F.least("doc_id", "doc_o").alias("doc_a"),
+                F.greatest("doc_id", "doc_o").alias("doc_b"),
+            )
+        )
+        pairs = pairs.unionByName(cross)
+    pairs = pairs.distinct().localCheckpoint(eager=True)
+    # materialized BEFORE the commit: the pair plan must never observe
+    # the store state that includes this batch's own keys
+    man.commit(mixed_new, store_root, ["band_key"], n_files=n_files)
+    return pairs

@@ -13,6 +13,8 @@ import random
 
 import pytest
 
+from pyspark.sql import functions as F
+
 from rgr_pdal_topo_spark.operators import dedup
 
 
@@ -230,3 +232,59 @@ def test_duplicate_components_chain_and_clique(spark):
     }
     assert got == {10: 10, 11: 10, 12: 10, 13: 10,
                    5: 5, 6: 5, 7: 5, 2: 2, 9: 2}
+
+
+def test_incremental_near_dups_matches_batch(spark, tmp_path):
+    """Two-batch incremental processing over the persistent LSH store
+    emits exactly the batch-mode pair set (no bucket crosses the cap
+    here), split correctly across the two calls."""
+    import os
+
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_candidate_pairs(
+            dedup.minhash_signatures(dedup.token_ids(docs))
+        ).collect()
+    }
+    store = str(tmp_path / "lsh_store")
+    os.makedirs(store)
+    half = docs.agg(F.expr("percentile(doc_id, 0.5)")).collect()[0][0]
+    b1 = docs.filter(F.col("doc_id") <= half)
+    b2 = docs.filter(F.col("doc_id") > half)
+    p1 = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.incremental_near_dups(spark, b1, store).collect()
+    }
+    p2 = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.incremental_near_dups(spark, b2, store).collect()
+    }
+    assert p1 | p2 == full
+    assert not (p1 & p2)  # each pair delivered exactly once
+    # batch 2's pairs include cross-batch candidates found via the store
+    assert any(a <= half < b or b <= half < a for a, b in p2) or not p2
+
+
+def test_incremental_store_is_idempotent_readable(spark, tmp_path):
+    """The store is a manifest table: a re-run of the same batch against
+    a PINNED snapshot cannot see its own keys (no self-pairs beyond the
+    genuine ones), and the store accumulates one snapshot per batch."""
+    import os
+
+    from rgr_pdal_topo_spark.sources import manifest as man
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    store = str(tmp_path / "lsh_store2")
+    os.makedirs(store)
+    dedup.incremental_near_dups(
+        spark, docs.filter(F.col("doc_id") < 20), store
+    )
+    dedup.incremental_near_dups(
+        spark, docs.filter(F.col("doc_id").between(20, 39)), store
+    )
+    ids = [s["id"] for s in man.snapshots(store)]
+    assert ids == [1, 2]
