@@ -3929,10 +3929,10 @@ DRIVER_WINDOW: list[str] = [
     "grid_idw_filled", "binned_intensity", "pip_pairs",
     "knn_gps",
     "profile_extract", "stencil_suite", "hag", "grid_residuals",
-    "tpch_pricing", "cell_index", "sessionize", "slope_hillshade",
+    "tpch_pricing", "hex_pages", "sessionize", "slope_hillshade",
     "points_decimate", "lineage_resume",
     "smrf_ground",
-    "cosine_topk",
+    "cosine_topk_sq8",
     "multimodal_features", "flow_d8", "flow_area", "flow_chi", "flow_basins",
     "flow_maxl", "flow_order", "network_ksn", "network_dissolve",
     "plane_fit", "perm_ensemble", "kmeans_scarp",
@@ -3976,6 +3976,15 @@ DRIVER_WINDOW: list[str] = [
 #        minhash_buckets        -> minhash_pairs (signatures + bands +
 #                                  capped bucket join) upstream
 #        embedding_near_dups    -> cosine_topk + cosine_topk_ivf
+# Round-4 late swaps (driver rows for the round's headline additions,
+# operator coverage preserved):
+#   cell_index  -> hex_pages  (F13 quadkey encoding stays in-window via
+#                  pages_geocode's res-5/8/12 ids; hex_pages adds the
+#                  genuinely-hexagonal index + center-containment parent)
+#   cosine_topk -> cosine_topk_sq8 (same broadcast + ranking-window
+#                  shape PLUS the trained int8 quantizer; O4 argmin
+#                  stays in-window via knn_gps; the float brute path
+#                  remains the pytest recall baseline)
 # All rotated-out queries remain registered and pytest-parity-checked
 # every run (tests/test_query_parity.py sweeps every oracle pair).
 # Remaining past-window oracle-backed extras: cell_rollup,
