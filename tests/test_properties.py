@@ -180,3 +180,77 @@ def test_prune_narrowing_shrinks_kept(entries, pred):
     wide, _ = prune(entries, pred)
     narrow, _ = prune(entries, {"c": (nlo, nhi)})
     assert {e["file"] for e in narrow} <= {e["file"] for e in wide}
+
+
+# ---------------------------------------------------------------------------
+# hexagonal cell index (functions/hexcells.py) — numpy path, no Spark
+# ---------------------------------------------------------------------------
+
+from rgr_pdal_topo_spark.functions import hexcells as hx  # noqa: E402
+
+
+def _hex_np(lon: float, lat: float, res: int) -> tuple[int, int]:
+    cell = int(hx._hex_cell_np(
+        np.array([lon], dtype=np.float64),
+        np.array([lat], dtype=np.float64), res,
+    )[0])
+    mask = (1 << 28) - 1
+    return ((cell >> 28) & mask) - (1 << 27), (cell & mask) - (1 << 27)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_lon, _lat)
+def test_hex_cube_rounding_is_nearest_center(lon, lat):
+    """For any point, no axial neighbour's center is closer than the
+    chosen cell's (ties allowed within float epsilon)."""
+    res = 7
+    q, r = _hex_np(lon, lat, res)
+    s = hx.hex_size(res)
+
+    def center(qq, rr):
+        return s * np.sqrt(3.0) * (qq + rr / 2.0), s * 1.5 * rr
+
+    cx, cy = center(q, r)
+    d0 = (lon - cx) ** 2 + (lat - cy) ** 2
+    for dq, dr in hx.HEX_NEIGHBOR_DELTAS:
+        nx, ny = center(q + dq, r + dr)
+        assert d0 <= (lon - nx) ** 2 + (lat - ny) ** 2 + 1e-9
+
+
+@settings(max_examples=200, deadline=None)
+@given(_lon, _lat)
+def test_hex_parent_is_ring_stable(lon, lat):
+    """The center-containment parent of a point's res-r cell is within
+    one cell of the point's own res-(r-1) cell, at every res in the
+    ladder (straddling is bounded by hex geometry)."""
+    for res in (6, 9, 12):
+        q, r = _hex_np(lon, lat, res)
+        s = hx.hex_size(res)
+        cx = s * np.sqrt(3.0) * (q + r / 2.0)
+        cy = s * 1.5 * r
+        pq, pr = _hex_np(cx, cy, res - 1)
+        oq, orr = _hex_np(lon, lat, res - 1)
+        assert (pq - oq, pr - orr) in (
+            ((0, 0),) + hx.HEX_NEIGHBOR_DELTAS
+        )
+
+
+@settings(max_examples=100, deadline=None)
+@given(_lon, _lat, _lon, _lat)
+def test_hex_duckdb_twin_matches_numpy(lon1, lat1, lon2, lat2):
+    """The SQL twin is bit-identical to the numpy encoder on arbitrary
+    doubles — the three-engine equality test (test_hexcells) checks the
+    Spark Column too; this covers hypothesis-found edge coordinates."""
+    con = duckdb.connect()
+    for res in (5, 12):
+        got = con.execute(
+            "SELECT "
+            + hx.hex_cell_sql("v.lon", "v.lat", res)
+            + " FROM (VALUES (?, ?), (?, ?)) v(lon, lat)",
+            [lon1, lat1, lon2, lat2],
+        ).fetchall()
+        want = hx._hex_cell_np(
+            np.array([lon1, lon2]), np.array([lat1, lat2]), res
+        )
+        assert [g[0] for g in got] == list(want)
+    con.close()
