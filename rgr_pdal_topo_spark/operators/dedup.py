@@ -732,3 +732,35 @@ def incremental_near_dups(
     # the store state that includes this batch's own keys
     man.commit(mixed_new, store_root, ["band_key"], n_files=n_files)
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def decontaminate(
+    documents: DataFrame,
+    benchmark: DataFrame,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Eval-set contamination flags: (doc_id, n_hits) for every corpus
+    document sharing at least one k-token shingle with the benchmark
+    set — the standard pre-training decontamination pass (drop or
+    downweight training documents that leak evaluation data).
+
+    Scale shape: the benchmark side is eval-suite-sized (thousands of
+    documents), so its distinct shingle ids BROADCAST; the corpus side
+    is one shingle projection + semi-join + partial/final count —
+    nothing wider than (doc_id, int64) ever shuffles, the same property
+    the MinHash path has.  ``n_hits`` counts DISTINCT overlapping
+    shingles (shingle_ids is distinct per doc), so thresholding on it
+    expresses the usual "quarantine at >= N colliding n-grams" policy
+    rather than a boolean.
+    """
+    corpus = shingle_ids(documents, k)
+    bench = F.broadcast(shingle_ids(benchmark, k).select("tid").distinct())
+    return (
+        corpus.join(bench, "tid")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )

@@ -1787,6 +1787,42 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.doc_fingerprint(docs)
 
 
+@query(
+    "decontaminate",
+    _with(
+        f"d AS ({_DOCTOKS_DUCK})",
+        f"sh AS ({_SHINGLES_DUCK})",
+        f"dt AS MATERIALIZED ({_SHID_DUCK})",
+        "bt AS (SELECT DISTINCT tid FROM dt WHERE doc_id % 97 = 0)",
+    )
+    + "SELECT dt.doc_id, COUNT(*) AS n_hits, "
+    "CAST(CASE WHEN dt.doc_id % 97 = 0 THEN 1 ELSE 0 END AS INT) "
+    "AS in_bench FROM dt JOIN bt ON dt.tid = bt.tid GROUP BY dt.doc_id",
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup.decontaminate): every document
+    sharing a 3-token shingle with the "eval set" (here: doc_id % 97
+    == 0 — the eval members flag themselves with in_bench=1, exactly
+    the self-hit a real decontamination run sees when the benchmark
+    leaked into the crawl).  Shingle ids reuse the ONE Horner-fold
+    spelling the MinHash oracles pin, so contamination counts are
+    integer-exact across engines.
+
+    Scale shape: broadcast the eval-suite-sized benchmark ids, semi-join
+    the corpus shingle projection, one partial+final count — nothing
+    wider than (doc_id, int64) shuffles."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    hits = dedup.decontaminate(docs, bench)
+    return hits.select(
+        "doc_id",
+        "n_hits",
+        (F.col("doc_id") % 97 == 0).cast("int").alias("in_bench"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------

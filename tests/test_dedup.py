@@ -288,3 +288,24 @@ def test_incremental_store_is_idempotent_readable(spark, tmp_path):
     )
     ids = [s["id"] for s in man.snapshots(store)]
     assert ids == [1, 2]
+
+
+def test_decontaminate_planted_overlap(spark):
+    """A doc that quotes an eval question is flagged with the exact
+    number of distinct shared shingles; clean docs are absent."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely unrelated text with no overlap at all here"),
+            (3, "quotes the quick brown fox verbatim in its body"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_hits for r in
+           dedup.decontaminate(docs, bench).collect()}
+    # doc 1 shares all 3 shingles of the 5-token bench doc; doc 3 shares
+    # "the quick brown" + "quick brown fox"; doc 2 is clean
+    assert got == {1: 3, 3: 2}
