@@ -280,3 +280,68 @@ def test_profile_peaks_gap_blocks_convolution(spark):
     assert sorted(out) == [2, 8]
     assert not any(out[s].is_peak for s in out)
 
+
+
+def test_pip_rtree_matches_range_join(spark):
+    """The STR R-tree probe and the broadcast range join are
+    output-identical on a dense random layer (200 polygons, overlaps,
+    boundary points) — half-open semantics included."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    polys = spark.createDataFrame(
+        [
+            (
+                int(i),
+                f"u{i % 7}",
+                float(rng.uniform(0, 900)),
+                float(rng.uniform(0, 900)),
+                float(rng.uniform(5, 120)),
+                float(rng.uniform(5, 120)),
+            )
+            for i in range(200)
+        ],
+        "polygon_id int, unit string, xmin double, ymin double, "
+        "width double, height double",
+    )
+    rows = [
+        (int(i), float(rng.uniform(0, 1000)), float(rng.uniform(0, 1000)))
+        for i in range(2000)
+    ]
+    # plant exact-boundary points: xmin is IN, xmin+width is OUT
+    p0 = polys.collect()[0]
+    rows += [
+        (9001, p0["xmin"], p0["ymin"]),
+        (9002, p0["xmin"] + p0["width"], p0["ymin"]),
+    ]
+    pts = spark.createDataFrame(rows, "pid long, x double, y double")
+    want = {
+        (r.pid, r.polygon_id)
+        for r in joins.pip_join_rect(pts, polys)
+        .select("pid", "polygon_id")
+        .collect()
+    }
+    got = {
+        (r.pid, r.polygon_id)
+        for r in joins.pip_join_rtree(pts, polys).collect()
+    }
+    assert got == want
+    assert (9001, p0["polygon_id"]) in got
+    assert all(p != 9002 or g != p0["polygon_id"] for p, g in got)
+
+
+def test_pip_rtree_zero_shuffle_single_arrow_stage(spark):
+    """The R-tree path must stay a map-side probe: no Exchange, no join
+    operator — one Arrow stage over the scan."""
+    from tests.conftest import SF_DIR
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = (
+        QUERIES["pip_rtree"](spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
