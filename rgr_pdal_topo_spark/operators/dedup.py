@@ -115,11 +115,14 @@ def shingles(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     )
 
 
-def _shingle_array(toks: Column, k: int) -> Column:
-    """array<string> of DISTINCT k-token shingles from a materialized
-    token-array column — the ONE spelling of the shingle window, shared
-    by the exploded (``shingles``) and row-local (``_shingle_tid_array``)
-    paths so they cannot drift apart."""
+def _shingle_array(toks: Column, k: int, distinct: bool = True) -> Column:
+    """array<string> of k-token shingles from a materialized token-array
+    column — the ONE spelling of the shingle window, shared by the
+    exploded (``shingles``) and row-local (``_shingle_tid_array``)
+    paths so they cannot drift apart.  DISTINCT by default (the dedup
+    semantics); ``distinct=False`` keeps every occurrence (the
+    repetition-quality semantics — how often a shingle repeats IS the
+    signal there)."""
     n = F.size(toks)
     idx = F.when(
         n >= F.lit(k), F.sequence(F.lit(1), n - F.lit(k - 1))
@@ -130,7 +133,7 @@ def _shingle_array(toks: Column, k: int) -> Column:
             " ", *[F.element_at(toks, i + j) for j in range(k)]
         ),
     )
-    return F.array_distinct(sh)
+    return F.array_distinct(sh) if distinct else sh
 
 
 def _portable_id(hex_col: str | Column) -> Column:
@@ -763,4 +766,41 @@ def decontaminate(
         corpus.join(bench, "tid")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# repetition quality signal (Gopher-style repeated n-grams)
+# ---------------------------------------------------------------------------
+
+def repetition_stats(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, n_shingles, n_distinct, top_count): the repeated-n-gram
+    quality signal (the Gopher/MassiveText "fraction of characters in
+    the most common n-gram" family, over token shingles): boilerplate,
+    keyword stuffing, and template spam all show a dominant shingle.
+    Callers threshold e.g. ``top_count * 10 > n_shingles`` (top shingle
+    >10% of all shingle occurrences) or ``n_distinct * 2 < n_shingles``
+    (heavy global repetition).
+
+    Scale shape: shingles keep every occurrence (no distinct — the
+    repetition IS the signal), fold to 60-bit ids so the shuffle is
+    (doc_id, int64), then two nested aggregations — per-(doc, shingle)
+    counts, then per-doc max/sum — both partial+final hash aggs."""
+    d = documents.select("doc_id", _tok_array().alias("toks"))
+    raw = d.select(
+        "doc_id",
+        F.explode(_shingle_array(F.col("toks"), k, distinct=False)).alias(
+            "shingle"
+        ),
+    )
+    per = (
+        raw.withColumn("__h", F.md5("shingle"))
+        .select("doc_id", _portable_id("__h").alias("tid"))
+        .groupBy("doc_id", "tid")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.sum("n").alias("n_shingles"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("n").alias("top_count"),
     )

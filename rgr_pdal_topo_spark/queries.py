@@ -1842,6 +1842,45 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# non-DISTINCT shingles: every occurrence — repetition is the signal
+_SHINGLES_RAW_DUCK = (
+    "SELECT doc_id, toks[u.pos] || ' ' || toks[u.pos+1] || ' ' || "
+    "toks[u.pos+2] AS shingle FROM d, LATERAL (SELECT "
+    "unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS pos) u"
+)
+
+
+@query(
+    "repetition_stats",
+    _with(
+        f"d AS ({_DOCTOKS_DUCK})",
+        f"shr AS ({_SHINGLES_RAW_DUCK})",
+        "per AS (SELECT doc_id, tid, COUNT(*) AS n FROM (SELECT doc_id, "
+        f"{dedup.horner_hash_sql('h')} AS tid FROM (SELECT doc_id, "
+        "md5(shingle) AS h FROM shr) hh) t GROUP BY doc_id, tid)",
+    )
+    + "SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_shingles, "
+    "COUNT(*) AS n_distinct, CAST(MAX(n) AS BIGINT) AS top_count "
+    "FROM per GROUP BY doc_id",
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repeated-n-gram quality signal
+    (dedup.repetition_stats): per-document total/distinct/top-shingle
+    occurrence counts — boilerplate and template spam show a dominant
+    shingle, and thresholds like ``top_count * 10 > n_shingles`` are
+    the standard repetition filters.  All-integer output; the oracle
+    replays the same Horner shingle ids WITHOUT the distinct step
+    (repetition is precisely what dedup's distinct throws away).
+
+    Scale shape: shuffle is (doc_id, int64) into two nested
+    partial+final aggs — the same narrow-shuffle property as the
+    MinHash path."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.repetition_stats(docs)
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------

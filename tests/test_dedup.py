@@ -309,3 +309,25 @@ def test_decontaminate_planted_overlap(spark):
     # doc 1 shares all 3 shingles of the 5-token bench doc; doc 3 shares
     # "the quick brown" + "quick brown fox"; doc 2 is clean
     assert got == {1: 3, 3: 2}
+
+
+def test_repetition_stats_planted_spam(spark):
+    """A keyword-stuffed doc shows a dominant shingle; a clean doc's
+    shingles are all unique."""
+    docs = spark.createDataFrame(
+        [
+            (1, "buy cheap pills buy cheap pills buy cheap pills now"),
+            (2, "every token here is completely unique in this text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_shingles, r.n_distinct, r.top_count)
+        for r in dedup.repetition_stats(docs).collect()
+    }
+    # doc 1: 10 tokens -> 8 shingles; "buy cheap pills" occurs 3x
+    assert got[1][0] == 8 and got[1][2] == 3 and got[1][1] < 8
+    # doc 2: 9 tokens -> 7 shingles, all distinct
+    assert got[2] == (7, 7, 1)
+    # the spam doc's top-shingle ratio strictly dominates the clean one
+    assert got[1][2] * got[2][0] > got[2][2] * got[1][0]
