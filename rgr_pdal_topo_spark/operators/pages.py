@@ -139,3 +139,49 @@ def extract_text(pages: DataFrame) -> DataFrame:
     original text per url) — pure deterministic Arrow UDF over the binary
     html payload."""
     return pages.withColumn("extracted", _extract(F.col("html")))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-dedup key normalization)
+# ---------------------------------------------------------------------------
+
+# tracking parameters stripped by the canonicalizer (the usual suspects)
+TRACKING_PARAM_RE = "[?&](utm_[a-z]+|fbclid|gclid)=[^&]*"
+_SCHEME_HOST_RE = "^[A-Za-z][A-Za-z0-9+.-]*://[^/]+"
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical crawl-dedup key for a URL: strip the fragment, strip
+    tracking parameters (utm_*/fbclid/gclid), lowercase scheme+host
+    (path/query case is significant per RFC 3986 and preserved), drop a
+    dangling '?'.  Two fetches of the same page through different
+    campaign links then dedup to one key — upstream of exact dedup this
+    collapses the largest class of spurious "distinct" URLs in a crawl.
+
+    Deliberately NOT a full parser: parameter REORDERING (?b=1&a=2 vs
+    ?a=2&b=1) and percent-encoding normalization need one, and a
+    tracking param in first position followed by a kept param leaves
+    '&kept' (a full parser would promote it to '?kept') — rare shapes
+    a production canonicalizer handles in a UDF; the regex chain here
+    is the portable, oracle-replayable core.  Every step is a plain
+    regex substitution with NO replacement backreferences, because
+    Spark (Java regex, $1) and DuckDB (RE2, \\1) disagree on
+    backreference syntax — avoiding them keeps the SQL twin
+    character-identical."""
+    u = F.regexp_replace(url, "#.*", "")
+    u = F.regexp_replace(u, TRACKING_PARAM_RE, "")
+    u = F.regexp_replace(u, "\\?$", "")
+    scheme_host = F.lower(F.regexp_extract(u, _SCHEME_HOST_RE, 0))
+    rest = F.regexp_replace(u, _SCHEME_HOST_RE, "")
+    return F.concat(scheme_host, rest)
+
+
+def canonical_url_sql(url: str) -> str:
+    """DuckDB twin of :func:`canonical_url` (same regexes; DuckDB needs
+    the explicit 'g' flag where Spark replaces globally by default)."""
+    u = f"regexp_replace({url}, '#.*', '', 'g')"
+    u = f"regexp_replace({u}, '{TRACKING_PARAM_RE}', '', 'g')"
+    u = f"regexp_replace({u}, '\\?$', '', 'g')"
+    sh = f"lower(regexp_extract({u}, '{_SCHEME_HOST_RE}', 0))"
+    rest = f"regexp_replace({u}, '{_SCHEME_HOST_RE}', '', 'g')"
+    return f"({sh} || {rest})"

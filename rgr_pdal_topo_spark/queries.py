@@ -3700,6 +3700,55 @@ def q_pages_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# planted URL dirt for the canonicalizer (deterministic by doc_id):
+# campaign-link params, kept param + tracking + fragment, fragment only,
+# shouty host — the variants a crawler sees for ONE page
+_DIRTY_URL_SQL = (
+    "CASE WHEN doc_id % 4 = 0 THEN u || '?utm_source=feed&utm_campaign=x' "
+    "WHEN doc_id % 4 = 1 THEN u || '?id=7&utm_medium=email#frag' "
+    "WHEN doc_id % 4 = 2 THEN u || '#section2' "
+    "WHEN doc_id % 5 = 0 THEN UPPER(u) ELSE u END"
+)
+
+
+@query(
+    "url_canonicalize",
+    _with(
+        f"b AS (SELECT doc_id, {pagesops.URL_SQL} AS u FROM documents)",
+        f"dirty AS (SELECT doc_id, {_DIRTY_URL_SQL} AS dirty_url FROM b)",
+    )
+    + "SELECT doc_id, dirty_url, "
+    + pagesops.canonical_url_sql("dirty_url")
+    + " AS canon_url, CAST(CASE WHEN dirty_url <> "
+    + pagesops.canonical_url_sql("dirty_url")
+    + " THEN 1 ELSE 0 END AS INT) AS was_dirty FROM dirty",
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (pages.canonical_url): the crawl-dedup key
+    normalization upstream of exact dedup — strip fragments and
+    tracking params, lowercase scheme+host.  Page URLs are planted with
+    the dirt a crawler actually sees for one page (campaign links, a
+    kept param behind a tracking one, fragments, shouty hosts) and the
+    canonicalizer collapses them; the oracle replays the identical
+    regex chain (no replacement backreferences — Spark's $1 and
+    DuckDB's \\1 disagree, so the chain avoids them entirely).
+
+    Scale shape: pure scan -> project string work, whole-stage codegen,
+    zero shuffles — the cheapest possible pre-dedup pass."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = docs.selectExpr("doc_id", f"{pagesops.URL_SQL} AS u")
+    dirty = b.selectExpr("doc_id", f"{_DIRTY_URL_SQL} AS dirty_url")
+    canon = pagesops.canonical_url(F.col("dirty_url"))
+    return dirty.select(
+        "doc_id",
+        "dirty_url",
+        canon.alias("canon_url"),
+        (F.col("dirty_url") != canon).cast("int").alias("was_dirty"),
+    )
+
+
 from rgr_pdal_topo_spark.functions import hexcells as hexfn  # noqa: E402
 
 

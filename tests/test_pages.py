@@ -96,3 +96,33 @@ def test_extract_deterministic_across_runs(spark):
     jb = b.selectExpr("url AS url2", "extracted AS e2")
     j = ja.join(jb, ja.url == jb.url2)
     assert j.filter("e1 <> e2").count() == 0
+
+
+def test_canonical_url_planted_cases(spark):
+    """Fragments and tracking params strip, kept params survive,
+    scheme+host lowercases while the path keeps its case."""
+    import pyspark.sql.functions as F
+
+    from rgr_pdal_topo_spark.operators import pages as p
+
+    cases = [
+        ("https://a.example/p/1?utm_source=feed&utm_campaign=x",
+         "https://a.example/p/1"),
+        ("https://a.example/p/1?id=7&utm_medium=email#frag",
+         "https://a.example/p/1?id=7"),
+        ("https://a.example/p/1#section2", "https://a.example/p/1"),
+        ("HTTPS://A.EXAMPLE/P/1", "https://a.example/P/1"),
+        ("https://a.example/p/1", "https://a.example/p/1"),
+        ("https://a.example/p/1?fbclid=XYZ", "https://a.example/p/1"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i long, u string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select(
+            "i", p.canonical_url(F.col("u")).alias("c")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (i, got[i], want)
