@@ -62,6 +62,7 @@ __all__ = [
     "delete_keys",
     "upsert",
     "compact",
+    "expire_snapshots",
     "vacuum",
     "snapshots",
     "snapshot_as_of",
@@ -281,6 +282,143 @@ def vacuum(root: str, grace_seconds: float = 3600.0) -> list[str]:
                 os.remove(p)
                 deleted.append(p)
     return deleted
+
+
+def expire_snapshots(
+    spark: SparkSession, root: str, keep_from: int
+) -> dict[str, Any]:
+    """Retire history before ``keep_from`` (Iceberg's expire_snapshots):
+    squash every delta up to it into one BASE manifest, drop the expired
+    manifests (JSON + parquet metadata tier), and physically delete data
+    files referenced ONLY by expired snapshots.  Time travel to ids
+    before ``keep_from`` raises afterwards; a change-stream consumer
+    whose cursor predates it must re-bootstrap (its since_snapshot now
+    raises — loud, never a silent partial delivery).
+
+    Why it exists: these manifests are deltas, so table state is a fold
+    over ALL of them — at one commit per WARC batch the fold and the
+    metadata tier grow without bound, and storage for compacted-away
+    files is never reclaimed.  Expiry bounds both.
+
+    Contract: pending equality-delete snapshots must be compacted away
+    first (``compact()`` applies them physically) — squashing a fold
+    that still carries delete files would have to re-derive per-row
+    sequence numbers the base manifest cannot represent; the guard
+    raises rather than approximate.  Base entries keep their original
+    per-file paths (``data/snap=<orig>/``), so sequence semantics
+    against FUTURE deletes are unchanged.
+    """
+    log = snapshots(root)
+    ids = [s["id"] for s in log]
+    if keep_from not in ids:
+        raise ValueError(f"unknown snapshot {keep_from}; have {ids}")
+    expired = [s for s in log if s["id"] < keep_from]
+    if not expired:
+        return {"expired_snapshots": 0, "deleted_files": 0,
+                "base_files": 0}
+    base = manifest_entries(root, snapshot=keep_from)
+    if any(e.get("operation") == "delete" for e in base):
+        raise ValueError(
+            "cannot expire past live equality-delete snapshots; "
+            "compact() first so deletes are applied physically"
+        )
+    live = {e["file"] for e in base}
+    later_refs = {
+        e["file"]
+        for s in log
+        if s["id"] > keep_from
+        for e in _read_manifest(root, s["id"])["entries"]
+    }
+    doomed = {
+        e["file"]
+        for s in expired + [s for s in log if s["id"] == keep_from]
+        for e in _read_manifest(root, s["id"])["entries"]
+    } - live - later_refs
+
+    # base manifest: the fold, with per-entry ops persisted (a base
+    # spans snapshots whose ids leave the log)
+    base_clean = [dict(e) for e in base]
+    with open(_manifest_path(root, keep_from), "w") as fh:
+        json.dump(
+            {"entries": base_clean, "removed_files": []}, fh, default=str
+        )
+
+    # metadata tier: one folded parquet manifest replaces the expired
+    # snap dirs (long format, typed slots inferred from the JSON stats)
+    import shutil
+
+    meta_rows = []
+    for e in base_clean:
+        for col, (mn, mx) in e.get("stats", {}).items():
+            slots = {
+                "min_long": None, "max_long": None,
+                "min_double": None, "max_double": None,
+                "min_string": None, "max_string": None,
+            }
+            if isinstance(mn, bool) or isinstance(mx, bool):
+                pass  # stats never bool (commit validation)
+            elif isinstance(mn, int) and isinstance(mx, int):
+                slots["min_long"], slots["max_long"] = mn, mx
+            elif isinstance(mn, (int, float)) and isinstance(mx, (int, float)):
+                slots["min_double"] = float(mn)
+                slots["max_double"] = float(mx)
+            else:
+                slots["min_string"] = None if mn is None else str(mn)
+                slots["max_string"] = None if mx is None else str(mx)
+            meta_rows.append(
+                (e["file"], "add", e["n_rows"], col,
+                 slots["min_long"], slots["max_long"],
+                 slots["min_double"], slots["max_double"],
+                 slots["min_string"], slots["max_string"])
+            )
+    if os.path.isdir(_meta_dir(root)) and meta_rows:
+        spark.createDataFrame(
+            meta_rows,
+            "file string, op string, n_rows long, col string, "
+            "min_long long, max_long long, min_double double, "
+            "max_double double, min_string string, max_string string",
+        ).write.mode("overwrite").parquet(
+            os.path.join(_meta_dir(root), f"snap={keep_from}")
+        )
+        for s in expired:
+            shutil.rmtree(
+                os.path.join(_meta_dir(root), f"snap={s['id']}"),
+                ignore_errors=True,
+            )
+
+    keep_entry = next(s for s in log if s["id"] == keep_from)
+    new_log = [
+        {
+            "id": keep_from,
+            "operation": "base",
+            "added_files": len(base_clean),
+            "added_rows": int(sum(e["n_rows"] for e in base_clean)),
+            "removed_files": 0,
+            "ts": keep_entry.get("ts", 0.0),
+        }
+    ] + [s for s in log if s["id"] > keep_from]
+    fd, tmp = tempfile.mkstemp(dir=root, prefix=".snapshots-")
+    with os.fdopen(fd, "w") as fh:
+        json.dump({"snapshots": new_log}, fh)
+    os.replace(tmp, os.path.join(root, _LOG))  # visibility swap first
+
+    for s in expired:  # manifests, then orphaned data files
+        try:
+            os.remove(_manifest_path(root, s["id"]))
+        except OSError:
+            pass
+    n_deleted = 0
+    for f in sorted(doomed):
+        try:
+            os.remove(f)
+            n_deleted += 1
+        except OSError:
+            pass
+    return {
+        "expired_snapshots": len(expired),
+        "deleted_files": n_deleted,
+        "base_files": len(base_clean),
+    }
 
 
 def _read_manifest(root: str, snap_id: int) -> dict[str, Any]:

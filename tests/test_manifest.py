@@ -469,3 +469,48 @@ def test_scan_merge_schema_additive_evolution(spark, table):
     assert got.count() == 420
     assert got.filter(F.col("tag").isNull()).count() == 400
     assert got.filter(F.col("tag") == "t405").count() == 1
+
+
+def test_expire_snapshots_squashes_history(spark, deleted_table):
+    """After compaction, expiry squashes the fold into a base manifest:
+    same table, old ids unreadable, compacted-away files physically
+    gone, the metadata tier agrees, and later snapshots still stack."""
+    cid = M.compact(spark, deleted_table, ["k"], n_files=3)  # applies deletes
+    before = _ks(M.scan(spark, deleted_table))
+    rep = M.expire_snapshots(spark, deleted_table, cid)
+    assert rep["expired_snapshots"] == 4 and rep["deleted_files"] > 0
+    assert _ks(M.scan(spark, deleted_table)) == before
+    assert [s["id"] for s in M.snapshots(deleted_table)] == [cid]
+    assert M.snapshots(deleted_table)[0]["operation"] == "base"
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        M.scan(spark, deleted_table, snapshot=2)
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        M.scan(spark, deleted_table, since_snapshot=1)
+    # metadata tier reads the folded base identically
+    got, mrep = M.scan_via_metadata(spark, deleted_table, None)
+    assert _ks(got) == before
+    # pruning still works against base stats
+    assert M.scan_report(deleted_table, {"k": (0, 10)})["files_skipped"] > 0
+    # appends after expiry stack on the base; CDC from the base works
+    df = spark.range(500, 520).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"), (F.col("id") * 3).alias("v"),
+    )
+    M.commit(df, deleted_table, ["k"], n_files=1)
+    assert len(_ks(M.scan(spark, deleted_table))) == len(before) + 20
+    assert _ks(M.scan(spark, deleted_table, since_snapshot=cid)) == list(
+        range(500, 520)
+    )
+
+
+def test_expire_requires_compacted_deletes(spark, deleted_table):
+    """Expiring past a live equality-delete snapshot must refuse —
+    the base manifest cannot represent per-row sequence numbers."""
+    with pytest.raises(ValueError, match="compact"):
+        M.expire_snapshots(spark, deleted_table, 4)
+    # expiring to a point BEFORE the delete is equally impossible in
+    # this history (the delete at snap 3 stays live) — but keep_from=1
+    # expires nothing and is a no-op
+    assert M.expire_snapshots(spark, deleted_table, 1) == {
+        "expired_snapshots": 0, "deleted_files": 0, "base_files": 0,
+    }
