@@ -83,8 +83,13 @@ def _data_dir(root: str, snap_id: int) -> str:
     return os.path.join(root, "data", f"snap={snap_id}")
 
 
-def _manifest_path(root: str, snap_id: int) -> str:
-    return os.path.join(root, "manifest", f"manifest-{snap_id}.json")
+def _manifest_path(root: str, snap_id: int, base: bool = False) -> str:
+    """``base=True`` names the squashed-fold manifest expire_snapshots
+    writes: a DISTINCT filename, so the base can be written before the
+    log swap without the old log's readers ever seeing it (the log's
+    ``operation == "base"`` is what routes reads to it)."""
+    name = f"manifest-{snap_id}.base.json" if base else f"manifest-{snap_id}.json"
+    return os.path.join(root, "manifest", name)
 
 
 def _normalize_file(uri: str) -> str:
@@ -266,7 +271,9 @@ def vacuum(root: str, grace_seconds: float = 3600.0) -> list[str]:
     referenced = {
         e["file"]
         for s in snapshots(root)
-        for e in _read_manifest(root, s["id"])["entries"]
+        for e in _read_manifest(
+            root, s["id"], base=s.get("operation") == "base"
+        )["entries"]
     }
     cutoff = time.time() - grace_seconds
     deleted: list[str] = []
@@ -314,6 +321,16 @@ def expire_snapshots(
         raise ValueError(f"unknown snapshot {keep_from}; have {ids}")
     expired = [s for s in log if s["id"] < keep_from]
     if not expired:
+        if (
+            next(s for s in log if s["id"] == keep_from).get("operation")
+            == "base"
+        ):
+            # idempotent repair: a crash after the log swap may have
+            # left the base snapshot's metadata dir stale — rebuild it
+            _rewrite_base_meta(
+                spark, root, keep_from,
+                _read_manifest(root, keep_from, base=True)["entries"],
+            )
         return {"expired_snapshots": 0, "deleted_files": 0,
                 "base_files": 0}
     base = manifest_entries(root, snapshot=keep_from)
@@ -322,69 +339,40 @@ def expire_snapshots(
             "cannot expire past live equality-delete snapshots; "
             "compact() first so deletes are applied physically"
         )
+    ops = {s["id"]: s.get("operation", "append") for s in log}
     live = {e["file"] for e in base}
     later_refs = {
         e["file"]
         for s in log
         if s["id"] > keep_from
-        for e in _read_manifest(root, s["id"])["entries"]
+        for e in _read_manifest(
+            root, s["id"], base=ops[s["id"]] == "base"
+        )["entries"]
     }
     doomed = {
         e["file"]
         for s in expired + [s for s in log if s["id"] == keep_from]
-        for e in _read_manifest(root, s["id"])["entries"]
+        for e in _read_manifest(
+            root, s["id"], base=ops[s["id"]] == "base"
+        )["entries"]
     } - live - later_refs
 
     # base manifest: the fold, with per-entry ops persisted (a base
-    # spans snapshots whose ids leave the log)
+    # spans snapshots whose ids leave the log).  Written under its OWN
+    # filename (manifest-<id>.base.json) so the old log never routes a
+    # reader here — the log swap below stays the single visibility
+    # event, and a crash in between leaves the table exactly as it was
+    # (the same promise commit() makes).
     base_clean = [dict(e) for e in base]
-    with open(_manifest_path(root, keep_from), "w") as fh:
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(_manifest_path(root, keep_from)),
+        prefix=".base-",
+    )
+    with os.fdopen(fd, "w") as fh:
         json.dump(
             {"entries": base_clean, "removed_files": []}, fh, default=str
         )
-
-    # metadata tier: one folded parquet manifest replaces the expired
-    # snap dirs (long format, typed slots inferred from the JSON stats)
-    import shutil
-
-    meta_rows = []
-    for e in base_clean:
-        for col, (mn, mx) in e.get("stats", {}).items():
-            slots = {
-                "min_long": None, "max_long": None,
-                "min_double": None, "max_double": None,
-                "min_string": None, "max_string": None,
-            }
-            if isinstance(mn, bool) or isinstance(mx, bool):
-                pass  # stats never bool (commit validation)
-            elif isinstance(mn, int) and isinstance(mx, int):
-                slots["min_long"], slots["max_long"] = mn, mx
-            elif isinstance(mn, (int, float)) and isinstance(mx, (int, float)):
-                slots["min_double"] = float(mn)
-                slots["max_double"] = float(mx)
-            else:
-                slots["min_string"] = None if mn is None else str(mn)
-                slots["max_string"] = None if mx is None else str(mx)
-            meta_rows.append(
-                (e["file"], "add", e["n_rows"], col,
-                 slots["min_long"], slots["max_long"],
-                 slots["min_double"], slots["max_double"],
-                 slots["min_string"], slots["max_string"])
-            )
-    if os.path.isdir(_meta_dir(root)) and meta_rows:
-        spark.createDataFrame(
-            meta_rows,
-            "file string, op string, n_rows long, col string, "
-            "min_long long, max_long long, min_double double, "
-            "max_double double, min_string string, max_string string",
-        ).write.mode("overwrite").parquet(
-            os.path.join(_meta_dir(root), f"snap={keep_from}")
-        )
-        for s in expired:
-            shutil.rmtree(
-                os.path.join(_meta_dir(root), f"snap={s['id']}"),
-                ignore_errors=True,
-            )
+    os.replace(tmp, _manifest_path(root, keep_from, base=True))
 
     keep_entry = next(s for s in log if s["id"] == keep_from)
     new_log = [
@@ -400,13 +388,31 @@ def expire_snapshots(
     fd, tmp = tempfile.mkstemp(dir=root, prefix=".snapshots-")
     with os.fdopen(fd, "w") as fh:
         json.dump({"snapshots": new_log}, fh)
-    os.replace(tmp, os.path.join(root, _LOG))  # visibility swap first
+    os.replace(tmp, os.path.join(root, _LOG))  # THE visibility swap
 
-    for s in expired:  # manifests, then orphaned data files
+    # everything below is post-swap cleanup/repair: a crash anywhere in
+    # it leaves a readable table (metadata_table ignores snap dirs the
+    # log no longer lists, and raises loudly if the base snap dir is
+    # still the stale delta) — re-running expire_snapshots with the same
+    # keep_from finishes the job idempotently
+    _rewrite_base_meta(spark, root, keep_from, base_clean)
+    import shutil
+
+    for s in expired:
+        shutil.rmtree(
+            os.path.join(_meta_dir(root), f"snap={s['id']}"),
+            ignore_errors=True,
+        )
         try:
-            os.remove(_manifest_path(root, s["id"]))
+            os.remove(
+                _manifest_path(root, s["id"], base=ops[s["id"]] == "base")
+            )
         except OSError:
             pass
+    try:  # the superseded delta manifest of the base snapshot itself
+        os.remove(_manifest_path(root, keep_from))
+    except OSError:
+        pass
     n_deleted = 0
     for f in sorted(doomed):
         try:
@@ -421,8 +427,54 @@ def expire_snapshots(
     }
 
 
-def _read_manifest(root: str, snap_id: int) -> dict[str, Any]:
-    with open(_manifest_path(root, snap_id)) as fh:
+def _rewrite_base_meta(
+    spark: SparkSession,
+    root: str,
+    keep_from: int,
+    base_entries: list[dict[str, Any]],
+) -> None:
+    """Replace the base snapshot's metadata-tier dir with the folded add
+    rows (long format; typed slots inferred from the JSON stats, whose
+    types commit() validated on the way in)."""
+    if not os.path.isdir(_meta_dir(root)):
+        return
+    meta_rows = []
+    for e in base_entries:
+        for col, (mn, mx) in e.get("stats", {}).items():
+            slots = {
+                "min_long": None, "max_long": None,
+                "min_double": None, "max_double": None,
+                "min_string": None, "max_string": None,
+            }
+            if isinstance(mn, int) and isinstance(mx, int):
+                slots["min_long"], slots["max_long"] = mn, mx
+            elif isinstance(mn, (int, float)) and isinstance(mx, (int, float)):
+                slots["min_double"] = float(mn)
+                slots["max_double"] = float(mx)
+            else:
+                slots["min_string"] = None if mn is None else str(mn)
+                slots["max_string"] = None if mx is None else str(mx)
+            meta_rows.append(
+                (e["file"], "add", e["n_rows"], col,
+                 slots["min_long"], slots["max_long"],
+                 slots["min_double"], slots["max_double"],
+                 slots["min_string"], slots["max_string"])
+            )
+    if meta_rows:
+        spark.createDataFrame(
+            meta_rows,
+            "file string, op string, n_rows long, col string, "
+            "min_long long, max_long long, min_double double, "
+            "max_double double, min_string string, max_string string",
+        ).write.mode("overwrite").parquet(
+            os.path.join(_meta_dir(root), f"snap={keep_from}")
+        )
+
+
+def _read_manifest(
+    root: str, snap_id: int, base: bool = False
+) -> dict[str, Any]:
+    with open(_manifest_path(root, snap_id, base)) as fh:
         m = json.load(fh)
     m.setdefault("removed_files", [])
     return m
@@ -655,9 +707,30 @@ def metadata_table(
         raise ValueError(f"no parquet manifest tier at {root}")
     lo = since_snapshot if since_snapshot is not None else 0
     hi = snapshot if snapshot is not None else (ids[-1] if ids else 0)
+    # only snap dirs the LOG lists count: directories belonging to
+    # expired snapshots (or mid-crash leftovers) must not contribute
+    visible = [i for i in ids if lo < i <= hi]
     meta = spark.read.parquet(_meta_dir(root)).filter(
-        (F.col("snap") > F.lit(lo)) & (F.col("snap") <= F.lit(hi))
+        F.col("snap").isin(visible)
     )
+    base_ids = [i for i in visible if ops[i] == "base"]
+    if base_ids:
+        # staleness guard: a crash between expire's log swap and its
+        # metadata rewrite leaves the base dir holding the old DELTA
+        # rows — silently under-counting the fold.  Verify the file
+        # count matches the log and fail loudly with the repair step.
+        bid = base_ids[0]
+        want = next(s for s in log if s["id"] == bid)["added_files"]
+        have = (
+            meta.filter((F.col("snap") == bid) & (F.col("op") == "add"))
+            .select("file").distinct().count()
+        )
+        if have != want:
+            raise RuntimeError(
+                f"metadata tier stale for base snapshot {bid} "
+                f"({have} files listed, log says {want}); re-run "
+                f"expire_snapshots(spark, root, {bid}) to repair"
+            )
     if since_snapshot is not None:
         # change stream: only genuinely-new rows — compaction rewrites
         # of already-delivered rows are excluded, and no removal can
@@ -814,13 +887,19 @@ def manifest_entries(
             continue
         if incremental and ops[sid] != "append":
             continue  # rewrite of rows the consumer already saw
-        m = _read_manifest(root, sid)
+        m = _read_manifest(root, sid, base=ops[sid] == "base")
         if m["removed_files"]:  # compaction replaces earlier files
             gone = set(m["removed_files"])
             out = [e for e in out if e["file"] not in gone]
         # tag each entry with its snapshot's operation so readers can
-        # split DATA files from equality-DELETE key files
-        out.extend({**e, "operation": ops[sid]} for e in m["entries"])
+        # split DATA files from equality-DELETE key files; a base
+        # manifest's entries keep the op stored at squash time
+        out.extend(
+            {**e, "operation": e.get("operation", ops[sid])}
+            if ops[sid] == "base"
+            else {**e, "operation": ops[sid]}
+            for e in m["entries"]
+        )
     return out
 
 

@@ -514,3 +514,28 @@ def test_expire_requires_compacted_deletes(spark, deleted_table):
     assert M.expire_snapshots(spark, deleted_table, 1) == {
         "expired_snapshots": 0, "deleted_files": 0, "base_files": 0,
     }
+
+
+def test_expire_crash_recovery_is_loud_and_repairable(spark, deleted_table):
+    """If expiry dies between its log swap and the metadata rewrite,
+    the metadata tier must refuse loudly (stale base dir), and
+    re-running expire_snapshots repairs it idempotently."""
+    cid = M.compact(spark, deleted_table, ["k"], n_files=3)
+    M.expire_snapshots(spark, deleted_table, cid)
+    want = _ks(M.scan(spark, deleted_table))
+    # simulate the crash leftover: base meta dir holds a wrong delta
+    meta_dir = os.path.join(deleted_table, "manifest-pq", f"snap={cid}")
+    shutil.rmtree(meta_dir)
+    spark.createDataFrame(
+        [("/nonexistent.parquet", "add", 1, "k",
+          None, None, None, None, None, None)],
+        "file string, op string, n_rows long, col string, "
+        "min_long long, max_long long, min_double double, "
+        "max_double double, min_string string, max_string string",
+    ).write.mode("overwrite").parquet(meta_dir)
+    with pytest.raises(RuntimeError, match="metadata tier stale"):
+        M.scan_via_metadata(spark, deleted_table, None)
+    # the documented repair: re-run expire with the same keep_from
+    M.expire_snapshots(spark, deleted_table, cid)
+    got, _ = M.scan_via_metadata(spark, deleted_table, None)
+    assert _ks(got) == want
