@@ -590,6 +590,10 @@ def pip_join_rtree(
     rows = polygons.select(
         "polygon_id", "xmin", "ymin", "width", "height"
     ).collect()
+    if not rows:  # empty dimension: no pairs, schema intact
+        return points.sparkSession.createDataFrame(
+            [], "pid long, polygon_id int"
+        )
     pids = np.array([r["polygon_id"] for r in rows], dtype=np.int64)
     boxes = np.array(
         [

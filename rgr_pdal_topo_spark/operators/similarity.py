@@ -340,6 +340,8 @@ def sq8_trained_scale(emb: DataFrame, vec_col: str = "embedding") -> float:
     mx = emb.agg(
         F.max(F.greatest(F.abs(F.array_min(v)), F.abs(F.array_max(v))))
     ).collect()[0][0]
+    if not mx:  # empty corpus or all-zero vectors: nothing to quantize
+        raise ValueError("cannot train SQ8 scale: max |component| is 0")
     return 127.0 / mx
 
 
