@@ -527,10 +527,14 @@ def _write_snapshot(
     ).parquet(ddir)
 
     # Distributed stats pass: one partial+final agg over the files just
-    # written; the collect is manifest-sized (one row per FILE).
+    # written; the collect is manifest-sized (one row per FILE).  The
+    # read-back pins the writer's schema: an EMPTY batch (a real shape
+    # in incremental ingestion — a WARC drop with nothing new) writes
+    # zero part files, and schema inference would throw where an empty
+    # snapshot is the correct, recorded outcome.
     spark = df.sparkSession
     stats_df = (
-        spark.read.parquet(ddir)
+        spark.read.schema(df.schema).parquet(ddir)
         .groupBy(F.input_file_name().alias("file"))
         .agg(
             F.count(F.lit(1)).alias("n_rows"),

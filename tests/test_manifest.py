@@ -539,3 +539,19 @@ def test_expire_crash_recovery_is_loud_and_repairable(spark, deleted_table):
     M.expire_snapshots(spark, deleted_table, cid)
     got, _ = M.scan_via_metadata(spark, deleted_table, None)
     assert _ks(got) == want
+
+
+def test_empty_commit_is_a_valid_snapshot(spark, table):
+    """An empty batch commits as a zero-file snapshot (incremental
+    ingestion sees empty drops); the table and its change stream stay
+    correct around it."""
+    df = spark.range(0).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 3).alias("v"),
+    )
+    sid = M.commit(df, table, ["k"], n_files=2)
+    assert sid == 3
+    log = M.snapshots(table)[-1]
+    assert (log["added_files"], log["added_rows"]) == (0, 0)
+    assert M.scan(spark, table).count() == 400
+    assert M.manifest_entries(table, since_snapshot=2) == []
