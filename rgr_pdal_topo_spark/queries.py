@@ -3390,6 +3390,49 @@ def q_manifest_delete_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "manifest_bloom_scan",
+    "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id = "
+    "CAST(FLOOR((SELECT MAX(doc_id) FROM documents) * 0.37) AS BIGINT)",
+)
+def q_manifest_bloom_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter file skipping for point lookups (sources/manifest.py
+    _build_blooms; Iceberg's bloom file metrics): documents are
+    committed range-clustered on n_chars, so every file's doc_id
+    min/max spans nearly the whole id domain and interval stats cannot
+    prune a doc_id probe — the per-file blooms prove absence and skip
+    the rest.  The residual equality filter keeps the aggregate equal
+    to the oracle's plain filtered scan regardless of bloom false
+    positives; skipping must beat stats-only pruning AND clear half the
+    files or the query fails loudly."""
+    import math
+
+    from rgr_pdal_topo_spark.sources import manifest as man
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    root = _manifest_scratch("spark_graft_manifest_bloom")
+    docs = load_table(spark, sf_dir, "documents")
+    man.commit(docs, root, ["n_chars"], n_files=8, bloom_cols=["doc_id"])
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]
+    target = math.floor(mx * 0.37)
+    rep = man.scan_report(root, eq={"doc_id": target})
+    stripped = [
+        {k: v for k, v in e.items() if k != "bloom"}
+        for e in man.manifest_entries(root)
+    ]
+    kept_stats_only, _ = man.prune(stripped, None, {"doc_id": target})
+    if rep["files_kept"] >= len(kept_stats_only):
+        raise RuntimeError(
+            f"bloom added no skipping: {rep} vs stats-only "
+            f"{len(kept_stats_only)}"
+        )
+    if rep["files_skipped"] < rep["files_total"] // 2:
+        raise RuntimeError(f"weak bloom pruning: {rep}")
+    return man.scan(spark, root, eq={"doc_id": target}).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
 _UTMX_DUCK, _UTMY_DUCK = rasterops.utm_forward_sql("lon", "lat", zone=31)
 
 
@@ -4135,10 +4178,13 @@ DRIVER_WINDOW: list[str] = [
 # resample_bilinear, reproject_mercator, pip_stats, TPC-H variants,
 # embedding_buckets, lang_dist, cosine_topk_lsh, s2_cell_index,
 # frame_sample, resize_images, manifest_time_scan, pages_grid,
-# hex_pages + hex_ring_density (r4: the genuinely-hexagonal cell index
-# and its k-ring neighbourhood join, hexcells.py),
+# cosine_topk (rotated out for its SQ8 twin), cell_index (rotated out
+# for hex_pages), hex_ring_density (r4: hex k-ring neighbourhood join),
 # manifest_delete_scan (r4: Iceberg v2 merge-on-read deletes),
-# cosine_topk_sq8 (r4: int8 compressed-vector search).
+# manifest_bloom_scan (r4: bloom-filter point-lookup skipping),
+# decontaminate + repetition_stats + url_canonicalize + pip_rtree (r4).
+# All seven r4 extras are ANSI-session-verified against their oracles —
+# safe r5 rotation-IN candidates.
 
 
 def _reorder_registration() -> None:

@@ -127,6 +127,7 @@ def commit(
     root: str,
     stat_cols: Sequence[str],
     n_files: int = 8,
+    bloom_cols: Sequence[str] = (),
 ) -> int:
     """Append ``df`` to the table at ``root`` as a new snapshot.
 
@@ -150,7 +151,9 @@ def commit(
     (:func:`metadata_table` / :func:`scan_via_metadata`, Iceberg's
     manifest-list tier) and only kept paths reach the driver.
     """
-    return _write_snapshot(df, root, stat_cols, n_files, [], "append")
+    return _write_snapshot(
+        df, root, stat_cols, n_files, [], "append", bloom_cols=bloom_cols
+    )
 
 
 def delete_keys(
@@ -488,6 +491,7 @@ def _write_snapshot(
     removed_files: list[str],
     operation: str,
     extra_log: Mapping[str, Any] | None = None,
+    bloom_cols: Sequence[str] = (),
 ) -> int:
     """Single-writer commit: snapshot-id allocation is a read-modify-
     write of the log, and the atomic ``os.replace`` protects READERS
@@ -572,6 +576,14 @@ def _write_snapshot(
         for r in stats
     ]
     entries.sort(key=lambda e: e["file"])
+    if bloom_cols and entries:
+        blooms = _build_blooms(
+            spark, df.schema, fields, ddir, list(bloom_cols),
+            max(e["n_rows"] for e in entries),
+        )
+        for e in entries:
+            if e["file"] in blooms:
+                e["bloom"] = blooms[e["file"]]
 
     os.makedirs(os.path.dirname(_manifest_path(root, snap_id)), exist_ok=True)
     with open(_manifest_path(root, snap_id), "w") as fh:
@@ -601,6 +613,101 @@ def _write_snapshot(
         json.dump({"snapshots": log}, fh)
     os.replace(tmp, os.path.join(root, _LOG))  # the visibility swap
     return snap_id
+
+
+_BLOOM_K = 4  # hash probes per value (4 disjoint 32-bit md5 slices)
+
+
+def _bloom_m(max_rows_per_file: int) -> int:
+    """Bits per file-bloom: ~10 bits/row (k=4 -> ~1-2% false positives),
+    power of two, floor 1024 — sized from the LARGEST file so the fill
+    factor stays useful at any committed batch size."""
+    m = 1024
+    while m < 10 * max_rows_per_file:
+        m *= 2
+    return m
+
+
+def _bloom_value_positions(value: Any, m: int) -> list[int]:
+    """Driver/prune-side twin of the engine's probe spelling: 4 disjoint
+    8-hex-char slices of md5(str(value)), each mod m.  str() matches
+    Spark's CAST(x AS STRING) for the int/string types commit() admits
+    (float reprs differ between engines — rejected at commit)."""
+    import hashlib
+
+    h = hashlib.md5(str(value).encode()).hexdigest()
+    return [int(h[8 * i:8 * i + 8], 16) % m for i in range(_BLOOM_K)]
+
+
+def _build_blooms(
+    spark: SparkSession,
+    schema: Any,
+    fields: Mapping[str, Any],
+    ddir: str,
+    bloom_cols: list[str],
+    max_rows_per_file: int,
+) -> dict[str, dict[str, Any]]:
+    """Per-file bloom filters for point-lookup skipping (Iceberg's
+    bloom-filter file metrics): min/max stats cannot prune an equality
+    probe on a column the files are NOT clustered on — every file's
+    range covers the value — but a KB-sized bloom proves absence.
+
+    Built DISTRIBUTED: each row explodes into its 4 bit positions, a
+    distinct + bit_or agg folds them into (file, word, bits) rows, and
+    only the folded words (files x m/64, manifest-sized) reach the
+    driver.  Stored sparse in the JSON manifest entry; the metadata
+    tier does not carry blooms yet (documented — a binary column in the
+    long format is the extension point)."""
+    from pyspark.sql import types as T
+
+    for c in bloom_cols:
+        if not isinstance(
+            fields[c],
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+             T.StringType),
+        ):
+            raise ValueError(
+                f"bloom column {c!r} must be int or string: CAST AS "
+                "STRING must match the prune side's str() exactly, "
+                "which float representations do not"
+            )
+    m = _bloom_m(max_rows_per_file)
+    back = spark.read.schema(schema).parquet(ddir)
+    out: dict[str, dict[str, Any]] = {}
+    for c in bloom_cols:
+        md5c = F.md5(F.col(c).cast("string"))
+        probes = F.array(
+            *[
+                F.conv(F.substring(md5c, 1 + 8 * i, 8), 16, 10)
+                .cast("long") % F.lit(m)
+                for i in range(_BLOOM_K)
+            ]
+        )
+        words = (
+            back.filter(F.col(c).isNotNull())
+            .select(
+                F.input_file_name().alias("file"),
+                F.explode(probes).alias("pos"),
+            )
+            .select(
+                "file",
+                (F.col("pos") / 64).cast("long").alias("w"),
+                (F.col("pos") % 64).alias("b"),
+            )
+            .distinct()
+            .groupBy("file", "w")
+            .agg(
+                F.expr(
+                    "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(b AS INT)))"
+                ).alias("bits")
+            )
+            .collect()
+        )
+        for r in words:
+            f = _normalize_file(r["file"])
+            out.setdefault(f, {}).setdefault(c, {"m": m, "words": {}})
+            out[f][c]["words"][str(r["w"])] = r["bits"]
+    return out
 
 
 def _meta_dir(root: str) -> str:
@@ -910,13 +1017,19 @@ def manifest_entries(
 def prune(
     entries: Iterable[Mapping[str, Any]],
     predicates: Mapping[str, tuple[Any, Any]] | None,
+    eq: Mapping[str, Any] | None = None,
 ) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
-    """Split entries into (kept, skipped) under interval ``predicates``.
+    """Split entries into (kept, skipped) under interval ``predicates``
+    and point-lookup ``eq`` probes.
 
     ``predicates`` maps column -> (lo, hi), either bound None for
-    one-sided.  Conservative: a file is skipped only when its stats
-    PROVE emptiness (max < lo or min > hi); missing/NULL stats keep the
-    file.  Pure function — unit-testable without Spark.
+    one-sided.  ``eq`` maps column -> value: checked against the
+    min/max interval AND, when the entry carries a bloom for the
+    column, against the bloom (which proves absence on files whose
+    RANGE covers the value — the case clustering can't prune).
+    Conservative: a file is skipped only on PROOF of emptiness;
+    missing/NULL stats or a missing bloom keep the file.  Pure function
+    — unit-testable without Spark.
     """
     kept: list[dict[str, Any]] = []
     skipped: list[dict[str, Any]] = []
@@ -931,6 +1044,26 @@ def prune(
             ):
                 drop = True
                 break
+        for col, v in (eq or {}).items() if not drop else ():
+            stat = e.get("stats", {}).get(col)
+            if (
+                stat is not None
+                and stat[0] is not None
+                and stat[1] is not None
+                and (v < stat[0] or v > stat[1])
+            ):
+                drop = True
+                break
+            bl = e.get("bloom", {}).get(col)
+            if bl:
+                words = bl["words"]
+                for p in _bloom_value_positions(v, bl["m"]):
+                    w, b = divmod(p, 64)
+                    if not (words.get(str(w), 0) >> b) & 1:
+                        drop = True  # bloom proves absence
+                        break
+                if drop:
+                    break
         (skipped if drop else kept).append(dict(e))
     return kept, skipped
 
@@ -994,6 +1127,7 @@ def scan(
     since_snapshot: int | None = None,
     apply_deletes: bool = True,
     merge_schema: bool = False,
+    eq: Mapping[str, Any] | None = None,
 ) -> DataFrame:
     """Manifest-pruned scan; the residual row filter is always applied.
 
@@ -1023,7 +1157,7 @@ def scan(
         raise ValueError(
             f"no data files in the requested snapshot range at {root}"
         )
-    kept, _ = prune(data_entries, predicates)
+    kept, _ = prune(data_entries, predicates, eq)
     files = [e["file"] for e in kept] or [data_entries[0]["file"]]
     reader = spark.read
     if merge_schema:
@@ -1034,6 +1168,8 @@ def scan(
             df = df.filter(F.col(col) >= F.lit(lo))
         if hi is not None:
             df = df.filter(F.col(col) <= F.lit(hi))
+    for col, v in (eq or {}).items():  # residual: never trust stats alone
+        df = df.filter(F.col(col) == F.lit(v))
     if apply_deletes and del_entries:
         df = _apply_deletes(spark, df, del_entries, _delete_key_cols(root))
     return df
@@ -1044,6 +1180,7 @@ def scan_report(
     predicates: Mapping[str, tuple[Any, Any]] | None = None,
     snapshot: int | None = None,
     since_snapshot: int | None = None,
+    eq: Mapping[str, Any] | None = None,
 ) -> dict[str, int]:
     """Never-silent pruning metrics for the matching :func:`scan`.
 
@@ -1052,7 +1189,7 @@ def scan_report(
     upper bound on rows the merge-on-read anti-join can suppress)."""
     entries = manifest_entries(root, snapshot, since_snapshot)
     data_entries, del_entries = _split_deletes(entries)
-    kept, skipped = prune(data_entries, predicates)
+    kept, skipped = prune(data_entries, predicates, eq)
     return {
         "files_total": len(data_entries),
         "files_kept": len(kept),

@@ -555,3 +555,61 @@ def test_empty_commit_is_a_valid_snapshot(spark, table):
     assert (log["added_files"], log["added_rows"]) == (0, 0)
     assert M.scan(spark, table).count() == 400
     assert M.manifest_entries(table, since_snapshot=2) == []
+
+
+def test_bloom_point_lookup_skips_unclustered_files(spark, tmp_path):
+    """Files clustered on v carry useless k min/max for a k point probe
+    (every file's k-range overlaps); the bloom proves absence and skips
+    nearly everything, and the scan still returns exactly the row."""
+    root = str(tmp_path / "bloomtbl")
+    os.makedirs(root)
+    # k scattered so range-clustering on v leaves every file covering
+    # most of the k domain
+    df = spark.range(0, 4000).select(
+        ((F.col("id") * 2654435761) % 4001).alias("k"),
+        F.col("id").alias("v"),
+    )
+    M.commit(df, root, ["v"], n_files=16, bloom_cols=["k"])
+    target = int(df.filter(F.col("v") == 1234).collect()[0]["k"])
+    # min/max alone: almost nothing skips
+    plain = M.scan_report(root, eq={"k": target})
+    entries = M.manifest_entries(root)
+    stripped = [
+        {kk: vv for kk, vv in e.items() if kk != "bloom"} for e in entries
+    ]
+    kept_nb, _ = M.prune(stripped, None, {"k": target})
+    assert len(kept_nb) > plain["files_kept"]  # bloom beats stats
+    assert plain["files_skipped"] >= plain["files_total"] // 2
+    got = M.scan(spark, root, eq={"k": target}).collect()
+    assert [r["k"] for r in got] == [target]
+
+
+def test_bloom_rejects_float_columns(spark, tmp_path):
+    root = str(tmp_path / "bloomf")
+    os.makedirs(root)
+    df = spark.range(0, 10).select(
+        F.col("id").alias("k"), (F.col("id") * 0.5).alias("x")
+    )
+    with pytest.raises(ValueError, match="int or string"):
+        M.commit(df, root, ["k"], n_files=1, bloom_cols=["x"])
+
+
+def test_bloom_string_column_and_negative_probe(spark, tmp_path):
+    """String blooms work, and probing an ABSENT value skips every
+    file while the residual filter keeps correctness regardless."""
+    root = str(tmp_path / "blooms")
+    os.makedirs(root)
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.format_string("name-%d", (F.col("id") * 7919) % 1009).alias(
+            "name"
+        ),
+    )
+    M.commit(df, root, ["k"], n_files=8, bloom_cols=["name"])
+    rep = M.scan_report(root, eq={"name": "name-500"})
+    assert rep["files_skipped"] > 0
+    got = M.scan(spark, root, eq={"name": "name-500"}).collect()
+    assert all(r["name"] == "name-500" for r in got) and got
+    absent = M.scan_report(root, eq={"name": "no-such-name"})
+    assert absent["files_kept"] == 0
+    assert M.scan(spark, root, eq={"name": "no-such-name"}).count() == 0
