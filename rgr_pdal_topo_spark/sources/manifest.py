@@ -222,6 +222,7 @@ def compact(
     root: str,
     stat_cols: Sequence[str],
     n_files: int = 8,
+    max_rows: int | None = None,
 ) -> int:
     """Rewrite the table's CURRENT live files into ``n_files``
     re-clustered ones, as a new snapshot that replaces them.
@@ -234,11 +235,18 @@ def compact(
     manifest merely lists them as removed from the CURRENT state.
     Readers that iterate snapshots (SnapshotConsumer) see
     ``operation: "compact"`` in the log and skip it: it carries no new
-    rows.  (Full snapshot EXPIRY is deliberately out of scope: these
-    manifests are deltas, so state is a fold over all of them — Iceberg
-    can drop old metadata because every snapshot carries a complete
-    manifest list; here retiring history would mean squashing deltas
-    into a base manifest, complexity the engine doesn't need yet.)
+    rows.  (Snapshot EXPIRY — squashing retired history into a base
+    manifest and reclaiming its storage — is :func:`expire_snapshots`.)
+
+    ``max_rows`` switches to BINPACK mode (Iceberg's
+    rewrite_data_files binpack strategy): only data files SMALLER than
+    ``max_rows`` are merged; well-sized files keep their tight stats
+    and are not rewritten — at 100 TB, re-shuffling petabytes of
+    already-clustered data to fix a trickle of small appended files is
+    the wrong trade.  Pending equality deletes still apply only to the
+    rewritten rows (their new snapshot postdates the deletes); the
+    delete files are retained because the untouched files still need
+    the merge-on-read anti-join, and retire on the next FULL compact.
     """
     entries = manifest_entries(root)
     if not entries:
@@ -246,6 +254,21 @@ def compact(
     data_entries, del_entries = _split_deletes(entries)
     if not data_entries:
         raise ValueError(f"nothing to compact at {root}")
+    if max_rows is not None:
+        victims = [e for e in data_entries if e["n_rows"] < max_rows]
+        if not victims:
+            raise ValueError(
+                f"no data file under {max_rows} rows to binpack at {root}"
+            )
+        df = spark.read.parquet(*[e["file"] for e in victims])
+        if del_entries:
+            df = _apply_deletes(
+                spark, df, del_entries, _delete_key_cols(root)
+            )
+        return _write_snapshot(
+            df, root, stat_cols, n_files,
+            [e["file"] for e in victims], "compact",
+        )
     df = spark.read.parquet(*[e["file"] for e in data_entries])
     if del_entries:
         # compaction APPLIES pending equality deletes (Iceberg's

@@ -613,3 +613,52 @@ def test_bloom_string_column_and_negative_probe(spark, tmp_path):
     absent = M.scan_report(root, eq={"name": "no-such-name"})
     assert absent["files_kept"] == 0
     assert M.scan(spark, root, eq={"name": "no-such-name"}).count() == 0
+
+
+def test_binpack_compacts_only_small_files(spark, table):
+    """Binpack merges only files under the threshold; big files keep
+    their identity (and stats); the table is row-identical."""
+    # a trickle of small appends on top of the two 4-file snapshots
+    for lo in (400, 410, 420):
+        df = spark.range(lo, lo + 10).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp"),
+            (F.col("id") * 3).alias("v"),
+        )
+        M.commit(df, table, ["k"], n_files=1)
+    before = sorted(tuple(r) for r in M.scan(spark, table).collect())
+    big_before = {
+        e["file"] for e in M.manifest_entries(table) if e["n_rows"] >= 25
+    }
+    M.compact(spark, table, ["k"], n_files=1, max_rows=25)
+    after_entries = M.manifest_entries(table)
+    assert sorted(tuple(r) for r in M.scan(spark, table).collect()) == before
+    # the big files survived untouched; the three 10-row files merged
+    assert big_before <= {e["file"] for e in after_entries}
+    assert sum(1 for e in after_entries if e["n_rows"] == 30) == 1
+    assert not any(e["n_rows"] == 10 for e in after_entries)
+    with pytest.raises(ValueError, match="binpack"):
+        M.compact(spark, table, ["k"], n_files=1, max_rows=5)
+
+
+def test_partition_spec_evolution_across_commits(spark, tmp_path):
+    """Commits may cluster on DIFFERENT stat columns over time (Iceberg
+    partition-spec evolution): predicates prune the snapshots that carry
+    matching stats and conservatively keep the others; answers equal a
+    plain filtered scan either way."""
+    root = str(tmp_path / "specevo")
+    os.makedirs(root)
+    df = spark.range(0, 400).select(
+        F.col("id").alias("k"),
+        (399 - F.col("id")).alias("r"),
+    )
+    M.commit(df.filter(F.col("k") < 200), root, ["k"], n_files=4)
+    M.commit(df.filter(F.col("k") >= 200), root, ["r"], n_files=4)  # new spec
+    got = sorted(r["k"] for r in M.scan(spark, root, {"k": (150, 250)})
+                 .collect())
+    assert got == list(range(150, 251))
+    rep = M.scan_report(root, {"k": (0, 40)})
+    # snapshot-1 files (k stats) prune; snapshot-2 files (r stats only)
+    # are conservatively kept
+    assert 0 < rep["files_skipped"] <= 3
+    rep2 = M.scan_report(root, {"r": (0, 40)})
+    assert 0 < rep2["files_skipped"] <= 3
