@@ -147,16 +147,30 @@ def hex_parent(cell: Column, res: int) -> Column:
     return hex_cell(lon, lat, res - 1)
 
 
-def hex_k_ring(cell: Column) -> Column:
-    """The cell plus its six edge neighbours (k=1 ring) — pure packed-id
-    integer arithmetic: q/r offsets never under/overflow the 2^27 bias
-    at any supported res, so neighbours are literal adds."""
+def hex_disk_deltas(k: int) -> list[tuple[int, int]]:
+    """Axial offsets of the radius-``k`` hex disk (self + all cells
+    within hex distance k): the standard |dq|, |dr|, |dq+dr| <= k
+    lattice ball — 1 + 3k(k+1) cells, e.g. 7 at k=1, 19 at k=2."""
+    return [
+        (dq, dr)
+        for dq in range(-k, k + 1)
+        for dr in range(max(-k, -dq - k), min(k, -dq + k) + 1)
+    ]
+
+
+def hex_k_ring(cell: Column, k: int = 1) -> Column:
+    """The cell plus every cell within hex distance ``k`` (H3's
+    kRing(k)) — pure packed-id integer arithmetic: q/r offsets never
+    under/overflow the 2^27 bias at any supported res, so neighbours
+    are literal adds (1 + 3k(k+1) of them; keep k small — the ring is
+    a join-prefilter fan-out, not a search structure)."""
     return F.array(
-        cell,
         *[
             cell + F.lit((dq << _QSHIFT) + dr).cast("long")
-            for dq, dr in HEX_NEIGHBOR_DELTAS
-        ],
+            if (dq, dr) != (0, 0)
+            else cell
+            for dq, dr in hex_disk_deltas(k)
+        ]
     )
 
 

@@ -174,3 +174,29 @@ def test_ids_self_describing_and_res_unique(spark):
     assert len(set(ids)) == len(ids)
     for r, cid in zip(hx.HEX_RES_RANGE, ids):
         assert cid >> 56 == r
+
+
+def test_k_ring_radius_generalization(spark):
+    """kRing(k) sizes follow 1 + 3k(k+1); every k=2 member is within
+    hex distance 2 of the center (distance = (|dq|+|dr|+|dq+dr|)/2)."""
+    assert len(hx.hex_disk_deltas(1)) == 7
+    assert len(hx.hex_disk_deltas(2)) == 19
+    assert len(hx.hex_disk_deltas(3)) == 37
+    for dq, dr in hx.hex_disk_deltas(2):
+        assert (abs(dq) + abs(dr) + abs(dq + dr)) // 2 <= 2
+    row = (
+        _df(spark, [(1, 10.0, 10.0)])
+        .select(
+            hx.hex_cell(F.col("lon"), F.col("lat"), 7).alias("c"),
+            hx.hex_k_ring(
+                hx.hex_cell(F.col("lon"), F.col("lat"), 7), 2
+            ).alias("ring2"),
+            hx.hex_k_ring(
+                hx.hex_cell(F.col("lon"), F.col("lat"), 7)
+            ).alias("ring1"),
+        )
+        .collect()[0]
+    )
+    assert len(set(row.ring2)) == 19
+    assert set(row.ring1) < set(row.ring2)
+    assert row.c in set(row.ring1)
