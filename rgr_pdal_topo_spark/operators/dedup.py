@@ -728,6 +728,11 @@ def incremental_near_dups(
                 F.least("doc_id", "doc_o").alias("doc_a"),
                 F.greatest("doc_id", "doc_o").alias("doc_b"),
             )
+            # a doc_id present in BOTH the store and this batch (e.g. a
+            # batch replayed after a crash between commit() and the
+            # caller persisting the pairs) would otherwise emit a
+            # self-pair through least/greatest
+            .filter(F.col("doc_a") != F.col("doc_b"))
         )
         pairs = pairs.unionByName(cross)
     pairs = pairs.distinct().localCheckpoint(eager=True)

@@ -9,7 +9,7 @@ is resumable, with a manifest recording lineage + metrics per batch.
 Layout under ``base_path``:
     out/batch=<k>/...parquet     -- results of batch k
     manifest/...parquet          -- one row per completed batch:
-        batch_id, input_fingerprint, n_rows, completed_at
+        batch_id, input_fingerprint, n_rows, completed_at, fp_version
 
 ``run`` computes only PENDING batches (all batches anti-join manifest) and
 validates that completed batches' input fingerprints still match (input
@@ -27,6 +27,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# Fingerprint algorithm version, persisted per manifest row.  v1 was
+# SUM(xxhash64) (overflows int64 under ANSI sessions); v2 is bit_xor.
+# The algorithms produce different values for identical inputs, so a
+# manifest written by one can NEVER be validated by the other — the
+# version column turns that silent everything-drifted false alarm into
+# a loud rebuild instruction.
+FP_VERSION = 2
+
+
 class BatchCheckpointer:
     def __init__(self, base_path: str, n_batches: int = 16):
         self.base = base_path.rstrip("/")
@@ -40,9 +49,29 @@ class BatchCheckpointer:
             return spark.createDataFrame(
                 [],
                 "batch_id int, input_fingerprint long, n_rows long, "
-                "completed_at double",
+                "completed_at double, fp_version int",
             )
-        return spark.read.parquet(self.manifest_path)
+        done = spark.read.parquet(self.manifest_path)
+        if "fp_version" not in done.columns:
+            # manifests written before versioning used the v1 SUM
+            # fingerprint
+            done = done.withColumn("fp_version", F.lit(1))
+        return done
+
+    def _check_fp_version(self, done: DataFrame) -> None:
+        stale = done.filter(F.col("fp_version") != F.lit(FP_VERSION))
+        n = stale.count()
+        if n:
+            vs = sorted(
+                r.fp_version
+                for r in stale.select("fp_version").distinct().collect()
+            )
+            raise RuntimeError(
+                f"{n} completed batches carry fingerprint version(s) {vs} "
+                f"but this engine computes version {FP_VERSION}; their "
+                "stored fingerprints cannot be re-validated — delete the "
+                f"manifest at {self.manifest_path} to rebuild"
+            )
 
     # -- main entry ---------------------------------------------------------
     def run(
@@ -62,6 +91,9 @@ class BatchCheckpointer:
         )
         done = self.completed(spark)
         done_ids = [r.batch_id for r in done.select("batch_id").collect()]
+
+        if done_ids:
+            self._check_fp_version(done)
 
         if done_ids:  # completed-batch input drift -> loud error
             drift = self.validate(inputs, batch_col)
@@ -112,7 +144,11 @@ class BatchCheckpointer:
         new_manifest = (
             fps.join(result_counts, "batch_id")
             .withColumn("completed_at", F.lit(time.time()))
-            .select("batch_id", "input_fingerprint", "n_rows", "completed_at")
+            .withColumn("fp_version", F.lit(FP_VERSION))
+            .select(
+                "batch_id", "input_fingerprint", "n_rows", "completed_at",
+                "fp_version",
+            )
         )
         new_manifest.write.mode("append").parquet(self.manifest_path)
         return spark.read.parquet(self.out_path)
@@ -131,6 +167,7 @@ class BatchCheckpointer:
             .agg(F.expr("bit_xor(__h)").alias("fp_now"))
         )
         done = self.completed(spark)
+        self._check_fp_version(done)
         return (
             done.join(fps, "batch_id")
             .filter(F.col("fp_now") != F.col("input_fingerprint"))

@@ -115,8 +115,20 @@ def snapshot_as_of(root: str, ts: float) -> int:
     last snapshot committed at or before ``ts``.  Compose with any
     reader: ``scan(spark, root, snapshot=snapshot_as_of(root, t))``.
     Raises if the table did not exist yet at ``ts`` — silently reading
-    an empty past is how backfills double-process."""
-    eligible = [s["id"] for s in snapshots(root) if s.get("ts", 0.0) <= ts]
+    an empty past is how backfills double-process.  Also raises on
+    snapshots with no ``ts`` field (tables committed before timestamps
+    were recorded): defaulting those to t=0 would resolve a timestamp
+    predating the table's real creation to a legacy snapshot instead of
+    failing, violating the contract above — use snapshot-id travel for
+    such tables."""
+    log = snapshots(root)
+    missing = [s["id"] for s in log if "ts" not in s]
+    if missing:
+        raise ValueError(
+            f"snapshots {missing} at {root} predate commit timestamps; "
+            "timestamp time travel is ambiguous — use scan(snapshot=id)"
+        )
+    eligible = [s["id"] for s in log if s["ts"] <= ts]
     if not eligible:
         raise ValueError(f"no snapshot at or before ts={ts} at {root}")
     return eligible[-1]
@@ -641,12 +653,27 @@ def _write_snapshot(
 _BLOOM_K = 4  # hash probes per value (4 disjoint 32-bit md5 slices)
 
 
+_BLOOM_M_CAP = 1 << 20  # bits; ~16K int64 words sparse-mapped per entry
+
+
 def _bloom_m(max_rows_per_file: int) -> int:
     """Bits per file-bloom: ~10 bits/row (k=4 -> ~1-2% false positives),
-    power of two, floor 1024 — sized from the LARGEST file so the fill
-    factor stays useful at any committed batch size."""
+    power of two, floor 1024, CAPPED at ``_BLOOM_M_CAP`` — sized from
+    the LARGEST file so the fill factor stays useful at any committed
+    batch size.
+
+    The cap preserves the module's "manifest is KB-to-MB-sized and
+    driver-resident" invariant: uncapped, a 10^8-row file would demand
+    a 10^9-bit bloom serialized inline into its JSON entry.  Past the
+    cap the filter degrades GRACEFULLY — at 10^6 rows/file the false-
+    positive rate is ~50%, at 10^7 it saturates toward "never skips" —
+    always conservative (a saturated bloom keeps the file, exactly the
+    no-bloom behaviour), never a wrong skip.  Tables with files that
+    large should store blooms as a binary column in the parquet
+    metadata tier instead (the documented extension point in
+    :func:`_build_blooms`), where per-entry size is off the driver."""
     m = 1024
-    while m < 10 * max_rows_per_file:
+    while m < 10 * max_rows_per_file and m < _BLOOM_M_CAP:
         m *= 2
     return m
 
@@ -854,15 +881,28 @@ def metadata_table(
         # rows — silently under-counting the fold.  Verify the file
         # count matches the log and fail loudly with the repair step.
         bid = base_ids[0]
-        want = next(s for s in log if s["id"] == bid)["added_files"]
-        have = (
+        base_log = next(s for s in log if s["id"] == bid)
+        want = base_log["added_files"]
+        want_rows = base_log.get("added_rows")
+        got = (
             meta.filter((F.col("snap") == bid) & (F.col("op") == "add"))
-            .select("file").distinct().count()
+            .select("file", "n_rows").distinct()
+            .agg(
+                F.count(F.lit(1)).alias("files"),
+                F.coalesce(F.sum("n_rows"), F.lit(0)).alias("rows"),
+            )
+            .collect()[0]
         )
-        if have != want:
+        # compare rows as well as files: a stale delta dir left by a
+        # crash between expire's log swap and its metadata rewrite can
+        # coincidentally list the SAME file count as the folded base —
+        # the row total distinguishes them
+        rows_bad = want_rows is not None and int(got["rows"]) != want_rows
+        if got["files"] != want or rows_bad:
             raise RuntimeError(
                 f"metadata tier stale for base snapshot {bid} "
-                f"({have} files listed, log says {want}); re-run "
+                f"({got['files']} files / {got['rows']} rows listed, log "
+                f"says {want} files / {want_rows} rows); re-run "
                 f"expire_snapshots(spark, root, {bid}) to repair"
             )
     if since_snapshot is not None:

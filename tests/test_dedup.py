@@ -331,3 +331,26 @@ def test_repetition_stats_planted_spam(spark):
     assert got[2] == (7, 7, 1)
     # the spam doc's top-shingle ratio strictly dominates the clean one
     assert got[1][2] * got[2][0] > got[2][2] * got[1][0]
+
+
+def test_incremental_replayed_batch_emits_no_self_pairs(spark, tmp_path):
+    """A batch REPLAYED after a crash between commit() and the caller
+    persisting its pairs puts the same doc_ids in both the store and
+    the batch; the new-vs-store cross join must not emit (d, d)."""
+    import os
+
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = docs.filter(F.col("doc_id") < 30)
+    store = str(tmp_path / "lsh_store3")
+    os.makedirs(store)
+    first = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.incremental_near_dups(spark, batch, store).collect()
+    }
+    replay = dedup.incremental_near_dups(spark, batch, store).collect()
+    assert all(r.doc_a != r.doc_b for r in replay)
+    # the replay re-finds exactly the original pair set (via new-vs-new
+    # and new-vs-store routes), nothing else
+    assert {(r.doc_a, r.doc_b) for r in replay} == first

@@ -662,3 +662,61 @@ def test_partition_spec_evolution_across_commits(spark, tmp_path):
     assert 0 < rep["files_skipped"] <= 3
     rep2 = M.scan_report(root, {"r": (0, 40)})
     assert 0 < rep2["files_skipped"] <= 3
+
+
+def test_stale_base_caught_by_row_total_when_file_count_matches(
+    spark, deleted_table
+):
+    """A stale delta dir that COINCIDENTALLY lists the same file count
+    as the folded base must still be caught — the guard compares the
+    row total (logged added_rows), not just the file count."""
+    import json
+
+    cid = M.compact(spark, deleted_table, ["k"], n_files=3)
+    M.expire_snapshots(spark, deleted_table, cid)
+    base_log = next(s for s in M.snapshots(deleted_table) if s["id"] == cid)
+    n_files, n_rows = base_log["added_files"], base_log["added_rows"]
+    assert n_files > 0 and n_rows > 0
+    # forge a stale dir: SAME file count, WRONG rows (1 per file)
+    meta_dir = os.path.join(deleted_table, "manifest-pq", f"snap={cid}")
+    shutil.rmtree(meta_dir)
+    spark.createDataFrame(
+        [(f"/stale-{i}.parquet", "add", 1, "k",
+          None, None, None, None, None, None) for i in range(n_files)],
+        "file string, op string, n_rows long, col string, "
+        "min_long long, max_long long, min_double double, "
+        "max_double double, min_string string, max_string string",
+    ).write.mode("overwrite").parquet(meta_dir)
+    with pytest.raises(RuntimeError, match="metadata tier stale"):
+        M.scan_via_metadata(spark, deleted_table, None)
+    M.expire_snapshots(spark, deleted_table, cid)  # documented repair
+    got, _ = M.scan_via_metadata(spark, deleted_table, None)
+    assert got.count() == M.scan(spark, deleted_table).count()
+
+
+def test_snapshot_as_of_refuses_timestampless_snapshots(spark, table):
+    """Legacy logs without ts fields must raise, not silently resolve a
+    pre-creation timestamp to snapshot 1 (the ts=0.0-default bug)."""
+    import json
+
+    log_path = os.path.join(table, "snapshots.json")
+    with open(log_path) as fh:
+        log = json.load(fh)
+    t1 = log["snapshots"][0]["ts"]
+    del log["snapshots"][0]["ts"]
+    with open(log_path, "w") as fh:
+        json.dump(log, fh)
+    with pytest.raises(ValueError, match="predate commit timestamps"):
+        M.snapshot_as_of(table, t1 - 10.0)  # would wrongly resolve to 1
+    with pytest.raises(ValueError, match="predate commit timestamps"):
+        M.snapshot_as_of(table, t1 + 10.0)  # ambiguous either way
+
+
+def test_bloom_m_is_capped(spark):
+    """Bloom sizing stays manifest-friendly at huge files: ~10 bits/row
+    up to the cap, then frozen (graceful degradation, never a wrong
+    skip — a saturated bloom keeps the file)."""
+    assert M._bloom_m(50) == 1024
+    assert M._bloom_m(50_000) == 1 << 19
+    assert M._bloom_m(10**8) == M._BLOOM_M_CAP
+    assert M._bloom_m(10**10) == M._BLOOM_M_CAP

@@ -162,3 +162,34 @@ def test_exact_dedup_groups_on_planted_duplicates(spark):
         for r in exact_duplicates(df).collect()
     }
     assert got == {(2, 3), (7, 1), (8, 1)}
+
+
+def test_lineage_fingerprint_version_mismatch_is_loud(spark, tmp_path):
+    """A manifest written by a DIFFERENT fingerprint algorithm (or one
+    predating versioning) must raise a rebuild instruction, not flag
+    every batch as drifted."""
+    import pytest
+
+    from rgr_pdal_topo_spark.plans.lineage import BatchCheckpointer
+    from rgr_pdal_topo_spark.synth import points_df
+
+    pts = points_df(spark, SF_DIR)
+
+    def transform(df):
+        return df.groupBy("batch_id").agg(F.count(F.lit(1)).alias("n"))
+
+    cp = BatchCheckpointer(str(tmp_path / "fpv"), n_batches=4)
+    cp.run(pts.filter(F.pmod(F.col("pid"), F.lit(4)) < 2), transform)
+
+    # forge a legacy manifest: drop the version column entirely
+    legacy = spark.read.parquet(cp.manifest_path).drop("fp_version")
+    legacy.write.mode("overwrite").parquet(str(tmp_path / "legacy_mf"))
+    spark.read.parquet(str(tmp_path / "legacy_mf")).write.mode(
+        "overwrite"
+    ).parquet(cp.manifest_path)
+    assert "fp_version" not in spark.read.parquet(cp.manifest_path).columns
+
+    with pytest.raises(RuntimeError, match="fingerprint version"):
+        cp.run(pts, transform)
+    with pytest.raises(RuntimeError, match="fingerprint version"):
+        cp.validate(pts)
