@@ -95,9 +95,14 @@ def _axial_round(qf: Column, rf: Column) -> tuple[Column, Column]:
 
 def hex_axial(lon: Column, lat: Column, res: int) -> tuple[Column, Column]:
     """lon/lat degrees -> integer axial (q, r) of the nearest hex center
-    at ``res``."""
+    at ``res``.  Longitude is pre-normalized into [-180, 180) (lon,
+    lon+360, lon-360 encode to the SAME cell); the normalization term is
+    spelled ``lon - 360*FLOOR((lon+180)/360)`` identically in all three
+    encoders, and is an exact no-op (floor term 0.0) for already-in-range
+    inputs, so in-range ids are bit-unchanged."""
     s = F.lit(hex_size(res))
-    qf = (lon * F.sqrt(F.lit(3.0)) / F.lit(3.0) - lat / F.lit(3.0)) / s
+    ln = lon - F.lit(360.0) * F.floor((lon + F.lit(180.0)) / F.lit(360.0))
+    qf = (ln * F.sqrt(F.lit(3.0)) / F.lit(3.0) - lat / F.lit(3.0)) / s
     rf = lat * F.lit(2.0) / F.lit(3.0) / s
     return _axial_round(qf, rf)
 
@@ -163,7 +168,17 @@ def hex_k_ring(cell: Column, k: int = 1) -> Column:
     kRing(k)) — pure packed-id integer arithmetic: q/r offsets never
     under/overflow the 2^27 bias at any supported res, so neighbours
     are literal adds (1 + 3k(k+1) of them; keep k small — the ring is
-    a join-prefilter fan-out, not a search structure)."""
+    a join-prefilter fan-out, not a search structure).
+
+    DOMAIN CONTRACT — the antimeridian: the lattice is PLANAR over
+    equirectangular lon/lat.  The encoder normalizes longitude into
+    [-180, 180), but rings do NOT wrap across the +-180 seam: a cell
+    touching lon=-180 and one touching lon=+180 are lattice-distant
+    even though they are geographically adjacent (true H3's icosahedron
+    has no such seam; the plane necessarily does).  Workloads needing
+    cylindrical adjacency at the seam use the standard dual-encoding
+    trick — index seam-straddling records at BOTH lon and lon±360 and
+    dedup after the ring join."""
     return F.array(
         *[
             cell + F.lit((dq << _QSHIFT) + dr).cast("long")
@@ -183,7 +198,8 @@ def hex_cell_sql(lon: str, lat: str, res: int) -> str:
     IEEE doubles, so ids match bit-for-bit (pinned by the hex_pages
     oracle + tests)."""
     s = repr(hex_size(res))
-    qf = f"((({lon}) * SQRT(3.0) / 3.0 - ({lat}) / 3.0) / {s})"
+    ln = f"(({lon}) - 360.0 * FLOOR((({lon}) + 180.0) / 360.0))"
+    qf = f"(({ln} * SQRT(3.0) / 3.0 - ({lat}) / 3.0) / {s})"
     rf = f"(({lat}) * 2.0 / 3.0 / {s})"
     yf = f"(0.0 - {qf} - {rf})"
     rx = f"CAST(FLOOR({qf} + 0.5) AS BIGINT)"
@@ -222,6 +238,7 @@ def hex_parent_sql(cell: str, res: int) -> str:
 
 def _hex_cell_np(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
     s = hex_size(res)
+    lon = lon - 360.0 * np.floor((lon + 180.0) / 360.0)
     qf = (lon * np.sqrt(3.0) / 3.0 - lat / 3.0) / s
     rf = lat * 2.0 / 3.0 / s
     yf = 0.0 - qf - rf

@@ -582,10 +582,20 @@ def pip_join_rtree(
     (``xmin <= x < xmin+width``), so the two strategies are
     output-identical (pinned by test + the shared pip oracle).  Why it
     exists next to the range join: ``pip_join_rect`` is a
-    BroadcastNestedLoopJoin — O(P) polygon tests per point.  Fine at
-    25 polygons; at 10^5+ fault-scarp/alluvial-fan units the per-point
-    cost must be O(log P + hits), which is what the packed tree gives,
-    while staying a zero-shuffle map-side stage.
+    BroadcastNestedLoopJoin — O(P) row-at-a-time polygon tests per
+    point in the JVM.  Fine at 25 polygons; at 10^5+ fault-scarp/
+    alluvial-fan units this strategy wins with O(L) = O(P/leaf_cap)
+    BATCH-vectorized leaf-bound tests (one numpy compare over the whole
+    Arrow batch per leaf, after a single vectorized batch-bbox pass
+    drops leaves the partition cannot touch) plus member tests only for
+    points inside hit leaves — a ~leaf_cap-fold cut in comparisons on
+    top of the scalar->SIMD win, while staying a zero-shuffle map-side
+    stage.  It is NOT O(log P) per point: log-depth descent pays off
+    when queries are single points against a driver-resident tree;
+    against Arrow BATCHES the flat packed level vectorizes better than
+    pointer-chasing, and the dimension side is broadcast-sized by
+    definition, so L stays small (tests/test_joins.py pins the measured
+    crossover at 10^5 polygons).
     """
     rows = polygons.select(
         "polygon_id", "xmin", "ymin", "width", "height"
@@ -615,8 +625,20 @@ def pip_join_rtree(
             x = pdf["x"].to_numpy(dtype=np.float64)
             y = pdf["y"].to_numpy(dtype=np.float64)
             pid = pdf["pid"].to_numpy()
+            if len(x) == 0:
+                continue
+            # batch-bbox prefilter: one vectorized pass drops every
+            # leaf this partition's points cannot touch (a big cut when
+            # the input is spatially clustered, e.g. Z-order/manifest
+            # pruned scans; a no-op cost otherwise)
+            bxmin, bxmax = x.min(), x.max()
+            bymin, bymax = y.min(), y.max()
+            live = np.nonzero(
+                (lb[:, 0] <= bxmax) & (lb[:, 2] > bxmin)
+                & (lb[:, 1] <= bymax) & (lb[:, 3] > bymin)
+            )[0]
             out_p, out_g = [], []
-            for li in range(len(lb)):
+            for li in live:
                 hit = (
                     (x >= lb[li, 0]) & (x < lb[li, 2])
                     & (y >= lb[li, 1]) & (y < lb[li, 3])

@@ -422,3 +422,98 @@ def cosine_topk_sq8(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "nn_id", "cosine")
     )
+
+
+def cosine_topk_ivf_sq8(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    scale: float | None = None,
+) -> DataFrame:
+    """IVF coarse quantizer OVER the SQ8 compressed scan — the two
+    approximations composed the way production ANN stacks deploy them
+    (FAISS's ``IVF<n>,SQ8`` index): the coarse quantizer routes each
+    query to its ``n_probe`` inverted lists, and the scan INSIDE each
+    list runs on int8-quantized vectors.
+
+    Division of labour at 100 TB: IVF bounds WORK (each query touches
+    n_probe/n_centroids of the corpus — the shuffle-partitioning story,
+    lists are the partition key) while SQ8 bounds MEMORY (4x smaller
+    resident vectors decide whether the probed lists fit executor
+    memory).  Composition details that keep it oracle-exact: list
+    ASSIGNMENT uses the float vectors (assignment quality should not
+    pay quantization error — FAISS does the same; the dot product is a
+    sequential fold, bit-identical in both engines), while in-list
+    distances are exact integer arithmetic until one final
+    sqrt+division.  Recall vs the exact float path is pinned in
+    tests/test_similarity.py."""
+    if scale is None:
+        scale = sq8_trained_scale(emb)
+    base = (
+        with_norm(emb)
+        .withColumn("qv", quantize_sq8("embedding", scale))
+        .withColumn("qn", _int_dot(F.col("qv"), F.col("qv")))
+    )
+    cents = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+
+    def centroid_ranked(df: DataFrame) -> DataFrame:
+        cdot = F.aggregate(
+            F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "ccos",
+                F.round(cdot / (F.col("norm") * F.col("cnorm")), COS_ROUND),
+            )
+            .withColumn(
+                "crn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(
+                        F.col("ccos").desc(), F.col("cid").asc()
+                    )
+                ),
+            )
+        )
+
+    # corpus-sized assignment feeds only the member side (same
+    # no-subplan-duplication shape as cosine_topk_ivf)
+    members = centroid_ranked(base).filter(F.col("crn") == 1).select(
+        F.col(id_col).alias("nn_id"), "qv", "qn", "cid"
+    )
+    probes = centroid_ranked(
+        base.filter(F.col(id_col) < n_queries)
+    ).filter(F.col("crn") <= n_probe).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("qqv"),
+        F.col("qn").alias("qqn"),
+        "cid",
+    )
+    cand = members.join(
+        F.broadcast(probes.withColumnRenamed("cid", "pcid")),
+        (F.col("cid") == F.col("pcid"))
+        & (F.col("nn_id") != F.col("query_id")),
+    ).drop("pcid")
+    cos = F.round(
+        _int_dot(F.col("qv"), F.col("qqv"))
+        / F.sqrt((F.col("qn") * F.col("qqn")).cast("double")),
+        COS_ROUND,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nn_id").asc()
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nn_id", "cosine")
+    )

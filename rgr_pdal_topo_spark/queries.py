@@ -1694,6 +1694,73 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_components(verified)
 
 
+@query(
+    "neardup_incremental",
+    _with(
+        f"toks AS ({_TOKS_SET_DUCK})",
+        f"dt AS MATERIALIZED ({_TOKID_DUCK})",
+        f"perms AS ({_PERMS_DUCK})",
+        f"sig AS ({_SIG_DUCK})",
+        f"bandmix AS MATERIALIZED ({_BANDS_DUCK})",
+        # the incremental protocol replayed exactly: batch 1 (even ids)
+        # caps buckets over ITS OWN rows; batch 2 (odd ids) caps over
+        # store + batch TOGETHER and emits only pairs touching an odd id
+        "bsz1 AS (SELECT band, band_key, COUNT(*) AS n FROM bandmix "
+        "WHERE doc_id % 2 = 0 GROUP BY band, band_key)",
+        "cap1 AS (SELECT m.* FROM bandmix m JOIN bsz1 ON "
+        "bsz1.band = m.band AND bsz1.band_key = m.band_key "
+        f"AND bsz1.n <= {dedup.MAX_BUCKET} WHERE m.doc_id % 2 = 0)",
+        "bsz2 AS (SELECT band, band_key, COUNT(*) AS n FROM bandmix "
+        "GROUP BY band, band_key)",
+        "cap2 AS (SELECT m.* FROM bandmix m JOIN bsz2 ON "
+        "bsz2.band = m.band AND bsz2.band_key = m.band_key "
+        f"AND bsz2.n <= {dedup.MAX_BUCKET})",
+    )
+    + "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM cap1 a JOIN cap1 b ON a.band = b.band "
+    "AND a.band_key = b.band_key AND a.doc_id < b.doc_id "
+    "UNION "
+    "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM cap2 a JOIN cap2 b ON a.band = b.band "
+    "AND a.band_key = b.band_key AND a.doc_id < b.doc_id "
+    "AND (a.doc_id % 2 = 1 OR b.doc_id % 2 = 1)",
+)
+def q_neardup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup ingestion through the PERSISTENT LSH store
+    (operators/dedup.incremental_near_dups): the corpus arrives as two
+    batches (even doc_ids, then odd), each banded once and probed
+    against the store pinned at its pre-batch snapshot, with the new
+    keys committed as the next snapshot.  The oracle replays the
+    protocol itself — batch 1's bucket cap sized over batch 1 alone,
+    batch 2's over store+batch together, batch 2 emitting only pairs
+    that touch a new id — so it also witnesses the DOCUMENTED
+    divergence from one batch-mode run: a bucket crossing the cap
+    between batches keeps the pairs it emitted while small (no
+    retraction), where batch mode drops them all.  Equality with batch
+    mode when no bucket crosses the cap mid-stream, exactly-once pair
+    split, and crash-replay self-pair immunity are pinned in
+    tests/test_dedup.py."""
+    import shutil
+    import tempfile
+
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="lsh_store_q_")
+    try:
+        p1 = dedup.incremental_near_dups(
+            spark, docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 0), store
+        )
+        p2 = dedup.incremental_near_dups(
+            spark, docs.filter(F.pmod(F.col("doc_id"), F.lit(2)) == 1), store
+        )
+    finally:
+        # both pair sets are eagerly checkpointed inside the operator,
+        # so the store is droppable before the caller consumes them
+        shutil.rmtree(store, ignore_errors=True)
+    return p1.unionByName(p2)
+
+
 _BITS_DUCK = "SELECT * FROM (VALUES " + ", ".join(
     "({}, {}, {}, {})".format(b, *dedup.simhash_params(b))
     for b in range(dedup.SIMHASH_BITS)
@@ -2000,6 +2067,57 @@ def q_cosine_topk_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.cosine_topk_sq8(emb, n_queries=10, k=5)
+
+
+@query(
+    "cosine_topk_ivf_sq8",
+    _with(
+        f"e AS ({_EMB_DUCK})",
+        f"n AS ({_NORM_DUCK})",
+        # trained SQ8 scale + int8 grid — the cosine_topk_sq8 CTEs
+        "s AS (SELECT 127.0 / MAX(GREATEST(ABS(list_min(v)), "
+        "ABS(list_max(v)))) AS sc FROM e)",
+        "q8 AS (SELECT vec_id, list_transform(v, x -> CAST(GREATEST("
+        "LEAST(CAST(FLOOR(x * sc + 0.5) AS BIGINT), "
+        "127), -127) AS DOUBLE)) AS qv FROM e, s)",
+        "qn AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS qn FROM q8)",
+        # float coarse-quantizer assignment — the cosine_topk_ivf CTEs
+        "c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n "
+        "WHERE vec_id < 16)",
+        "asg AS (SELECT n.vec_id, c.cid, ROW_NUMBER() OVER ("
+        f"PARTITION BY n.vec_id ORDER BY {_IVF_COS} DESC, c.cid ASC) "
+        "AS crn FROM n JOIN c ON TRUE)",
+        "members AS (SELECT a.vec_id AS nn_id, q.qv, q.qn, a.cid "
+        "FROM asg a JOIN qn q ON q.vec_id = a.vec_id WHERE a.crn = 1)",
+        "probes AS (SELECT a.vec_id AS query_id, q.qv AS qqv, "
+        "q.qn AS qqn, a.cid FROM asg a JOIN qn q ON q.vec_id = a.vec_id "
+        "WHERE a.vec_id < 10 AND a.crn <= 4)",
+        "cand AS (SELECT p.query_id, m.nn_id, "
+        "ROUND(list_dot_product(m.qv, p.qqv) / "
+        "SQRT(CAST(m.qn * p.qqn AS DOUBLE)), 5) AS cosine "
+        "FROM probes p JOIN members m ON m.cid = p.cid "
+        "AND m.nn_id <> p.query_id)",
+    )
+    + "SELECT query_id, rank, nn_id, cosine FROM ("
+    "SELECT query_id, nn_id, cosine, ROW_NUMBER() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, nn_id ASC) AS rank "
+    "FROM cand) r WHERE rank <= 5",
+)
+def q_cosine_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full 100 TB ANN architecture end to end (FAISS ``IVF16,SQ8``):
+    IVF coarse quantizer routes each query to 4 of 16 inverted lists
+    (bounding WORK — lists are the partition key at scale), and the
+    in-list scan runs on trained-scale int8 vectors (bounding MEMORY —
+    4x smaller residents).  Assignment stays float (quantization error
+    must not misroute queries — FAISS does the same); in-list distances
+    are exact integers until one final sqrt+division, so the oracle
+    replays the composition bit-for-bit."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf_sq8(
+        emb, n_queries=10, k=5, n_centroids=16, n_probe=4
+    )
 
 
 def _planes_duck(n_planes: int, dim: int = 64) -> list[str]:
@@ -4112,79 +4230,83 @@ def q_flow_main_path(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DRIVER_WINDOW: list[str] = [
     "points_extract", "grid_mean",
-    "grid_idw_filled", "binned_intensity", "pip_pairs",
+    "grid_idw_filled", "binned_intensity",
     "knn_gps",
-    "profile_extract", "stencil_suite", "hag", "grid_residuals",
-    "tpch_pricing", "hex_pages", "sessionize", "slope_hillshade",
+    "stencil_suite", "hag", "grid_residuals",
+    "tpch_pricing", "slope_hillshade",
     "points_decimate", "lineage_resume",
     "smrf_ground",
-    "cosine_topk_sq8",
     "multimodal_features", "flow_d8", "flow_area", "flow_chi", "flow_basins",
     "flow_maxl", "flow_order", "network_ksn", "network_dissolve",
-    "plane_fit", "perm_ensemble", "kmeans_scarp",
-    "mosaic_tiles", "flow_main_path", "reproject_utm",
-    "profile_peaks", "radial_histogram", "stratified_sample",
-    "extract_pages", "minhash_pairs",
-    # round-4 rotation IN (VERDICT r3 #3/#7): the composed flagships, the
-    # Iceberg-lite manifest layer, the north-star pages stages, the
-    # near-dup pair/cluster/ANN family, and the last past-window §2
-    # operators (F3 points_assign, K7 resample_average)
+    "perm_ensemble", "kmeans_scarp",
+    "mosaic_tiles", "flow_main_path",
+    "profile_peaks", "stratified_sample",
+    "extract_pages",
     "terrain_pipeline", "corpus_pipeline",
-    "manifest_meta_scan", "manifest_bbox_scan", "manifest_incremental",
+    "manifest_bbox_scan", "manifest_incremental",
     "pages_geocode", "pages_pip",
-    "simhash_pairs", "dedup_clusters", "cosine_topk_ivf",
-    "points_assign", "resample_average",
+    "simhash_pairs", "dedup_clusters",
+    # round-5 rotation IN (VERDICT r4 "Next round" #1/#2/#3/#7/#9):
+    # the seven ANSI-verified past-window r4 subsystems, the three
+    # rotation-stale §2 operators, the incremental LSH store, streaming
+    # windowed aggregation, and the new IVF+SQ8 composed ANN query
+    "manifest_delete_scan", "manifest_bloom_scan", "pip_rtree",
+    "hex_ring_density", "decontaminate", "repetition_stats",
+    "url_canonicalize",
+    "grid_extent", "grid_stats", "detrend_grid",
+    "neardup_incremental", "cosine_topk_ivf_sq8", "events_hourly",
 ]
-# Round-4 rotation (VERDICT r3 "Next round" #3 + #7): twelve slots whose
-# operators stay exercised by an in-window query rotated OUT for the
-# twelve subsystems that until now rested on pytest alone —
-#   IN:  terrain_pipeline + corpus_pipeline (the composed flagships),
-#        manifest_meta_scan/bbox/incremental (Iceberg-lite file
-#        skipping through the parquet metadata tier, Z-order bbox
-#        pruning, cursor-based incremental consume; manifest_scan — the
-#        JSON-fold twin of meta_scan — stays past-window, its prune
-#        logic exercised in-window by manifest_bbox_scan),
-#        pages_geocode + pages_pip (north-star page stages),
-#        simhash_pairs, dedup_clusters, cosine_topk_ivf,
-#        points_assign (F3), resample_average (K7 variant).
+# Round-5 rotation (VERDICT r4 "Next round" #1/#2/#3/#7/#9): thirteen
+# slots whose operators stay exercised by an in-window query rotated
+# OUT for the seven ANSI-verified r4 subsystems, the three
+# rotation-stale §2 operators, and three genuinely-new r5 rows —
+#   IN:  manifest_delete_scan (Iceberg-v2 merge-on-read deletes),
+#        manifest_bloom_scan (bloom point-lookup skipping),
+#        pip_rtree (broadcast STR-packed R-tree PIP strategy),
+#        hex_ring_density (hex encoding + k-ring equi-join),
+#        decontaminate + repetition_stats + url_canonicalize (the three
+#        text-quality subsystems added in r4),
+#        grid_extent (F15) + grid_stats (A4) + detrend_grid (X2) — the
+#        rotation-stale operators, driver-green r1-r3,
+#        neardup_incremental (r5: the persistent-LSH-store protocol,
+#        oracle = the per-batch capped candidate SQL),
+#        cosine_topk_ivf_sq8 (r5: IVF coarse quantizer OVER the SQ8
+#        compressed scan — the composed ANN architecture),
+#        events_hourly (streaming windowed aggregation's batch twin —
+#        past-window since r2, per VERDICT r4 #7).
 #   OUT (operator -> surviving window coverage):
-#        filter_noise    F1/U2  -> terrain_pipeline's noise stage
-#        grid_extent     F15    -> manifest_bbox_scan min/max bounds agg
-#        grid_stats      A4     -> terrain_pipeline per-unit stats
-#        doc_fingerprint        -> rolling-hash ids inside minhash_pairs'
-#                                  shingle/Horner fold
-#        langid + quality_filter + text_stats + dedup_exact
-#                               -> corpus_pipeline composes all four
-#        detrend_grid    X2     -> plane_fit (X1) stays; detrend is the
-#                                  fit minus surface, parity-green pytest
-#        simhash                -> simhash_pairs (same one-pass operator,
-#                                  32-bit variant) upstream of banding
-#        minhash_buckets        -> minhash_pairs (signatures + bands +
-#                                  capped bucket join) upstream
-#        embedding_near_dups    -> cosine_topk + cosine_topk_ivf
-# Round-4 late swaps (driver rows for the round's headline additions,
-# operator coverage preserved):
-#   cell_index  -> hex_pages  (F13 quadkey encoding stays in-window via
-#                  pages_geocode's res-5/8/12 ids; hex_pages adds the
-#                  genuinely-hexagonal index + center-containment parent)
-#   cosine_topk -> cosine_topk_sq8 (same broadcast + ranking-window
-#                  shape PLUS the trained int8 quantizer; O4 argmin
-#                  stays in-window via knn_gps; the float brute path
-#                  remains the pytest recall baseline)
+#        pip_pairs        J1  -> pip_rtree (same oracle text, the
+#                                zero-shuffle R-tree strategy) +
+#                                pages_pip + terrain_pipeline
+#        profile_extract  J2  -> profile_peaks (projection + savgol)
+#        minhash_pairs        -> neardup_incremental (same banding,
+#                                per-batch caps) + dedup_clusters
+#                                (jaccard-verified pairs upstream)
+#        manifest_meta_scan   -> manifest_bbox_scan (stats pruning) +
+#                                manifest_bloom_scan (beats-stats) +
+#                                manifest_delete_scan (metadata tier)
+#        hex_pages        F13 -> hex_ring_density's hexed CTE (same
+#                                encoder); quadkeys via pages_geocode
+#        cosine_topk_sq8 + cosine_topk_ivf -> cosine_topk_ivf_sq8
+#                                composes BOTH operators in one row
+#        points_assign    F3  -> terrain ops (driver-green r4)
+#        resample_average K7  -> mosaic_tiles overlap-average
+#        radial_histogram A7/F11, plane_fit X1, reproject_utm F5 ->
+#                                driver-green r1-r4; plane fit survives
+#                                in-window inside detrend_grid (X2 =
+#                                fit minus surface)
+#        sessionize       U4  -> events_hourly keeps streaming
+#                                witnessed; session windows green r1-r4
 # All rotated-out queries remain registered and pytest-parity-checked
 # every run (tests/test_query_parity.py sweeps every oracle pair).
 # Remaining past-window oracle-backed extras: cell_rollup,
-# multimodal_meta, events_hourly, grid_count, resample_near,
+# multimodal_meta, events_sliding, grid_count, resample_near,
 # resample_bilinear, reproject_mercator, pip_stats, TPC-H variants,
 # embedding_buckets, lang_dist, cosine_topk_lsh, s2_cell_index,
-# frame_sample, resize_images, manifest_time_scan, pages_grid,
-# cosine_topk (rotated out for its SQ8 twin), cell_index (rotated out
-# for hex_pages), hex_ring_density (r4: hex k-ring neighbourhood join),
-# manifest_delete_scan (r4: Iceberg v2 merge-on-read deletes),
-# manifest_bloom_scan (r4: bloom-filter point-lookup skipping),
-# decontaminate + repetition_stats + url_canonicalize + pip_rtree (r4).
-# All seven r4 extras are ANSI-session-verified against their oracles —
-# safe r5 rotation-IN candidates.
+# frame_sample, resize_images, manifest_time_scan, manifest_scan,
+# pages_grid, cell_index, cosine_topk, filter_noise, doc_fingerprint,
+# langid, quality_filter, text_stats, dedup_exact, simhash,
+# minhash_buckets, embedding_near_dups — plus the r5 OUT list above.
 
 
 def _reorder_registration() -> None:

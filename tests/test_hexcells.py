@@ -200,3 +200,51 @@ def test_k_ring_radius_generalization(spark):
     assert len(set(row.ring2)) == 19
     assert set(row.ring1) < set(row.ring2)
     assert row.c in set(row.ring1)
+
+
+def test_antimeridian_normalization_three_spellings(spark, ddb):
+    """lon, lon+360, and lon-360 encode to the SAME cell in all three
+    encoders (Column, Arrow UDF, DuckDB SQL twin); in-range ids are
+    bit-unchanged by the normalization (exact no-op floor term)."""
+    import numpy as np
+
+    base = [(-179.99, 10.0), (179.99, -45.0), (180.0, 0.0),
+            (0.0, 0.0), (-180.0, 33.3), (123.456, 67.89)]
+    rows = []
+    for i, (lo, la) in enumerate(base):
+        for j, shift in enumerate((0.0, 360.0, -360.0)):
+            rows.append((i * 10 + j, i, lo + shift, la))
+    df = spark.createDataFrame(
+        rows, "pid long, grp int, lon double, lat double"
+    )
+    for res in (5, 12):
+        got = df.select(
+            "grp",
+            hx.hex_cell(F.col("lon"), F.col("lat"), res).alias("c"),
+            hx.hex_cell_udf(res)(F.col("lon"), F.col("lat")).alias("u"),
+        ).collect()
+        assert all(r.c == r.u for r in got)
+        per_grp = {}
+        for r in got:
+            per_grp.setdefault(r.grp, set()).add(r.c)
+        assert all(len(s) == 1 for s in per_grp.values()), per_grp
+        ddb.register(
+            "amr", pd.DataFrame(rows, columns=["pid", "grp", "lon", "lat"])
+        )
+        sql = ddb.execute(
+            "SELECT grp, COUNT(DISTINCT "
+            + hx.hex_cell_sql("lon", "lat", res)
+            + ") AS n, MIN(" + hx.hex_cell_sql("lon", "lat", res)
+            + ") AS c FROM amr GROUP BY grp"
+        ).fetchall()
+        ddb.unregister("amr")
+        assert all(n == 1 for _, n, _ in sql)
+        spark_by_grp = {r.grp: r.c for r in got}
+        assert all(spark_by_grp[g] == c for g, n, c in sql)
+    # lon=+180 normalizes onto the WEST side of the seam: same cell as
+    # lon=-180 at the same latitude (groups 2 and part of 4 share lat 0
+    # vs 33.3 — compare explicitly at one latitude)
+    pair = spark.createDataFrame(
+        [(0, 180.0, 12.5), (1, -180.0, 12.5)], "pid long, lon double, lat double"
+    ).select(hx.hex_cell(F.col("lon"), F.col("lat"), 8).alias("c")).collect()
+    assert pair[0].c == pair[1].c

@@ -720,3 +720,55 @@ def test_bloom_m_is_capped(spark):
     assert M._bloom_m(50_000) == 1 << 19
     assert M._bloom_m(10**8) == M._BLOOM_M_CAP
     assert M._bloom_m(10**10) == M._BLOOM_M_CAP
+
+
+def test_metadata_tier_prunes_10k_files_without_json_or_driver_fold(
+    spark, tmp_path
+):
+    """Scale probe for the '>10^6-file catalogs' claim: a 10^4-entry
+    metadata tier prunes as a Spark job.  The table has NO JSON
+    manifests at all (manifest/ absent) and 9,995 of the listed data
+    files do not exist — so if any code path folded JSON manifests or
+    materialized per-file entries on the driver and touched the skipped
+    files, this test would crash.  Only the 5 kept paths may reach the
+    driver (and the returned frame actually reads them)."""
+    import json
+    import time
+
+    n_files, per_file = 10_000, 100
+    root = str(tmp_path / "bigmeta")
+    os.makedirs(root)
+    # 5 real data files covering k in [0, 500); the rest are phantoms
+    real = []
+    for i in range(5):
+        p = os.path.join(root, f"data/snap=1/f{i}.parquet")
+        spark.range(i * per_file, (i + 1) * per_file).selectExpr(
+            "id AS k", "id * 3 AS v"
+        ).coalesce(1).write.parquet(p)
+        real.append(p)
+    files = real + [f"{root}/phantom-{i}.parquet" for i in range(5, n_files)]
+    meta = spark.createDataFrame(
+        [(files[i], "add", per_file, "k",
+          i * per_file, i * per_file + per_file - 1,
+          None, None, None, None) for i in range(n_files)],
+        "file string, op string, n_rows long, col string, "
+        "min_long long, max_long long, min_double double, "
+        "max_double double, min_string string, max_string string",
+    )
+    meta.repartition(8).write.parquet(
+        os.path.join(root, "manifest-pq", "snap=1")
+    )
+    with open(os.path.join(root, "snapshots.json"), "w") as fh:
+        json.dump({"snapshots": [{
+            "id": 1, "operation": "append", "ts": time.time(),
+            "added_files": n_files, "added_rows": n_files * per_file,
+            "removed_files": 0,
+        }]}, fh)
+
+    got, rep = M.scan_via_metadata(spark, root, {"k": (0, 499)})
+    assert rep["files_total"] == n_files
+    assert rep["files_kept"] == 5
+    assert rep["files_skipped"] == n_files - 5
+    assert rep["rows_kept_bound"] == 5 * per_file
+    ks = sorted(r["k"] for r in got.collect())
+    assert ks == list(range(0, 500))

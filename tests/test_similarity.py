@@ -222,3 +222,32 @@ def test_sq8_quantization_bounds(emb):
         .collect()[0]
     )
     assert -127 <= row.lo <= row.hi <= 127
+
+
+def test_ivf_sq8_composition_recall_and_structure(spark):
+    """IVF+SQ8 composed (FAISS IVF16,SQ8): (a) k ranked rows per query,
+    no duplicate candidates; (b) the NEIGHBOR SETS equal plain IVF's —
+    routing is float in both, and SQ8's quantization error is far below
+    the inter-candidate cosine gaps at this corpus size — while the
+    cosine VALUES differ (quantized); (c) recall@5 vs exact brute force
+    clears the same floor as IVF alone."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_ORACLE
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    comp = similarity.cosine_topk_ivf_sq8(
+        emb, n_queries=10, k=5, n_centroids=16, n_probe=4
+    ).toPandas()
+    assert (comp.groupby("query_id").size() == 5).all()
+    assert not comp.duplicated(["query_id", "nn_id"]).any()
+    ivf = similarity.cosine_topk_ivf(
+        emb, n_queries=10, k=5, n_centroids=16, n_probe=4
+    ).toPandas()
+    exact = similarity.cosine_topk(emb, n_queries=10, k=5).toPandas()
+    hits = ivf_agree = 0
+    for qid, g in exact.groupby("query_id"):
+        got = set(comp[comp.query_id == qid].nn_id)
+        hits += len(set(g.nn_id) & got)
+        ivf_agree += len(set(ivf[ivf.query_id == qid].nn_id) & got)
+    assert hits / len(exact) >= 0.4
+    assert ivf_agree / len(ivf) >= 0.8  # quantization barely moves top-5
