@@ -52,6 +52,13 @@ HEADLINE = [
     "terrain_pipeline",
     "corpus_pipeline",
     "hex_pages",
+    # round-5 additions — own series from r5 on (neardup_incremental is
+    # deliberately absent: its store protocol runs eagerly inside the
+    # query builder, so the noop-sink timing would measure a checkpoint
+    # re-read, not the work)
+    "pip_rtree",
+    "cosine_topk_ivf_sq8",
+    "hex_ring_density",
 ]
 
 
