@@ -93,16 +93,27 @@ def _axial_round(qf: Column, rf: Column) -> tuple[Column, Column]:
     return q, r
 
 
-def hex_axial(lon: Column, lat: Column, res: int) -> tuple[Column, Column]:
+def hex_axial(
+    lon: Column, lat: Column, res: int, normalize: bool = True
+) -> tuple[Column, Column]:
     """lon/lat degrees -> integer axial (q, r) of the nearest hex center
     at ``res``.  Longitude is pre-normalized into [-180, 180) (lon,
     lon+360, lon-360 encode to the SAME cell); the normalization term is
     spelled ``lon - 360*FLOOR((lon+180)/360)`` identically in all three
     encoders, and is an exact no-op (floor term 0.0) for already-in-range
-    inputs, so in-range ids are bit-unchanged."""
+    inputs, so in-range ids are bit-unchanged.
+
+    ``normalize=False`` is the LATTICE-INTERNAL planar spelling:
+    normalization is a data-ingress concern (longitude conventions),
+    but cell centers of seam-adjacent cells legitimately stick past
+    +-180, and wrapping THEM would tear the parent/center hierarchy
+    apart at the seam — so :func:`hex_parent` re-encodes planar."""
     s = F.lit(hex_size(res))
-    ln = lon - F.lit(360.0) * F.floor((lon + F.lit(180.0)) / F.lit(360.0))
-    qf = (ln * F.sqrt(F.lit(3.0)) / F.lit(3.0) - lat / F.lit(3.0)) / s
+    if normalize:
+        lon = lon - F.lit(360.0) * F.floor(
+            (lon + F.lit(180.0)) / F.lit(360.0)
+        )
+    qf = (lon * F.sqrt(F.lit(3.0)) / F.lit(3.0) - lat / F.lit(3.0)) / s
     rf = lat * F.lit(2.0) / F.lit(3.0) / s
     return _axial_round(qf, rf)
 
@@ -115,10 +126,13 @@ def hex_pack(q: Column, r: Column, res: int) -> Column:
     )
 
 
-def hex_cell(lon: Column, lat: Column, res: int) -> Column:
+def hex_cell(
+    lon: Column, lat: Column, res: int, normalize: bool = True
+) -> Column:
     """Packed hex cell id at ``res`` (self-describing: res in the top
-    byte, axial q/r below)."""
-    q, r = hex_axial(lon, lat, res)
+    byte, axial q/r below).  See :func:`hex_axial` for the longitude
+    normalization contract and its ``normalize=False`` internal form."""
+    q, r = hex_axial(lon, lat, res, normalize=normalize)
     return hex_pack(q, r, res)
 
 
@@ -146,10 +160,16 @@ def hex_parent(cell: Column, res: int) -> Column:
     a parent edge straddle it, as hex nesting always does).  ``res`` is
     the child resolution, passed explicitly so the size constants stay
     literals (codegen-friendly; the packed id carries res for checking
-    but deriving doubles from it would block constant folding)."""
+    but deriving doubles from it would block constant folding).
+
+    The center re-encode is PLANAR (normalize=False): a seam-adjacent
+    cell's center may lie just past +-180, and wrapping it would assign
+    a parent ~360 degrees away — the hierarchy is a lattice property,
+    not a longitude-convention one (pinned by the hypothesis ladder
+    test in tests/test_properties.py)."""
     _, q, r = hex_unpack(cell)
     lon, lat = hex_center(q, r, res)
-    return hex_cell(lon, lat, res - 1)
+    return hex_cell(lon, lat, res - 1, normalize=False)
 
 
 def hex_disk_deltas(k: int) -> list[tuple[int, int]]:
@@ -193,12 +213,17 @@ def hex_k_ring(cell: Column, k: int = 1) -> Column:
 # ANSI-SQL twin (the oracle) — token-for-token the Column spelling
 # ---------------------------------------------------------------------------
 
-def hex_cell_sql(lon: str, lat: str, res: int) -> str:
+def hex_cell_sql(lon: str, lat: str, res: int, normalize: bool = True) -> str:
     """DuckDB twin of :func:`hex_cell` — identical expression tree over
     IEEE doubles, so ids match bit-for-bit (pinned by the hex_pages
-    oracle + tests)."""
+    oracle + tests).  ``normalize`` mirrors the Column spelling's
+    longitude-normalization contract (False = lattice-internal planar
+    form, used by :func:`hex_parent_sql`)."""
     s = repr(hex_size(res))
-    ln = f"(({lon}) - 360.0 * FLOOR((({lon}) + 180.0) / 360.0))"
+    ln = (
+        f"(({lon}) - 360.0 * FLOOR((({lon}) + 180.0) / 360.0))"
+        if normalize else f"({lon})"
+    )
     qf = f"(({ln} * SQRT(3.0) / 3.0 - ({lat}) / 3.0) / {s})"
     rf = f"(({lat}) * 2.0 / 3.0 / {s})"
     yf = f"(0.0 - {qf} - {rf})"
@@ -222,23 +247,26 @@ def hex_cell_sql(lon: str, lat: str, res: int) -> str:
 
 def hex_parent_sql(cell: str, res: int) -> str:
     """DuckDB twin of :func:`hex_parent` (decode -> center -> re-encode
-    one res up)."""
+    one res up; planar — see hex_parent on why centers never wrap)."""
     mask = (1 << _QSHIFT) - 1
     q = f"((({cell}) >> {_QSHIFT}) & {mask}) - {_OFF}"
     r = f"(({cell}) & {mask}) - {_OFF}"
     s = repr(hex_size(res))
     lon = f"({s} * SQRT(3.0) * (CAST({q} AS DOUBLE) + CAST({r} AS DOUBLE) / 2.0))"
     lat = f"({s} * 1.5 * CAST({r} AS DOUBLE))"
-    return hex_cell_sql(lon, lat, res - 1)
+    return hex_cell_sql(lon, lat, res - 1, normalize=False)
 
 
 # ---------------------------------------------------------------------------
 # Arrow-batched pandas_udf (the north-star API shape) — same semantics
 # ---------------------------------------------------------------------------
 
-def _hex_cell_np(lon: np.ndarray, lat: np.ndarray, res: int) -> np.ndarray:
+def _hex_cell_np(
+    lon: np.ndarray, lat: np.ndarray, res: int, normalize: bool = True
+) -> np.ndarray:
     s = hex_size(res)
-    lon = lon - 360.0 * np.floor((lon + 180.0) / 360.0)
+    if normalize:
+        lon = lon - 360.0 * np.floor((lon + 180.0) / 360.0)
     qf = (lon * np.sqrt(3.0) / 3.0 - lat / 3.0) / s
     rf = lat * 2.0 / 3.0 / s
     yf = 0.0 - qf - rf

@@ -189,10 +189,12 @@ def test_prune_narrowing_shrinks_kept(entries, pred):
 from rgr_pdal_topo_spark.functions import hexcells as hx  # noqa: E402
 
 
-def _hex_np(lon: float, lat: float, res: int) -> tuple[int, int]:
+def _hex_np(
+    lon: float, lat: float, res: int, normalize: bool = True
+) -> tuple[int, int]:
     cell = int(hx._hex_cell_np(
         np.array([lon], dtype=np.float64),
-        np.array([lat], dtype=np.float64), res,
+        np.array([lat], dtype=np.float64), res, normalize=normalize,
     )[0])
     mask = (1 << 28) - 1
     return ((cell >> 28) & mask) - (1 << 27), (cell & mask) - (1 << 27)
@@ -228,7 +230,10 @@ def test_hex_parent_is_ring_stable(lon, lat):
         s = hx.hex_size(res)
         cx = s * np.sqrt(3.0) * (q + r / 2.0)
         cy = s * 1.5 * r
-        pq, pr = _hex_np(cx, cy, res - 1)
+        # the parent re-encode is PLANAR (normalize=False), mirroring
+        # hex_parent: seam-adjacent centers stick past +-180 and must
+        # NOT wrap (a wrapped center would land ~360 deg away)
+        pq, pr = _hex_np(cx, cy, res - 1, normalize=False)
         oq, orr = _hex_np(lon, lat, res - 1)
         assert (pq - oq, pr - orr) in (
             ((0, 0),) + hx.HEX_NEIGHBOR_DELTAS
