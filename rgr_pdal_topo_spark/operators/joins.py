@@ -630,9 +630,15 @@ def pip_join_rtree(
             # batch-bbox prefilter: one vectorized pass drops every
             # leaf this partition's points cannot touch (a big cut when
             # the input is spatially clustered, e.g. Z-order/manifest
-            # pruned scans; a no-op cost otherwise)
-            bxmin, bxmax = x.min(), x.max()
-            bymin, bymax = y.min(), y.max()
+            # pruned scans; a no-op cost otherwise).  The bbox is taken
+            # over FINITE coords only — one NaN point must not poison
+            # min/max and silently drop the whole batch's pairs (NaN
+            # points themselves fail every box test, as before)
+            finite = np.isfinite(x) & np.isfinite(y)
+            if not finite.any():
+                continue
+            bxmin, bxmax = x[finite].min(), x[finite].max()
+            bymin, bymax = y[finite].min(), y[finite].max()
             live = np.nonzero(
                 (lb[:, 0] <= bxmax) & (lb[:, 2] > bxmin)
                 & (lb[:, 1] <= bymax) & (lb[:, 3] > bymin)

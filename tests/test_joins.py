@@ -398,3 +398,21 @@ def test_pip_rtree_crossover_at_1e5_polygons(spark):
         f"R-tree {t_tree:.2f}s not faster than range join {t_rect:.2f}s "
         f"at {n_polys} polygons"
     )
+
+
+def test_pip_rtree_nan_points_do_not_poison_batch(spark):
+    """A NaN-coordinate point must neither match any polygon nor drop
+    the OTHER points' pairs (the batch-bbox prefilter takes its bounds
+    over finite coords only)."""
+    polys = spark.createDataFrame(
+        [(1, 10.0, 10.0, 5.0, 5.0)],
+        "polygon_id int, xmin double, ymin double, width double, "
+        "height double",
+    )
+    pts = spark.createDataFrame(
+        [(1, 12.0, 12.0), (2, float("nan"), 12.0), (3, 12.0, float("nan"))],
+        "pid long, x double, y double",
+    ).coalesce(1)  # all three share one batch
+    got = {(r.pid, r.polygon_id)
+           for r in joins.pip_join_rtree(pts, polys).collect()}
+    assert got == {(1, 1)}
