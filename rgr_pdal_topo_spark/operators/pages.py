@@ -185,3 +185,59 @@ def canonical_url_sql(url: str) -> str:
     sh = f"lower(regexp_extract({u}, '{_SCHEME_HOST_RE}', 0))"
     rest = f"regexp_replace({u}, '{_SCHEME_HOST_RE}', '', 'g')"
     return f"({sh} || {rest})"
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (pre-training redaction pass)
+# ---------------------------------------------------------------------------
+
+# Patterns chosen to evaluate identically under Java regex (Spark) and
+# RE2 (DuckDB): \b / \d / bounded quantifiers only, no backreferences,
+# no lookaround (RE2 has none).  Replacement tokens contain neither $
+# nor \, the two engines' replacement metacharacters.
+PII_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+PII_IP_RE = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII = (
+    (PII_EMAIL_RE, "<EMAIL>", "n_emails"),
+    (PII_PHONE_RE, "<PHONE>", "n_phones"),
+    (PII_IP_RE, "<IP>", "n_ips"),
+)
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses — the standard
+    pre-training PII pass (the C4/Dolma-style regex tier; NER-grade
+    scrubbing is a model call layered on top, out of scope here).
+
+    Adds per-category match COUNTS (taken on the ORIGINAL text, so the
+    counts are independent of replacement order) and ``scrubbed`` with
+    replacements applied email -> phone -> IP (the categories cannot
+    create each other's matches: replacement tokens contain no digits,
+    phones contain no dots, the email pattern requires '@').
+
+    Scale shape: pure scan -> project string work, whole-stage codegen,
+    zero shuffles, zero Python — exactly like canonical_url."""
+    out = df
+    scrubbed = F.col(text_col)
+    for pat, rep, cnt in _PII:
+        out = out.withColumn(
+            # group 0 explicitly: Spark's default group index is 1 and
+            # throws on group-less patterns (DuckDB defaults to 0)
+            cnt,
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)),
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, rep)
+    return out.withColumn("scrubbed", scrubbed)
+
+
+def pii_scrub_sql(text: str) -> tuple[list[str], str]:
+    """DuckDB twin: ([count exprs in _PII order], scrubbed expr)."""
+    counts = [
+        f"CAST(len(regexp_extract_all({text}, '{pat}')) AS INT)"
+        for pat, _, _ in _PII
+    ]
+    scrubbed = text
+    for pat, rep, _ in _PII:
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{rep}', 'g')"
+    return counts, scrubbed

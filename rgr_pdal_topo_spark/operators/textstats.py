@@ -163,3 +163,63 @@ def doc_fingerprint(documents: DataFrame) -> DataFrame:
         (F.sum(contrib) % F.lit(M)).alias("fingerprint"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+MIX_M = 1 << 20  # integer sampling-threshold grid (exact in both engines)
+
+
+def temperature_mix_sample(
+    documents: DataFrame,
+    alpha: float = 0.5,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temperature-based language rebalancing — the data-MIXING stage of
+    a multilingual training pipeline (the XLM-R / mT5 recipe): sample
+    languages with probability q_l proportional to p_l^alpha, realized as
+    pure DOWN-sampling with per-language keep rate
+    ``r_l = (n_min / n_l) ** (1 - alpha)`` (the rarest language keeps
+    everything, head languages shed mass; alpha=1 keeps the natural
+    distribution, alpha=0 equalizes to the rarest).
+
+    Determinism contract: a document's fate is a pure function of its id
+    — keep iff ``portable_hash(id) % MIX_M < floor(MIX_M * r_l)`` — so
+    the sample is replayable across runs, engines, and retries (the same
+    property points_decimate relies on), and the integer threshold
+    compare is exact.  At the default ``alpha=0.5`` the rate is
+    ``SQRT(n_min/n_l)``: sqrt is IEEE-correctly-rounded in both engines,
+    so the oracle replays thresholds bit-for-bit (general alpha uses
+    POWER, which is not a correctly-rounded libm op — fine in practice,
+    pinned only at 0.5).
+
+    Scale shape: one partial+final count agg (languages-sized output),
+    the rates broadcast back, one filtered partial+final agg — the
+    corpus never shuffles; only (lang, int) rows move.
+
+    Returns one row per language: n_total, n_kept, thr (the integer
+    threshold actually applied)."""
+    counts = documents.groupBy(lang_col).agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    nmin = counts.agg(F.min("n_total").alias("n_min"))
+    ratio = F.col("n_min").cast("double") / F.col("n_total").cast("double")
+    rate = (
+        F.sqrt(ratio) if alpha == 0.5 else F.pow(ratio, F.lit(1.0 - alpha))
+    )
+    rates = counts.crossJoin(F.broadcast(nmin)).select(
+        lang_col,
+        "n_total",
+        F.floor(F.lit(float(MIX_M)) * rate).cast("long").alias("thr"),
+    )
+    from rgr_pdal_topo_spark.operators.dedup import _portable_id
+
+    hv = F.pmod(
+        _portable_id(F.md5(F.col(id_col).cast("string"))), F.lit(MIX_M)
+    )
+    return (
+        documents.select(id_col, lang_col)
+        .join(F.broadcast(rates), lang_col)
+        .groupBy(lang_col, "n_total", "thr")
+        .agg(F.sum((hv < F.col("thr")).cast("long")).alias("n_kept"))
+        .select(lang_col, "n_total", "n_kept", "thr")
+    )

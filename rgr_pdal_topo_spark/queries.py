@@ -3910,6 +3910,81 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII planted onto real text keyed on doc_id — the shapes a crawl
+# actually contains (one doc in five stays clean); ONE spelling shared
+# by the engine's selectExpr and the oracle so planting cannot drift
+_PII_PLANT_SQL = (
+    "CASE WHEN doc_id % 5 = 0 THEN text || "
+    "' contact Alice.Smith+x@Example-Mail.com today' "
+    "WHEN doc_id % 5 = 1 THEN text || ' call 555-123-4567 or 555.987.6543' "
+    "WHEN doc_id % 5 = 2 THEN text || ' server 10.42.0.255 unreachable' "
+    "WHEN doc_id % 5 = 3 THEN text || ' mail bob@ex.org ip 192.168.1.1' "
+    "ELSE text END"
+)
+_PII_COUNTS, _PII_SCRUBBED = pagesops.pii_scrub_sql("ptext")
+
+
+@query(
+    "pii_scrub",
+    _with(f"p AS (SELECT doc_id, {_PII_PLANT_SQL} AS ptext FROM documents)")
+    + f"SELECT doc_id, {_PII_COUNTS[0]} AS n_emails, "
+    f"{_PII_COUNTS[1]} AS n_phones, {_PII_COUNTS[2]} AS n_ips, "
+    f"md5({_PII_SCRUBBED}) AS scrub_digest FROM p",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (pages.pii_scrub): emails / phones / IPv4 replaced
+    with typed tokens, per-category counts taken on the original text —
+    the standard regex tier of a pre-training scrubbing pass.  Patterns
+    are Java-regex/RE2 common subset (no backreferences, no lookaround),
+    so the oracle replays the identical chain; the scrubbed text is
+    hashed (md5) rather than shipped.  Scale shape: scan -> project,
+    whole-stage codegen, zero shuffles, zero Python."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.selectExpr("doc_id", f"{_PII_PLANT_SQL} AS ptext")
+    out = pagesops.pii_scrub(p, text_col="ptext")
+    return out.select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        F.md5("scrubbed").alias("scrub_digest"),
+    )
+
+
+@query(
+    "lang_mix_sample",
+    _with(
+        "c AS (SELECT lang, COUNT(*) AS n_total FROM documents "
+        "GROUP BY lang)",
+        "m AS (SELECT MIN(n_total) AS n_min FROM c)",
+        "r AS (SELECT lang, n_total, CAST(FLOOR(1048576.0 * "
+        "SQRT(CAST(n_min AS DOUBLE) / CAST(n_total AS DOUBLE))) "
+        "AS BIGINT) AS thr FROM c, m)",
+        "hh AS (SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h "
+        "FROM documents)",
+        f"hv AS (SELECT doc_id, lang, ({dedup.horner_hash_sql('h')}) "
+        "% 1048576 AS hv FROM hh)",
+    )
+    + "SELECT r.lang, CAST(r.n_total AS BIGINT) AS n_total, "
+    "CAST(SUM(CASE WHEN hv.hv < r.thr THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_kept, r.thr FROM hv JOIN r ON r.lang = hv.lang "
+    "GROUP BY r.lang, r.n_total, r.thr",
+)
+def q_lang_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing (textstats.temperature_mix_
+    sample, alpha=0.5): per-language deterministic down-sampling to the
+    sqrt-rebalanced distribution — the data-mixing stage between
+    filtering and training.  Keep decisions are a pure function of
+    doc_id (replayable under retries/AQE, the points_decimate
+    property), thresholds are exact integers, and alpha=0.5 keeps the
+    only float step at a correctly-rounded SQRT so the oracle matches
+    bit-for-bit.  Scale shape: two partial+final aggs with a broadcast
+    rates join between them; only (lang, int) rows shuffle."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.temperature_mix_sample(docs, alpha=0.5)
+
+
 from rgr_pdal_topo_spark.functions import hexcells as hexfn  # noqa: E402
 
 
@@ -4306,7 +4381,9 @@ DRIVER_WINDOW: list[str] = [
 # frame_sample, resize_images, manifest_time_scan, manifest_scan,
 # pages_grid, cell_index, cosine_topk, filter_noise, doc_fingerprint,
 # langid, quality_filter, text_stats, dedup_exact, simhash,
-# minhash_buckets, embedding_near_dups — plus the r5 OUT list above.
+# minhash_buckets, embedding_near_dups, pii_scrub + lang_mix_sample
+# (r5 additions, ANSI-verified at sf0.01 — rotation-ready) — plus the
+# r5 OUT list above.
 
 
 def _reorder_registration() -> None:

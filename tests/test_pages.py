@@ -126,3 +126,29 @@ def test_canonical_url_planted_cases(spark):
     }
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, (i, got[i], want)
+
+
+def test_pii_scrub_planted_cases(spark):
+    """Known PII shapes: exact counts and exact scrubbed text, clean
+    text untouched, counts independent of replacement order."""
+    from rgr_pdal_topo_spark.operators import pages as pg
+
+    rows = [
+        (1, "reach me at Bob.Jones+spam@Mail-Host.org or bob@ex.org now"),
+        (2, "call 555-123-4567 or 555.987.6543 after five"),
+        (3, "hosts 10.0.0.1 and 192.168.1.77 are down"),
+        (4, "mixed alice@a.io then 555-111-2222 then 8.8.8.8"),
+        (5, "no pii here, just 12345 and a.b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in pg.pii_scrub(df).collect()}
+    assert (got[1].n_emails, got[1].n_phones, got[1].n_ips) == (2, 0, 0)
+    assert got[1].scrubbed == "reach me at <EMAIL> or <EMAIL> now"
+    assert (got[2].n_emails, got[2].n_phones, got[2].n_ips) == (0, 2, 0)
+    assert got[2].scrubbed == "call <PHONE> or <PHONE> after five"
+    assert (got[3].n_emails, got[3].n_phones, got[3].n_ips) == (0, 0, 2)
+    assert got[3].scrubbed == "hosts <IP> and <IP> are down"
+    assert (got[4].n_emails, got[4].n_phones, got[4].n_ips) == (1, 1, 1)
+    assert got[4].scrubbed == "mixed <EMAIL> then <PHONE> then <IP>"
+    assert (got[5].n_emails, got[5].n_phones, got[5].n_ips) == (0, 0, 0)
+    assert got[5].scrubbed == rows[4][1]
