@@ -809,3 +809,43 @@ def repetition_stats(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
         F.count(F.lit(1)).alias("n_distinct"),
         F.max("n").alias("top_count"),
     )
+
+
+def shingle_dup_stats(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
+    """(doc_id, n_shingles, n_dup, dup_ratio): the CORPUS-duplication
+    quality signal (RefinedWeb/Dolma's "fraction of n-grams duplicated
+    elsewhere"): for each document, how many of its distinct k-token
+    shingles occur in at least one OTHER document.  Complements
+    repetition_stats (WITHIN-doc repetition) — a document can be
+    internally clean yet wholly assembled from corpus boilerplate, and
+    this is the signal that catches it.  Thresholding dup_ratio is the
+    usual pre-training "remove template spam / mirrored content" policy
+    between exact dedup and MinHash.
+
+    Scale shape: shingles fold to 60-bit ids so nothing wider than
+    (doc_id, int64) shuffles; the document-frequency agg is
+    partial+final; the join back to shingle rows is tid-keyed — the one
+    genuine corpus-sized shuffle join here, the same cost class as the
+    LSH banding join (both sides partition on the shingle id).  A
+    document's shingle occurring twice WITHIN it counts once
+    (shingle_ids is distinct per doc), so df >= 2 means "some other
+    document shares it"."""
+    dt = shingle_ids(documents, k)
+    dfq = dt.groupBy("tid").agg(F.count(F.lit(1)).alias("df"))
+    dup = (F.col("df") >= 2).cast("long")
+    return (
+        dt.join(dfq, "tid")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(dup).alias("n_dup"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(
+                F.col("n_dup").cast("double")
+                / F.col("n_shingles").cast("double"),
+                6,
+            ),
+        )
+    )

@@ -3925,6 +3925,33 @@ _PII_COUNTS, _PII_SCRUBBED = pagesops.pii_scrub_sql("ptext")
 
 
 @query(
+    "shingle_dup_stats",
+    _with(
+        f"d AS ({_DOCTOKS_DUCK})",
+        f"sh AS ({_SHINGLES_DUCK})",
+        f"dt AS MATERIALIZED ({_SHID_DUCK})",
+        "dfreq AS (SELECT tid, COUNT(*) AS df FROM dt GROUP BY tid)",
+    )
+    + "SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles, "
+    "CAST(SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_dup, ROUND(CAST(SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 "
+    "END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_ratio "
+    "FROM dt JOIN dfreq ON dfreq.tid = dt.tid GROUP BY dt.doc_id",
+)
+def q_shingle_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-duplication signal (dedup.shingle_dup_stats): per document,
+    the count and fraction of its distinct 3-token shingles shared with
+    at least one OTHER document — RefinedWeb's duplicated-n-gram family,
+    the between-exact-dedup-and-MinHash quality gate.  The ratio is one
+    correctly-rounded division of identical integer operands, so the
+    oracle matches bit-for-bit."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.shingle_dup_stats(docs)
+
+
+@query(
     "pii_scrub",
     _with(f"p AS (SELECT doc_id, {_PII_PLANT_SQL} AS ptext FROM documents)")
     + f"SELECT doc_id, {_PII_COUNTS[0]} AS n_emails, "
@@ -4381,9 +4408,9 @@ DRIVER_WINDOW: list[str] = [
 # frame_sample, resize_images, manifest_time_scan, manifest_scan,
 # pages_grid, cell_index, cosine_topk, filter_noise, doc_fingerprint,
 # langid, quality_filter, text_stats, dedup_exact, simhash,
-# minhash_buckets, embedding_near_dups, pii_scrub + lang_mix_sample
-# (r5 additions, ANSI-verified at sf0.01 — rotation-ready) — plus the
-# r5 OUT list above.
+# minhash_buckets, embedding_near_dups, pii_scrub + lang_mix_sample +
+# shingle_dup_stats (r5 additions, ANSI-verified at sf0.01 —
+# rotation-ready) — plus the r5 OUT list above.
 
 
 def _reorder_registration() -> None:

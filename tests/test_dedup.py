@@ -387,3 +387,23 @@ def test_temperature_mix_sample_exact_and_deterministic(spark):
     assert 0 < got["en"].n_kept < 900      # genuinely downsampled
     again = {r.lang: r.n_kept for r in temperature_mix_sample(df).collect()}
     assert again == {l: r.n_kept for l, r in got.items()}
+
+
+def test_shingle_dup_stats_planted(spark):
+    """A doc assembled from another doc's text shows the shared shingles
+    as duplicated; unique text shows zero."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma zeta eta"),       # shares 1 shingle with 1
+            (3, "one two three four five six"),     # unique
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in dedup.shingle_dup_stats(docs).collect()}
+    # doc 1: shingles {abg, bgd, gde}; doc 2: {abg, bgz, gze}
+    assert (got[1].n_shingles, got[1].n_dup) == (3, 1)
+    assert (got[2].n_shingles, got[2].n_dup) == (3, 1)
+    assert (got[3].n_shingles, got[3].n_dup) == (4, 0)
+    assert got[1].dup_ratio == round(1 / 3, 6)
+    assert got[3].dup_ratio == 0.0

@@ -293,3 +293,41 @@ def test_manifest_delete_scan_broadcasts_delete_keys(spark):
     plan = _plan(QUERIES["manifest_delete_scan"](spark, SF_DIR))
     assert "BroadcastExchange" in plan
     assert "LeftAnti" in plan
+
+
+def test_ivf_sq8_broadcasts_probes_and_centroids(spark):
+    """The composed ANN plan must broadcast BOTH small sides (centroids
+    into the assignment, probes into the in-list scan) and never
+    sort-merge the corpus."""
+    from rgr_pdal_topo_spark.operators.similarity import cosine_topk_ivf_sq8
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _plan(cosine_topk_ivf_sq8(emb, n_queries=10, k=5))
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_pii_scrub_zero_shuffle_no_python(spark):
+    """PII redaction is scan -> codegen project: no Exchange, no Python
+    worker, no join."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["pii_scrub"](spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "Arrow" not in plan
+    assert "Join" not in plan
+
+
+def test_lang_mix_sample_broadcasts_rates(spark):
+    """The mixing sampler's corpus side must join the per-language rates
+    by broadcast (never shuffle the documents) and aggregate
+    partial+final."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["lang_mix_sample"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
