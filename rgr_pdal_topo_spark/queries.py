@@ -3925,6 +3925,50 @@ _PII_COUNTS, _PII_SCRUBBED = pagesops.pii_scrub_sql("ptext")
 
 
 @query(
+    "vocab_topk",
+    _with(
+        "t AS (SELECT lang, unnest(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS tok FROM documents)",
+        "c AS (SELECT lang, tok, COUNT(*) AS n FROM t GROUP BY lang, tok)",
+        "r AS (SELECT lang, tok, n, ROW_NUMBER() OVER (PARTITION BY lang "
+        "ORDER BY n DESC, tok ASC) AS rank FROM c)",
+    )
+    + "SELECT lang, rank, tok, CAST(n AS BIGINT) AS n FROM r "
+    "WHERE rank <= 20",
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics: per-language top-20 tokens by occurrence —
+    the corpus-stats pass of tokenizer training (BPE/unigram trainers
+    start from exactly this table) and the quickest corpus-drift
+    monitor.  Deterministic tie-break (count desc, token asc) keeps the
+    cut replayable.
+
+    Scale shape: tokens fold straight into a partial+final (lang, tok)
+    count — the shuffle carries (lang, tok, int), never documents — and
+    the ranking window runs on the AGGREGATED vocab table, partitioned
+    by language (at 10^12 docs the vocab table is millions of rows, not
+    trillions; no global single-partition window anywhere)."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("tok").asc()
+    )
+    return (
+        c.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("lang", "rank", "tok", "n")
+    )
+
+
+@query(
     "shingle_dup_stats",
     _with(
         f"d AS ({_DOCTOKS_DUCK})",
@@ -4409,7 +4453,7 @@ DRIVER_WINDOW: list[str] = [
 # pages_grid, cell_index, cosine_topk, filter_noise, doc_fingerprint,
 # langid, quality_filter, text_stats, dedup_exact, simhash,
 # minhash_buckets, embedding_near_dups, pii_scrub + lang_mix_sample +
-# shingle_dup_stats (r5 additions, ANSI-verified at sf0.01 —
+# shingle_dup_stats + vocab_topk (r5 additions, ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.
 
 
