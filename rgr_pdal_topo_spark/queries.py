@@ -3910,6 +3910,82 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# haversine kNN query points (qid, lat, lon degrees) — a world-spread
+# literal dimension, identical VALUES-list in both engines
+_HAV_PTS = [
+    (0, 10.0, 20.0), (1, -35.0, -60.0), (2, 48.5, 2.3),
+    (3, -20.0, 140.0), (4, 65.0, -18.0),
+]
+_RAD = repr(math.pi / 180.0)  # one shared multiply, no engine PI()
+
+
+def _hav_km_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """Haversine great-circle km — ONE spelling used verbatim on both
+    sides (Spark SQL and DuckDB agree on every token here)."""
+    p1, p2 = f"(({lat1}) * {_RAD})", f"(({lat2}) * {_RAD})"
+    dlat = f"((({lat2}) - ({lat1})) * {_RAD} / 2.0)"
+    dlon = f"((({lon2}) - ({lon1})) * {_RAD} / 2.0)"
+    h = (
+        f"(SIN({dlat}) * SIN({dlat}) + COS({p1}) * COS({p2}) * "
+        f"SIN({dlon}) * SIN({dlon}))"
+    )
+    return f"ROUND(12742.0 * ASIN(SQRT({h})), 4)"
+
+
+@query(
+    "knn_haversine",
+    _with(
+        *_GEO_CTES,
+        "qpts AS (SELECT * FROM (VALUES "
+        + ", ".join(f"({q}, {la!r}, {lo!r})" for q, la, lo in _HAV_PTS)
+        + ") AS v(qid, qlat, qlon))",
+        "scored AS (SELECT q.qid, g.url, "
+        + _hav_km_sql("q.qlat", "q.qlon", "g.lat", "g.lon")
+        + " AS dist_km FROM geo g CROSS JOIN qpts q)",
+    )
+    + "SELECT qid, rank, url, dist_km FROM (SELECT qid, url, dist_km, "
+    "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist_km ASC, url ASC) "
+    "AS rank FROM scored) r WHERE rank <= 3",
+)
+def q_knn_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geodesic kNN (J4's great-circle twin): the 3 nearest geocoded
+    pages to each of 5 world-spread query points by HAVERSINE distance —
+    planar kNN (knn_gps) is wrong at continental ranges and useless
+    across the antimeridian, so a web-geo engine needs the spherical
+    metric.  Ranking and output use the km distance ROUNDED to 1e-4
+    (sin/cos/asin are not correctly-rounded libm ops, so raw bits may
+    differ by ulps between engines; a 0.1 m quantum absorbs that while
+    the url tie-break keeps ordering deterministic), and the radian
+    conversion is one shared multiply by a literal — no engine PI().
+
+    Scale shape: the query side is a literal broadcast dimension; at
+    10^12 pages the candidate set comes from a hex/quadkey k-ring
+    prefilter (hex_ring_density's join shape) and this metric ranks
+    only the candidates — here the full cross join IS the candidate set
+    (geo pages are dimension-sized in the fixture)."""
+    from rgr_pdal_topo_spark.sources.tables import load_table  # noqa: F401
+
+    g = pagesops.geo_lonlat(spark, sf_dir)
+    qp = spark.createDataFrame(
+        _HAV_PTS, "qid int, qlat double, qlon double"
+    )
+    scored = g.crossJoin(F.broadcast(qp)).selectExpr(
+        "qid",
+        "url",
+        _hav_km_sql("qlat", "qlon", "lat", "lon") + " AS dist_km",
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("qid").orderBy(
+        F.col("dist_km").asc(), F.col("url").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("qid", "rank", "url", "dist_km")
+    )
+
+
 # PII planted onto real text keyed on doc_id — the shapes a crawl
 # actually contains (one doc in five stays clean); ONE spelling shared
 # by the engine's selectExpr and the oracle so planting cannot drift
@@ -4453,7 +4529,8 @@ DRIVER_WINDOW: list[str] = [
 # pages_grid, cell_index, cosine_topk, filter_noise, doc_fingerprint,
 # langid, quality_filter, text_stats, dedup_exact, simhash,
 # minhash_buckets, embedding_near_dups, pii_scrub + lang_mix_sample +
-# shingle_dup_stats + vocab_topk (r5 additions, ANSI-verified at sf0.01 —
+# shingle_dup_stats + vocab_topk + knn_haversine (r5 additions,
+# ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.
 
 

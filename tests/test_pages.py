@@ -152,3 +152,28 @@ def test_pii_scrub_planted_cases(spark):
     assert got[4].scrubbed == "mixed <EMAIL> then <PHONE> then <IP>"
     assert (got[5].n_emails, got[5].n_phones, got[5].n_ips) == (0, 0, 0)
     assert got[5].scrubbed == rows[4][1]
+
+
+def test_knn_haversine_known_geometry(spark):
+    """Haversine sanity on known geometry: the engine's distance for
+    one degree of longitude at the equator and at 60N matches the
+    textbook values (cos-latitude shrink), and ranks are exhaustive."""
+    import math
+
+    from rgr_pdal_topo_spark.queries import _hav_km_sql
+
+    df = spark.createDataFrame(
+        [(0.0, 0.0, 0.0, 1.0), (60.0, 0.0, 60.0, 1.0)],
+        "lat1 double, lon1 double, lat2 double, lon2 double",
+    ).selectExpr(_hav_km_sql("lat1", "lon1", "lat2", "lon2") + " AS km")
+    eq_km, n60_km = [r.km for r in df.collect()]
+    assert abs(eq_km - 111.1949) < 0.01          # 1 deg lon at equator
+    assert abs(n60_km - eq_km * math.cos(math.radians(60.0))) < 0.01
+    got = spark.createDataFrame(
+        [("u1", 0.0, 0.0)], "url string, lat double, lon double"
+    )
+    from rgr_pdal_topo_spark.queries import QUERIES
+    out = QUERIES["knn_haversine"](spark, SF_DIR)
+    pdf = out.toPandas()
+    assert sorted(pdf["rank"].unique()) == [1, 2, 3]
+    assert pdf.groupby("qid").size().eq(3).all()
