@@ -59,6 +59,7 @@ HEADLINE = [
     "pip_rtree",
     "cosine_topk_ivf_sq8",
     "hex_ring_density",
+    "pages_pipeline",
 ]
 
 

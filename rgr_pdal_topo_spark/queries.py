@@ -4239,6 +4239,61 @@ def q_hex_ring_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pages_pipeline",
+    _with(
+        *_GEO_CTES,
+        "recs AS (SELECT url, lon, lat, "
+        f"{_PAGE_X_SQL} AS x, {_PAGE_Y_SQL} AS y, "
+        f"{hexfn.hex_cell_sql('lon', 'lat', 6)} AS cell FROM geo)",
+        f"poly AS ({_POLY})",
+    )
+    + "SELECT g.polygon_id, g.unit, COUNT(*) AS n_pages, "
+    "COUNT(DISTINCT p.cell) AS n_cells, "
+    "COUNT(DISTINCT regexp_extract(p.url, 'https://([^/]+)/', 1)) "
+    "AS n_sites, MIN(p.url) AS first_url "
+    "FROM recs p JOIN poly g ON "
+    "p.x >= g.xmin AND p.x < g.xmin + g.width AND "
+    "p.y >= g.ymin AND p.y < g.ymin + g.height "
+    "GROUP BY g.polygon_id, g.unit",
+)
+def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north_star sentence composed END TO END in one plan — the
+    webtext flagship beside terrain_pipeline (point cloud) and
+    corpus_pipeline (text): coordinates extracted from each page's own
+    markup (JVM regex over the binary payload) -> genuinely-hexagonal
+    cell index at res 6 -> point-in-polygon join against the map-unit
+    layer -> per-unit rollup (pages, distinct hex cells, distinct
+    publishing sites, canonical first url).  Every stage is verified
+    solo elsewhere (pages_geocode, hex_pages, pages_pip, pages_grid);
+    this row pins that they COMPOSE, with the same shared CTE fragments
+    so solo/composed semantics cannot drift.  All-integer/string output
+    after exact arithmetic — no ROUND guard anywhere.
+
+    Scale shape: scan -> codegen project (extraction + hex encode, zero
+    Python) -> broadcast range join (the dimension is the polygon
+    layer) -> one grouped aggregation; the two COUNT(DISTINCT)s share
+    the standard partial-dedup expand rewrite.  At 10^12 pages the only
+    corpus-wide shuffle is the final distinct/count keyed by polygon —
+    exactly the plan a 1000-executor run wants."""
+    g = pagesops.geo_lonlat(spark, sf_dir)
+    recs = g.select(
+        "url",
+        F.expr(_PAGE_X_SQL).alias("x"),
+        F.expr(_PAGE_Y_SQL).alias("y"),
+        hexfn.hex_cell(F.col("lon"), F.col("lat"), 6).alias("cell"),
+    )
+    pip = joins.pip_join_rect(recs, polygons_df(spark, sf_dir))
+    return pip.groupBy("polygon_id", "unit").agg(
+        F.count(F.lit(1)).alias("n_pages"),
+        F.countDistinct("cell").alias("n_cells"),
+        F.countDistinct(
+            F.regexp_extract("url", "https://([^/]+)/", 1)
+        ).alias("n_sites"),
+        F.min("url").alias("first_url"),
+    )
+
+
 def _smrf_oracle_sql(max_window: int = 4, slope: float = 0.15,
                      dh: float = 0.5, n: int = 100, cell: float = 10.0,
                      prelude: str | None = None,
@@ -4529,7 +4584,8 @@ DRIVER_WINDOW: list[str] = [
 # pages_grid, cell_index, cosine_topk, filter_noise, doc_fingerprint,
 # langid, quality_filter, text_stats, dedup_exact, simhash,
 # minhash_buckets, embedding_near_dups, pii_scrub + lang_mix_sample +
-# shingle_dup_stats + vocab_topk + knn_haversine (r5 additions,
+# shingle_dup_stats + vocab_topk + knn_haversine + pages_pipeline
+# (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.
 
