@@ -49,6 +49,74 @@ def pip_join_rect(points: DataFrame, polygons: DataFrame) -> DataFrame:
     )
 
 
+def pip_join_partitioned(
+    points: DataFrame, polygons: DataFrame, cell: float = 50.0
+) -> DataFrame:
+    """J1 for polygon layers too big to BROADCAST (the fourth strategy:
+    rect/generic/rtree all ship the dimension to every task, which caps
+    it at executor memory; 10^7+ cadastral/building-footprint layers
+    don't fit).  Both sides shuffle on a coarse cover cell: polygons
+    replicate to every cell their bbox touches (a distributed
+    sequence+explode — the cover table never exists on the driver),
+    points take their single containing cell, and the equi-join meets
+    each (point, polygon) pair in EXACTLY ONE cell — the point's — so
+    the result needs no dedup.  The exact half-open containment test
+    runs as a post-join codegen filter, identical to pip_join_rect.
+
+    ``cell`` tunes replication vs selectivity: ~the median polygon
+    diameter keeps the blow-up near 4x while making buckets selective
+    (the standard spatial-join grid heuristic).  Skewed cells (a
+    metropolis cell with 10^6 buildings) are AQE skew-join territory —
+    the join is a plain equi-join, so every built-in mitigation
+    applies.  Cell ids pack as cx * 100000 + cy: valid while the
+    y-extent spans < 100000 cells (documented bound, plenty at any
+    sane ``cell``)."""
+    c = F.lit(float(cell))
+    covered = (
+        polygons.withColumn(
+            "__cx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("xmin") / c).cast("long"),
+                    F.floor((F.col("xmin") + F.col("width")) / c).cast(
+                        "long"
+                    ),
+                )
+            ),
+        )
+        .withColumn(
+            "__cy",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("ymin") / c).cast("long"),
+                    F.floor((F.col("ymin") + F.col("height")) / c).cast(
+                        "long"
+                    ),
+                )
+            ),
+        )
+        .withColumn(
+            "__cover", F.col("__cx") * F.lit(100000) + F.col("__cy")
+        )
+        .drop("__cx", "__cy")
+    )
+    pts = points.withColumn(
+        "__cover",
+        F.floor(F.col("x") / c).cast("long") * F.lit(100000)
+        + F.floor(F.col("y") / c).cast("long"),
+    )
+    return (
+        pts.join(covered, "__cover")
+        .filter(
+            (F.col("x") >= F.col("xmin"))
+            & (F.col("x") < F.col("xmin") + F.col("width"))
+            & (F.col("y") >= F.col("ymin"))
+            & (F.col("y") < F.col("ymin") + F.col("height"))
+        )
+        .drop("__cover")
+    )
+
+
 def pip_join_generic(
     points: DataFrame,
     polygons_xy: list[tuple[int, list[tuple[float, float]]]],

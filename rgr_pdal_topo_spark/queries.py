@@ -436,12 +436,34 @@ def q_pip_rtree(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1 via the broadcast STR-packed R-tree probed per partition
     (joins.pip_join_rtree) — output-identical to pip_pairs (same oracle
     text), but a ZERO-SHUFFLE map-side Arrow stage instead of a
-    BroadcastNestedLoopJoin: O(log P + hits) per point instead of O(P),
-    the difference that matters when the polygon layer is 10^5
-    fault-scarp units rather than 25 test rectangles."""
+    BroadcastNestedLoopJoin: O(P/leaf_cap) batch-vectorized leaf scans
+    plus member tests for hit leaves instead of O(P) row-at-a-time
+    predicate evaluations — the difference that matters when the
+    polygon layer is 10^5 fault-scarp units rather than 25 test
+    rectangles (measured crossover pinned in tests/test_joins.py)."""
     return joins.pip_join_rtree(
         points_df(spark, sf_dir), polygons_df(spark, sf_dir)
     )
+
+
+@query(
+    "pip_partitioned",
+    _with(f"pts AS ({PTS})", f"poly AS ({_POLY})")
+    + "SELECT p.pid, g.polygon_id FROM pts p JOIN poly g ON "
+    "p.x >= g.xmin AND p.x < g.xmin + g.width AND "
+    "p.y >= g.ymin AND p.y < g.ymin + g.height",
+)
+def q_pip_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 via the SHUFFLE-partitioned cover-cell equi-join
+    (joins.pip_join_partitioned) — the strategy for polygon layers too
+    big to broadcast (rect/generic/rtree all cap the dimension at
+    executor memory; 10^7+ cadastral layers don't fit).  Both sides
+    shuffle on a coarse cell; each (point, polygon) pair meets in
+    exactly one cell, so output equals pip_pairs (same oracle text)
+    with no dedup."""
+    return joins.pip_join_partitioned(
+        points_df(spark, sf_dir), polygons_df(spark, sf_dir)
+    ).select("pid", "polygon_id")
 
 
 @query(

@@ -416,3 +416,55 @@ def test_pip_rtree_nan_points_do_not_poison_batch(spark):
     got = {(r.pid, r.polygon_id)
            for r in joins.pip_join_rtree(pts, polys).collect()}
     assert got == {(1, 1)}
+
+
+def test_pip_partitioned_matches_rect_and_never_broadcasts(spark):
+    """The shuffle-partitioned cover-cell strategy is output-identical
+    to the broadcast range join (half-open boundaries included, exactly
+    one row per true pair), and with broadcasting disabled its plan is
+    a genuine shuffle equi-join — the property that lets the polygon
+    side exceed executor memory."""
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    polys = spark.createDataFrame(
+        [
+            (int(i), float(rng.uniform(0, 900)), float(rng.uniform(0, 900)),
+             float(rng.uniform(5, 120)), float(rng.uniform(5, 120)))
+            for i in range(150)
+        ],
+        "polygon_id int, xmin double, ymin double, width double, "
+        "height double",
+    )
+    rows = [
+        (int(i), float(rng.uniform(0, 1000)), float(rng.uniform(0, 1000)))
+        for i in range(1500)
+    ]
+    p0 = polys.collect()[0]
+    rows += [(9001, p0["xmin"], p0["ymin"]),
+             (9002, p0["xmin"] + p0["width"], p0["ymin"])]
+    pts = spark.createDataFrame(rows, "pid long, x double, y double")
+    want = sorted(
+        (r.pid, r.polygon_id)
+        for r in joins.pip_join_rect(pts, polys)
+        .select("pid", "polygon_id").collect()
+    )
+    got = sorted(
+        (r.pid, r.polygon_id)
+        for r in joins.pip_join_partitioned(pts, polys)
+        .select("pid", "polygon_id").collect()
+    )
+    assert got == want  # sorted lists: also proves exactly-once pairs
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = (
+            joins.pip_join_partitioned(pts, polys)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
