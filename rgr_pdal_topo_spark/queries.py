@@ -3209,6 +3209,106 @@ def q_lineage_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_grid_resume",
+    _BASE
+    + "SELECT cell_row, cell_col, ROUND(value, 6) AS value, n FROM "
+    f"({GRID_MEAN_CTE}) g",
+)
+def q_streaming_grid_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10: stateful streaming gridding with a LIVE checkpoint resume —
+    the Structured-Streaming analogue of lineage_resume (reference
+    memoizes derived grids as suffixed files, baseGrid.py:1150-1173; here
+    the "file" is the state store and the "suffix" is the checkpoint).
+
+    Phase 1 streams only the even-pid half of the point cloud through
+    ``incremental_grid_stream`` (applyInPandasWithState running-mean DEM)
+    and stops; phase 2 appends the odd half to the source directory and
+    RESTARTS the query from the same checkpoint.  The file source must
+    skip the already-committed batch and the state store must carry
+    phase 1's per-cell (sum, n), so the final per-cell mean/count must
+    equal a one-shot batch aggregation — which is exactly what the
+    oracle computes (GRID_MEAN_CTE, the same text as grid_mean's).
+
+    Bit parity: z is quantized to the 2^-20 binary grid at ingress
+    (ZQ_SQL doctrine), so every per-cell sum — whether folded batch-at-a-
+    time in pandas state or in one DuckDB aggregate — is EXACT in
+    float64 and the emitted mean is bit-equal regardless of fold order.
+
+    Scale shape: state is hash-partitioned by cell key across the
+    cluster's state stores (16 bytes/cell); per-batch input is map-side
+    pre-aggregated by the groupBy, so skewed cells add no state growth.
+    """
+    import os
+
+    from rgr_pdal_topo_spark.streaming.stateful import (
+        incremental_grid_stream,
+    )
+
+    base = _manifest_scratch("spark_graft_streaming_resume")
+    src = os.path.join(base, "src")
+    ckpt = os.path.join(base, "ckpt")
+    out = os.path.join(base, "out")
+    pts = zq(points_df(spark, sf_dir)).select("pid", "x", "y", "z")
+
+    def run_once(run_id: int) -> None:
+        stream = spark.readStream.schema(
+            "pid long, x double, y double, z double"
+        ).parquet(src)
+        updates = incremental_grid_stream(stream, G)
+
+        def sink(batch_df: DataFrame, batch_id: int, _run=run_id) -> None:
+            batch_df.withColumn("run", F.lit(_run)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            updates.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"streaming run {run_id} timed out")
+
+    even = pts.filter(F.pmod(F.col("pid"), F.lit(2)) == 0)
+    odd = pts.filter(F.pmod(F.col("pid"), F.lit(2)) == 1)
+
+    even.coalesce(2).write.mode("append").parquet(src)
+    run_once(1)
+    # loud self-check: phase 1's final state must hold EXACTLY the even
+    # half (update-mode emissions are cumulative, so the per-cell max n
+    # is the cell's final phase-1 count)
+    n_even = even.count()
+    folded = (
+        spark.read.parquet(out)
+        .filter("run = 1")
+        .groupBy("cell_row", "cell_col")
+        .agg(F.max("n").alias("n"))
+        .agg(F.sum("n").alias("s"))
+        .collect()[0][0]
+    )
+    if folded != n_even:
+        raise RuntimeError(
+            f"phase 1 state folded {folded} points, wanted {n_even}"
+        )
+
+    odd.coalesce(2).write.mode("append").parquet(src)
+    run_once(2)  # fresh query object; resumes from ckpt, sees ONLY odd
+
+    # final answer per cell = the update with the largest n (n strictly
+    # grows every time a cell is re-emitted, so max_by is unambiguous)
+    final = spark.read.parquet(out)
+    per_cell = final.groupBy("cell_row", "cell_col").agg(
+        F.max_by("value", "n").alias("value"), F.max("n").alias("n")
+    )
+    return per_cell.select(
+        "cell_row", "cell_col", F.round("value", 6).alias("value"), "n"
+    )
+
+
+@query(
     "manifest_scan",
     "SELECT lang, COUNT(*) AS n_docs, "
     "CAST(SUM(n_chars) AS BIGINT) AS total_chars "

@@ -88,3 +88,42 @@ def test_incremental_grid_resumes_from_checkpoint(spark):
         assert len(out2) < len(exp)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_streaming_grid_resume_query_matches_batch(spark):
+    """The driver query (queries.streaming_grid_resume) must equal the
+    one-shot batch mean DEM bit-for-bit: the kill/restart protocol plus
+    the Q20 ingress quantization make the streaming fold order
+    immaterial (same doctrine as grid_mean)."""
+    from pyspark.sql import functions as F
+
+    from rgr_pdal_topo_spark.queries import QUERIES, mean_dem
+    from tests.conftest import SF_DIR
+
+    got = (
+        QUERIES["streaming_grid_resume"](spark, SF_DIR)
+        .toPandas()
+        .sort_values(["cell_row", "cell_col"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        mean_dem(spark, SF_DIR)
+        .select(
+            "cell_row",
+            "cell_col",
+            F.round("value", 6).alias("value"),
+            "n",
+        )
+        .toPandas()
+        .sort_values(["cell_row", "cell_col"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 0
+    assert (got["cell_row"].values == exp["cell_row"].values).all()
+    assert (got["cell_col"].values == exp["cell_col"].values).all()
+    assert (got["n"].values == exp["n"].values).all()
+    # bit-equality, not allclose: the whole point of the Q20 doctrine
+    assert (
+        got["value"].values.view("int64")
+        == exp["value"].values.view("int64")
+    ).all()
