@@ -743,3 +743,75 @@ def pip_join_rtree(
     return points.select("pid", "x", "y").mapInPandas(
         probe, "pid long, polygon_id int"
     )
+
+
+# Dispatcher thresholds (tunable per cluster; defaults sized for the
+# strategies' measured regimes):
+#  * <= PIP_RECT_MAX polygons, a BroadcastNestedLoopJoin's O(P)
+#    row-at-a-time predicate is cheaper than standing up an Arrow stage
+#    (the measured rtree crossover in tests/test_joins.py sits near
+#    10^4-10^5; 4096 is safely below it);
+#  * <= PIP_BROADCAST_MAX polygons, the STR-packed bbox arrays broadcast
+#    at ~40 bytes/polygon (~40 MB at the cap) and the zero-shuffle
+#    R-tree probe wins;
+#  * above that the dimension no longer belongs on every executor and
+#    the shuffle cover-cell equi-join is the only scale-safe shape.
+PIP_RECT_MAX = 4096
+PIP_BROADCAST_MAX = 1_000_000
+
+
+def pick_pip_strategy(
+    n_polygons: int,
+    rect_max: int = PIP_RECT_MAX,
+    broadcast_max: int = PIP_BROADCAST_MAX,
+) -> str:
+    """Pure cost rule behind :func:`pip_join` (unit-testable without a
+    session): polygon-layer cardinality -> strategy name."""
+    if n_polygons <= rect_max:
+        return "rect"
+    if n_polygons <= broadcast_max:
+        return "rtree"
+    return "partitioned"
+
+
+def pip_join(
+    points: DataFrame,
+    polygons: DataFrame,
+    strategy: str = "auto",
+    n_polygons: int | None = None,
+    rect_max: int = PIP_RECT_MAX,
+    broadcast_max: int = PIP_BROADCAST_MAX,
+    cell: float = 50.0,
+    leaf_cap: int = 16,
+) -> DataFrame:
+    """J1 front door: cost-based dispatch over the three rectangle PIP
+    strategies (rect / rtree / partitioned — pip_join_generic takes a
+    different input shape, explicit rings, and stays its own entry).
+
+    All three are output-identical (same half-open containment, pinned
+    by tests + the shared pip oracle); what differs is the physical
+    plan, so the pick is a pure function of the polygon-layer
+    cardinality (:func:`pick_pip_strategy`).  Pass ``n_polygons`` when
+    a catalog already knows it (e.g. manifest stats) — otherwise
+    ``auto`` pays one COUNT job on the dimension, the same cost class
+    as the rtree's own driver-side collect and negligible next to the
+    fact-side scan.
+
+    Returns the (pid, polygon_id) pair set — the common schema of the
+    three strategies."""
+    if strategy == "auto":
+        if n_polygons is None:
+            n_polygons = polygons.count()
+        strategy = pick_pip_strategy(n_polygons, rect_max, broadcast_max)
+    if strategy == "rect":
+        return pip_join_rect(points, polygons).select("pid", "polygon_id")
+    if strategy == "rtree":
+        return pip_join_rtree(points, polygons, leaf_cap=leaf_cap)
+    if strategy == "partitioned":
+        return pip_join_partitioned(points, polygons, cell=cell).select(
+            "pid", "polygon_id"
+        )
+    raise ValueError(
+        f"unknown PIP strategy {strategy!r} "
+        "(want auto|rect|rtree|partitioned)"
+    )

@@ -468,3 +468,64 @@ def test_pip_partitioned_matches_rect_and_never_broadcasts(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_pip_join_dispatcher(spark):
+    """pip_join: the pure cost rule picks by cardinality, every forced
+    strategy returns the identical pair set, and auto (which pays one
+    COUNT on the dimension) equals the forced pick."""
+    import numpy as np
+
+    assert joins.pick_pip_strategy(25) == "rect"
+    assert joins.pick_pip_strategy(joins.PIP_RECT_MAX) == "rect"
+    assert joins.pick_pip_strategy(joins.PIP_RECT_MAX + 1) == "rtree"
+    assert joins.pick_pip_strategy(joins.PIP_BROADCAST_MAX) == "rtree"
+    assert (
+        joins.pick_pip_strategy(joins.PIP_BROADCAST_MAX + 1)
+        == "partitioned"
+    )
+
+    rng = np.random.default_rng(31)
+    polys = spark.createDataFrame(
+        [
+            (int(i), float(rng.uniform(0, 900)), float(rng.uniform(0, 900)),
+             float(rng.uniform(5, 120)), float(rng.uniform(5, 120)))
+            for i in range(60)
+        ],
+        "polygon_id int, xmin double, ymin double, width double, "
+        "height double",
+    )
+    pts = spark.createDataFrame(
+        [
+            (int(i), float(rng.uniform(0, 1000)),
+             float(rng.uniform(0, 1000)))
+            for i in range(800)
+        ],
+        "pid long, x double, y double",
+    )
+    want = sorted(
+        (r.pid, r.polygon_id)
+        for r in joins.pip_join(pts, polys, strategy="rect").collect()
+    )
+    assert want  # non-vacuous
+    for s in ("rtree", "partitioned", "auto"):
+        got = sorted(
+            (r.pid, r.polygon_id)
+            for r in joins.pip_join(pts, polys, strategy=s).collect()
+        )
+        assert got == want, s
+    # forcing thresholds re-routes auto without touching the data
+    got_rt = sorted(
+        (r.pid, r.polygon_id)
+        for r in joins.pip_join(pts, polys, rect_max=10).collect()
+    )
+    got_part = sorted(
+        (r.pid, r.polygon_id)
+        for r in joins.pip_join(
+            pts, polys, rect_max=10, broadcast_max=20
+        ).collect()
+    )
+    assert got_rt == got_part == want
+
+    with pytest.raises(ValueError):
+        joins.pip_join(pts, polys, strategy="quadtree")
