@@ -54,3 +54,42 @@ def run_to_memory(stream_df: DataFrame, name: str = "hourly",
     q.processAllAvailable()
     q.stop()
     return stream_df.sparkSession.table(name)
+
+
+def session_counts_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Native session windows (merge semantics) over the event stream —
+    the Structured-Streaming twin of the batch ``sessionize`` query,
+    spelled with the built-in ``session_window`` so Spark manages the
+    interval-merge state (no custom applyInPandasWithState needed).
+
+    Boundary contract (pinned by a planted test): a session's end is
+    ``last_ts + gap`` and an event with ``ts <= end`` MERGES — i.e. an
+    event landing EXACTLY ``gap`` after the previous one extends the
+    session, and only ``ts > prev + gap`` opens a new one.  That is the
+    SAME closed boundary as the batch sessionize oracle's lag spelling,
+    so per-user session counts from the drained stream equal the
+    sessionize query's ``n_sessions`` exactly
+    (tests/test_pipeline_extras.py).
+
+    Scale shape: state is one (start, end, n) interval per OPEN session,
+    hash-partitioned by user across the state stores; the watermark
+    closes sessions older than ``max(event time) - delay``, so state is
+    bounded by users active inside the watermark horizon, not history.
+    """
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(
+            F.col("user_id"),
+            F.session_window(F.col("ts"), gap).alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -193,3 +193,111 @@ def test_lineage_fingerprint_version_mismatch_is_loud(spark, tmp_path):
         cp.run(pts, transform)
     with pytest.raises(RuntimeError, match="fingerprint version"):
         cp.validate(pts)
+
+
+def test_session_window_stream_drains_to_batch_result(spark, tmp_path):
+    """Streaming session windows (merge semantics) drained over a
+    multi-file (multi-micro-batch) source equal the SAME session_window
+    plan run through the batch engine — interval merges must happen
+    across micro-batch boundaries.  Watermark is set far beyond the
+    table's span so no event is late (the equality is about merge
+    state, not late-data policy)."""
+    from rgr_pdal_topo_spark.streaming.windows import (
+        events_stream,
+        run_to_memory,
+        session_counts_stream,
+    )
+
+    events_dir = tmp_path / "events_sessions"
+    # 3 files -> 3 micro-batches at maxFilesPerTrigger=1, arbitrary order
+    spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(3).write.parquet(
+        str(events_dir)
+    )
+
+    stream = session_counts_stream(
+        events_stream(spark, str(events_dir)), watermark="400 days"
+    )
+    got = (
+        run_to_memory(stream, "sessions_test", output_mode="complete")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    batch = (
+        spark.read.parquet(str(events_dir))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(batch) > 0
+    for c in ("user_id", "session_start", "session_end", "n_events"):
+        assert (got[c].to_numpy() == batch[c].to_numpy()).all(), c
+
+    # Cross-check the boundary contract end to end: per-user session
+    # counts from the drained stream must equal the oracle-backed batch
+    # `sessionize` query's n_sessions (lag + running-sum spelling, same
+    # 30-minute gap, same strictly-greater-than-gap "new session" rule).
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    sess = (
+        QUERIES["sessionize"](spark, SF_DIR)
+        .toPandas()
+        .set_index("user_id")["n_sessions"]
+        .to_dict()
+    )
+    stream_counts = got.groupby("user_id").size().to_dict()
+    assert stream_counts == sess
+
+
+def test_session_window_boundary_semantics(spark, tmp_path):
+    """Documented boundary contract: an event EXACTLY gap after the
+    previous one MERGES into the session (Spark merges on touching
+    [ts, ts+gap) windows), and only an event strictly beyond the gap
+    opens a new one — the same closed boundary as the batch sessionize
+    oracle's ``ts > prev + gap`` lag spelling."""
+    import datetime as dt
+
+    from rgr_pdal_topo_spark.streaming.windows import (
+        run_to_memory,
+        session_counts_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, t0),
+        (1, t0 + dt.timedelta(minutes=30)),              # exact gap -> MERGE (1 session)
+        (2, t0),
+        (2, t0 + dt.timedelta(minutes=30, seconds=1)),   # beyond -> NEW (2 sessions)
+    ]
+    src = tmp_path / "boundary_events"
+    spark.createDataFrame(
+        rows, "user_id int, ts timestamp"
+    ).coalesce(1).write.parquet(str(src))
+    stream = (
+        spark.readStream.schema("user_id int, ts timestamp")
+        .parquet(str(src))
+    )
+    got = (
+        run_to_memory(
+            session_counts_stream(stream, watermark="400 days"),
+            "sessions_boundary",
+            output_mode="complete",
+        )
+        .groupBy("user_id")
+        .count()
+        .toPandas()
+        .set_index("user_id")["count"]
+        .to_dict()
+    )
+    assert got == {1: 1, 2: 2}
