@@ -2850,6 +2850,36 @@ def q_fft_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fft_roundtrip: the X4/X5 (filter + inverse) value oracle.  An ALL-PASS
+# filter (lowpass with minimum_wavelength = -1, so L > -1 passes every
+# bin) makes apply-filters + ifft2 + un-window + re-trend the exact
+# identity per cell: inverse(forward(z)) == z up to FFT float error
+# (~1e-13 abs), and gmean's Q20 quantization makes the oracle's input
+# value BIT-identical to the engine's (exact 2^-20-multiple sums), so
+# ROUND(.,6) cannot straddle.  Pins the inverse path's normalization,
+# conjugate symmetry handling and retrend — a broken X5 cannot return z.
+# (The filter SHAPES stay pinned by test_spectral properties + the
+# fft_lowpass golden; a shaped filter has no SQL twin.)
+
+
+@query(
+    "fft_roundtrip",
+    _BASE.rstrip()
+    + f", gmean AS ({GRID_MEAN_CTE}) "
+    "SELECT cell_row, cell_col, ROUND(value, 6) AS filtered FROM gmean",
+)
+def q_fft_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4/X5 value oracle: all-pass filter + inverse FFT reproduces the
+    input DEM exactly (fftGrid.py:104-122, 138-150 roundtrip)."""
+    g = mean_dem(spark, sf_dir)
+    out = spectralops.fft_filter_tiles(
+        g, G, [("lowpass", {"minimum_wavelength": -1.0})], tile_cells=50
+    )
+    return out.select(
+        "cell_row", "cell_col", F.round("filtered", 6).alias("filtered")
+    )
+
+
 # fft_parseval: the FFT *value* oracle (VERDICT r3/r4 stretch).  A direct
 # DFT oracle needs cross-engine trig parity, which is unverifiable; instead
 # this pins three EXACT algebraic identities of the forward transform that
