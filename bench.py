@@ -60,6 +60,7 @@ HEADLINE = [
     "cosine_topk_ivf_sq8",
     "hex_ring_density",
     "pages_pipeline",
+    "line_dedup",
 ]
 
 

@@ -849,3 +849,68 @@ def shingle_dup_stats(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (CCNet / RefinedWeb boilerplate-line removal)
+# ---------------------------------------------------------------------------
+
+LINE_MIN_DOCS = 3  # a line in >= this many distinct docs is boilerplate
+
+
+def line_dedup(
+    documents: DataFrame,
+    min_docs: int = LINE_MIN_DOCS,
+    text_col: str = "text",
+) -> DataFrame:
+    """Boilerplate-line removal — the CCNet / RefinedWeb line-level
+    dedup stage that sits BETWEEN exact document dedup and shingle
+    near-dup: navigation menus, cookie banners, and footers repeat
+    verbatim across pages of a site without making whole documents
+    near-duplicates.  A line occurring in >= ``min_docs`` DISTINCT
+    documents is boilerplate; every occurrence is dropped and the
+    document is reassembled from its surviving lines in original order.
+
+    Returns (doc_id, n_lines, n_kept, n_intra_dup, clean_text) — the
+    within-doc repeated-line count (Gopher's "duplicate line fraction"
+    numerator) falls out of the same aggregation for free.
+
+    Scale shape: detection shuffles nothing wider than
+    (doc_id, int64) — lines fold to the portable 60-bit md5 ids, the
+    document-frequency agg is distinct + partial/final count, and the
+    resulting boilerplate id set BROADCASTS (ids only, ~8 bytes each:
+    a >=k-doc line set is ~10^7-10^8 even at web scale; past that,
+    flip the marker join to a tid-keyed shuffle semi-join, the same
+    cost class as LSH banding).  The single wide shuffle is the
+    reassembly groupBy(doc_id) — that is the rewrite itself, it
+    replaces the corpus, and it parallelizes perfectly on doc_id."""
+    lines = documents.select(
+        "doc_id",
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("lid", _portable_id(F.md5(F.col("line"))))
+    boiler = (
+        lines.select("doc_id", "lid")
+        .distinct()
+        .groupBy("lid")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("lid", F.lit(True).alias("__boiler"))
+    )
+    marked = lines.join(F.broadcast(boiler), "lid", "left")
+    keep = F.col("__boiler").isNull()
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(keep.cast("long")).alias("n_kept"),
+        (F.count(F.lit(1)) - F.countDistinct("lid")).alias("n_intra_dup"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(keep, F.struct(F.col("pos"), F.col("line")))
+                    )
+                ),
+                lambda s: s["line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+    )

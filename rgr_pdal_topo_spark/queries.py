@@ -1992,6 +1992,67 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.repetition_stats(docs)
 
 
+# Line-dedup fixture: the synthetic corpus is single-line, so the query
+# derives a multi-line corpus with ONE replace chain whose text is
+# byte-identical in both engines (replace + chr(10) are literal-string
+# builtins in Spark SQL and DuckDB alike).  Breaking before three of
+# the most common vocabulary words yields ~2.5 lines/doc at sf0.01 with
+# 64 lines shared by >= 3 docs — the boilerplate set is non-vacuous at
+# every test scale (asserted by the planted-case unit test).
+_MULTILINE_EXPR = (
+    "replace(replace(replace(text, ' the ', chr(10) || 'the '), "
+    "' a ', chr(10) || 'a '), ' value ', chr(10) || 'value ')"
+)
+_MULTILINE_DOCS_DUCK = (
+    f"SELECT doc_id, {_MULTILINE_EXPR} AS text FROM documents"
+)
+
+
+@query(
+    "line_dedup",
+    _with(
+        f"d AS ({_MULTILINE_DOCS_DUCK})",
+        "l AS (SELECT t.doc_id, t.ls[u.pos] AS line, u.pos FROM "
+        "(SELECT doc_id, string_split(text, chr(10)) AS ls FROM d) t, "
+        "LATERAL (SELECT unnest(generate_series(1, len(t.ls))) AS pos) u)",
+        f"li AS (SELECT doc_id, pos, line, {dedup.horner_hash_sql('h')} "
+        "AS lid FROM (SELECT doc_id, pos, line, md5(line) AS h FROM l) t)",
+        "b AS (SELECT lid FROM (SELECT DISTINCT doc_id, lid FROM li) t "
+        f"GROUP BY lid HAVING COUNT(*) >= {dedup.LINE_MIN_DOCS})",
+        "m AS (SELECT li.doc_id, li.pos, li.line, li.lid, "
+        "b.lid IS NOT NULL AS isb FROM li LEFT JOIN b ON li.lid = b.lid)",
+    )
+    + "SELECT doc_id, COUNT(*) AS n_lines, "
+    "CAST(SUM(CASE WHEN isb THEN 0 ELSE 1 END) AS BIGINT) AS n_kept, "
+    "CAST(COUNT(*) - COUNT(DISTINCT lid) AS BIGINT) AS n_intra_dup, "
+    "COALESCE(string_agg(CASE WHEN isb THEN NULL ELSE line END, "
+    "chr(10) ORDER BY pos), '') AS clean_text "
+    "FROM m GROUP BY doc_id",
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet/RefinedWeb boilerplate-line removal (dedup.line_dedup):
+    lines repeated across >= 3 distinct documents are dropped and each
+    document is reassembled from its surviving lines in order, with the
+    within-doc duplicate-line count as a free quality signal.  The
+    value hash covers the reassembled clean_text byte-for-byte, so
+    ordering, joining, and the boilerplate set must ALL agree with the
+    oracle.  Reference analogue: the classification-based point
+    filtering in the reference drops whole classes before gridding
+    (pointCloudCreation.py:184,306 — the "nonoise" / ground-range
+    PDAL stages); this is that stage's webtext twin, dropping the
+    boilerplate class before corpus stats.
+
+    Scale shape: detection shuffles (doc_id, int64) only; the
+    boilerplate id set broadcasts; the one wide shuffle is the
+    reassembly groupBy — the rewrite itself."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_MULTILINE_EXPR).alias("text")
+    )
+    return dedup.line_dedup(docs)
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------

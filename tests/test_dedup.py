@@ -441,3 +441,33 @@ def test_vocab_topk_rank_and_tiebreak(spark):
         ]
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_line_dedup_planted_boilerplate(spark):
+    """A nav-menu line shared by 3 docs is dropped everywhere; a line in
+    only 2 docs survives; reassembly preserves original line order and
+    all-boilerplate docs come back empty (not missing)."""
+    nav = "home | products | contact"
+    promo = "subscribe to our newsletter"
+    docs = spark.createDataFrame(
+        [
+            (1, nav + "\nalpha body one\n" + promo),
+            (2, nav + "\nbeta body two\nbeta body two"),
+            (3, "gamma opening\n" + nav + "\n" + promo),
+            (4, nav),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.n_kept, r.n_intra_dup, r.clean_text)
+        for r in dedup.line_dedup(docs, min_docs=3).collect()
+    }
+    assert set(got) == {1, 2, 3, 4}
+    # nav (3 docs) dropped; promo (2 docs) kept
+    assert got[1] == (3, 2, 0, "alpha body one\n" + promo)
+    # intra-doc duplicate counted once in n_intra_dup; both copies kept
+    assert got[2] == (3, 2, 1, "beta body two\nbeta body two")
+    # order preserved around the removed middle line
+    assert got[3] == (3, 2, 0, "gamma opening\n" + promo)
+    # a document that was pure boilerplate is present and empty
+    assert got[4] == (1, 0, 0, "")
