@@ -4520,31 +4520,44 @@ def q_hex_ring_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     packed-id adds, so the join is a plain equi-join on int64 keys and
     the oracle replays it with a literal 7-element offset list.
 
-    Scale shape: one partial+final count per cell, explode(7) on the
-    CELL table (already aggregated — never on raw pages), then an
-    equi-join keyed by cell id and a second partial+final sum.  At
-    10^12 pages the exploded side is corpus-distinct-cells x 7 — the
-    k-ring equi-join is exactly how neighbour queries avoid range/theta
-    joins at scale."""
+    Scale shape: ZERO joins — the ring delta set is closed under
+    negation (d in ring <=> -d in ring), so "sum my populated
+    neighbours" re-expresses as scatter-gather: each populated cell
+    SCATTERS its count to its 7 ring targets (explode on the CELL
+    table, already aggregated — never on raw pages) and a second
+    partial+final agg GATHERS per target.  A populated target always
+    receives its own delta-0 contribution, so keeping exactly the rows
+    whose gather saw a self-contribution restores the original
+    populated-cells-only output without ever joining back.  The oracle
+    keeps the equi-join spelling — same values, and the parity row
+    pins the two formulations to each other.  (The join spelling ran
+    the geocode scan twice: column pruning specialized the two agg
+    subtrees, defeating ReusedExchange.)  At 10^12 pages this is one
+    narrow (int64, int64) shuffle per agg — the scatter-gather is how
+    neighbour queries avoid range/theta joins AND self-join double
+    scans at scale."""
     g = pagesops.geo_lonlat(spark, sf_dir)
     counts = (
         g.select(hexfn.hex_cell(F.col("lon"), F.col("lat"), 6).alias("cell"))
         .groupBy("cell")
         .agg(F.count(F.lit(1)).alias("n_pages"))
     )
-    ring = counts.select(
-        "cell", F.explode(hexfn.hex_k_ring(F.col("cell"))).alias("nb")
-    )
-    c2 = counts.select(
-        F.col("cell").alias("nb_cell"), F.col("n_pages").alias("nb_pages")
+    contrib = counts.select(
+        F.col("cell").alias("src"),
+        "n_pages",
+        F.explode(hexfn.hex_k_ring(F.col("cell"))).alias("cell"),
     )
     return (
-        ring.join(c2, ring["nb"] == c2["nb_cell"])
-        .groupBy("cell")
+        contrib.groupBy("cell")
         .agg(
-            F.sum("nb_pages").alias("ring_pages"),
+            F.sum("n_pages").alias("ring_pages"),
             F.count(F.lit(1)).alias("ring_cells"),
+            F.max((F.col("src") == F.col("cell")).cast("int")).alias(
+                "__self"
+            ),
         )
+        .filter(F.col("__self") == 1)
+        .drop("__self")
     )
 
 

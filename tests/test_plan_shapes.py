@@ -263,15 +263,19 @@ def test_hex_pages_single_shuffle_no_python(spark):
     assert plan.count("Exchange") <= 2  # partial->final agg only
 
 
-def test_hex_ring_join_is_equi_join(spark):
-    """The k-ring neighbourhood join must be a plain equi-join on packed
-    ids — no cartesian/nested-loop anywhere, no Python."""
+def test_hex_ring_is_joinless_scatter_gather(spark):
+    """The k-ring neighbourhood query is a JOINLESS scatter-gather: one
+    page scan, two narrow aggs, no join of any kind, no Python.  (The
+    earlier equi-join spelling scanned the geocode extraction twice —
+    column pruning specialized the self-join's two agg subtrees and
+    defeated ReusedExchange.)"""
     from rgr_pdal_topo_spark.queries import QUERIES
 
     plan = _plan(QUERIES["hex_ring_density"](spark, SF_DIR))
     assert "EvalPython" not in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan
+    # one physical scan node ("FileScan parquet" matches both substrings)
+    assert max(plan.count("Scan parquet"), plan.count("FileScan")) <= 1
 
 
 def test_sq8_broadcasts_query_side(spark):
