@@ -52,10 +52,11 @@ HEADLINE = [
     "terrain_pipeline",
     "corpus_pipeline",
     "hex_pages",
-    # round-5 additions — own series from r5 on (neardup_incremental is
-    # deliberately absent: its store protocol runs eagerly inside the
-    # query builder, so the noop-sink timing would measure a checkpoint
-    # re-read, not the work)
+    # round-5 additions — own series from r5 on (neardup_incremental and
+    # pagerank_hosts are deliberately absent: their work runs eagerly
+    # inside the query builder — the LSH store protocol and the
+    # localCheckpoint-pinned supersteps — so the noop-sink timing would
+    # measure a checkpoint re-read, not the work)
     "pip_rtree",
     "cosine_topk_ivf_sq8",
     "hex_ring_density",

@@ -99,6 +99,50 @@ def geo_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# hyperlinked page variant (web link graph).  Each page carries two
+# deterministic outbound anchors; destination hosts are taken mod 500 so
+# every link target is a crawled host at EVERY test scale (doc_ids are
+# contiguous from 0 and the corpus never has fewer than 500 documents),
+# keeping the host graph free of dangling nodes without any induced-
+# subgraph filtering.  Integer -> string keeps the page bytes
+# engine-identical; the href patterns below avoid backslashes entirely
+# ([0-9], [.]) so ONE regex text runs unchanged in Spark and DuckDB.
+# ---------------------------------------------------------------------------
+# dst1 is QUADRATIC in doc_id so link targets concentrate on quadratic
+# residues — a genuinely skewed in-degree distribution (hub hosts), not
+# a regular graph; a linear map with a multiplier coprime to 500 would
+# give every host in-degree exactly 1 per anchor and make PageRank
+# uniform (vacuous).  dst2 stays linear-bijective so every host keeps
+# at least one inbound link class.
+DST1_SQL = "CAST((doc_id * doc_id + 7) % 500 AS BIGINT)"
+DST2_SQL = "CAST((doc_id * 17 + 3) % 500 AS BIGINT)"
+LINKED_HTML_SQL = (
+    "'<html><head><title>doc-' || CAST(doc_id AS STRING) || "
+    "'</title></head><body><p>' || "
+    f"{_ESCAPED_TEXT_SQL} || '</p>"
+    '<a href="https://site\' || '
+    f"CAST({DST1_SQL} AS STRING) || '.example/\">r1</a>"
+    '<a href="https://site\' || '
+    f"CAST({DST2_SQL} AS STRING) || '.example/\">r2</a></body></html>'"
+)
+#: host captures — no backslash escapes, portable across regex dialects
+HOST_RE = "site([0-9]+)[.]example"
+LINK_RE = 'href="https://site([0-9]+)[.]example'
+
+
+def linked_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> hyperlinked pages (url, html binary, doc_id): the
+    body carries two deterministic outbound anchors; input to the link
+    graph / PageRank pipeline (operators/linkgraph.py)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.selectExpr(
+        f"{URL_SQL} AS url",
+        f"encode({LINKED_HTML_SQL}, 'UTF-8') AS html",
+        "doc_id",
+    )
+
+
 def geo_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(url, lat_milli, lon_milli) captured back OUT of the geo pages'
     binary html — the one Spark-side extraction spelling shared by every

@@ -4616,6 +4616,83 @@ def q_pages_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rgr_pdal_topo_spark.operators import linkgraph  # noqa: E402
+
+# Link-graph oracle fragments: the iteration CTE chain replays the
+# integer PageRank update exactly (subtract-modulus-then-divide, all
+# BIGINT), so the chain of 4 supersteps is bit-equal by construction —
+# no rounding policy anywhere in the query.
+_LINKED_PAGES_DUCK = (
+    f"SELECT {pagesops.URL_SQL} AS url, "
+    f"{pagesops.LINKED_HTML_SQL} AS page FROM documents"
+)
+_PR_BASE = linkgraph.exact_div_sql(
+    str((linkgraph.PR_D_DEN - linkgraph.PR_D_NUM) * linkgraph.PR_SCALE),
+    f"{linkgraph.PR_D_DEN} * nn.n",
+)
+
+
+def _pagerank_ctes(iters: int) -> list[str]:
+    ctes = [
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        "lk AS (SELECT DISTINCT "
+        f"CAST(regexp_extract(url, '{pagesops.HOST_RE}', 1) AS BIGINT) "
+        "AS src, CAST(u.d AS BIGINT) AS dst FROM (SELECT url, "
+        f"regexp_extract_all(page, '{pagesops.LINK_RE}', 1) AS ds "
+        "FROM lp) t, LATERAL (SELECT unnest(t.ds) AS d) u)",
+        "nodes AS (SELECT DISTINCT src AS host FROM lk)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "o AS (SELECT src, COUNT(*) AS odeg FROM lk GROUP BY src)",
+        "e AS (SELECT lk.src, lk.dst, o.odeg FROM lk "
+        "JOIN o ON lk.src = o.src)",
+        "r0 AS (SELECT nodes.host, "
+        + linkgraph.exact_div_sql(str(linkgraph.PR_SCALE), "nn.n")
+        + " AS q FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        step = linkgraph.exact_div_sql(
+            f"{linkgraph.PR_D_NUM} * r{i - 1}.q",
+            f"{linkgraph.PR_D_DEN} * e.odeg",
+        )
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS host, CAST(SUM({step}) AS BIGINT) "
+            f"AS m FROM e JOIN r{i - 1} ON r{i - 1}.host = e.src "
+            "GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.host, {_PR_BASE} + "
+            f"COALESCE(c{i}.m, 0) AS q FROM nodes CROSS JOIN nn "
+            f"LEFT JOIN c{i} ON c{i}.host = nodes.host)"
+        )
+    return ctes
+
+
+@query(
+    "pagerank_hosts",
+    _with(*_pagerank_ctes(linkgraph.PR_ITERS))
+    + f"SELECT host, q AS rank_q FROM r{linkgraph.PR_ITERS}",
+)
+def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web link graph + integer-exact PageRank
+    (operators/linkgraph.py): hrefs extracted from each page build the
+    DISTINCT host-level edge list, and link equity power-iterates for 4
+    damped supersteps with ALL-INTEGER arithmetic on the 2^-30 grid —
+    the whole-crawl host-ranking job (crawl scheduling / quality
+    priors), and the webtext twin of the flow-routing accumulation
+    sweeps (reference flowRoutingGrids.py drainage area: mass moving
+    down a graph in rounds).  The oracle unrolls the identical update
+    as a CTE chain, so parity is bit-exact with no rounding policy.
+
+    Scale shape: one page scan -> regexp_extract_all -> explode ->
+    distinct collapses the crawl to the host graph BEFORE any
+    iteration; each superstep then shuffles only (int64, int64, int64)
+    rows into a join + partial/final sum (the Pregel shape), with the
+    edge list localCheckpoint-pinned like the dedup
+    connected-components loop."""
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    return linkgraph.pagerank_int(linkgraph.extract_links(pages))
+
+
 def _smrf_oracle_sql(max_window: int = 4, slope: float = 0.15,
                      dh: float = 0.5, n: int = 100, cell: float = 10.0,
                      prelude: str | None = None,

@@ -1,0 +1,76 @@
+"""Link graph + integer PageRank (operators/linkgraph.py).
+
+The oracle row (pagerank_hosts in test_query_parity) pins Spark against
+DuckDB; these tests pin both against a pure-Python replay of the integer
+update rule and the extraction against hand-built pages.
+"""
+
+from __future__ import annotations
+
+from rgr_pdal_topo_spark.operators import linkgraph as lg
+
+
+def _py_pagerank(edges: list[tuple[int, int]], iters: int) -> dict[int, int]:
+    """Literal integer replay of pagerank_int's update rule."""
+    nodes = sorted({s for s, _ in edges})
+    n = len(nodes)
+    odeg: dict[int, int] = {}
+    for s, _ in edges:
+        odeg[s] = odeg.get(s, 0) + 1
+    q = {v: lg.PR_SCALE // n for v in nodes}
+    base = (lg.PR_D_DEN - lg.PR_D_NUM) * lg.PR_SCALE // (lg.PR_D_DEN * n)
+    for _ in range(iters):
+        nxt = {v: base for v in nodes}
+        for s, d in edges:
+            if d in nxt:
+                nxt[d] += lg.PR_D_NUM * q[s] // (lg.PR_D_DEN * odeg[s])
+        q = nxt
+    return q
+
+
+def test_extract_links_planted(spark):
+    """src comes from the url, dst from every href; duplicates collapse."""
+    pages = spark.createDataFrame(
+        [
+            (
+                "https://site3.example/p/3",
+                '<p>x</p><a href="https://site7.example/">a</a>'
+                '<a href="https://site9.example/">b</a>'
+                '<a href="https://site7.example/">dup</a>'.encode(),
+            ),
+            ("https://site7.example/p/7",
+             '<a href="https://site3.example/">c</a>'.encode()),
+        ],
+        "url string, html binary",
+    )
+    got = {(r.src, r.dst) for r in lg.extract_links(pages).collect()}
+    assert got == {(3, 7), (3, 9), (7, 3)}
+
+
+def test_pagerank_matches_python_replay(spark):
+    """A skewed 5-node graph (host 0 is a hub) matches the pure-Python
+    integer replay bit-for-bit after every superstep count."""
+    edges = [(0, 1), (1, 0), (2, 0), (3, 0), (4, 0), (0, 2), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 4):
+        got = {
+            r.host: r.rank_q
+            for r in lg.pagerank_int(df, iters=iters).collect()
+        }
+        assert got == _py_pagerank(edges, iters), iters
+    # the hub outranks everyone; mass stays bounded by the scale
+    assert got[0] == max(got.values())
+    assert sum(got.values()) <= lg.PR_SCALE
+
+
+def test_pagerank_sf0001_is_skewed(spark):
+    """The driver fixture's quadratic dst makes in-degree (and ranks)
+    genuinely non-uniform — the vacuity guard for the oracle row."""
+    from rgr_pdal_topo_spark.operators import pages as pagesops
+
+    pages = pagesops.linked_pages_df(spark, "/root/testdata/sf0.001")
+    ranks = lg.pagerank_int(lg.extract_links(pages))
+    vals = [r.rank_q for r in ranks.collect()]
+    assert len(vals) == 500
+    assert len(set(vals)) > 10
+    assert max(vals) > 5 * min(vals)
