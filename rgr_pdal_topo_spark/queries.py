@@ -5003,7 +5003,7 @@ DRIVER_WINDOW: list[str] = [
 # langid, quality_filter, text_stats, dedup_exact, simhash,
 # minhash_buckets, embedding_near_dups, pii_scrub + lang_mix_sample +
 # shingle_dup_stats + vocab_topk + knn_haversine + pages_pipeline +
-# pip_auto
+# pip_auto + line_dedup + pagerank_hosts
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.
