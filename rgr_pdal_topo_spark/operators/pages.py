@@ -143,6 +143,66 @@ def linked_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# recrawl fetch-log variant (CDX-style snapshot consolidation).  Every real
+# crawl captures a url many times; the consolidation job collapses the
+# capture log to latest-content-per-url plus change statistics — the CDX /
+# WARC-revisit dedup every Common-Crawl-shaped pipeline runs before any
+# text processing.  The synthetic log is deterministic: url doc_id is
+# fetched 1 + doc_id % 3 times one day apart, odd doc_ids change content
+# every fetch (a "(rev f)" suffix), even doc_ids never do — so capture
+# counts, version counts, and revisit-dedup behavior all vary.  Capture
+# epochs never collide: 37 and 86400 are coprime and |f - g| <= 2 < 37.
+# ---------------------------------------------------------------------------
+FETCH_MAX = 3  #: max captures per url (f in 0 .. doc_id % FETCH_MAX)
+
+
+def rev_text_sql(fetch_col: str) -> str:
+    """SQL fragment (shared text, both engines): content of capture
+    ``fetch_col`` — odd doc_ids get a per-fetch revision suffix."""
+    return (
+        "CASE WHEN doc_id % 2 = 1 THEN text || ' (rev ' || "
+        f"CAST({fetch_col} AS STRING) || ')' ELSE text END"
+    )
+
+
+def fetch_epoch_sql(fetch_col: str) -> str:
+    return f"CAST({EPOCH0} + doc_id * 37 + {fetch_col} * 86400 AS BIGINT)"
+
+
+def fetch_log_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> the capture log (url, warc_epoch, text), one row per
+    (url, fetch)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.selectExpr(
+        "doc_id",
+        "text",
+        f"explode(sequence(CAST(0 AS BIGINT), doc_id % {FETCH_MAX})) AS f",
+    ).selectExpr(
+        f"{URL_SQL} AS url",
+        f"{fetch_epoch_sql('f')} AS warc_epoch",
+        f"{rev_text_sql('f')} AS text",
+    )
+
+
+def consolidate_crawl(fetches: DataFrame) -> DataFrame:
+    """CDX consolidation: one row per url — capture count, distinct
+    content versions, latest capture epoch, latest content digest.
+
+    Scale shape: ONE groupBy(url) with full partial aggregation; content
+    travels as its md5 digest (never the body — same bounded-row-width
+    rule as exact_duplicates, operators/dedup.py:181), and the latest
+    digest rides a max_by (argmax struct-max, no window).  Capture epochs
+    are unique per url so the argmax is deterministic."""
+    digest = F.md5("text")
+    return fetches.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n_captures"),
+        F.count_distinct(digest).alias("n_versions"),
+        F.max("warc_epoch").alias("last_epoch"),
+        F.max_by(digest, F.col("warc_epoch")).alias("last_digest"),
+    )
+
+
 def geo_coords(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(url, lat_milli, lon_milli) captured back OUT of the geo pages'
     binary html — the one Spark-side extraction spelling shared by every

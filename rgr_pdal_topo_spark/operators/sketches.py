@@ -1,0 +1,135 @@
+"""Deterministic cardinality sketches (HyperLogLog over portable ids).
+
+The 100 TB planning question every dedup/ANN job asks first is "how many
+distinct shingles / tokens / urls are there?" — the answer sizes the
+MinHash band tables, the LSH bucket caps, and the IVF list counts, and an
+exact COUNT(DISTINCT) at that scale is itself a full shuffle of the key
+universe.  This module answers it with a Flajolet-style HyperLogLog
+register fold whose scale shape is the best possible one: the raw
+(non-distinct!) shingle stream folds map-side into ``M`` registers via
+``groupBy(reg).agg(MAX(rho))`` — duplicates cannot move a maximum, so no
+``distinct`` and no wide shuffle ever happens; the only thing crossing
+the wire is at most ``M`` (reg, rho) int rows per input partition.
+
+Everything is engine-portable and integer-exact up to the single final
+division:
+
+* ids are the shared 60-bit portable md5 ids (operators/dedup.py:139) —
+  register = ``tid % M`` (low p bits), rho = leading-zero count of the
+  remaining 52-bit word + 1, spelled ``53 - LENGTH(bin(w))`` (``bin``
+  prints minimal binary digits identically in Spark and DuckDB; w == 0
+  maps to the sentinel 53).
+* the harmonic denominator ``SUM(2^(53 - rho))`` is an exact BIGINT
+  (<= 256 * 2^53 < 2^63), so the sketch itself hashes integer-exactly.
+* the estimate is ONE correctly-rounded double division of that integer
+  into a single precomputed literal ``ALPHA_M * M^2 * 2^53`` — both
+  engines see the same literal and the same int64, so even the float is
+  bit-stable (ROUND(,4) guards it anyway).
+
+The register table (not just the estimate) is first-class because HLL
+registers MERGE by elementwise max — union two crawls' sketches without
+rescanning either, the property that makes the sketch a per-partition /
+per-day manifest statistic at scale.
+
+Reference anchor: the same role as the reference's global grid stats
+summary (baseGrid.py getGridStats-style one-pass reductions) — a whole-
+dataset statistic computed without materializing the dataset.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rgr_pdal_topo_spark.operators import dedup
+
+HLL_P = 8                      #: register-index bits
+HLL_M = 1 << HLL_P             #: register count (256)
+#: rho sentinel / shift base: the post-index word has 60 - p = 52 bits,
+#: so rho ranges 1..52 for nonzero words and 53 when the word is zero.
+HLL_K = 53
+#: bias-corrected alpha for m >= 128 (Flajolet et al. 2007, public)
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / HLL_M)
+#: the whole estimator numerator folded into ONE double literal so both
+#: engines perform a single identical division: alpha * m^2 * 2^K
+HLL_EST_NUM = HLL_ALPHA * (HLL_M * HLL_M) * float(1 << HLL_K)
+
+
+def _rho(word: Column) -> Column:
+    """Leading-zero rank of the 52-bit word: 53 - bit_length(word), with
+    the zero word mapping to the 53 sentinel (all 52 bits zero)."""
+    return F.when(word == 0, F.lit(HLL_K)).otherwise(
+        F.lit(HLL_K) - F.length(F.bin(word))
+    )
+
+
+def hll_fold(ids: DataFrame, id_col: str = "tid") -> DataFrame:
+    """Fold a stream of 60-bit portable ids into (reg, rho) registers.
+
+    The input needs NO distinct: register maxima are multiplicity-blind,
+    which is the entire scale story — partial aggregation combines to
+    ``HLL_M`` rows map-side before the (tiny) shuffle."""
+    tid = F.col(id_col)
+    return (
+        ids.select(
+            (tid % F.lit(HLL_M)).alias("reg"),
+            _rho(F.shiftright(tid, HLL_P)).alias("rho"),
+        )
+        .groupBy("reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_merge(*sketches: DataFrame) -> DataFrame:
+    """Union register tables by elementwise max — the HLL merge law.
+    Lets per-partition / per-snapshot sketches combine without rescans."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("reg").agg(F.max("rho").alias("rho"))
+
+
+def hll_summary(ids: DataFrame, id_col: str = "tid") -> DataFrame:
+    """One-row sketch summary: exact distinct count (the verification
+    column), set-register count, exact BIGINT harmonic denominator, and
+    the rounded HLL estimate.
+
+    Empty registers contribute 2^53 to the denominator (rho = 0); the
+    register fold only materializes set registers, so the missing mass
+    is added arithmetically: (M - n_set) * 2^53 — integer-exact and
+    cheaper than a 256-row dimension join."""
+    regs = hll_fold(ids, id_col)
+    # F.shiftleft only takes a literal shift; the SQL form shifts by a
+    # column (integer-exact: rho <= 53 so the shift stays in [0, 52])
+    folded = regs.agg(
+        F.count(F.lit(1)).alias("n_regs_set"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_K} - rho)"))
+        .alias("set_mass"),
+    )
+    exact = ids.agg(F.count_distinct(F.col(id_col)).alias("n_exact"))
+    harmonic = (
+        F.col("set_mass")
+        + (F.lit(HLL_M).cast("long") - F.col("n_regs_set"))
+        * F.lit(1 << HLL_K).cast("long")
+    )
+    return (
+        exact.crossJoin(folded)
+        .withColumn("harmonic_q", harmonic)
+        .select(
+            "n_exact",
+            "n_regs_set",
+            "harmonic_q",
+            F.round(
+                F.lit(HLL_EST_NUM) / F.col("harmonic_q").cast("double"), 4
+            ).alias("est"),
+        )
+    )
+
+
+def shingle_tid_stream(documents: DataFrame, k: int = dedup.SHINGLE_K) -> DataFrame:
+    """(tid) — the raw shingle-id stream (per-doc distinct, globally NOT
+    distinct): exactly what hll_fold wants, one narrow projection."""
+    return (
+        dedup.shingles(documents, k)
+        .select(dedup._portable_id(F.md5("shingle")).alias("tid"))
+    )

@@ -1,0 +1,107 @@
+"""HLL sketch (operators/sketches.py) + CDX crawl consolidation
+(operators/pages.py): planted-value cases and the sketch laws."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+from rgr_pdal_topo_spark.operators import pages, sketches
+from rgr_pdal_topo_spark.sources.tables import load_table
+
+
+def _ids(spark, vals):
+    return spark.createDataFrame([(int(v),) for v in vals], "tid long")
+
+
+def test_hll_fold_planted_registers(spark):
+    # hand-computed: reg = tid % 256, w = tid >> 8, rho = 53 - bitlen(w)
+    # (53 when w == 0)
+    got = {
+        (r["reg"], r["rho"])
+        for r in sketches.hll_fold(
+            _ids(spark, [0, 256, 257, 3 + (1 << 30)])
+        ).collect()
+    }
+    # tid=0:   reg 0, w=0        -> rho 53   (overridden by tid=256? no:
+    # tid=256: reg 0, w=1        -> rho 52;  max(53, 52) = 53)
+    # tid=257: reg 1, w=1        -> rho 52
+    # tid=3+2^30: reg 3, w=2^22  -> bitlen 23 -> rho 30
+    assert got == {(0, 53), (1, 52), (3, 30)}
+
+
+def test_hll_fold_is_multiplicity_blind(spark):
+    a = [7, 7, 7, 999, 999, 123456789, 7]
+    dup = sketches.hll_fold(_ids(spark, a))
+    dis = sketches.hll_fold(_ids(spark, set(a)))
+    assert {tuple(r) for r in dup.collect()} == {
+        tuple(r) for r in dis.collect()
+    }
+
+
+def test_hll_merge_law(spark):
+    xs = list(range(1000, 1300))
+    ys = list(range(1200, 1700))
+    merged = sketches.hll_merge(
+        sketches.hll_fold(_ids(spark, xs)),
+        sketches.hll_fold(_ids(spark, ys)),
+    )
+    union = sketches.hll_fold(_ids(spark, xs + ys))
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in union.collect()
+    }
+
+
+def test_hll_summary_accuracy_on_corpus(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    row = sketches.hll_summary(sketches.shingle_tid_stream(docs)).collect()[0]
+    assert row["n_regs_set"] == sketches.HLL_M  # far past small-range
+    # published stderr is 1.04/sqrt(256) ~ 6.5%; the corpus lands at -5.9%
+    rel = (row["est"] - row["n_exact"]) / row["n_exact"]
+    assert abs(rel) < 0.10
+    # harmonic mass is the exact BIGINT the estimate divides into
+    assert row["harmonic_q"] > 0
+    est = round(sketches.HLL_EST_NUM / float(row["harmonic_q"]), 4)
+    assert est == row["est"]
+
+
+def test_crawl_consolidation_planted(spark):
+    rows = [
+        # url A: content changes on the 2nd of 3 captures
+        ("a", 100, "v1"), ("a", 200, "v2"), ("a", 300, "v2"),
+        # url B: single capture
+        ("b", 50, "only"),
+        # url C: two captures, unchanged content (revisit dedup case)
+        ("c", 10, "same"), ("c", 20, "same"),
+    ]
+    fetches = spark.createDataFrame(
+        rows, "url string, warc_epoch long, text string"
+    )
+    out = {
+        r["url"]: r
+        for r in pages.consolidate_crawl(fetches).collect()
+    }
+    assert out["a"]["n_captures"] == 3 and out["a"]["n_versions"] == 2
+    assert out["a"]["last_epoch"] == 300
+    assert out["b"]["n_captures"] == 1 and out["b"]["n_versions"] == 1
+    assert out["c"]["n_captures"] == 2 and out["c"]["n_versions"] == 1
+    # latest digest is the digest OF the latest text
+    md5_v2 = spark.sql("SELECT md5('v2') AS h").collect()[0]["h"]
+    assert out["a"]["last_digest"] == md5_v2
+
+
+def test_fetch_log_shape(spark):
+    log = pages.fetch_log_df(spark, SF_DIR)
+    per_url = log.groupBy("url").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("warc_epoch").alias("n_ts"),
+    )
+    # capture counts span 1..FETCH_MAX and epochs never collide per url
+    bad = per_url.filter(
+        (F.col("n") < 1) | (F.col("n") > pages.FETCH_MAX)
+        | (F.col("n_ts") != F.col("n"))
+    ).count()
+    assert bad == 0
+    spread = per_url.select(F.count_distinct("n").alias("k")).collect()[0]
+    assert spread["k"] == pages.FETCH_MAX  # all capture counts occur
