@@ -4930,6 +4930,51 @@ def q_crawl_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagesops.consolidate_crawl(pagesops.fetch_log_df(spark, sf_dir))
 
 
+from rgr_pdal_topo_spark.operators import temporal  # noqa: E402
+
+_VIEWS_DUCK = (
+    f"SELECT {pagesops.URL_SQL} AS url, "
+    f"{pagesops.view_epoch_sql('o.off')} AS view_epoch FROM documents "
+    "CROSS JOIN (VALUES "
+    + ", ".join(f"({o})" for o in pagesops.VIEW_OFFSETS)
+    + ") o(off)"
+)
+
+
+@query(
+    "views_asof",
+    _with(f"fetches AS ({_FETCHES_DUCK})", f"views AS ({_VIEWS_DUCK})")
+    + "SELECT v.url, v.view_epoch, f.warc_epoch AS capture_epoch, "
+    "md5(f.text) AS live_digest FROM views v ASOF LEFT JOIN fetches f "
+    "ON v.url = f.url AND v.view_epoch >= f.warc_epoch",
+)
+def q_views_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series as-of join (operators/temporal.py asof_join): each
+    page view picks up the capture that was live at view time —
+    "which content version did this reader see", the canonical
+    backward-inclusive as-of (same semantics as pandas merge_asof /
+    DuckDB ASOF JOIN, which IS the oracle's spelling).  Views before a
+    url's first capture stay NULL (left semantics).
+
+    Plan: zero join nodes — both sides union tagged, ONE shuffle on
+    url, a running last-non-null carry over (ts, tag) order; the
+    bucketed two-level variant (bucket_width) bounds partition size
+    under timeline skew and is pinned output-identical in pytest.
+    SURVEY §2 listed as-of joins as a gap until this operator."""
+    views = pagesops.view_log_df(spark, sf_dir)
+    fetches = pagesops.fetch_log_df(spark, sf_dir).select(
+        "url", "warc_epoch", F.md5("text").alias("live_digest")
+    )
+    out = temporal.asof_join(
+        views, fetches, key="url", left_ts="view_epoch",
+        right_ts="warc_epoch", payload=["live_digest"],
+    )
+    return out.select(
+        "url", "view_epoch",
+        F.col("matched_ts").alias("capture_epoch"), "live_digest",
+    )
+
+
 # HLL oracle: registers replayed over the same portable 60-bit shingle
 # ids the dedup family uses; bin() prints minimal binary digits in both
 # engines, and the estimate is one division of an exact BIGINT into one
@@ -5090,7 +5135,8 @@ DRIVER_WINDOW: list[str] = [
 # langid, quality_filter, text_stats, dedup_exact, simhash,
 # minhash_buckets, embedding_near_dups, pii_scrub + lang_mix_sample +
 # shingle_dup_stats + vocab_topk + knn_haversine + pages_pipeline +
-# pip_auto + line_dedup + pagerank_hosts + crawl_latest + hll_distinct
+# pip_auto + line_dedup + pagerank_hosts + crawl_latest + hll_distinct +
+# views_asof
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.
