@@ -126,6 +126,80 @@ def hll_summary(ids: DataFrame, id_col: str = "tid") -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Count-min sketch (frequency / heavy hitters) — the companion question to
+# HLL's "how many distinct": "how often does THIS key occur", answered from
+# d*w counters instead of a full per-key groupBy.  Hash rows reuse the
+# dedup family's overflow-free split-half permutations
+# (operators/dedup.py:148) with a final fold onto CMS_W columns, so the
+# whole sketch is integer arithmetic both engines replay exactly.  The
+# estimate is MIN over rows of the probed counters — always >= the true
+# count (counters only ever over-count on collisions), within eN/CMS_W
+# additive error with high probability.  The counter table is <= CMS_D *
+# CMS_W rows regardless of input size: it broadcasts for lookups and
+# merges by elementwise ADD across partitions/snapshots (cms_merge).
+# ---------------------------------------------------------------------------
+
+CMS_D = 4     #: hash rows (error probability ~ exp(-CMS_D))
+CMS_W = 4096  #: counters per row (additive error ~ e * N / CMS_W)
+
+
+def _cms_hashes(tid) -> list[Column]:
+    return [
+        dedup._permute(
+            tid,
+            dedup.MINHASH_A[j],
+            dedup.MINHASH_C[j],
+            dedup.MINHASH_B[j],
+            dedup.MINHASH_P,
+        )
+        % F.lit(CMS_W)
+        for j in range(CMS_D)
+    ]
+
+
+def cms_fold(ids: DataFrame, id_col: str = "tid") -> DataFrame:
+    """Fold an OCCURRENCE stream of 60-bit ids into (j, h, n) counters.
+    Like hll_fold this wants no distinct — frequency is the signal — and
+    partial aggregation collapses each partition to <= CMS_D * CMS_W
+    rows before the (tiny) shuffle."""
+    arr = F.array(*_cms_hashes(F.col(id_col)))
+    return (
+        ids.select(F.posexplode(arr).alias("j", "h"))
+        .groupBy("j", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Counters merge by elementwise sum — the CMS merge law."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.groupBy("j", "h").agg(F.sum("n").alias("n"))
+
+
+def cms_lookup(cms: DataFrame, keys: DataFrame, id_col: str = "tid") -> DataFrame:
+    """Point-estimate every key's frequency: probe the CMS_D counters and
+    take the min.  The counter table is bounded (<= CMS_D * CMS_W rows),
+    so it BROADCASTS — the probe never shuffles the key side.  Missing
+    cells read as 0 (a key never folded estimates 0 exactly)."""
+    cols = [c for c in keys.columns]
+    probes = keys.select(
+        *cols, F.posexplode(F.array(*_cms_hashes(F.col(id_col)))).alias(
+            "__j", "__h"
+        )
+    )
+    joined = probes.join(
+        F.broadcast(cms),
+        (F.col("__j") == F.col("j")) & (F.col("__h") == F.col("h")),
+        "left",
+    )
+    return joined.groupBy(*cols).agg(
+        F.min(F.coalesce(F.col("n"), F.lit(0).cast("long"))).alias("est_n")
+    )
+
+
 def shingle_tid_stream(documents: DataFrame, k: int = dedup.SHINGLE_K) -> DataFrame:
     """(tid) — the raw shingle-id stream (per-doc distinct, globally NOT
     distinct): exactly what hll_fold wants, one narrow projection."""

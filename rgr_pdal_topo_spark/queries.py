@@ -5024,6 +5024,82 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_summary(sketches.shingle_tid_stream(docs))
 
 
+# Count-min oracle: counters replayed with the same split-half
+# permutations the minhash family uses (j < CMS_D rows, % CMS_W fold);
+# the top-20 cut is made deterministic by the (exact_n DESC, shingle)
+# tiebreak in BOTH engines.
+_CMS_PERMS_DUCK = "SELECT * FROM (VALUES " + ", ".join(
+    f"({j}, {dedup.MINHASH_A[j]}, {dedup.MINHASH_C[j]}, "
+    f"{dedup.MINHASH_B[j]})"
+    for j in range(sketches.CMS_D)
+) + ") AS p(j, a, c, b)"
+_CMS_HASH_DUCK = (
+    "((a * (tid % 2147483648) + c * (tid // 2147483648) + b) % "
+    f"{dedup.MINHASH_P}) % {sketches.CMS_W}"
+)
+
+
+@query(
+    "cms_heavy_hitters",
+    _with(
+        f"d AS ({_DOCTOKS_DUCK})",
+        f"shr AS ({_SHINGLES_RAW_DUCK})",
+        "tids AS MATERIALIZED (SELECT shingle, "
+        f"{dedup.horner_hash_sql('h')} AS tid FROM "
+        "(SELECT shingle, md5(shingle) AS h FROM shr) hh)",
+        f"perms AS ({_CMS_PERMS_DUCK})",
+        f"cms AS MATERIALIZED (SELECT j, {_CMS_HASH_DUCK} AS h, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM tids CROSS JOIN perms "
+        "GROUP BY 1, 2)",
+        "top AS (SELECT shingle, MIN(tid) AS tid, "
+        "CAST(COUNT(*) AS BIGINT) AS exact_n FROM tids GROUP BY shingle "
+        "ORDER BY exact_n DESC, shingle LIMIT 20)",
+    )
+    + "SELECT t.shingle, t.exact_n, CAST(MIN(c.n) AS BIGINT) AS est_n "
+    "FROM top t CROSS JOIN perms p JOIN cms c ON c.j = p.j AND c.h = "
+    "((p.a * (t.tid % 2147483648) + p.c * (t.tid // 2147483648) + p.b) "
+    f"% {dedup.MINHASH_P}) % {sketches.CMS_W} "
+    "GROUP BY t.shingle, t.exact_n",
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch + heavy hitters
+    (operators/sketches.py cms_fold/cms_lookup): the top-20 corpus
+    shingles' exact counts next to their CMS estimates from 4 x 4096
+    integer counters — deliberately far smaller than the ~16k-shingle
+    universe, so the overestimates are real (est_n >= exact_n always;
+    +0..9 here) and the sketch's additive-error contract is what the
+    oracle verifies, not a vacuous identity.  Counters fold map-side
+    from the RAW occurrence stream (no distinct, like hll_fold) and the
+    bounded counter table BROADCASTS for the probe — the exact top-20
+    side (a full groupBy) exists only as the verification column, the
+    sketch is the 100 TB path."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(dedup._tok_array().alias("toks"))
+    raw = d.select(
+        F.explode(
+            dedup._shingle_array(F.col("toks"), dedup.SHINGLE_K,
+                                 distinct=False)
+        ).alias("shingle")
+    )
+    # feeds the counter fold AND the exact side: materialize once (the
+    # oracle marks the same CTE MATERIALIZED)
+    withids = raw.select(
+        "shingle", dedup._portable_id(F.md5("shingle")).alias("tid")
+    ).localCheckpoint(eager=True)
+    cms = sketches.cms_fold(withids)
+    top = (
+        withids.groupBy("shingle")
+        .agg(F.min("tid").alias("tid"), F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), "shingle")
+        .limit(20)
+    )
+    return sketches.cms_lookup(cms, top).select(
+        "shingle", "exact_n", "est_n"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #
@@ -5136,7 +5212,7 @@ DRIVER_WINDOW: list[str] = [
 # minhash_buckets, embedding_near_dups, pii_scrub + lang_mix_sample +
 # shingle_dup_stats + vocab_topk + knn_haversine + pages_pipeline +
 # pip_auto + line_dedup + pagerank_hosts + crawl_latest + hll_distinct +
-# views_asof
+# views_asof + cms_heavy_hitters
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

@@ -66,6 +66,72 @@ def test_hll_summary_accuracy_on_corpus(spark):
     assert est == row["est"]
 
 
+def _py_cms(vals):
+    """Pure-Python replay of the CMS fold (the portable-arithmetic
+    ground truth, independent of any SQL engine)."""
+    from rgr_pdal_topo_spark.operators import dedup
+
+    counters = {}
+    for v in vals:
+        lo, hi = v % (1 << 31), v >> 31
+        for j in range(sketches.CMS_D):
+            h = (
+                (dedup.MINHASH_A[j] * lo + dedup.MINHASH_C[j] * hi
+                 + dedup.MINHASH_B[j]) % dedup.MINHASH_P
+            ) % sketches.CMS_W
+            counters[(j, h)] = counters.get((j, h), 0) + 1
+    return counters
+
+
+def test_cms_fold_matches_python_replay(spark):
+    vals = [7, 7, 7, 999, 123456789, 999, (1 << 59) + 5, 7]
+    got = {
+        (r["j"], r["h"]): r["n"]
+        for r in sketches.cms_fold(_ids(spark, vals)).collect()
+    }
+    assert got == _py_cms(vals)
+
+
+def test_cms_lookup_bounds_and_absent_key(spark):
+    vals = [7] * 5 + [999] * 2 + [123456789]
+    cms = sketches.cms_fold(_ids(spark, vals))
+    keys = _ids(spark, [7, 999, 123456789, 42])  # 42 never folded
+    est = {
+        r["tid"]: r["est_n"]
+        for r in sketches.cms_lookup(cms, keys).collect()
+    }
+    exact = {7: 5, 999: 2, 123456789: 1, 42: 0}
+    for k, n in exact.items():
+        assert est[k] >= n  # never underestimates
+    # with 3 distinct keys in 4x4096 counters, collisions are absent for
+    # these fixed ids: estimates are exact (pinned by the Python replay)
+    counters = _py_cms(vals)
+    for k, n in exact.items():
+        lo, hi = k % (1 << 31), k >> 31
+        from rgr_pdal_topo_spark.operators import dedup
+        expect = min(
+            counters.get(
+                (j, ((dedup.MINHASH_A[j] * lo + dedup.MINHASH_C[j] * hi
+                      + dedup.MINHASH_B[j]) % dedup.MINHASH_P)
+                 % sketches.CMS_W), 0)
+            for j in range(sketches.CMS_D)
+        )
+        assert est[k] == expect
+
+
+def test_cms_merge_law(spark):
+    xs = [1, 2, 2, 3] * 10
+    ys = [2, 3, 3, 4] * 7
+    merged = sketches.cms_merge(
+        sketches.cms_fold(_ids(spark, xs)),
+        sketches.cms_fold(_ids(spark, ys)),
+    )
+    union = sketches.cms_fold(_ids(spark, xs + ys))
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in union.collect()
+    }
+
+
 def test_crawl_consolidation_planted(spark):
     rows = [
         # url A: content changes on the 2nd of 3 captures
