@@ -335,3 +335,64 @@ def test_lang_mix_sample_broadcasts_rates(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_hll_fold_is_partial_final_no_distinct(spark):
+    from rgr_pdal_topo_spark.operators import sketches
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(sketches.hll_fold(sketches.shingle_tid_stream(docs)))
+    # register fold: partial + final hash agg, and NO Expand/distinct
+    # anywhere — the fold runs on the raw stream
+    assert plan.count("HashAggregate") >= 2
+    assert "Expand" not in plan
+
+
+def test_cms_lookup_broadcasts_counters(spark):
+    from rgr_pdal_topo_spark.operators import sketches
+
+    ids = spark.createDataFrame([(i % 7,) for i in range(100)], "tid long")
+    keys = spark.createDataFrame([(3,), (42,)], "tid long")
+    plan = _plan(sketches.cms_lookup(sketches.cms_fold(ids), keys))
+    # the bounded counter table broadcasts; the key side never shuffles
+    # into a SortMergeJoin
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_crawl_consolidation_single_partial_agg(spark):
+    from rgr_pdal_topo_spark.operators import pages
+
+    plan = _plan(
+        pages.consolidate_crawl(pages.fetch_log_df(spark, SF_DIR))
+    )
+    # COUNT(DISTINCT digest) expands to the two-level aggregate —
+    # partial on (url, digest) then final on url — which stays robust
+    # when one url has 10^6 recrawls (a collect_set spelling would
+    # bound-break there).  No window, no join, and every exchange is
+    # preceded by a partial/merge aggregate.
+    assert "partial_count" in plan and "merge_count" in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") == 2
+
+
+def test_asof_join_single_shuffle_no_join(spark):
+    from rgr_pdal_topo_spark.operators import pages, temporal
+
+    views = pages.view_log_df(spark, SF_DIR)
+    fetches = pages.fetch_log_df(spark, SF_DIR).select(
+        "url", "warc_epoch", F.md5("text").alias("digest")
+    )
+    plan = _plan(
+        temporal.asof_join(
+            views, fetches, "url", "view_epoch", "warc_epoch", ["digest"]
+        )
+    )
+    assert "Join" not in plan  # zero join nodes — union + carry only
+    # exactly one exchange hashpartitions the union on the key
+    import re
+
+    hashparts = re.findall(r"Exchange hashpartitioning\(url", plan)
+    assert len(hashparts) == 1
