@@ -62,6 +62,12 @@ HEADLINE = [
     "hex_ring_density",
     "pages_pipeline",
     "line_dedup",
+    # late-r5 additions — own series (cms_heavy_hitters is absent for the
+    # same eager-builder reason: its shared shingle-id input is
+    # localCheckpoint-pinned at build time)
+    "crawl_latest",
+    "hll_distinct",
+    "views_asof",
 ]
 
 
