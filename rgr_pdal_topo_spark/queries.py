@@ -5121,15 +5121,20 @@ DRIVER_WINDOW: list[str] = [
     "points_decimate", "lineage_resume",
     "smrf_ground",
     "multimodal_features", "flow_d8", "flow_area", "flow_chi", "flow_basins",
-    "flow_maxl", "flow_order", "network_ksn", "network_dissolve",
+    "network_ksn", "network_dissolve",
     "perm_ensemble", "kmeans_scarp",
-    "mosaic_tiles", "flow_main_path",
+    "mosaic_tiles",
     "profile_peaks", "stratified_sample",
     "extract_pages",
     "terrain_pipeline", "corpus_pipeline",
     "manifest_bbox_scan", "manifest_incremental",
     "pages_geocode",
-    "simhash_pairs", "dedup_clusters",
+    "dedup_clusters",
+    # late-r5 rotation IN: the four new subsystems of this round's
+    # continuation sessions (all pre-qualified per the rotation
+    # protocol: sf0.01 + sf0.1 oracle parity, ANSI-on session run,
+    # planted unit tests, plan pins)
+    "crawl_latest", "hll_distinct", "views_asof", "cms_heavy_hitters",
     # round-5 rotation IN (VERDICT r4 "Next round" #1/#2/#3/#7/#9):
     # the seven ANSI-verified past-window r4 subsystems, the three
     # rotation-stale §2 operators, the incremental LSH store, streaming
@@ -5162,6 +5167,21 @@ DRIVER_WINDOW: list[str] = [
 #        fft_parseval (late r5: the FFT VALUE oracle — Parseval + DC +
 #        Nyquist pinned trig-free against the detrended tiles; X3's
 #        first driver row ever, closing the carried r3/r4 stretch #8).
+# Late-r5 rotation (continuation sessions): four slots for the four new
+# subsystems — crawl_latest (CDX snapshot consolidation), hll_distinct
+# (HyperLogLog cardinality sketch), views_asof (time-series as-of join),
+# cms_heavy_hitters (count-min frequency sketch).
+#   OUT (operator -> surviving window coverage):
+#        flow_order  G6 / flow_maxl G7 / flow_main_path G9 -> all three
+#                        are outputs of the SAME per-basin Arrow sweep
+#                        (_flow_metrics_raw) that stays window-witnessed
+#                        through flow_chi (G5) + flow_area (G3) +
+#                        flow_basins (G8); driver-green r1-r5-so-far,
+#                        oracle-swept every pytest run
+#        simhash_pairs   -> driver-green r4; the banded-pair machinery
+#                        stays witnessed by neardup_incremental +
+#                        dedup_clusters, the one-pass simhash fold by
+#                        the parity sweep
 #   OUT (operator -> surviving window coverage):
 #        pip_pairs        J1  -> pip_rtree (same oracle text, the
 #                                zero-shuffle R-tree strategy) +
