@@ -200,6 +200,82 @@ def cms_lookup(cms: DataFrame, keys: DataFrame, id_col: str = "tid") -> DataFram
     )
 
 
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch — the third classic: "what is the p99", from a
+# bounded equi-width histogram instead of a global sort.  Buckets are
+# 2^QSK_SHIFT-wide integer ranges, so the fold is one partial+final
+# groupBy (counts merge by add, like CMS) and the quantile read is a
+# cumulative sum over the BUCKET table (bounded rows — the window never
+# sees the data).  Everything is integer arithmetic: the k-th order
+# statistic uses the type-1 (discontinuous) definition k = ceil(q * N),
+# and the sketch brackets it within one bucket width:
+# est_lo <= exact <= est_hi, |est - exact| < 2^QSK_SHIFT by construction.
+# The same fold at shift 0 IS the exact computation — one spelling, two
+# granularities, so sketch and verification cannot drift.
+# ---------------------------------------------------------------------------
+
+QSK_SHIFT = 4  #: bucket width 2^4 = 16 (error bound per quantile)
+
+
+def hist_fold(vals: DataFrame, col: str, shift: int = QSK_SHIFT) -> DataFrame:
+    """(bucket, n) equi-width histogram of a nonnegative integer column.
+    shift=0 degenerates to exact value counts (the verification path)."""
+    return (
+        vals.groupBy(F.shiftright(F.col(col), shift).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def hist_quantile_read(
+    hist: DataFrame, n_total: int, q_millis: list[int]
+) -> DataFrame:
+    """(q_milli, k, bucket) — smallest bucket whose cumulative count
+    reaches the k-th order statistic (k = ceil(q_milli * N / 1000),
+    integer-exact).  Windows run over the bounded bucket table only."""
+    spark = hist.sparkSession
+    from pyspark.sql import Window
+
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("n").over(w))
+    qs = spark.createDataFrame(
+        [(int(q),) for q in q_millis], "q_milli int"
+    ).withColumn(
+        "k",
+        F.expr(
+            f"(CAST(q_milli AS BIGINT) * {int(n_total)} + 999) DIV 1000"
+        ),
+    )
+    return (
+        qs.join(cum, cum["cum"] >= qs["k"], "inner")
+        .groupBy("q_milli", "k")
+        .agg(F.min("bucket").alias("bucket"))
+    )
+
+
+def quantile_sketch_summary(
+    vals: DataFrame, col: str, q_millis: list[int]
+) -> DataFrame:
+    """(q_milli, k, est_lo, est_hi, exact) — bracketed sketch estimates
+    beside the true order statistics, both read with the SAME fold (the
+    sketch at shift QSK_SHIFT, the truth at shift 0)."""
+    n_total = vals.count()
+    est = hist_quantile_read(
+        hist_fold(vals, col, QSK_SHIFT), n_total, q_millis
+    ).select(
+        "q_milli",
+        "k",
+        F.shiftleft(F.col("bucket"), QSK_SHIFT).alias("est_lo"),
+        (F.shiftleft(F.col("bucket"), QSK_SHIFT)
+         + F.lit((1 << QSK_SHIFT) - 1)).alias("est_hi"),
+    )
+    exact = hist_quantile_read(
+        hist_fold(vals, col, 0), n_total, q_millis
+    ).select("q_milli", F.col("bucket").alias("exact"))
+    return est.join(exact, "q_milli").select(
+        "q_milli", "k", "est_lo", "est_hi", "exact"
+    )
+
+
 def shingle_tid_stream(documents: DataFrame, k: int = dedup.SHINGLE_K) -> DataFrame:
     """(tid) — the raw shingle-id stream (per-doc distinct, globally NOT
     distinct): exactly what hll_fold wants, one narrow projection."""

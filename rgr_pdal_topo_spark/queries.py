@@ -5100,6 +5100,60 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Histogram-quantile oracle: one fold spelling at two granularities
+# (bucket = n_chars // 2^QSK_SHIFT for the sketch, the value itself for
+# the truth); k is the integer type-1 order statistic ceil(q * N).
+_QSK_W = 1 << sketches.QSK_SHIFT
+_QSK_QS = (250, 500, 750, 900, 990)
+
+
+@query(
+    "quantile_sketch",
+    _with(
+        "nn AS (SELECT COUNT(*) AS n FROM documents)",
+        "qs AS (SELECT q_milli, (CAST(q_milli AS BIGINT) * nn.n + 999) "
+        "// 1000 AS k FROM (VALUES "
+        + ", ".join(f"({q})" for q in _QSK_QS)
+        + ") q(q_milli) CROSS JOIN nn)",
+        f"hb AS (SELECT n_chars // {_QSK_W} AS bucket, COUNT(*) AS n "
+        "FROM documents GROUP BY 1)",
+        "hc AS (SELECT bucket, SUM(n) OVER (ORDER BY bucket) AS cum "
+        "FROM hb)",
+        "eb AS (SELECT n_chars AS bucket, COUNT(*) AS n FROM documents "
+        "GROUP BY 1)",
+        "ec AS (SELECT bucket, SUM(n) OVER (ORDER BY bucket) AS cum "
+        "FROM eb)",
+        "est AS (SELECT q_milli, k, MIN(bucket) AS b FROM qs JOIN hc "
+        "ON hc.cum >= qs.k GROUP BY q_milli, k)",
+        "ex AS (SELECT q_milli, MIN(bucket) AS exact FROM qs JOIN ec "
+        "ON ec.cum >= qs.k GROUP BY q_milli)",
+    )
+    + "SELECT est.q_milli, CAST(est.k AS BIGINT) AS k, "
+    f"CAST(b * {_QSK_W} AS BIGINT) AS est_lo, "
+    f"CAST(b * {_QSK_W} + {_QSK_W - 1} AS BIGINT) AS est_hi, "
+    "CAST(exact AS BIGINT) AS exact FROM est "
+    "JOIN ex ON ex.q_milli = est.q_milli",
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram quantile sketch (operators/sketches.py hist_fold /
+    quantile_sketch_summary): p25/p50/p75/p90/p99 of document length
+    from a bounded equi-width histogram — the third classic sketch
+    beside HLL (distinct) and CMS (frequency), and the one that replaces
+    a global sort at 100 TB.  The fold is one partial+final groupBy
+    whose output is <= domain/2^QSK_SHIFT rows; the quantile read's
+    window runs over THAT bucket table, never the data.  The exact
+    order statistics (the verification columns) use the SAME fold at
+    shift 0, so sketch and truth cannot drift; the sketch brackets every
+    exact value within one bucket width (est_lo <= exact <= est_hi,
+    asserted in pytest).  All integer arithmetic end to end."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sketches.quantile_sketch_summary(
+        docs.select("n_chars"), "n_chars", list(_QSK_QS)
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #
@@ -5232,7 +5286,7 @@ DRIVER_WINDOW: list[str] = [
 # minhash_buckets, embedding_near_dups, pii_scrub + lang_mix_sample +
 # shingle_dup_stats + vocab_topk + knn_haversine + pages_pipeline +
 # pip_auto + line_dedup + pagerank_hosts + crawl_latest + hll_distinct +
-# views_asof + cms_heavy_hitters
+# views_asof + cms_heavy_hitters + quantile_sketch
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

@@ -171,3 +171,50 @@ def test_fetch_log_shape(spark):
     assert bad == 0
     spread = per_url.select(F.count_distinct("n").alias("k")).collect()[0]
     assert spread["k"] == pages.FETCH_MAX  # all capture counts occur
+
+
+def test_quantile_sketch_brackets_exact(spark):
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    rows = sketches.quantile_sketch_summary(
+        docs.select("n_chars"), "n_chars", [250, 500, 750, 900, 990]
+    ).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # the sketch contract: one-bucket bracket around the truth
+        assert r["est_lo"] <= r["exact"] <= r["est_hi"]
+        assert r["est_hi"] - r["est_lo"] == (1 << sketches.QSK_SHIFT) - 1
+
+
+def test_quantile_sketch_planted_order_statistics(spark):
+    # values 0..99: k = ceil(q * 100 / 1000ths); type-1 quantile of the
+    # uniform ramp is k - 1 (1-indexed k-th smallest of 0..99)
+    vals = spark.createDataFrame([(i,) for i in range(100)], "v long")
+    got = {
+        r["q_milli"]: r
+        for r in sketches.quantile_sketch_summary(
+            vals, "v", [10, 500, 990, 1000]
+        ).collect()
+    }
+    for q in (10, 500, 990, 1000):
+        k = -(-q * 100 // 1000)
+        assert got[q]["k"] == k
+        assert got[q]["exact"] == k - 1
+        assert got[q]["est_lo"] <= k - 1 <= got[q]["est_hi"]
+
+
+def test_hist_fold_merges_by_add(spark):
+    xs = spark.createDataFrame([(i % 37,) for i in range(200)], "v long")
+    ys = spark.createDataFrame([(i % 53,) for i in range(150)], "v long")
+    both = xs.unionByName(ys)
+    merged = (
+        sketches.hist_fold(xs, "v")
+        .unionByName(sketches.hist_fold(ys, "v"))
+        .groupBy("bucket")
+        .agg(F.sum("n").alias("n"))
+    )
+    direct = sketches.hist_fold(both, "v")
+    assert {tuple(r) for r in merged.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
