@@ -68,6 +68,7 @@ HEADLINE = [
     "crawl_latest",
     "hll_distinct",
     "views_asof",
+    "bm25_scores",
 ]
 
 

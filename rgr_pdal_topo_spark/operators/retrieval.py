@@ -1,0 +1,110 @@
+"""BM25 ranked retrieval over the document corpus (search-engine shape).
+
+The webtext north-star's missing verb: given a handful of keyword
+queries, score every matching document with Okapi BM25 (k1 = 1.2,
+b = 0.75).  The plan is the classic retrieval shape re-expressed
+Spark-first:
+
+  tokens -> postings (doc, tok, tf) + doc lengths + per-token df
+  -> broadcast the (tiny) query-token dimension into the postings scan
+  -> one partial+final groupBy (qid, doc) sum.
+
+Cross-engine float policy (the repo's q13 doctrine applied to IR):
+
+* the ONLY transcendental is the idf log, in the Lucene-clamped form
+  ``ln(1 + (N - df + 0.5) / (df + 0.5))`` (plain BM25 idf goes NEGATIVE
+  for tokens in more than half the corpus — with a 31-token vocabulary
+  that is most tokens).  Algebraically that is ``ln((2N + 2) /
+  (2df + 1))``: a single division of two INTEGER-valued doubles, so both
+  engines hand libm bit-identical inputs (verified bit-equal across the
+  whole realistic (N, df) range; a DECIMAL-literal spelling of the same
+  expression differed by 6e-8), and the value is always positive.
+  The result is then pinned to the integer grid ``FLOOR(ln * 256 +
+  0.5)`` (FLOOR(+0.5), never ROUND — Spark and DuckDB disagree on
+  halves).
+* everything after the idf is one exact integer pair per (query token,
+  doc): with k1 = 6/5 and b = 3/4 and S = total corpus tokens,
+  N = corpus docs,
+      term = idf_q * 22 * tf * S / (10 * tf * S + 3 * S + 9 * dl * N)
+  (multiply BM25's numerator and denominator by 10 * S to clear every
+  fraction; avgdl = S / N never materializes).  Both sides stay under
+  2^53, the division is one correctly-rounded IEEE op on identical
+  int-valued doubles, the * 8192 is an exact exponent shift, and the
+  FLOOR lands on the 2^-13 grid — so the per-term quantized score is
+  bit-identical across engines and the final per-doc score is an exact
+  BIGINT SUM (aggregation order immaterial).
+
+Reference anchor: the reference has no retrieval module; this is a §2.12
+engine addition (the corpus-side twin of the geospatial kNN lookups).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rgr_pdal_topo_spark.operators import dedup
+
+#: fixed keyword queries over the corpus vocabulary (deterministic)
+BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (0, "slow hash batch"),
+    (1, "window fast query"),
+    (2, "big data merge"),
+)
+
+IDF_SCALE = 256   #: idf quantization grid (1/256 resolution)
+Q13 = 8192        #: per-term score grid (2^-13, the repo-wide step)
+
+#: shared SQL fragments (identical text in Spark and DuckDB) — the frame
+#: they run over carries columns n, s, df, tf, dl
+IDF_Q_SQL = (
+    "CAST(FLOOR(ln(CAST(2 * n + 2 AS DOUBLE) / "
+    f"CAST(2 * df + 1 AS DOUBLE)) * {IDF_SCALE} + 0.5) AS BIGINT)"
+)
+TERM_Q13_SQL = (
+    f"CAST(FLOOR(CAST({IDF_Q_SQL} * 22 * tf * s AS DOUBLE) / "
+    f"CAST(10 * tf * s + 3 * s + 9 * dl * n AS DOUBLE) * {Q13}) AS BIGINT)"
+)
+
+
+def bm25_scores(
+    documents: DataFrame,
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+) -> DataFrame:
+    """(qid, doc_id, n_hits, score_q13) for every document matching at
+    least one query token.
+
+    Scale shape: the query-token dimension broadcasts into the postings
+    scan (a semi-filter — only matching postings survive), doc lengths
+    join on doc_id AFTER that filter, per-token df and the two corpus
+    scalars broadcast, and the score is one partial+final sum of exact
+    BIGINT terms."""
+    spark = documents.sparkSession
+    toks = dedup.tokens(documents)
+    postings = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    dft = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    stats = documents.agg(F.count(F.lit(1)).alias("n")).crossJoin(
+        toks.agg(F.count(F.lit(1)).alias("s"))
+    )
+    qt = (
+        spark.createDataFrame(list(queries), "qid int, qtext string")
+        .select("qid", F.explode(F.split("qtext", " ")).alias("tok"))
+        .distinct()
+    )
+    m = (
+        postings.join(F.broadcast(qt), "tok")
+        .join(dl, "doc_id")
+        .join(F.broadcast(dft), "tok")
+        .crossJoin(F.broadcast(stats))
+    )
+    return (
+        m.withColumn("term", F.expr(TERM_Q13_SQL))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.sum("term").alias("score_q13"),
+        )
+    )

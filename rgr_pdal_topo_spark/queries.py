@@ -5154,6 +5154,56 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rgr_pdal_topo_spark.operators import retrieval  # noqa: E402
+
+_BM25_QUERIES_DUCK = "(VALUES " + ", ".join(
+    f"({qid}, '{qtext}')" for qid, qtext in retrieval.BM25_QUERIES
+) + ") q(qid, qtext)"
+
+
+@query(
+    "bm25_scores",
+    _with(
+        "toks AS (SELECT doc_id, tok FROM (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS tok FROM documents) u "
+        "WHERE tok <> '')",
+        "postings AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf "
+        "FROM toks GROUP BY doc_id, tok)",
+        "dls AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks "
+        "GROUP BY doc_id)",
+        "dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM postings "
+        "GROUP BY tok)",
+        "st AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) "
+        "AS n, CAST((SELECT COUNT(*) FROM toks) AS BIGINT) AS s)",
+        "qt AS (SELECT DISTINCT qid, tok FROM (SELECT qid, "
+        f"unnest(string_split(qtext, ' ')) AS tok FROM {_BM25_QUERIES_DUCK}"
+        ") uq)",
+        "m AS (SELECT qt.qid, p.doc_id, p.tf, dls.dl, dft.df, st.n, st.s "
+        "FROM qt JOIN postings p ON p.tok = qt.tok JOIN dls ON "
+        "dls.doc_id = p.doc_id JOIN dft ON dft.tok = p.tok CROSS JOIN st)",
+    )
+    + "SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, "
+    f"CAST(SUM({retrieval.TERM_Q13_SQL}) AS BIGINT) AS score_q13 "
+    "FROM m GROUP BY qid, doc_id",
+)
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 ranked retrieval (operators/retrieval.py) — keyword
+    queries scored against every matching document: the search-engine
+    verb the webtext corpus was missing.  The idf log is the ONLY
+    transcendental and receives bit-identical integer-ratio inputs in
+    both engines before being pinned to the 1/256 grid; every other
+    factor is the exact integer pair 22*tf*S / (10*tf*S + 3*S + 9*dl*N)
+    (BM25 with k1=6/5, b=3/4 and all fractions cleared), so the
+    2^-13-quantized per-term scores are bit-equal and the final score
+    is an exact BIGINT sum — ranking needs no float tolerance at all.
+    Plan: broadcast query tokens into the postings scan, broadcast df +
+    corpus scalars, one partial+final (qid, doc) sum."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.bm25_scores(docs)
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #
@@ -5286,7 +5336,7 @@ DRIVER_WINDOW: list[str] = [
 # minhash_buckets, embedding_near_dups, pii_scrub + lang_mix_sample +
 # shingle_dup_stats + vocab_topk + knn_haversine + pages_pipeline +
 # pip_auto + line_dedup + pagerank_hosts + crawl_latest + hll_distinct +
-# views_asof + cms_heavy_hitters + quantile_sketch
+# views_asof + cms_heavy_hitters + quantile_sketch + bm25_scores
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.
