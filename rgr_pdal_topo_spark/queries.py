@@ -5204,6 +5204,61 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_scores(docs)
 
 
+# Manifest-NDV oracle: the merged per-file registers must equal a global
+# HLL fold over the source column — replayed here over DISTINCT doc_id
+# values hashed exactly as the engine hashes them (md5 of the integer's
+# string rendering).
+_NDV_TIDS_DUCK = (
+    f"SELECT {dedup.horner_hash_sql('h')} AS tid FROM (SELECT "
+    "md5(CAST(doc_id AS STRING)) AS h FROM (SELECT DISTINCT doc_id "
+    "FROM documents) d) hh"
+)
+
+
+@query(
+    "manifest_ndv",
+    _with(f"dt AS ({_NDV_TIDS_DUCK})", f"regs AS ({_HLL_REGS_DUCK})")
+    + "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dt) AS n_exact, "
+    "CAST(COUNT(*) AS BIGINT) AS n_regs_set, "
+    f"CAST(SUM((1::BIGINT << ({sketches.HLL_K} - rho))) + "
+    f"({sketches.HLL_M} - COUNT(*)) * (1::BIGINT << {sketches.HLL_K}) "
+    "AS BIGINT) AS harmonic_q, "
+    f"ROUND({sketches.HLL_EST_NUM!r} / CAST("
+    f"SUM((1::BIGINT << ({sketches.HLL_K} - rho))) + "
+    f"({sketches.HLL_M} - COUNT(*)) * (1::BIGINT << {sketches.HLL_K}) "
+    "AS DOUBLE), 4) AS est FROM regs",
+)
+def q_manifest_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Puffin-style NDV table statistics (sources/manifest.py
+    _build_ndv_sketches / ndv_estimate; Iceberg stores per-file theta
+    sketches in Puffin files for exactly this): documents are committed
+    across 8 files with an HLL-256 sketch of doc_id per file, and the
+    table's distinct count is then answered from the MANIFEST alone —
+    per-file registers merge by elementwise max (no data scan, no
+    double counting across files), the join-sizing statistic a
+    10^6-file catalog cannot afford to compute by scanning.  The oracle
+    replays a global HLL fold over the source column; merge-equals-fold
+    is the law that makes the per-file decomposition exact, so the
+    manifest-derived registers hash identically."""
+    from rgr_pdal_topo_spark.sources import manifest as man
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    root = _manifest_scratch("spark_graft_manifest_ndv")
+    docs = load_table(spark, sf_dir, "documents")
+    man.commit(docs, root, ["n_chars"], n_files=8, ndv_cols=["doc_id"])
+    est, merged = man.ndv_estimate(root, "doc_id")
+    mass = sum(
+        1 << (sketches.HLL_K - rho) for rho in merged.values()
+    ) + (sketches.HLL_M - len(merged)) * (1 << sketches.HLL_K)
+    n_exact = docs.agg(
+        F.count_distinct("doc_id").alias("n")
+    ).collect()[0]["n"]
+    return spark.createDataFrame(
+        [(int(n_exact), len(merged), int(mass), float(est))],
+        "n_exact long, n_regs_set long, harmonic_q long, est double",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #
@@ -5336,7 +5391,8 @@ DRIVER_WINDOW: list[str] = [
 # minhash_buckets, embedding_near_dups, pii_scrub + lang_mix_sample +
 # shingle_dup_stats + vocab_topk + knn_haversine + pages_pipeline +
 # pip_auto + line_dedup + pagerank_hosts + crawl_latest + hll_distinct +
-# views_asof + cms_heavy_hitters + quantile_sketch + bm25_scores
+# views_asof + cms_heavy_hitters + quantile_sketch + bm25_scores +
+# manifest_ndv
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.
