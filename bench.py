@@ -69,6 +69,7 @@ HEADLINE = [
     "hll_distinct",
     "views_asof",
     "bm25_scores",
+    "kwic_snippets",
 ]
 
 

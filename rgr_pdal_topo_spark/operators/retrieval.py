@@ -67,6 +67,53 @@ TERM_Q13_SQL = (
 )
 
 
+SNIPPET_RADIUS = 2  #: context tokens kept on each side of the first hit
+
+
+def kwic_snippets(
+    documents: DataFrame,
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+) -> DataFrame:
+    """(qid, doc_id, hit_pos, snippet) — the search-result snippet:
+    the earliest query-token hit in each matching document with
+    SNIPPET_RADIUS tokens of context each side (keyword-in-context).
+
+    All array built-ins, verified semantics-identical across engines:
+    array_position / list_position are both 1-based with 0 for absent,
+    and both slice spellings clamp past the array end.  The query-token
+    dimension broadcasts (<= a few rows); the hit scan is one
+    zero-shuffle projection per (doc, query token) and the snippet
+    slice joins back on doc_id only for documents that hit."""
+    spark = documents.sparkSession
+    d = documents.select("doc_id", dedup._tok_array().alias("toks"))
+    qt = (
+        spark.createDataFrame(list(queries), "qid int, qtext string")
+        .select("qid", F.explode(F.split("qtext", " ")).alias("tok"))
+        .distinct()
+    )
+    hits = (
+        d.crossJoin(F.broadcast(qt))
+        .select(
+            "qid", "doc_id",
+            F.array_position(F.col("toks"), F.col("tok")).alias("p"),
+        )
+        .filter(F.col("p") > 0)
+        .groupBy("qid", "doc_id")
+        .agg(F.min("p").alias("hit_pos"))
+    )
+    start = F.greatest(F.col("hit_pos") - F.lit(SNIPPET_RADIUS), F.lit(1))
+    length = F.col("hit_pos") + F.lit(SNIPPET_RADIUS) - start + F.lit(1)
+    return (
+        hits.join(d, "doc_id")
+        .select(
+            "qid", "doc_id", "hit_pos",
+            F.array_join(
+                F.slice(F.col("toks"), start, length), " "
+            ).alias("snippet"),
+        )
+    )
+
+
 def bm25_scores(
     documents: DataFrame,
     queries: tuple[tuple[int, str], ...] = BM25_QUERIES,

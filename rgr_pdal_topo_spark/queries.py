@@ -5204,6 +5204,36 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.bm25_scores(docs)
 
 
+@query(
+    "kwic_snippets",
+    _with(
+        f"d AS ({_DOCTOKS_DUCK})",
+        "qt AS (SELECT DISTINCT qid, tok FROM (SELECT qid, "
+        f"unnest(string_split(qtext, ' ')) AS tok FROM {_BM25_QUERIES_DUCK}"
+        ") uq)",
+        "hits AS (SELECT qid, doc_id, CAST(MIN(p) AS BIGINT) AS hit_pos "
+        "FROM (SELECT qt.qid, d.doc_id, list_position(d.toks, qt.tok) "
+        "AS p FROM d CROSS JOIN qt) hp WHERE p > 0 GROUP BY qid, doc_id)",
+    )
+    + "SELECT h.qid, h.doc_id, h.hit_pos, array_to_string("
+    "d.toks[GREATEST(h.hit_pos - 2, 1):h.hit_pos + 2], ' ') AS snippet "
+    "FROM hits h JOIN d ON d.doc_id = h.doc_id",
+)
+def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword-in-context snippet extraction (operators/retrieval.py
+    kwic_snippets) — the search-result snippet beside bm25_scores'
+    ranking: earliest query-token hit per matching document with 2
+    tokens of context each side.  Pure array built-ins with verified
+    cross-engine semantics (1-based positions, 0-for-absent, clamped
+    slices); the value hash covers the snippet STRING byte-for-byte.
+    Broadcast query dim, zero-shuffle hit scan, doc_id join only for
+    hitting docs."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.kwic_snippets(docs)
+
+
 # Manifest-NDV oracle: the merged per-file registers must equal a global
 # HLL fold over the source column — replayed here over DISTINCT doc_id
 # values hashed exactly as the engine hashes them (md5 of the integer's
@@ -5392,7 +5422,7 @@ DRIVER_WINDOW: list[str] = [
 # shingle_dup_stats + vocab_topk + knn_haversine + pages_pipeline +
 # pip_auto + line_dedup + pagerank_hosts + crawl_latest + hll_distinct +
 # views_asof + cms_heavy_hitters + quantile_sketch + bm25_scores +
-# manifest_ndv
+# manifest_ndv + kwic_snippets
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

@@ -95,3 +95,33 @@ def test_bm25_idf_orders_rarity(spark):
     }
     # doc 0 contains both; rare must contribute more there
     assert out[(0, 0)] > out[(1, 0)]
+
+
+def test_kwic_planted_snippets(spark):
+    docs = [
+        (0, "a b TARGET c d e"),        # interior hit: full 5-window
+        (1, "TARGET x y"),              # hit at pos 1: left-clamped
+        (2, "p q r s TARGET"),          # hit at end: right-clamped
+        (3, "nothing here"),            # no hit: absent from output
+        (4, "u TARGET v TARGET w"),     # earliest hit wins
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["hit_pos"], r["snippet"])
+        for r in retrieval.kwic_snippets(df, ((0, "TARGET"),)).collect()
+    }
+    assert got == {
+        0: (3, "a b TARGET c d"),
+        1: (1, "TARGET x y"),
+        2: (5, "r s TARGET"),
+        4: (2, "u TARGET v TARGET"),
+    }
+
+
+def test_kwic_earliest_across_query_tokens(spark):
+    df = spark.createDataFrame(
+        [(0, "x beta y alpha z")], "doc_id long, text string"
+    )
+    got = retrieval.kwic_snippets(df, ((0, "alpha beta"),)).collect()
+    assert got[0]["hit_pos"] == 2  # beta at 2 beats alpha at 4
+    assert got[0]["snippet"] == "x beta y alpha"
