@@ -396,3 +396,36 @@ def test_asof_join_single_shuffle_no_join(spark):
 
     hashparts = re.findall(r"Exchange hashpartitioning\(url", plan)
     assert len(hashparts) == 1
+
+
+def test_bm25_broadcasts_every_dimension(spark):
+    from rgr_pdal_topo_spark.operators import retrieval
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(retrieval.bm25_scores(docs))
+    # query tokens, df, and the corpus scalars all broadcast; the only
+    # sort-merge joins allowed are fact-side (postings x doc lengths)
+    assert plan.count("BroadcastHashJoin") >= 2
+    # the 1-row corpus-scalar cross join broadcasts; never a cartesian
+    assert "CartesianProduct" not in plan
+    # final score agg is partial+final
+    assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_quantile_sketch_windows_over_buckets_only(spark):
+    from rgr_pdal_topo_spark.operators import sketches
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents").select("n_chars")
+    plan = _plan(
+        sketches.quantile_sketch_summary(docs, "n_chars", [500, 990])
+    )
+    # every Window sits downstream of a HashAggregate (the bucket fold):
+    # the cumulative sum never sees raw rows
+    import re
+
+    first_win = plan.find("Window")
+    first_agg = plan.find("HashAggregate")
+    assert first_win != -1 and first_agg != -1
+    assert plan.count("HashAggregate") >= 4  # two folds, partial+final
