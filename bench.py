@@ -70,6 +70,10 @@ HEADLINE = [
     "views_asof",
     "bm25_scores",
     "kwic_snippets",
+    # r5 continuation — own series (dedup_keep and hll_overlap are absent
+    # for the eager-builder reason: connected components and the sketch
+    # register folds localCheckpoint inside the builder)
+    "anchor_text",
 ]
 
 

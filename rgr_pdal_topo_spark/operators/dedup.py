@@ -914,3 +914,45 @@ def line_dedup(
             "\n",
         ).alias("clean_text"),
     )
+
+
+def survivor_stats(
+    docs: DataFrame, components: DataFrame, group_col: str = "lang"
+) -> DataFrame:
+    """Per-``group_col`` corpus effect of the dedup pass: (group, n_docs,
+    n_kept, n_dropped, chars_total, chars_kept) — all exact BIGINTs.
+
+    The end-product every dedup pipeline actually ships is the KEEP list
+    (cluster canonical = MIN doc_id survives, other members drop) plus
+    the before/after accounting that goes in the datasheet.  ``docs``
+    contributes only (doc_id, group, n_chars) — bodies never enter the
+    join — and the drop flag arrives by a narrow left join on doc_id, so
+    the plan is one slim shuffle join + one partial/final agg no matter
+    how large the corpus.  Docs in no component are kept by definition
+    (duplicate_components emits members only)."""
+    drops = components.filter(F.col("doc_id") != F.col("cluster")).select(
+        "doc_id", F.lit(1).alias("is_dropped")
+    )
+    slim = docs.select("doc_id", group_col, "n_chars")
+    flagged = slim.join(drops, "doc_id", "left")
+    dropped = F.coalesce(F.col("is_dropped"), F.lit(0)).cast("long")
+    return (
+        flagged.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(dropped).alias("n_dropped"),
+            F.sum("n_chars").alias("chars_total"),
+            F.sum(
+                F.when(F.col("is_dropped").isNull(), F.col("n_chars"))
+                .otherwise(F.lit(0))
+            ).alias("chars_kept"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            (F.col("n_docs") - F.col("n_dropped")).alias("n_kept"),
+            "n_dropped",
+            "chars_total",
+            "chars_kept",
+        )
+    )

@@ -124,3 +124,56 @@ def pagerank_int(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             (base + F.coalesce(F.col("m"), F.lit(0))).alias("q"),
         )
     return r.select("host", F.col("q").alias("rank_q"))
+
+
+def extract_anchor_pairs(pages: DataFrame) -> DataFrame:
+    """(host, anchor) — one row per hyperlink: destination host + the
+    anchor TEXT of the link.  Anchor text is how the web describes a
+    page better than the page describes itself; aggregated per target it
+    is the "anchors" field every web-scale index builds (and a
+    query↔document training signal).  The webtext twin of the
+    reference's per-node attribute gather (networkGraph.py upstream
+    attribute joins): attributes flow along edges to the node they
+    describe.
+
+    Scale shape: one page scan -> regexp_extract_all(group 0) ->
+    explode -> two per-element captures — zero Python, zero shuffle;
+    the match list is bounded by links-per-page.  Group-0-then-recapture
+    keeps ONE regex text shared with the DuckDB oracle (Spark's
+    regexp_extract_all returns a single group, so zipping two aligned
+    group-1/group-2 extractions would be the only alternative)."""
+    from rgr_pdal_topo_spark.operators.pages import ANCHOR_RE
+
+    page = F.decode(F.col("html"), "UTF-8")
+    m = pages.select(
+        F.explode(F.regexp_extract_all(page, F.lit(ANCHOR_RE), 0)).alias(
+            "mt"
+        )
+    )
+    return m.select(
+        F.regexp_extract("mt", ANCHOR_RE, 1).cast("long").alias("host"),
+        F.regexp_extract("mt", ANCHOR_RE, 2).alias("anchor"),
+    )
+
+
+def top_anchors(pairs: DataFrame, k: int = 3) -> DataFrame:
+    """(host, anchor, n, rnk) — the k most frequent anchor texts per
+    destination host, ties broken by anchor string ascending so the cut
+    is deterministic in both engines.
+
+    The ranking window runs over the AGGREGATED (host, anchor) table —
+    bounded by hosts x vocab, never the raw link stream — the same
+    "window the rollup, not the data" discipline as vocab_topk and the
+    hex k-ring join."""
+    from pyspark.sql import Window
+
+    agg = pairs.groupBy("host", "anchor").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("host").orderBy(
+        F.col("n").desc(), F.col("anchor").asc()
+    )
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )

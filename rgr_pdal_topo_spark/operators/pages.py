@@ -117,18 +117,29 @@ def geo_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at least one inbound link class.
 DST1_SQL = "CAST((doc_id * doc_id + 7) % 500 AS BIGINT)"
 DST2_SQL = "CAST((doc_id * 17 + 3) % 500 AS BIGINT)"
+# anchor TEXT varies per linking page so anchor-text aggregation (the
+# "anchors" field of a web index) is non-vacuous: anchor 1 draws from the
+# quadratic-residue-skewed 7-token vocab (doc_id^2 % 7 hits only {0,1,2,4}
+# — some tokens are structurally 2x more common), anchor 2 cycles a 5-token
+# vocab uniformly.  Integer -> string keeps page bytes engine-identical.
+ANCHOR1_SQL = "'w' || CAST((doc_id * doc_id + 1) % 7 AS STRING)"
+ANCHOR2_SQL = "'w' || CAST((doc_id * 3 + 1) % 5 AS STRING)"
 LINKED_HTML_SQL = (
     "'<html><head><title>doc-' || CAST(doc_id AS STRING) || "
     "'</title></head><body><p>' || "
     f"{_ESCAPED_TEXT_SQL} || '</p>"
     '<a href="https://site\' || '
-    f"CAST({DST1_SQL} AS STRING) || '.example/\">r1</a>"
+    f"CAST({DST1_SQL} AS STRING) || '.example/\">' || {ANCHOR1_SQL} || "
+    "'</a>"
     '<a href="https://site\' || '
-    f"CAST({DST2_SQL} AS STRING) || '.example/\">r2</a></body></html>'"
+    f"CAST({DST2_SQL} AS STRING) || '.example/\">' || {ANCHOR2_SQL} || "
+    "'</a></body></html>'"
 )
 #: host captures — no backslash escapes, portable across regex dialects
 HOST_RE = "site([0-9]+)[.]example"
 LINK_RE = 'href="https://site([0-9]+)[.]example'
+#: full-anchor capture: group 1 = destination host, group 2 = anchor text
+ANCHOR_RE = 'href="https://site([0-9]+)[.]example/">(w[0-9]+)</a>'
 
 
 def linked_pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:

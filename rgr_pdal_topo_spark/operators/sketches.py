@@ -283,3 +283,73 @@ def shingle_tid_stream(documents: DataFrame, k: int = dedup.SHINGLE_K) -> DataFr
         dedup.shingles(documents, k)
         .select(dedup._portable_id(F.md5("shingle")).alias("tid"))
     )
+
+
+def hll_overlap_summary(
+    ids_a: DataFrame, ids_b: DataFrame, id_col: str = "tid"
+) -> DataFrame:
+    """One-row overlap estimate between two id streams via
+    inclusion-exclusion over MERGED sketches: est(A ∩ B) =
+    est(A) + est(B) - est(A ∪ B), where the union sketch is the
+    elementwise register max (hll_merge) — no rescan of either side.
+
+    This is the 100 TB pre-dedup planning question in one cheap pass:
+    "how much of crawl B is already in crawl A" decides whether the
+    cross-crawl near-dup join is worth scheduling at all, and the union
+    sketch comes from the two crawls' already-persisted per-snapshot
+    registers (manifest NDV tier) rather than any data scan.  The three
+    exact columns (the verification surface) each pay the full distinct
+    shuffle the sketch avoids.
+
+    Float discipline: the three harmonic masses are exact BIGINTs; the
+    estimate is three correctly-rounded divisions of those integers into
+    the ONE shared literal, summed in a fixed spelled order — bit-stable
+    across engines, ROUND(,4) guards it anyway."""
+    ra = hll_fold(ids_a, id_col).localCheckpoint(eager=True)
+    rb = hll_fold(ids_b, id_col).localCheckpoint(eager=True)
+    ru = hll_merge(ra, rb)
+
+    def harmonic(regs: DataFrame, out: str) -> DataFrame:
+        m = regs.agg(
+            F.count(F.lit(1)).alias("ns"),
+            F.sum(
+                F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_K} - rho)")
+            ).alias("sm"),
+        )
+        return m.select(
+            (
+                F.col("sm")
+                + (F.lit(HLL_M).cast("long") - F.col("ns"))
+                * F.lit(1 << HLL_K).cast("long")
+            ).alias(out)
+        )
+
+    sa = ids_a.select(F.col(id_col).alias("tid")).distinct()
+    sb = ids_b.select(F.col(id_col).alias("tid")).distinct()
+    exact = (
+        sa.agg(F.count(F.lit(1)).alias("n_exact_a"))
+        .crossJoin(sb.agg(F.count(F.lit(1)).alias("n_exact_b")))
+        .crossJoin(
+            sa.join(sb, "tid").agg(F.count(F.lit(1)).alias("n_exact_inter"))
+        )
+    )
+    num = F.lit(HLL_EST_NUM)
+    return (
+        exact.crossJoin(harmonic(ra, "harmonic_a"))
+        .crossJoin(harmonic(rb, "harmonic_b"))
+        .crossJoin(harmonic(ru, "harmonic_u"))
+        .select(
+            "n_exact_a",
+            "n_exact_b",
+            "n_exact_inter",
+            "harmonic_a",
+            "harmonic_b",
+            "harmonic_u",
+            F.round(
+                num / F.col("harmonic_a").cast("double")
+                + num / F.col("harmonic_b").cast("double")
+                - num / F.col("harmonic_u").cast("double"),
+                4,
+            ).alias("est_inter"),
+        )
+    )

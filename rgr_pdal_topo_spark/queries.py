@@ -5289,6 +5289,160 @@ def q_manifest_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "anchor_text",
+    _with(
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        "am AS (SELECT u.mt FROM (SELECT regexp_extract_all(page, "
+        f"'{pagesops.ANCHOR_RE}', 0) AS ms FROM lp) t, "
+        "LATERAL (SELECT unnest(t.ms) AS mt) u)",
+        "pr AS (SELECT CAST(regexp_extract(mt, "
+        f"'{pagesops.ANCHOR_RE}', 1) AS BIGINT) AS host, "
+        f"regexp_extract(mt, '{pagesops.ANCHOR_RE}', 2) AS anchor FROM am)",
+        "agg AS (SELECT host, anchor, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM pr GROUP BY host, anchor)",
+        "rk AS (SELECT host, anchor, n, CAST(ROW_NUMBER() OVER ("
+        "PARTITION BY host ORDER BY n DESC, anchor) AS BIGINT) AS rnk "
+        "FROM agg)",
+    )
+    + "SELECT host, anchor, n, rnk FROM rk WHERE rnk <= 3",
+)
+def q_anchor_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-text aggregation (operators/linkgraph.py
+    extract_anchor_pairs/top_anchors): every hyperlink's anchor TEXT
+    grouped by DESTINATION host, top-3 per host — the "anchors" field a
+    web-scale index stores beside the page (anchor text describes the
+    target better than the target does; it is also a classic
+    query-document training signal).  The webtext twin of the
+    reference's upstream attribute gather (networkGraph.py:
+    attributes flowing along edges to the node they describe).
+
+    All counts integer, the tie broken by anchor string — exact in both
+    engines; the ranking window runs over the bounded (host, anchor)
+    rollup, never the raw link stream."""
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    return linkgraph.top_anchors(linkgraph.extract_anchor_pairs(pages))
+
+
+@query(
+    "dedup_keep",
+    "WITH RECURSIVE "
+    + _MINHASH_CTES[len("WITH "):].rstrip()
+    + ", "
+    + _VERIFIED_PAIRS_SQL
+    + ", sym AS (SELECT doc_a AS x, doc_b AS y FROM verified "
+    "UNION ALL SELECT doc_b, doc_a FROM verified), "
+    "reach(x, y) AS (SELECT x, y FROM sym "
+    "UNION SELECT r.x, s.y FROM reach r JOIN sym s ON s.x = r.y), "
+    "comp AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster "
+    "FROM reach GROUP BY x), "
+    "drops AS (SELECT doc_id FROM comp WHERE cluster <> doc_id) "
+    "SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(COUNT(*) - COUNT(dr.doc_id) AS BIGINT) AS n_kept, "
+    "CAST(COUNT(dr.doc_id) AS BIGINT) AS n_dropped, "
+    "CAST(SUM(d.n_chars) AS BIGINT) AS chars_total, "
+    "CAST(SUM(CASE WHEN dr.doc_id IS NULL THEN d.n_chars ELSE 0 END) "
+    "AS BIGINT) AS chars_kept "
+    "FROM documents d LEFT JOIN drops dr ON dr.doc_id = d.doc_id "
+    "GROUP BY d.lang",
+)
+def q_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's actual deliverable: the KEEP decision and
+    the before/after datasheet accounting (operators/dedup.py
+    survivor_stats).  Shingles -> MinHash -> capped LSH candidates ->
+    exact Jaccard >= 0.5 -> connected components -> cluster canonical
+    (MIN doc_id) survives, other members drop — then per-language doc
+    and character counts before/after, the numbers a corpus release
+    publishes.  Oracle = dedup_clusters' recursive-CTE closure plus a
+    LEFT JOIN replay of the keep rule; every output is an exact BIGINT.
+
+    Scale shape: the drop list joins on (doc_id) only — bodies never
+    shuffle — and the final agg is one partial+final groupBy(lang); at
+    100 TB the drop list is a fraction of the corpus and this is the
+    same slim anti-join discipline as exact_dedup."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = dedup.shingle_ids(docs).localCheckpoint(eager=True)
+    sig = dedup.minhash_signatures(dt)
+    cand = dedup.minhash_candidate_pairs(sig)
+    jc = dedup.jaccard_pairs(dt, cand)
+    verified = jc.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    comp = dedup.duplicate_components(verified)
+    return dedup.survivor_stats(docs, comp, "lang")
+
+
+def _hll_regs_over(src: str) -> str:
+    """HLL register fold replay over any (tid) CTE — the parametric twin
+    of _HLL_REGS_DUCK (which reads the fixed ``dt``)."""
+    return (
+        f"SELECT tid % {sketches.HLL_M} AS reg, "
+        f"MAX(CASE WHEN tid // {sketches.HLL_M} = 0 THEN {sketches.HLL_K} "
+        f"ELSE {sketches.HLL_K} - LENGTH(bin(tid // {sketches.HLL_M})) END) "
+        f"AS rho FROM {src} GROUP BY tid % {sketches.HLL_M}"
+    )
+
+
+def _hll_harmonic_duck(src: str) -> str:
+    """Exact-BIGINT harmonic mass of a register CTE (empty registers
+    contribute 2^53 arithmetically)."""
+    return (
+        f"SELECT CAST(SUM((1::BIGINT << ({sketches.HLL_K} - rho))) + "
+        f"({sketches.HLL_M} - COUNT(*)) * (1::BIGINT << {sketches.HLL_K}) "
+        f"AS BIGINT) AS h FROM {src}"
+    )
+
+
+@query(
+    "hll_overlap",
+    _with(
+        f"d AS ({_DOCTOKS_DUCK})",
+        f"sh AS ({_SHINGLES_DUCK})",
+        f"dt AS MATERIALIZED ({_SHID_DUCK})",
+        "ta AS MATERIALIZED (SELECT DISTINCT tid FROM dt "
+        "WHERE doc_id % 2 = 0)",
+        "tb AS MATERIALIZED (SELECT DISTINCT tid FROM dt "
+        "WHERE doc_id % 2 = 1)",
+        f"ra AS ({_hll_regs_over('ta')})",
+        f"rb AS ({_hll_regs_over('tb')})",
+        "ru AS (SELECT reg, MAX(rho) AS rho FROM (SELECT * FROM ra "
+        "UNION ALL SELECT * FROM rb) u GROUP BY reg)",
+        f"ma AS ({_hll_harmonic_duck('ra')})",
+        f"mb AS ({_hll_harmonic_duck('rb')})",
+        f"mu AS ({_hll_harmonic_duck('ru')})",
+    )
+    + "SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ta) AS n_exact_a, "
+    "(SELECT CAST(COUNT(*) AS BIGINT) FROM tb) AS n_exact_b, "
+    "(SELECT CAST(COUNT(*) AS BIGINT) FROM ta JOIN tb USING (tid)) "
+    "AS n_exact_inter, "
+    "ma.h AS harmonic_a, mb.h AS harmonic_b, mu.h AS harmonic_u, "
+    f"ROUND({sketches.HLL_EST_NUM!r} / CAST(ma.h AS DOUBLE) + "
+    f"{sketches.HLL_EST_NUM!r} / CAST(mb.h AS DOUBLE) - "
+    f"{sketches.HLL_EST_NUM!r} / CAST(mu.h AS DOUBLE), 4) AS est_inter "
+    "FROM ma, mb, mu",
+)
+def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-crawl overlap estimation by HLL inclusion-exclusion
+    (operators/sketches.py hll_overlap_summary): the corpus split into
+    two "crawl segments" (even / odd doc_id), each segment's distinct
+    shingle set sketched independently, the union sketch formed by the
+    MERGE LAW (elementwise register max — no rescan), and
+    |A ∩ B| estimated as est(A) + est(B) - est(A ∪ B).  This is the
+    pre-dedup planning pass at 100 TB: "how much of the new crawl is
+    already in the old one" from two manifest-resident sketches, before
+    committing to the cross-crawl near-dup join.  The three harmonic
+    masses are exact BIGINTs (the hashed verification surface); the
+    single float is three identical correctly-rounded divisions summed
+    in one spelled order, ROUND(,4)-guarded."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sketches.hll_overlap_summary(
+        sketches.shingle_tid_stream(docs.filter("doc_id % 2 = 0")),
+        sketches.shingle_tid_stream(docs.filter("doc_id % 2 = 1")),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -471,3 +471,32 @@ def test_line_dedup_planted_boilerplate(spark):
     assert got[3] == (3, 2, 0, "gamma opening\n" + promo)
     # a document that was pure boilerplate is present and empty
     assert got[4] == (1, 0, 0, "")
+
+
+def test_survivor_stats_planted_keep_rule(spark):
+    """Cluster canonical (MIN doc_id) survives; docs outside any
+    component are kept; character accounting is exact."""
+    docs = spark.createDataFrame(
+        [
+            (0, "en", 10),
+            (1, "en", 20),   # cluster {1,2,3} -> keep 1, drop 2 and 3
+            (2, "en", 30),
+            (3, "de", 40),
+            (4, "de", 50),
+        ],
+        "doc_id long, lang string, n_chars long",
+    )
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster long"
+    )
+    got = {
+        r["lang"]: (
+            r["n_docs"], r["n_kept"], r["n_dropped"],
+            r["chars_total"], r["chars_kept"],
+        )
+        for r in dedup.survivor_stats(docs, comp).collect()
+    }
+    assert got == {
+        "en": (3, 2, 1, 60, 30),   # doc 2 dropped (30 chars)
+        "de": (2, 1, 1, 90, 50),   # doc 3 dropped (40 chars)
+    }

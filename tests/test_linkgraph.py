@@ -74,3 +74,46 @@ def test_pagerank_sf0001_is_skewed(spark):
     assert len(vals) == 500
     assert len(set(vals)) > 10
     assert max(vals) > 5 * min(vals)
+
+
+def test_anchor_pairs_planted_html(spark):
+    """Extraction pins: (host, anchor) per link, non-anchor hrefs and
+    malformed anchors ignored."""
+    html = (
+        '<html><body><a href="https://site7.example/">w3</a>'
+        '<a href="https://site42.example/">w0</a>'
+        '<a href="https://other.example/">w9</a>'          # host regex miss
+        '<a href="https://site9.example/">plain</a>'       # anchor not w[0-9]+
+        "</body></html>"
+    )
+    df = spark.createDataFrame(
+        [("https://site1.example/p/1", html.encode("utf-8"))],
+        "url string, html binary",
+    )
+    got = sorted(
+        (r["host"], r["anchor"])
+        for r in lg.extract_anchor_pairs(df).collect()
+    )
+    assert got == [(7, "w3"), (42, "w0")]
+
+
+def test_top_anchors_rank_and_tiebreak(spark):
+    """rnk orders by count DESC then anchor ASC; the k-cut is exact."""
+    pairs = spark.createDataFrame(
+        [(1, "w2")] * 3 + [(1, "w0")] * 2 + [(1, "w1")] * 2 + [(1, "w9")]
+        + [(2, "w5")],
+        "host long, anchor string",
+    )
+    got = [
+        (r["host"], r["anchor"], r["n"], r["rnk"])
+        for r in lg.top_anchors(pairs, k=3)
+        .orderBy("host", "rnk")
+        .collect()
+    ]
+    # host 1: w2 (3), then the n=2 tie breaks w0 < w1; w9 falls off
+    assert got == [
+        (1, "w2", 3, 1),
+        (1, "w0", 2, 2),
+        (1, "w1", 2, 3),
+        (2, "w5", 1, 1),
+    ]

@@ -429,3 +429,15 @@ def test_quantile_sketch_windows_over_buckets_only(spark):
     first_agg = plan.find("HashAggregate")
     assert first_win != -1 and first_agg != -1
     assert plan.count("HashAggregate") >= 4  # two folds, partial+final
+
+
+def test_anchor_topk_uses_window_group_limit(spark):
+    """The per-host top-k must push the k-cut below the shuffle (Spark's
+    WindowGroupLimit: <= k rows per host per partition move), and the
+    link-count agg must combine map-side."""
+    from rgr_pdal_topo_spark.operators import linkgraph, pages
+
+    lp = pages.linked_pages_df(spark, SF_DIR)
+    plan = _plan(linkgraph.top_anchors(linkgraph.extract_anchor_pairs(lp)))
+    assert plan.count("WindowGroupLimit") == 2      # Partial + Final
+    assert "partial_count" in plan

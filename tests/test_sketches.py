@@ -218,3 +218,41 @@ def test_hist_fold_merges_by_add(spark):
     assert {tuple(r) for r in merged.collect()} == {
         tuple(r) for r in direct.collect()
     }
+
+
+def test_hll_overlap_planted_inclusion_exclusion(spark):
+    """Exact columns pin set sizes; harmonic_u obeys the merge law
+    (registers of the union stream) and est_inter is exactly
+    NUM/ha + NUM/hb - NUM/hu rounded to 4 — replayed in python."""
+    # HLL needs hash-distributed ids (sequential ints pile all mass into
+    # the low registers) — plant through the same portable md5 path the
+    # corpus uses
+    from rgr_pdal_topo_spark.operators import dedup
+
+    def hids(lo, hi):
+        return spark.range(lo, hi).select(
+            dedup._portable_id(
+                F.md5(F.col("id").cast("string"))
+            ).alias("tid")
+        )
+
+    a = hids(0, 600)                        # A = [0, 600)
+    b = hids(400, 1000)                     # B = [400, 1000), inter = 200
+    row = sketches.hll_overlap_summary(a, b).collect()[0]
+    assert (row["n_exact_a"], row["n_exact_b"], row["n_exact_inter"]) == (
+        600, 600, 200,
+    )
+    # merge law: union harmonic == harmonic of the concatenated stream
+    u = hids(0, 600).unionAll(hids(400, 1000))
+    su = sketches.hll_summary(u).collect()[0]
+    assert row["harmonic_u"] == su["harmonic_q"]
+    est = round(
+        sketches.HLL_EST_NUM / row["harmonic_a"]
+        + sketches.HLL_EST_NUM / row["harmonic_b"]
+        - sketches.HLL_EST_NUM / row["harmonic_u"],
+        4,
+    )
+    assert row["est_inter"] == est
+    # the estimate is within the inclusion-exclusion error envelope:
+    # 3 sketches x 6.5% stderr on ~600-1000 cardinalities
+    assert abs(row["est_inter"] - 200) < 200
