@@ -74,6 +74,7 @@ HEADLINE = [
     # for the eager-builder reason: connected components and the sketch
     # register folds localCheckpoint inside the builder)
     "anchor_text",
+    "search_results",
 ]
 
 

@@ -155,3 +155,41 @@ def bm25_scores(
             F.sum("term").alias("score_q13"),
         )
     )
+
+
+SEARCH_TOP_K = 5  #: results per query on the composed search page
+
+
+def search_results(
+    documents: DataFrame,
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+    k: int = SEARCH_TOP_K,
+) -> DataFrame:
+    """(qid, doc_id, rnk, score_q13, hit_pos, snippet) — the search
+    PAGE composed end to end: BM25 scores -> top-k per query (ties
+    broken by doc_id so the cut is engine-exact) -> keyword-in-context
+    snippet for each surviving result.
+
+    Every scored document has a snippet by construction (a nonzero
+    score requires a query-token posting, and the snippet hit scan
+    tests the same token set), so the final join is total and INNER.
+
+    Scale shape: the top-k window runs over the already-aggregated
+    (qid, doc) score table and Spark pushes the k-cut below its shuffle
+    (WindowGroupLimit — <= k rows per qid per partition move); the
+    snippet join then touches only q x k rows of the corpus."""
+    from pyspark.sql import Window
+
+    scores = bm25_scores(documents, queries)
+    w = Window.partitionBy("qid").orderBy(
+        F.col("score_q13").desc(), F.col("doc_id").asc()
+    )
+    top = (
+        scores.select("qid", "doc_id", "score_q13")
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+    )
+    sn = kwic_snippets(documents, queries)
+    return top.join(sn, ["qid", "doc_id"]).select(
+        "qid", "doc_id", "rnk", "score_q13", "hit_pos", "snippet"
+    )

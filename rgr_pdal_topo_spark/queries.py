@@ -5161,27 +5161,44 @@ _BM25_QUERIES_DUCK = "(VALUES " + ", ".join(
 ) + ") q(qid, qtext)"
 
 
+# BM25 / KWIC oracle fragments — ONE definition shared by the solo
+# queries and the composed search_results page so semantics cannot drift
+_BM25_QT_CTE = (
+    "qt AS (SELECT DISTINCT qid, tok FROM (SELECT qid, "
+    f"unnest(string_split(qtext, ' ')) AS tok FROM {_BM25_QUERIES_DUCK}"
+    ") uq)"
+)
+_BM25_CORE_CTES = (
+    "toks AS (SELECT doc_id, tok FROM (SELECT doc_id, "
+    "unnest(string_split(text, ' ')) AS tok FROM documents) u "
+    "WHERE tok <> '')",
+    "postings AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf "
+    "FROM toks GROUP BY doc_id, tok)",
+    "dls AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks "
+    "GROUP BY doc_id)",
+    "dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM postings "
+    "GROUP BY tok)",
+    "st AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) "
+    "AS n, CAST((SELECT COUNT(*) FROM toks) AS BIGINT) AS s)",
+    _BM25_QT_CTE,
+    "m AS (SELECT qt.qid, p.doc_id, p.tf, dls.dl, dft.df, st.n, st.s "
+    "FROM qt JOIN postings p ON p.tok = qt.tok JOIN dls ON "
+    "dls.doc_id = p.doc_id JOIN dft ON dft.tok = p.tok CROSS JOIN st)",
+)
+_KWIC_HITS_CTE = (
+    "hits AS (SELECT qid, doc_id, CAST(MIN(p) AS BIGINT) AS hit_pos "
+    "FROM (SELECT qt.qid, d.doc_id, list_position(d.toks, qt.tok) "
+    "AS p FROM d CROSS JOIN qt) hp WHERE p > 0 GROUP BY qid, doc_id)"
+)
+_KWIC_SNIPPET_SQL = (
+    "array_to_string("
+    "d.toks[GREATEST(h.hit_pos - 2, 1):h.hit_pos + 2], ' ')"
+)
+
+
 @query(
     "bm25_scores",
-    _with(
-        "toks AS (SELECT doc_id, tok FROM (SELECT doc_id, "
-        "unnest(string_split(text, ' ')) AS tok FROM documents) u "
-        "WHERE tok <> '')",
-        "postings AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf "
-        "FROM toks GROUP BY doc_id, tok)",
-        "dls AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM toks "
-        "GROUP BY doc_id)",
-        "dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM postings "
-        "GROUP BY tok)",
-        "st AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) "
-        "AS n, CAST((SELECT COUNT(*) FROM toks) AS BIGINT) AS s)",
-        "qt AS (SELECT DISTINCT qid, tok FROM (SELECT qid, "
-        f"unnest(string_split(qtext, ' ')) AS tok FROM {_BM25_QUERIES_DUCK}"
-        ") uq)",
-        "m AS (SELECT qt.qid, p.doc_id, p.tf, dls.dl, dft.df, st.n, st.s "
-        "FROM qt JOIN postings p ON p.tok = qt.tok JOIN dls ON "
-        "dls.doc_id = p.doc_id JOIN dft ON dft.tok = p.tok CROSS JOIN st)",
-    )
+    _with(*_BM25_CORE_CTES)
     + "SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, "
     f"CAST(SUM({retrieval.TERM_Q13_SQL}) AS BIGINT) AS score_q13 "
     "FROM m GROUP BY qid, doc_id",
@@ -5208,15 +5225,11 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     "kwic_snippets",
     _with(
         f"d AS ({_DOCTOKS_DUCK})",
-        "qt AS (SELECT DISTINCT qid, tok FROM (SELECT qid, "
-        f"unnest(string_split(qtext, ' ')) AS tok FROM {_BM25_QUERIES_DUCK}"
-        ") uq)",
-        "hits AS (SELECT qid, doc_id, CAST(MIN(p) AS BIGINT) AS hit_pos "
-        "FROM (SELECT qt.qid, d.doc_id, list_position(d.toks, qt.tok) "
-        "AS p FROM d CROSS JOIN qt) hp WHERE p > 0 GROUP BY qid, doc_id)",
+        _BM25_QT_CTE,
+        _KWIC_HITS_CTE,
     )
-    + "SELECT h.qid, h.doc_id, h.hit_pos, array_to_string("
-    "d.toks[GREATEST(h.hit_pos - 2, 1):h.hit_pos + 2], ' ') AS snippet "
+    + "SELECT h.qid, h.doc_id, h.hit_pos, "
+    f"{_KWIC_SNIPPET_SQL} AS snippet "
     "FROM hits h JOIN d ON d.doc_id = h.doc_id",
 )
 def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5232,6 +5245,45 @@ def q_kwic_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return retrieval.kwic_snippets(docs)
+
+
+@query(
+    "search_results",
+    _with(
+        *_BM25_CORE_CTES,
+        "sc AS (SELECT qid, doc_id, "
+        f"CAST(SUM({retrieval.TERM_Q13_SQL}) AS BIGINT) AS score_q13 "
+        "FROM m GROUP BY qid, doc_id)",
+        "topd AS (SELECT qid, doc_id, score_q13, CAST(ROW_NUMBER() OVER ("
+        "PARTITION BY qid ORDER BY score_q13 DESC, doc_id) AS BIGINT) "
+        "AS rnk FROM sc)",
+        f"d AS ({_DOCTOKS_DUCK})",
+        _KWIC_HITS_CTE,
+    )
+    + "SELECT t.qid, t.doc_id, t.rnk, t.score_q13, h.hit_pos, "
+    f"{_KWIC_SNIPPET_SQL} AS snippet "
+    "FROM topd t JOIN hits h ON h.qid = t.qid AND h.doc_id = t.doc_id "
+    "JOIN d ON d.doc_id = t.doc_id "
+    f"WHERE t.rnk <= {retrieval.SEARCH_TOP_K}",
+)
+def q_search_results(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The search PAGE composed end to end (operators/retrieval.py
+    search_results): BM25 scoring -> top-5 per query (score DESC,
+    doc_id tiebreak — the cut is engine-exact because scores are exact
+    BIGINTs) -> keyword-in-context snippet for each surviving result.
+    The fourth composed flagship beside terrain_pipeline,
+    corpus_pipeline and pages_pipeline: retrieval's solo stages chained
+    in ONE plan, oracle built from the SAME shared CTE fragments as the
+    solo bm25_scores / kwic_snippets oracles so composed and solo
+    semantics cannot drift.
+
+    Scale shape: the top-k window runs over the aggregated (qid, doc)
+    score table with Spark's WindowGroupLimit pushing the k-cut below
+    the shuffle; the snippet join then touches q x k rows only."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.search_results(docs)
 
 
 # Manifest-NDV oracle: the merged per-file registers must equal a global

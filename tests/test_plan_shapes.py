@@ -441,3 +441,17 @@ def test_anchor_topk_uses_window_group_limit(spark):
     plan = _plan(linkgraph.top_anchors(linkgraph.extract_anchor_pairs(lp)))
     assert plan.count("WindowGroupLimit") == 2      # Partial + Final
     assert "partial_count" in plan
+
+
+def test_search_results_pushes_topk_below_shuffle(spark):
+    from rgr_pdal_topo_spark.operators import retrieval
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(retrieval.search_results(docs))
+    # top-k via WindowGroupLimit (Partial + Final): <= k score rows per
+    # qid per partition reach the ranking shuffle
+    assert plan.count("WindowGroupLimit") == 2
+    # query tokens / df / corpus scalars broadcast, like solo bm25
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan

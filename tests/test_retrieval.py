@@ -125,3 +125,45 @@ def test_kwic_earliest_across_query_tokens(spark):
     got = retrieval.kwic_snippets(df, ((0, "alpha beta"),)).collect()
     assert got[0]["hit_pos"] == 2  # beta at 2 beats alpha at 4
     assert got[0]["snippet"] == "x beta y alpha"
+
+
+def test_search_results_topk_and_snippet_join(spark):
+    """The composed page: rnk is the exact BM25 order (score DESC,
+    doc_id tiebreak), the k-cut holds, and every row carries the same
+    snippet the solo KWIC stage emits."""
+    docs = [
+        (0, "alpha beta gamma"),
+        (1, "alpha alpha beta"),       # more 'alpha' mass than doc 0
+        (2, "delta delta delta"),
+        (3, "alpha beta beta gamma"),
+        (4, "epsilon zeta"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    qs = ((7, "alpha"),)
+    got = {
+        r["doc_id"]: (r["rnk"], r["score_q13"], r["snippet"])
+        for r in retrieval.search_results(df, queries=qs, k=2).collect()
+    }
+    # only the k=2 best alpha docs survive
+    assert set(got) <= {0, 1, 3} and len(got) == 2
+    ranks = sorted((v[0], d) for d, v in got.items())
+    assert [r for r, _ in ranks] == [1, 2]
+    # scores and order match the solo stage exactly
+    solo = {
+        r["doc_id"]: r["score_q13"]
+        for r in retrieval.bm25_scores(df, queries=qs).collect()
+    }
+    order = sorted(solo, key=lambda d: (-solo[d], d))[:2]
+    assert [d for _, d in ranks] == order
+    for d, (_, sc, sn) in got.items():
+        assert sc == solo[d]
+    # snippets equal the solo KWIC output for those (qid, doc) pairs
+    kw = {
+        r["doc_id"]: r["snippet"]
+        for r in retrieval.kwic_snippets(df, queries=qs).collect()
+    }
+    for d, (_, _, sn) in got.items():
+        assert sn == kw[d]
