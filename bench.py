@@ -75,6 +75,7 @@ HEADLINE = [
     # register folds localCheckpoint inside the builder)
     "anchor_text",
     "search_results",
+    "hll_by_lang",
 ]
 
 

@@ -353,3 +353,73 @@ def hll_overlap_summary(
             ).alias("est_inter"),
         )
     )
+
+
+def hll_fold_grouped(
+    ids: DataFrame, keys: tuple[str, ...] = ("lang",), id_col: str = "tid"
+) -> DataFrame:
+    """(keys..., reg, rho) — one register table PER GROUP in a single
+    fold: ``groupBy(keys, reg).max(rho)``.  The grouped twin of
+    hll_fold: per-group distinct counts (distinct shingles per language,
+    per host, per day-partition) from ONE pass with <= M int rows per
+    group crossing the wire — the shape Iceberg's per-partition NDV
+    columns and any GROUP BY approx_count_distinct want."""
+    tid = F.col(id_col)
+    return (
+        ids.select(
+            *keys,
+            (tid % F.lit(HLL_M)).alias("reg"),
+            _rho(F.shiftright(tid, HLL_P)).alias("rho"),
+        )
+        .groupBy(*keys, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_summary_grouped(
+    ids: DataFrame, keys: tuple[str, ...] = ("lang",), id_col: str = "tid"
+) -> DataFrame:
+    """(keys..., n_exact, n_regs_set, harmonic_q, est) — hll_summary per
+    group.  n_exact (the verification column) pays the per-group
+    distinct the sketch avoids; harmonic_q is the exact BIGINT mass and
+    est the single correctly-rounded division, exactly as in the global
+    summary."""
+    regs = hll_fold_grouped(ids, keys, id_col)
+    folded = regs.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_regs_set"),
+        F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_K} - rho)"))
+        .alias("set_mass"),
+    )
+    exact = ids.groupBy(*keys).agg(
+        F.count_distinct(F.col(id_col)).alias("n_exact")
+    )
+    harmonic = (
+        F.col("set_mass")
+        + (F.lit(HLL_M).cast("long") - F.col("n_regs_set"))
+        * F.lit(1 << HLL_K).cast("long")
+    )
+    return (
+        exact.join(folded, list(keys))
+        .withColumn("harmonic_q", harmonic)
+        .select(
+            *keys,
+            "n_exact",
+            "n_regs_set",
+            "harmonic_q",
+            F.round(
+                F.lit(HLL_EST_NUM) / F.col("harmonic_q").cast("double"), 4
+            ).alias("est"),
+        )
+    )
+
+
+def shingle_tid_stream_by(
+    documents: DataFrame, key: str = "lang", k: int = dedup.SHINGLE_K
+) -> DataFrame:
+    """(key, tid) — the per-doc-distinct shingle-id stream carrying a
+    grouping column, input to the grouped fold."""
+    d = documents.select(key, dedup._tok_array().alias("toks"))
+    sh = d.select(
+        key, F.explode(dedup._shingle_array(F.col("toks"), k)).alias("sh")
+    )
+    return sh.select(key, dedup._portable_id(F.md5("sh")).alias("tid"))

@@ -5286,6 +5286,50 @@ def q_search_results(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.search_results(docs)
 
 
+@query(
+    "hll_by_lang",
+    _with(
+        "dl AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), "
+        "t -> t <> '') AS toks FROM documents)",
+        "shl AS (SELECT DISTINCT doc_id, lang, toks[u.pos] || ' ' || "
+        "toks[u.pos+1] || ' ' || toks[u.pos+2] AS shingle FROM dl, "
+        "LATERAL (SELECT unnest(generate_series(1, "
+        "greatest(len(toks) - 2, 0))) AS pos) u)",
+        "dtl AS MATERIALIZED (SELECT DISTINCT doc_id, lang, "
+        f"{dedup.horner_hash_sql('h')} AS tid FROM "
+        "(SELECT doc_id, lang, md5(shingle) AS h FROM shl) hh)",
+        f"regsl AS (SELECT lang, tid % {sketches.HLL_M} AS reg, "
+        f"MAX(CASE WHEN tid // {sketches.HLL_M} = 0 THEN {sketches.HLL_K} "
+        f"ELSE {sketches.HLL_K} - LENGTH(bin(tid // {sketches.HLL_M})) END) "
+        f"AS rho FROM dtl GROUP BY lang, tid % {sketches.HLL_M})",
+        "ex AS (SELECT lang, CAST(COUNT(DISTINCT tid) AS BIGINT) "
+        "AS n_exact FROM dtl GROUP BY lang)",
+        "fl AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_regs_set, "
+        f"CAST(SUM((1::BIGINT << ({sketches.HLL_K} - rho))) + "
+        f"({sketches.HLL_M} - COUNT(*)) * (1::BIGINT << {sketches.HLL_K}) "
+        "AS BIGINT) AS harmonic_q FROM regsl GROUP BY lang)",
+    )
+    + "SELECT ex.lang, ex.n_exact, fl.n_regs_set, fl.harmonic_q, "
+    f"ROUND({sketches.HLL_EST_NUM!r} / CAST(fl.harmonic_q AS DOUBLE), 4) "
+    "AS est FROM ex JOIN fl USING (lang)",
+)
+def q_hll_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL — distinct shingles PER LANGUAGE in one register fold
+    (operators/sketches.py hll_fold_grouped / hll_summary_grouped):
+    ``groupBy(lang, reg).max(rho)``, <= 256 int rows per group crossing
+    the wire — the GROUP BY approx_count_distinct shape, and exactly how
+    per-partition NDV columns decompose (the manifest tier's per-file
+    sketches are this fold keyed by file).  The verification column pays
+    the per-group distinct the sketch avoids; masses are exact BIGINTs,
+    the estimate one correctly-rounded division per group."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sketches.hll_summary_grouped(
+        sketches.shingle_tid_stream_by(docs, "lang")
+    )
+
+
 # Manifest-NDV oracle: the merged per-file registers must equal a global
 # HLL fold over the source column — replayed here over DISTINCT doc_id
 # values hashed exactly as the engine hashes them (md5 of the integer's

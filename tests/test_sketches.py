@@ -256,3 +256,28 @@ def test_hll_overlap_planted_inclusion_exclusion(spark):
     # the estimate is within the inclusion-exclusion error envelope:
     # 3 sketches x 6.5% stderr on ~600-1000 cardinalities
     assert abs(row["est_inter"] - 200) < 200
+
+
+def test_hll_grouped_equals_per_group_global_summary(spark):
+    """Decomposition law: the grouped fold restricted to one group is
+    exactly the global fold of that group's stream — summaries match
+    column for column."""
+    from rgr_pdal_topo_spark.operators import dedup
+
+    base = spark.range(0, 900).select(
+        F.when(F.col("id") % 3 == 0, "a").otherwise("b").alias("g"),
+        dedup._portable_id(F.md5(F.col("id").cast("string"))).alias("tid"),
+    )
+    grouped = {
+        r["g"]: (r["n_exact"], r["n_regs_set"], r["harmonic_q"], r["est"])
+        for r in sketches.hll_summary_grouped(base, ("g",)).collect()
+    }
+    for g in ("a", "b"):
+        solo = sketches.hll_summary(
+            base.filter(F.col("g") == g).select("tid")
+        ).collect()[0]
+        assert grouped[g] == (
+            solo["n_exact"], solo["n_regs_set"],
+            solo["harmonic_q"], solo["est"],
+        ), g
+    assert grouped["a"][0] == 300 and grouped["b"][0] == 600
