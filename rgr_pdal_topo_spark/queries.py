@@ -5559,7 +5559,7 @@ DRIVER_WINDOW: list[str] = [
     "tpch_pricing", "slope_hillshade",
     "points_decimate", "lineage_resume",
     "smrf_ground",
-    "multimodal_features", "flow_d8", "flow_area", "flow_chi", "flow_basins",
+    "multimodal_features", "flow_area", "flow_chi", "flow_basins",
     "network_ksn", "network_dissolve",
     "perm_ensemble", "kmeans_scarp",
     "mosaic_tiles",
@@ -5573,7 +5573,11 @@ DRIVER_WINDOW: list[str] = [
     # continuation sessions (all pre-qualified per the rotation
     # protocol: sf0.01 + sf0.1 oracle parity, ANSI-on session run,
     # planted unit tests, plan pins)
-    "crawl_latest", "hll_distinct", "views_asof", "cms_heavy_hitters",
+    "crawl_latest", "views_asof", "cms_heavy_hitters",
+    # final-r5 rotation IN (continuation session; both pre-qualified per
+    # the protocol: 2-scale parity, ANSI-on run, determinism rerun,
+    # planted tests, plan pins)
+    "hll_overlap", "search_results",
     # round-5 rotation IN (VERDICT r4 "Next round" #1/#2/#3/#7/#9):
     # the seven ANSI-verified past-window r4 subsystems, the three
     # rotation-stale §2 operators, the incremental LSH store, streaming
@@ -5610,6 +5614,25 @@ DRIVER_WINDOW: list[str] = [
 # subsystems — crawl_latest (CDX snapshot consolidation), hll_distinct
 # (HyperLogLog cardinality sketch), views_asof (time-series as-of join),
 # cms_heavy_hitters (count-min frequency sketch).
+# Final-r5 rotation (this session): two swaps —
+#   IN:  hll_overlap — strictly more HLL coverage than hll_distinct in
+#        one row: the SAME register fold twice (both segments), PLUS the
+#        merge law in-driver (harmonic_u hashes the element-wise-max
+#        union sketch), PLUS the inclusion-exclusion estimate;
+#        search_results — the composed search page (BM25 scoring +
+#        top-k cut + KWIC snippets in ONE plan; scores are the solo
+#        stage's exact BIGINTs, snippets the solo stage's strings, so
+#        one row witnesses the whole retrieval family end to end).
+#   OUT: hll_distinct    -> hll_overlap (same fold, same estimate
+#                           spelling, strictly superset coverage);
+#                           driver-green late-r5 gates
+#        flow_d8      G2 -> flow_area + flow_chi + flow_basins all
+#                           consume the D8 directions as the first
+#                           stage of _flow_metrics_raw — a direction
+#                           bug breaks their in-window rows; G4
+#                           (outlets, fd=0 subset) likewise survives
+#                           through the sweeps' outlet seeds;
+#                           flow_d8 driver-green r1-r5
 #   OUT (operator -> surviving window coverage):
 #        flow_order  G6 / flow_maxl G7 / flow_main_path G9 -> all three
 #                        are outputs of the SAME per-basin Arrow sweep
