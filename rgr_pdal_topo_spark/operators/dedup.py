@@ -42,6 +42,7 @@ payload); shingling follows the standard MinHash construction (Broder).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame  # noqa: F401 (Column in hints)
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 # Portable-id space: ids are the first ID_CHARS md5 hex digits read as an
@@ -851,6 +852,91 @@ def shingle_dup_stats(documents: DataFrame, k: int = SHINGLE_K) -> DataFrame:
     )
 
 
+MIN_SPAN_TOKENS = 6  # report only spans of at least 2*SHINGLE_K tokens
+
+
+def duplicated_spans(
+    documents: DataFrame,
+    k: int = SHINGLE_K,
+    min_count: int = 2,
+    min_span: int = MIN_SPAN_TOKENS,
+) -> DataFrame:
+    """(doc_id, n_spans, max_span, dup_tokens): MAXIMAL duplicated-span
+    detection — the token-level re-expression of suffix-array exact
+    substring dedup ("Deduplicating Training Data Makes Language Models
+    Better": any substring repeated anywhere in the corpus is a removal
+    candidate).  A position's k-gram is "duplicated" when that k-gram
+    occurs >= ``min_count`` times corpus-wide (any doc, including its
+    own — verbatim self-repeats are exactly what ExactSubstr removes);
+    overlapping duplicated k-gram windows then merge into maximal spans,
+    so a repeated L-token passage reports once as one span of length L,
+    not as L-k+1 shingle hits.  Spans shorter than ``min_span`` are
+    noise (stopword collocations) and drop, mirroring the paper's
+    minimum-match-length threshold.
+
+    Differs from repetition_stats (within-doc occurrence counts, no
+    positions) and shingle_dup_stats (distinct-shingle document
+    frequency, no positions): this is the POSITIONAL signal — where the
+    duplicated text sits and how long it runs — i.e. what a removal pass
+    would actually cut.
+
+    Scale shape: positional k-grams fold to 60-bit ids so nothing wider
+    than (doc_id, int, int64) shuffles; the corpus-frequency agg is
+    partial+final on tid; the hit filter is a tid-keyed equi-join (both
+    sides partition on tid — LSH-banding cost class); the island merge
+    is a per-doc window, bounded by document length, partitioned on
+    doc_id — no global window anywhere."""
+    d = documents.select("doc_id", _tok_array().alias("toks"))
+    psh = d.select(
+        "doc_id",
+        F.posexplode(
+            _shingle_array(F.col("toks"), k, distinct=False)
+        ).alias("pos0", "shingle"),
+    ).select(
+        "doc_id",
+        (F.col("pos0") + 1).cast("long").alias("pos"),
+        _portable_id(F.md5("shingle")).alias("tid"),
+    )
+    dup = (
+        psh.groupBy("tid")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("tid")
+    )
+    hits = psh.join(dup, "tid").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # windows [pos, pos+k-1]; a new island starts when the previous
+    # duplicated window cannot overlap this one (pos > prev + k - 1)
+    isl = hits.withColumn(
+        "is_new",
+        F.when(
+            F.lag("pos").over(w).isNull()
+            | (F.col("pos") > F.lag("pos").over(w) + F.lit(k - 1)),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("span_id", F.sum("is_new").over(run))
+    spans = (
+        isl.groupBy("doc_id", "span_id")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).alias("span_end"),
+        )
+        .withColumn(
+            "span_len", F.col("span_end") - F.col("span_start") + F.lit(1)
+        )
+    )
+    return (
+        spans.filter(F.col("span_len") >= min_span)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.max("span_len").cast("long").alias("max_span"),
+            F.sum("span_len").alias("dup_tokens"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # line-level dedup (CCNet / RefinedWeb boilerplate-line removal)
 # ---------------------------------------------------------------------------
@@ -913,6 +999,92 @@ def line_dedup(
             ),
             "\n",
         ).alias("clean_text"),
+    )
+
+
+N_SPLIT_BUCKETS = 10  # hash buckets: 0-7 train, 8 val, 9 test
+VAL_BUCKET = 8
+TEST_BUCKET = 9
+
+
+def split_col(doc_id: Column) -> Column:
+    """Deterministic split label from doc_id alone — md5 -> portable
+    60-bit fold -> mod-10 bucket (0-7 train / 8 val / 9 test).  A pure
+    function of the key, so split membership is stable under retries,
+    AQE re-plans, and re-ingestion (the points_decimate property), and
+    any stage can recompute it without a join."""
+    b = _portable_id(F.md5(doc_id.cast("string"))) % F.lit(N_SPLIT_BUCKETS)
+    return (
+        F.when(b == F.lit(VAL_BUCKET), F.lit("val"))
+        .when(b == F.lit(TEST_BUCKET), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+
+
+def split_leakage(documents: DataFrame) -> DataFrame:
+    """(split, n_docs, n_exact_leaked, n_near_leaked) over the eval
+    splits — the release audit every train/val/test cut needs before
+    the datasheet ships: how many held-out documents also appear in the
+    training split verbatim (md5 text digest) or as a near-duplicate
+    (>= 50% of the eval doc's distinct 3-token shingles occur in SOME
+    training document — the one-sided containment twin of the
+    decontaminate gate, aimed the other way: decontaminate protects the
+    BENCHMARK from the corpus, this protects the SPLIT from itself).
+
+    Eval docs with fewer than k tokens have no shingles and cannot be
+    near-leaked (they are still exact-audited via the digest path).
+
+    Scale shape: both audits shuffle only narrow keys — (digest) and
+    (tid, int64) — against distinct train-side sets; per-doc overlap is
+    one partial+final agg; the final rollup is two rows.  No bodies
+    move after the first projection."""
+    slim = documents.select(
+        "doc_id", split_col(F.col("doc_id")).alias("split"),
+        F.md5("text").alias("dg"),
+    )
+    train_dg = (
+        slim.filter(F.col("split") == "train").select("dg").distinct()
+        .withColumn("__e", F.lit(1))
+    )
+    ev = slim.filter(F.col("split") != "train")
+    exact = ev.join(train_dg, "dg", "left").select(
+        "doc_id", "split",
+        F.coalesce(F.col("__e"), F.lit(0)).cast("long").alias("leak_exact"),
+    )
+    dt = shingle_ids(documents).withColumn(
+        "split", split_col(F.col("doc_id"))
+    )
+    train_tid = (
+        dt.filter(F.col("split") == "train").select("tid").distinct()
+        .withColumnRenamed("tid", "ttid")
+    )
+    ov = (
+        dt.filter(F.col("split") != "train")
+        .join(train_tid, F.col("tid") == F.col("ttid"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_own"),
+            F.sum(
+                F.when(F.col("ttid").isNull(), 0).otherwise(1)
+            ).alias("n_shared"),
+        )
+        .select(
+            "doc_id",
+            F.when(
+                F.lit(2) * F.col("n_shared") >= F.col("n_own"), F.lit(1)
+            ).otherwise(F.lit(0)).cast("long").alias("leak_near"),
+        )
+    )
+    return (
+        exact.join(ov, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("leak_exact").alias("n_exact_leaked"),
+            F.sum(F.coalesce(F.col("leak_near"), F.lit(0))).alias(
+                "n_near_leaked"
+            ),
+        )
     )
 
 

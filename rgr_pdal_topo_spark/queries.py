@@ -4380,6 +4380,124 @@ def q_shingle_dup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.shingle_dup_stats(docs)
 
 
+# positional (non-distinct) 3-token shingles — dup_spans' oracle needs the
+# POSITION of every occurrence, where _SHINGLES_DUCK deduplicates per doc
+_PSH_DUCK = (
+    "SELECT doc_id, u.pos AS pos, md5(toks[u.pos] || ' ' || toks[u.pos+1] "
+    "|| ' ' || toks[u.pos+2]) AS h FROM d, LATERAL (SELECT "
+    "unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS pos) u"
+)
+
+
+@query(
+    "dup_spans",
+    _with(
+        f"d AS ({_DOCTOKS_DUCK})",
+        f"psh AS ({_PSH_DUCK})",
+        "pt AS MATERIALIZED (SELECT doc_id, pos, "
+        f"{dedup.horner_hash_sql('h')} AS tid FROM psh)",
+        "dup AS (SELECT tid FROM pt GROUP BY tid HAVING COUNT(*) >= 2)",
+        "hits AS (SELECT doc_id, pos FROM pt JOIN dup USING (tid))",
+        "isl AS (SELECT doc_id, pos, CASE WHEN LAG(pos) OVER w IS NULL "
+        "OR pos > LAG(pos) OVER w + 2 THEN 1 ELSE 0 END AS is_new "
+        "FROM hits WINDOW w AS (PARTITION BY doc_id ORDER BY pos))",
+        "sid AS (SELECT doc_id, pos, SUM(is_new) OVER ("
+        "PARTITION BY doc_id ORDER BY pos ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS span_id FROM isl)",
+        "spans AS (SELECT doc_id, MIN(pos) AS s, MAX(pos) + 2 AS e "
+        "FROM sid GROUP BY doc_id, span_id)",
+    )
+    + "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans, "
+    "CAST(MAX(e - s + 1) AS BIGINT) AS max_span, "
+    "CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens "
+    "FROM spans WHERE e - s + 1 >= 6 GROUP BY doc_id",
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-span detection (dedup.duplicated_spans) — the
+    positional ExactSubstr signal: per document, the count / longest /
+    total token length of maximal runs of corpus-duplicated 3-gram
+    windows (>= 6 tokens) — what a suffix-array removal pass would
+    actually cut.  Everything is exact integer arithmetic over the
+    portable 60-bit shingle ids, and the island merge is the sessionize
+    lag-window pattern, so the oracle replays it row for row."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.duplicated_spans(docs)
+
+
+# the synthetic corpus contains NO verbatim duplicates (every text is
+# unique), so the exact-digest arm of the split audit would be
+# structurally vacuous on it; plant deterministic mirror pages — two
+# docs per 31-bucket share one exact text — the same planted-case
+# discipline as pii_scrub, spelled identically in both engines
+_MIRROR_PLANT_SQL = (
+    "CASE WHEN doc_id % 31 < 2 THEN 'mirror boilerplate page ' || "
+    "CAST(doc_id // 31 AS VARCHAR) ELSE text END"
+)
+
+
+@query(
+    "split_leakage",
+    _with(
+        f"pl AS (SELECT doc_id, {_MIRROR_PLANT_SQL} AS text "
+        "FROM documents)",
+        "s AS (SELECT doc_id, text, CASE WHEN "
+        f"({dedup.horner_hash_sql('h')}) % {dedup.N_SPLIT_BUCKETS} = "
+        f"{dedup.VAL_BUCKET} THEN 'val' WHEN "
+        f"({dedup.horner_hash_sql('h')}) % {dedup.N_SPLIT_BUCKETS} = "
+        f"{dedup.TEST_BUCKET} THEN 'test' ELSE 'train' END AS split "
+        "FROM (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR)) AS h "
+        "FROM pl) hh)",
+        "dg AS (SELECT doc_id, split, md5(text) AS dg FROM s)",
+        "tdg AS (SELECT DISTINCT dg FROM dg WHERE split = 'train')",
+        "ex AS (SELECT d.doc_id, d.split, CASE WHEN t.dg IS NULL THEN 0 "
+        "ELSE 1 END AS leak_exact FROM dg d LEFT JOIN tdg t "
+        "ON t.dg = d.dg WHERE d.split <> 'train')",
+        "d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "t -> t <> '') AS toks FROM s)",
+        f"sh AS ({_SHINGLES_DUCK})",
+        f"dt AS MATERIALIZED ({_SHID_DUCK})",
+        "dts AS (SELECT dt.doc_id, dt.tid, s.split FROM dt "
+        "JOIN s ON s.doc_id = dt.doc_id)",
+        "ttid AS (SELECT DISTINCT tid FROM dts WHERE split = 'train')",
+        "ov AS (SELECT e.doc_id, COUNT(*) AS n_own, "
+        "SUM(CASE WHEN t.tid IS NULL THEN 0 ELSE 1 END) AS n_shared "
+        "FROM dts e LEFT JOIN ttid t ON t.tid = e.tid "
+        "WHERE e.split <> 'train' GROUP BY e.doc_id)",
+        "nr AS (SELECT doc_id, CASE WHEN 2 * n_shared >= n_own THEN 1 "
+        "ELSE 0 END AS leak_near FROM ov)",
+    )
+    + "SELECT ex.split, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(ex.leak_exact) AS BIGINT) AS n_exact_leaked, "
+    "CAST(SUM(COALESCE(nr.leak_near, 0)) AS BIGINT) AS n_near_leaked "
+    "FROM ex LEFT JOIN nr ON nr.doc_id = ex.doc_id GROUP BY ex.split",
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test split + cross-split contamination audit
+    (dedup.split_col + dedup.split_leakage): deterministic mod-10
+    hash-bucket assignment, then per eval split the count of documents
+    leaked from train verbatim (md5 digest) or as near-duplicates
+    (>= 50% one-sided shingle containment).  All counts are exact
+    BIGINTs over the portable 60-bit ids, so the oracle replays the
+    audit bit-for-bit.  Mirror pages are planted first (two docs per
+    31-bucket share one exact text) because the synthetic corpus has no
+    verbatim duplicates — without them the exact arm can never fire."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 31 < 2,
+            F.concat(
+                F.lit("mirror boilerplate page "),
+                F.expr("CAST(doc_id DIV 31 AS STRING)"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return dedup.split_leakage(docs)
+
+
 @query(
     "pii_scrub",
     _with(f"p AS (SELECT doc_id, {_PII_PLANT_SQL} AS ptext FROM documents)")

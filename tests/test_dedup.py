@@ -500,3 +500,90 @@ def test_survivor_stats_planted_keep_rule(spark):
         "en": (3, 2, 1, 60, 30),   # doc 2 dropped (30 chars)
         "de": (2, 1, 1, 90, 50),   # doc 3 dropped (40 chars)
     }
+
+
+def test_duplicated_spans_planted(spark):
+    """Maximal-span semantics: a shared 7-token run reports as ONE
+    7-token span in each doc (not five 3-gram hits); non-adjacent
+    duplicated windows that overlap merge across the gap; spans under
+    min_span (6) are suppressed entirely."""
+    docs = spark.createDataFrame(
+        [
+            # docs 1/2 share the run a1..a7 at different offsets
+            (1, "a1 a2 a3 a4 a5 a6 a7 z1 z2"),
+            (2, "w1 w2 a1 a2 a3 a4 a5 a6 a7"),
+            # doc 3: internal 3-token repeat -> two 3-token spans,
+            # both under min_span -> absent from the output
+            (3, "u1 u2 u3 x1 x2 u1 u2 u3"),
+            # doc 4: duplicated windows at pos 1/3/5 only (via doc 5's
+            # scattered copies) -> gaps overlap -> ONE merged [1,7] span
+            (4, "b1 b2 b3 b4 b5 b6 b7"),
+            # doc 5: the three copies are isolated 3-token spans -> absent
+            (5, "b1 b2 b3 q1 b3 b4 b5 q2 b5 b6 b7"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_spans"], r["max_span"], r["dup_tokens"])
+        for r in dedup.duplicated_spans(docs).collect()
+    }
+    assert got == {
+        1: (1, 7, 7),   # span [1,7]
+        2: (1, 7, 7),   # span [3,9]
+        4: (1, 7, 7),   # merged [1,7] despite non-dup windows at 2/4
+    }
+
+
+def test_split_leakage_python_replay(spark):
+    """Independent pure-Python replay of the whole audit — split
+    assignment (md5 -> 60-bit fold -> mod 10), exact digest leakage,
+    and the >= 50% one-sided shingle-containment near-dup rule — over a
+    corpus with planted duplicate groups."""
+    import hashlib
+
+    texts = {}
+    for i in range(40):
+        g = i % 7
+        if g < 2:       # verbatim mirror groups
+            texts[i] = f"exact mirror group {g} body tokens here"
+        elif g < 4:     # near-dup: shared 6-token prefix, distinct tail
+            texts[i] = f"shared near duplicate prefix run {g} tail{i}"
+        else:           # unique
+            texts[i] = f"unique document {i} with its own content words"
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+
+    def split_of(i):
+        b = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 10
+        return {8: "val", 9: "test"}.get(b, "train")
+
+    def shingle_set(t):
+        toks = [x for x in t.split(" ") if x]
+        return {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+
+    splits = {i: split_of(i) for i in texts}
+    train = [i for i, s in splits.items() if s == "train"]
+    train_dg = {texts[i] for i in train}
+    train_sh = set().union(*(shingle_set(texts[i]) for i in train))
+    expected = {}
+    for sp in ("val", "test"):
+        ev = [i for i, s in splits.items() if s == sp]
+        if not ev:
+            continue
+        n_exact = sum(1 for i in ev if texts[i] in train_dg)
+        n_near = 0
+        for i in ev:
+            sh = shingle_set(texts[i])
+            if sh and 2 * len(sh & train_sh) >= len(sh):
+                n_near += 1
+        expected[sp] = (len(ev), n_exact, n_near)
+    # the planted corpus must actually exercise both arms
+    assert any(v[1] > 0 for v in expected.values())
+    assert any(v[2] > 0 for v in expected.values())
+
+    got = {
+        r["split"]: (r["n_docs"], r["n_exact_leaked"], r["n_near_leaked"])
+        for r in dedup.split_leakage(docs).collect()
+    }
+    assert got == expected
