@@ -70,9 +70,11 @@ HEADLINE = [
     "views_asof",
     "bm25_scores",
     "kwic_snippets",
-    # r5 continuation — own series (dedup_keep and hll_overlap are absent
-    # for the eager-builder reason: connected components and the sketch
-    # register folds localCheckpoint inside the builder)
+    # r5 continuation — own series (dedup_keep, hll_overlap, and
+    # dup_spans + dsir_weights are absent for the eager-builder reason:
+    # connected components, the sketch register folds, and the
+    # positional-shingle / bigram streams localCheckpoint inside the
+    # builder)
     "anchor_text",
     "search_results",
     "hll_by_lang",

@@ -887,15 +887,23 @@ def duplicated_spans(
     is a per-doc window, bounded by document length, partitioned on
     doc_id — no global window anywhere."""
     d = documents.select("doc_id", _tok_array().alias("toks"))
-    psh = d.select(
-        "doc_id",
-        F.posexplode(
-            _shingle_array(F.col("toks"), k, distinct=False)
-        ).alias("pos0", "shingle"),
-    ).select(
-        "doc_id",
-        (F.col("pos0") + 1).cast("long").alias("pos"),
-        _portable_id(F.md5("shingle")).alias("tid"),
+    # localCheckpoint: the positional stream feeds BOTH the corpus-count
+    # agg and the join back — without it Spark re-reads and re-shingles
+    # the corpus twice (measured 1.7x slower at sf0.1); the materialized
+    # rows are narrow (doc_id, pos, tid), a fraction of corpus bytes
+    psh = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                _shingle_array(F.col("toks"), k, distinct=False)
+            ).alias("pos0", "shingle"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            _portable_id(F.md5("shingle")).alias("tid"),
+        )
+        .localCheckpoint(eager=True)
     )
     dup = (
         psh.groupBy("tid")

@@ -223,3 +223,90 @@ def temperature_mix_sample(
         .agg(F.sum((hv < F.col("thr")).cast("long")).alias("n_kept"))
         .select(lang_col, "n_total", "n_kept", "thr")
     )
+
+
+DSIR_BUCKETS = 1024  #: hashed bigram feature space (DSIR's n-gram buckets)
+#: per-bucket importance weight over columns (ct, cr, nr, nt) — the
+#: add-one-smoothed log-ratio ln(p_target[b] / p_raw[b]) pinned to the
+#: repo-wide 2^-13 integer grid.  ONE fragment, run verbatim by Spark
+#: (F.expr) and DuckDB: the ln argument is a single division of two
+#: integer-valued doubles (the bm25_scores contract — decimal-literal
+#: arguments shift the ARGUMENT by an ulp across engines, integer-ratio
+#: arguments do not), * 8192 is an exact exponent shift, and
+#: FLOOR(+0.5) (never ROUND: engines disagree on halves) lands on the
+#: grid, so every weight is an exact BIGINT.
+DSIR_W_SQL = (
+    f"CAST(FLOOR(ln(CAST((ct + 1) * (nr + {DSIR_BUCKETS}) AS DOUBLE) / "
+    f"CAST((cr + 1) * (nt + {DSIR_BUCKETS}) AS DOUBLE)) * 8192 + 0.5) "
+    "AS BIGINT)"
+)
+
+
+def dsir_weights(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, score): DSIR-style importance weighting
+    ("Data Selection for Language Models via Importance Resampling",
+    Xie et al. 2023): documents scored by how much more likely their
+    hashed-bigram features are under a TARGET distribution than under
+    the raw corpus.  The target here is the corpus' own C4-gate-passing
+    slice (the quality_filter keep rule — self-contained, no external
+    reference set needed), so the score ranks every document by
+    "looks like the data we want to train on".  A selection pass keeps
+    the top fraction by score (deterministically: order by score,
+    doc_id).
+
+    All arithmetic is exact: bucket counts are BIGINTs, each bucket's
+    log-ratio weight is pinned to the 2^-13 integer grid by DSIR_W_SQL
+    (one spelling, both engines), and a document's score is the exact
+    BIGINT sum of its occurrences' bucket weights.
+
+    Scale shape: bigrams fold to (doc_id, keep, int bucket) — nothing
+    wider shuffles; the bucket-count agg is partial+final into a
+    DSIR_BUCKETS-row table that BROADCASTS back for the scoring join;
+    totals are one scalar row.  The bigram stream feeds both the count
+    agg and the scoring join, so it is localCheckpoint-pinned (narrow
+    rows, a fraction of corpus bytes) rather than recomputed."""
+    toks = _toks()
+    s = documents.select("doc_id", toks.alias("t"), *_stat_cols(toks))
+    base = s.withColumn("keep", _keep_expr(20, 12.0, 0.1)).select(
+        "doc_id", "t", "keep"
+    )
+    from rgr_pdal_topo_spark.operators.dedup import (
+        _portable_id,
+        _shingle_array,
+    )
+
+    bg = (
+        base.select(
+            "doc_id",
+            "keep",
+            F.explode(
+                _shingle_array(F.col("t"), 2, distinct=False)
+            ).alias("bigram"),
+        )
+        .select(
+            "doc_id",
+            "keep",
+            (_portable_id(F.md5("bigram")) % F.lit(DSIR_BUCKETS)).alias(
+                "b"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    bucket = bg.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.sum("keep").cast("long").alias("ct"),
+    )
+    tot = bucket.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
+    )
+    w = bucket.crossJoin(F.broadcast(tot)).select(
+        "b", F.expr(DSIR_W_SQL).alias("w")
+    )
+    return (
+        bg.join(F.broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("w").alias("score"),
+        )
+    )

@@ -4426,6 +4426,40 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicated_spans(docs)
 
 
+@query(
+    "dsir_weights",
+    _with(
+        f"toks AS ({_TOKS_DUCK})",
+        f"base AS (SELECT doc_id, t, {_KEEP_CASE_DUCK} AS keep FROM toks)",
+        "bg0 AS (SELECT doc_id, keep, t[u.pos] || ' ' || t[u.pos+1] AS "
+        "bigram FROM base, LATERAL (SELECT unnest(generate_series(1, "
+        "greatest(len(t) - 1, 0))) AS pos) u)",
+        "bg AS MATERIALIZED (SELECT doc_id, keep, "
+        f"({dedup.horner_hash_sql('h')}) % {textstats.DSIR_BUCKETS} AS b "
+        "FROM (SELECT doc_id, keep, md5(bigram) AS h FROM bg0) x)",
+        "bucket AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cr, "
+        "CAST(SUM(keep) AS BIGINT) AS ct FROM bg GROUP BY b)",
+        "tot AS (SELECT CAST(SUM(cr) AS BIGINT) AS nr, "
+        "CAST(SUM(ct) AS BIGINT) AS nt FROM bucket)",
+        f"w AS (SELECT b, {textstats.DSIR_W_SQL} AS w FROM bucket, tot)",
+    )
+    + "SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+    "CAST(SUM(w.w) AS BIGINT) AS score "
+    "FROM bg JOIN w ON w.b = bg.b GROUP BY bg.doc_id",
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting (textstats.dsir_weights): hashed
+    bigram features, add-one-smoothed log-ratio between the C4-gate
+    target slice and the raw corpus, per-bucket weights pinned to the
+    2^-13 integer grid by the shared DSIR_W_SQL fragment (the
+    bm25_scores ln contract), document score = exact BIGINT sum of its
+    occurrences' bucket weights."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.dsir_weights(docs)
+
+
 # the synthetic corpus contains NO verbatim duplicates (every text is
 # unique), so the exact-digest arm of the split audit would be
 # structurally vacuous on it; plant deterministic mirror pages — two
@@ -5674,7 +5708,7 @@ DRIVER_WINDOW: list[str] = [
     "grid_idw_filled", "binned_intensity",
     "knn_gps",
     "stencil_suite", "hag", "grid_residuals",
-    "tpch_pricing", "slope_hillshade",
+    "dup_spans", "slope_hillshade",
     "points_decimate", "lineage_resume",
     "smrf_ground",
     "multimodal_features", "flow_area", "flow_chi", "flow_basins",
@@ -5732,6 +5766,18 @@ DRIVER_WINDOW: list[str] = [
 # subsystems — crawl_latest (CDX snapshot consolidation), hll_distinct
 # (HyperLogLog cardinality sketch), views_asof (time-series as-of join),
 # cms_heavy_hitters (count-min frequency sketch).
+# Final-r5 rotation (closing session): one swap —
+#   IN:  dup_spans — maximal duplicated-span detection, the positional
+#        ExactSubstr dedup signal (new this session; pre-qualified per
+#        the protocol: sf0.001/0.01/0.1 oracle parity, ANSI-on run,
+#        determinism rerun, planted run/gap/min-span test).
+#   OUT: tpch_pricing J7 -> plain attribute joins stay witnessed
+#        in-window by network_ksn (edge/node attribute joins),
+#        survivor accounting inside dedup-family rows, and the
+#        manifest scans' stats joins; tpch_pricing driver-green
+#        r1-r4 and oracle-swept every pytest run.  (split_leakage,
+#        the session's second addition, is equally pre-qualified and
+#        sits past-window.)
 # Final-r5 rotation (this session): two swaps —
 #   IN:  hll_overlap — strictly more HLL coverage than hll_distinct in
 #        one row: the SAME register fold twice (both segments), PLUS the

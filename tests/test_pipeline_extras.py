@@ -301,3 +301,33 @@ def test_session_window_boundary_semantics(spark, tmp_path):
         .to_dict()
     )
     assert got == {1: 1, 2: 2}
+
+
+def test_dsir_weights_separates_target_from_junk(spark):
+    """DSIR sign semantics on a planted corpus: documents whose bigrams
+    live only in the C4-gate-passing (target) slice must outscore
+    documents built from gate-failing junk bigrams, with positive vs
+    negative scores respectively; bigram counts are exact."""
+    from rgr_pdal_topo_spark.operators import textstats
+
+    rows = []
+    # 6 target docs: 24 distinct tokens (pass the >= 20-token C4 gate),
+    # vocabulary disjoint from the junk slice
+    for i in range(6):
+        rows.append((i, " ".join(f"good{i}w{j}" for j in range(24))))
+    # 6 junk docs: 5 tokens (fail the gate), own vocabulary
+    for i in range(6, 12):
+        rows.append((i, " ".join(f"junk{i}w{j}" for j in range(5))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["score"])
+        for r in textstats.dsir_weights(docs).collect()
+    }
+    assert set(got) == set(range(12))
+    for i in range(12):
+        assert got[i][0] == (23 if i < 6 else 4)
+    good = [got[i][1] for i in range(6)]
+    junk = [got[i][1] for i in range(6, 12)]
+    # every target doc outscores every junk doc; signs separate
+    assert min(good) > max(junk)
+    assert all(s > 0 for s in good) and all(s < 0 for s in junk)
