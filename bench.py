@@ -78,6 +78,8 @@ HEADLINE = [
     "anchor_text",
     "search_results",
     "hll_by_lang",
+    # closing-session addition — own series from here on
+    "source_quality",
 ]
 
 

@@ -310,3 +310,48 @@ def dsir_weights(documents: DataFrame) -> DataFrame:
             F.sum("w").alias("score"),
         )
     )
+
+
+def source_quality(documents: DataFrame) -> DataFrame:
+    """(source, n_docs, n_kept, total_tokens, total_shingles,
+    total_dup_shingles): the per-domain datasheet rollup — what a crawl
+    operator reads before adding a domain to a blocklist (UT1-style) or
+    an allowlist: volume, C4-gate pass count, and duplicated-content
+    burden (how many of the domain's distinct shingles occur in other
+    documents — the shingle_dup_stats signal, rolled up as counts
+    rather than a thresholded flag: the synthetic corpus is so
+    internally duplicated at sf0.1 that ANY fixed per-doc flag
+    saturates, while the counts discriminate at every scale).  Composes
+    the quality gate and the corpus-duplication pass over the `source`
+    grouping column so per-domain policy derives from already-verified
+    stages.  n_docs is constant across sources BY CONSTRUCTION of the
+    synthetic corpus (doc_id % 20 assignment) and kept as the
+    datasheet's volume column.
+
+    Scale shape: the quality stats are one projection; the duplication
+    counts reuse shingle_dup_stats' tid-keyed join (document-frequency
+    agg + join back, nothing wider than (doc_id, int64)); the rollup is
+    one partial+final groupBy(source) whose output is domains-sized.
+    All outputs are exact BIGINTs."""
+    from rgr_pdal_topo_spark.operators.dedup import shingle_dup_stats
+
+    q = quality_filter(documents).select("doc_id", "n_tokens", "keep")
+    dup = shingle_dup_stats(documents).select(
+        "doc_id", "n_shingles", "n_dup"
+    )
+    base = (
+        documents.select("doc_id", "source")
+        .join(q, "doc_id")
+        .join(dup, "doc_id", "left")
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("keep").cast("long").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(F.coalesce(F.col("n_shingles"), F.lit(0))).alias(
+            "total_shingles"
+        ),
+        F.sum(F.coalesce(F.col("n_dup"), F.lit(0))).alias(
+            "total_dup_shingles"
+        ),
+    )

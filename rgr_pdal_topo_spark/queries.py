@@ -4427,6 +4427,41 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "source_quality",
+    _with(
+        f"toks AS ({_TOKS_DUCK})",
+        f"q AS (SELECT doc_id, len(t) AS n_tokens, {_KEEP_CASE_DUCK} "
+        "AS keep FROM toks)",
+        "d AS (SELECT doc_id, list_filter(string_split(text, ' '), "
+        "t -> t <> '') AS toks FROM documents)",
+        f"sh AS ({_SHINGLES_DUCK})",
+        f"dt AS MATERIALIZED ({_SHID_DUCK})",
+        "dfreq AS (SELECT tid, COUNT(*) AS df FROM dt GROUP BY tid)",
+        "dup AS (SELECT dt.doc_id, COUNT(*) AS n_shingles, "
+        "SUM(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS n_dup "
+        "FROM dt JOIN dfreq ON dfreq.tid = dt.tid GROUP BY dt.doc_id)",
+    )
+    + "SELECT doc.source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(q.keep) AS BIGINT) AS n_kept, "
+    "CAST(SUM(q.n_tokens) AS BIGINT) AS total_tokens, "
+    "CAST(SUM(COALESCE(dup.n_shingles, 0)) AS BIGINT) AS total_shingles, "
+    "CAST(SUM(COALESCE(dup.n_dup, 0)) AS BIGINT) AS total_dup_shingles "
+    "FROM documents doc JOIN q ON q.doc_id = doc.doc_id "
+    "LEFT JOIN dup ON dup.doc_id = doc.doc_id GROUP BY doc.source",
+)
+def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain datasheet rollup (textstats.source_quality): volume,
+    C4-gate pass count, and duplicated-content burden per `source` —
+    the blocklist/allowlist derivation pass, composed from the verified
+    quality_filter and shingle_dup_stats stages with their shared
+    oracle fragments.  All exact BIGINTs."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.source_quality(docs)
+
+
+@query(
     "dsir_weights",
     _with(
         f"toks AS ({_TOKS_DUCK})",

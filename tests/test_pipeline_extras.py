@@ -331,3 +331,34 @@ def test_dsir_weights_separates_target_from_junk(spark):
     # every target doc outscores every junk doc; signs separate
     assert min(good) > max(junk)
     assert all(s > 0 for s in good) and all(s < 0 for s in junk)
+
+
+def test_source_quality_planted_rollup(spark):
+    """Hand-computed per-source rollup: gate pass counts, token totals,
+    and cross-document shingle duplication attributed to each source."""
+    from rgr_pdal_topo_spark.operators import textstats
+
+    rows = [
+        # src a: one gate-passing doc (24 tokens), one failing (5)
+        (0, "a", "en", " ".join(f"g{j}" for j in range(24))),
+        (1, "a", "en", "x1 x2 x3 x4 x5"),
+        # src b: the failing doc shares the shingle "x1 x2 x3" with doc 1;
+        # the passing doc has 23 tokens
+        (2, "b", "en", "x1 x2 x3 y1 y2"),
+        (3, "b", "en", " ".join(f"h{j}" for j in range(23))),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, lang string, text string"
+    )
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_kept"], r["total_tokens"],
+            r["total_shingles"], r["total_dup_shingles"],
+        )
+        for r in textstats.source_quality(docs).collect()
+    }
+    assert got == {
+        # 22 + 3 shingles; the one shared shingle counts once per side
+        "a": (2, 1, 29, 25, 1),
+        "b": (2, 1, 28, 24, 1),
+    }
