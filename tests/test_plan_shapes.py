@@ -455,3 +455,48 @@ def test_search_results_pushes_topk_below_shuffle(spark):
     # query tokens / df / corpus scalars broadcast, like solo bm25
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
+
+
+def test_dup_spans_windows_partition_by_doc(spark):
+    """The island merge must never use a global (single-partition)
+    window: every Window node partitions by doc_id."""
+    from rgr_pdal_topo_spark.operators import dedup
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(dedup.duplicated_spans(docs))
+    assert "Window" in plan
+    # a global window would print "Window [...]" with no partition spec;
+    # every window line here must carry the doc_id partitioning
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "doc_id" in line
+    # per-doc span and final stats aggs combine map-side
+    assert "partial_count" in plan
+
+
+def test_dsir_weights_broadcasts_bucket_table(spark):
+    """The DSIR_BUCKETS-row weight table must broadcast into the scoring
+    join (the corpus never re-shuffles for it), the scalar totals must
+    never become a cartesian product, and the score agg combines
+    map-side."""
+    from rgr_pdal_topo_spark.operators import textstats
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(textstats.dsir_weights(docs))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+
+
+def test_source_quality_rollup_is_partial_final(spark):
+    """The per-source rollup and the shingle document-frequency agg both
+    combine map-side; the doc-keyed joins never go cartesian."""
+    from rgr_pdal_topo_spark.operators import textstats
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(textstats.source_quality(docs))
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "CartesianProduct" not in plan
