@@ -78,8 +78,9 @@ HEADLINE = [
     "anchor_text",
     "search_results",
     "hll_by_lang",
-    # closing-session addition — own series from here on
+    # closing-session additions — own series from here on
     "source_quality",
+    "semdedup",
 ]
 
 

@@ -517,3 +517,119 @@ def cosine_topk_ivf_sq8(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "nn_id", "cosine")
     )
+
+
+SEMDEDUP_THRESHOLD = 0.95  #: within-cluster semantic-duplicate cutoff
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = SEMDEDUP_THRESHOLD,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    scale: float | None = None,
+) -> DataFrame:
+    """(cid, n_vectors, n_dup_pairs, n_dropped, n_kept) — SemDeDup
+    ("SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", Abbas et al. 2023): embeddings are coarsely
+    clustered, pairwise similarity is computed ONLY within a cluster,
+    and every member with a qualifying near-duplicate is dropped in
+    favor of one representative.  This is the semantic member of the
+    dedup family — exact (digest), line-level (CCNet), lexical near-dup
+    (MinHash/SimHash), positional (dup_spans) all miss paraphrases and
+    re-encodings that embed to nearly the same vector.
+
+    Determinism contract: the coarse quantizer is the IVF seed-centroid
+    assignment (argmax float cosine over the first ``n_centroids``
+    vectors — assignment stays float for the same reason FAISS keeps
+    it float); within-cluster similarity runs on trained-scale SQ8
+    int8 vectors, exact integer arithmetic until one final
+    sqrt+division; the keep rule is "lowest id in each duplicate pair
+    survives" (a vector drops iff SOME smaller-id member of its
+    cluster is >= threshold similar), a deterministic simplification
+    of the paper's keep-farthest-from-centroid rule.
+
+    Scale shape: centroids broadcast; the corpus partitions by cluster
+    id; the within-cluster self-join is the method's intrinsic cost and
+    is bounded by cluster size — at web scale K grows with N to hold
+    clusters at ~10^4-10^5 members (the paper uses the same lever), and
+    a skewed giant cluster splits by re-running the quantizer inside
+    it.  Only (cid, id, int8-vector) rows shuffle."""
+    if scale is None:
+        scale = sq8_trained_scale(emb)
+    base = with_norm(emb)
+    cents = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+    cdot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    asg = (
+        base.crossJoin(F.broadcast(cents))
+        .withColumn(
+            "ccos",
+            F.round(cdot / (F.col("norm") * F.col("cnorm")), COS_ROUND),
+        )
+        .withColumn(
+            "crn",
+            F.row_number().over(
+                Window.partitionBy(id_col).orderBy(
+                    F.col("ccos").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .filter(F.col("crn") == 1)
+        .select(id_col, "cid")
+    )
+    qz = emb.withColumn("qv", quantize_sq8("embedding", scale)).select(
+        id_col, "qv", _int_dot(F.col("qv"), F.col("qv")).alias("qn")
+    )
+    m = asg.join(qz, id_col)
+    l = m.select(
+        "cid",
+        F.col(id_col).alias("id_a"),
+        F.col("qv").alias("qa"),
+        F.col("qn").alias("qna"),
+    )
+    r = m.select(
+        "cid",
+        F.col(id_col).alias("id_b"),
+        F.col("qv").alias("qb"),
+        F.col("qn").alias("qnb"),
+    )
+    cos = F.round(
+        _int_dot(F.col("qa"), F.col("qb"))
+        / F.sqrt((F.col("qna") * F.col("qnb")).cast("double")),
+        COS_ROUND,
+    )
+    dup = (
+        l.join(r, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("cid", "id_a", "id_b")
+    )
+    sizes = m.groupBy("cid").agg(F.count(F.lit(1)).alias("n_vectors"))
+    per = dup.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs"),
+        F.countDistinct("id_b").alias("n_dropped"),
+    )
+    return (
+        sizes.join(per, "cid", "left")
+        .select(
+            "cid",
+            "n_vectors",
+            F.coalesce(F.col("n_dup_pairs"), F.lit(0)).alias(
+                "n_dup_pairs"
+            ),
+            F.coalesce(F.col("n_dropped"), F.lit(0)).alias("n_dropped"),
+            (
+                F.col("n_vectors")
+                - F.coalesce(F.col("n_dropped"), F.lit(0))
+            ).alias("n_kept"),
+        )
+    )

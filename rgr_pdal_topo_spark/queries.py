@@ -2225,6 +2225,83 @@ def q_cosine_topk_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The synthetic embeddings are i.i.d. draws with no near-duplicate
+# vectors at ANY threshold (embedding_near_dups at 0.95 is row-count-0
+# on them), so a semantic-dedup pass over the raw table would be
+# structurally vacuous.  Plant deterministic near-identical pairs — two
+# members per 29-bucket share one synthetic direction, the second offset
+# by +1/2000 per component (cosine ~ 0.99999) — ids < 16 (the coarse
+# quantizer's seed centroids) left untouched.  Same planted-case
+# discipline as split_leakage's mirror pages; the two dialect spellings
+# differ only in DIV-vs-// and transform-vs-list_transform.
+_SEMDEDUP_PLANT_DUCK = (
+    "CASE WHEN vec_id >= 16 AND vec_id % 29 < 2 THEN "
+    "list_transform(generate_series(0, 63), d -> "
+    "CAST((((vec_id // 29) * 64 + d) * 48271) % 2001 - 1000 AS DOUBLE) "
+    "/ 2000.0 + CAST(vec_id % 29 AS DOUBLE) / 2000.0) "
+    "ELSE CAST(embedding AS DOUBLE[]) END"
+)
+_SEMDEDUP_PLANT_SPARK = (
+    "CASE WHEN vec_id >= 16 AND vec_id % 29 < 2 THEN "
+    "transform(sequence(0, 63), d -> "
+    "CAST((((vec_id DIV 29) * 64 + d) * 48271) % 2001 - 1000 AS DOUBLE) "
+    "/ 2000.0 + CAST(vec_id % 29 AS DOUBLE) / 2000.0) "
+    "ELSE CAST(embedding AS ARRAY<DOUBLE>) END"
+)
+
+
+@query(
+    "semdedup",
+    _with(
+        f"e AS (SELECT vec_id, {_SEMDEDUP_PLANT_DUCK} AS v "
+        "FROM embeddings)",
+        f"n AS ({_NORM_DUCK})",
+        # trained SQ8 scale + int8 grid — the cosine_topk_sq8 CTEs
+        "s AS (SELECT 127.0 / MAX(GREATEST(ABS(list_min(v)), "
+        "ABS(list_max(v)))) AS sc FROM e)",
+        "q8 AS (SELECT vec_id, list_transform(v, x -> CAST(GREATEST("
+        "LEAST(CAST(FLOOR(x * sc + 0.5) AS BIGINT), "
+        "127), -127) AS DOUBLE)) AS qv FROM e, s)",
+        "qn AS (SELECT vec_id, qv, list_dot_product(qv, qv) AS qn FROM q8)",
+        # float coarse-quantizer assignment — the cosine_topk_ivf CTEs
+        "c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n "
+        "WHERE vec_id < 16)",
+        "asg AS (SELECT n.vec_id, c.cid, ROW_NUMBER() OVER ("
+        f"PARTITION BY n.vec_id ORDER BY {_IVF_COS} DESC, c.cid ASC) "
+        "AS crn FROM n JOIN c ON TRUE)",
+        "m AS (SELECT a.vec_id, a.cid, q.qv, q.qn FROM asg a "
+        "JOIN qn q ON q.vec_id = a.vec_id WHERE a.crn = 1)",
+        "dup AS (SELECT l.cid, l.vec_id AS id_a, r.vec_id AS id_b "
+        "FROM m l JOIN m r ON r.cid = l.cid AND l.vec_id < r.vec_id "
+        "WHERE ROUND(list_dot_product(l.qv, r.qv) / "
+        "SQRT(CAST(l.qn * r.qn AS DOUBLE)), 5) >= 0.95)",
+        "sizes AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vectors "
+        "FROM m GROUP BY cid)",
+        "per AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs, "
+        "CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_dropped FROM dup "
+        "GROUP BY cid)",
+    )
+    + "SELECT sizes.cid, sizes.n_vectors, "
+    "COALESCE(per.n_dup_pairs, 0) AS n_dup_pairs, "
+    "COALESCE(per.n_dropped, 0) AS n_dropped, "
+    "sizes.n_vectors - COALESCE(per.n_dropped, 0) AS n_kept "
+    "FROM sizes LEFT JOIN per ON per.cid = sizes.cid",
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (similarity.semdedup, Abbas et al. 2023): coarse
+    IVF-seed clusters, within-cluster SQ8 integer-exact similarity,
+    keep-lowest-id survivors — the semantic member of the dedup family,
+    summarized per cluster.  Near-identical vector pairs are planted
+    first (two per 29-bucket, +1/2000-per-component offset) because the
+    synthetic embeddings contain no near-duplicates at any threshold."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", f"{_SEMDEDUP_PLANT_SPARK} AS embedding"
+    )
+    return similarity.semdedup(emb)
+
+
 def _planes_duck(n_planes: int, dim: int = 64) -> list[str]:
     out = []
     for j in range(n_planes):

@@ -251,3 +251,28 @@ def test_ivf_sq8_composition_recall_and_structure(spark):
         ivf_agree += len(set(ivf[ivf.query_id == qid].nn_id) & got)
     assert hits / len(exact) >= 0.4
     assert ivf_agree / len(ivf) >= 0.8  # quantization barely moves top-5
+
+
+def test_semdedup_planted_clusters(spark):
+    """Hand-computed SemDeDup on a 2-centroid toy corpus: near-seed
+    vectors pair with the seed and each other (lowest id survives), a
+    tie between centroids resolves to the lower cid, and a non-duplicate
+    member is kept."""
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),      # seed / cluster 0
+        (1, [0.0, 1.0, 0.0, 0.0]),      # seed / cluster 1
+        (2, [0.9, 0.05, 0.0, 0.0]),     # ~seed0 -> dup of 0
+        (3, [0.9, 0.05, 0.001, 0.0]),   # ~2     -> dup of 0 and 2
+        (4, [0.05, 0.9, 0.0, 0.0]),     # ~seed1 -> dup of 1
+        (5, [0.6, 0.6, 0.5, 0.0]),      # equidistant tie -> cid 0, kept
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["cid"]: (r["n_vectors"], r["n_dup_pairs"], r["n_dropped"],
+                   r["n_kept"])
+        for r in similarity.semdedup(emb, n_centroids=2).collect()
+    }
+    assert got == {
+        0: (4, 3, 2, 2),   # members {0,2,3,5}; pairs (0,2)(0,3)(2,3)
+        1: (2, 1, 1, 1),   # members {1,4}; pair (1,4)
+    }
