@@ -81,6 +81,7 @@ HEADLINE = [
     # closing-session additions — own series from here on
     "source_quality",
     "semdedup",
+    "token_packing",
 ]
 
 

@@ -355,3 +355,60 @@ def source_quality(documents: DataFrame) -> DataFrame:
             "total_dup_shingles"
         ),
     )
+
+
+PACK_CHUNK = 512  #: training context window, in whitespace tokens
+#: (512 keeps the accounting non-degenerate on the small synthetic
+#: shards — at 2048 every ~13k-token shard rounds to the same bin
+#: count; the operator itself takes any chunk size)
+
+
+def token_packing(
+    documents: DataFrame,
+    chunk: int = PACK_CHUNK,
+    shard_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, total_tokens, n_bins, n_split_docs): GPT-style
+    sequence packing accounting — documents are concatenated in doc_id
+    order within a shard and the token stream is chunked into fixed
+    ``chunk``-token context windows (the standard "concat then split"
+    packing of pre-training pipelines).  Reports, per shard, how many
+    context windows the shard fills and how many documents straddle a
+    window boundary (the quantity a packing policy trades against
+    padding waste).  Zero-token documents are excluded (they occupy no
+    window).
+
+    Deterministic contract: packing order is (shard, doc_id), so bin
+    assignment is a pure window cumsum — exact BIGINT arithmetic,
+    replayable across engines and retries.
+
+    Scale shape: one projection to (shard, doc_id, n_tokens) — bodies
+    never enter the window — then a per-shard cumulative-sum window
+    (real pipelines pack per shard/worker exactly because a global
+    order would serialize; the window is bounded by shard size) and one
+    partial+final rollup whose output is shards-sized."""
+    from pyspark.sql import Window
+
+    t = documents.select(
+        shard_col, "doc_id", F.size(_toks()).alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    x = (
+        t.withColumn("cum", F.sum("n_tokens").over(w))
+        .withColumn(
+            "start_bin", F.expr(f"(cum - n_tokens) DIV {chunk}")
+        )
+        .withColumn("end_bin", F.expr(f"(cum - 1) DIV {chunk}"))
+    )
+    return x.groupBy(shard_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.max("end_bin") + F.lit(1)).alias("n_bins"),
+        F.sum(
+            (F.col("start_bin") != F.col("end_bin")).cast("long")
+        ).alias("n_split_docs"),
+    )

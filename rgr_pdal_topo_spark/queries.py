@@ -4539,6 +4539,35 @@ def q_source_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_packing",
+    _with(
+        "t AS (SELECT source, doc_id, len(list_filter(string_split("
+        "text, ' '), x -> x <> '')) AS n_tokens FROM documents)",
+        "x AS (SELECT source, n_tokens, SUM(n_tokens) OVER ("
+        "PARTITION BY source ORDER BY doc_id ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS cum FROM t WHERE n_tokens > 0)",
+        f"b AS (SELECT source, n_tokens, (cum - n_tokens) // {textstats.PACK_CHUNK} "
+        f"AS start_bin, (cum - 1) // {textstats.PACK_CHUNK} AS end_bin FROM x)",
+    )
+    + "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_tokens) AS BIGINT) AS total_tokens, "
+    "CAST(MAX(end_bin) + 1 AS BIGINT) AS n_bins, "
+    "CAST(SUM(CASE WHEN start_bin <> end_bin THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_split_docs FROM b GROUP BY source",
+)
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing accounting (textstats.token_packing): documents
+    concatenated in (source, doc_id) order and chunked into 512-token
+    context windows — per shard, how many windows the stream fills and
+    how many documents straddle a boundary.  Pure window-cumsum integer
+    arithmetic, so the oracle replays it bit-for-bit."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.token_packing(docs)
+
+
+@query(
     "dsir_weights",
     _with(
         f"toks AS ({_TOKS_DUCK})",

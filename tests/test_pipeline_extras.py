@@ -362,3 +362,28 @@ def test_source_quality_planted_rollup(spark):
         "a": (2, 1, 29, 25, 1),
         "b": (2, 1, 28, 24, 1),
     }
+
+
+def test_token_packing_planted_boundaries(spark):
+    """Hand-computed packing with chunk=512: boundary-straddling docs
+    counted, contiguous cumsum bins, zero-token docs excluded."""
+    from rgr_pdal_topo_spark.operators import textstats
+
+    def words(n):
+        return " ".join(f"w{j}" for j in range(n))
+
+    rows = [
+        (0, "a", ""),            # zero tokens -> excluded entirely
+        (1, "a", words(300)),    # [0, 299]    bin 0
+        (2, "a", words(300)),    # [300, 599]  bins 0-1 -> split
+        (3, "a", words(300)),    # [600, 899]  bin 1
+        (4, "b", words(100)),    # [0, 99]     bin 0
+        (5, "b", words(500)),    # [100, 599]  bins 0-1 -> split
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        r["source"]: (r["n_docs"], r["total_tokens"], r["n_bins"],
+                      r["n_split_docs"])
+        for r in textstats.token_packing(docs).collect()
+    }
+    assert got == {"a": (3, 900, 2, 1), "b": (2, 600, 2, 1)}
