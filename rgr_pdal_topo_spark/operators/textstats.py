@@ -412,3 +412,95 @@ def token_packing(
             (F.col("start_bin") != F.col("end_bin")).cast("long")
         ).alias("n_split_docs"),
     )
+
+
+#: per-bigram log-probability ln P(w2 | w1) under the add-one-smoothed
+#: target bigram LM, over columns (cb, cu, vv) — pinned to the 2^-13
+#: integer grid; ONE fragment run verbatim by Spark (F.expr) and DuckDB
+#: (the DSIR_W_SQL / bm25 integer-ratio ln contract).  Always negative.
+PPL_W_SQL = (
+    "CAST(FLOOR(ln(CAST(cb + 1 AS DOUBLE) / CAST(cu + vv AS DOUBLE)) "
+    "* 8192 + 0.5) AS BIGINT)"
+)
+
+
+def bigram_ppl(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_bigrams, nll_q): the CCNet-style perplexity gate —
+    a bigram language model with add-one smoothing is trained on the
+    corpus' clean slice (the C4-gate keep rule standing in for CCNet's
+    Wikipedia reference), and every document is scored by its negative
+    log-likelihood under it.  High-nll-per-token documents are the
+    gibberish/boilerplate tail CCNet's head/middle/tail split cuts.
+
+    Exactness contract: each distinct bigram's log-probability is
+    pinned to the 2^-13 integer grid by PPL_W_SQL (one spelling, both
+    engines; the ln argument is a single division of integer-valued
+    doubles), and a document's nll_q is the exact BIGINT sum over its
+    bigram occurrences (callers divide by 8192 * n_bigrams for the
+    per-token nll; perplexity = exp of that).  Unseen bigrams cost
+    ln(1 / (c(w1) + V)); unseen contexts ln(1 / V).
+
+    Scale shape: the occurrence stream is (doc_id, keep, int64, int64)
+    — checkpoint-pinned because it feeds the two count aggs and the
+    scoring join; the LM tables are bigram-vocabulary-sized and join
+    back on (b1, b2); the vocab size is one broadcast scalar."""
+    from rgr_pdal_topo_spark.operators.dedup import (
+        _portable_id,
+        _shingle_array,
+    )
+
+    toks = _toks()
+    s = documents.select("doc_id", toks.alias("t"), *_stat_cols(toks))
+    base = s.withColumn("keep", _keep_expr(20, 12.0, 0.1)).select(
+        "doc_id", "t", "keep"
+    )
+    occ = (
+        base.select(
+            "doc_id",
+            "keep",
+            "t",
+            F.posexplode(
+                _shingle_array(F.col("t"), 2, distinct=False)
+            ).alias("pos0", "bigram"),
+        )
+        .select(
+            "doc_id",
+            "keep",
+            _portable_id(
+                F.md5(F.element_at(F.col("t"), F.col("pos0") + 1))
+            ).alias("b1"),
+            _portable_id(F.md5("bigram")).alias("b2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    tgt = occ.filter(F.col("keep") == 1)
+    cb = tgt.groupBy("b2").agg(F.count(F.lit(1)).alias("cb"))
+    cu = tgt.groupBy("b1").agg(F.count(F.lit(1)).alias("cu"))
+    vv = (
+        base.filter(F.col("keep") == 1)
+        .select(F.explode("t").alias("tok"))
+        .agg(F.countDistinct("tok").alias("vv"))
+    )
+    wtab = (
+        occ.select("b1", "b2")
+        .distinct()
+        .join(cb, "b2", "left")
+        .join(cu, "b1", "left")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "b1",
+            "b2",
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+            F.coalesce(F.col("cu"), F.lit(0)).alias("cu"),
+            "vv",
+        )
+        .select("b1", "b2", F.expr(PPL_W_SQL).alias("w"))
+    )
+    return (
+        occ.join(wtab, ["b1", "b2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (-F.sum("w")).alias("nll_q"),
+        )
+    )

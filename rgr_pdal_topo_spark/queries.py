@@ -4601,6 +4601,50 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.dsir_weights(docs)
 
 
+@query(
+    "bigram_ppl",
+    _with(
+        f"toks AS ({_TOKS_DUCK})",
+        f"base AS (SELECT doc_id, t, {_KEEP_CASE_DUCK} AS keep FROM toks)",
+        "bg0 AS (SELECT doc_id, keep, t[u.pos] AS w1tok, "
+        "t[u.pos] || ' ' || t[u.pos+1] AS bigram FROM base, "
+        "LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, "
+        "0))) AS pos) u)",
+        "occ AS MATERIALIZED (SELECT doc_id, keep, "
+        f"{dedup.horner_hash_sql('h1')} AS b1, "
+        f"{dedup.horner_hash_sql('h2')} AS b2 FROM (SELECT doc_id, keep, "
+        "md5(w1tok) AS h1, md5(bigram) AS h2 FROM bg0) x)",
+        "cbt AS (SELECT b2, CAST(COUNT(*) AS BIGINT) AS cb FROM occ "
+        "WHERE keep = 1 GROUP BY b2)",
+        "cut AS (SELECT b1, CAST(COUNT(*) AS BIGINT) AS cu FROM occ "
+        "WHERE keep = 1 GROUP BY b1)",
+        "vt AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vv FROM "
+        "(SELECT unnest(t) AS tok FROM base WHERE keep = 1) z)",
+        "pairs AS (SELECT DISTINCT b1, b2 FROM occ)",
+        "wt0 AS (SELECT p.b1, p.b2, COALESCE(cbt.cb, 0) AS cb, "
+        "COALESCE(cut.cu, 0) AS cu, vt.vv AS vv FROM pairs p "
+        "LEFT JOIN cbt ON cbt.b2 = p.b2 LEFT JOIN cut ON cut.b1 = p.b1, "
+        "vt)",
+        f"wt AS (SELECT b1, b2, {textstats.PPL_W_SQL} AS w FROM wt0)",
+    )
+    + "SELECT occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+    "CAST(-SUM(wt.w) AS BIGINT) AS nll_q "
+    "FROM occ JOIN wt ON wt.b1 = occ.b1 AND wt.b2 = occ.b2 "
+    "GROUP BY occ.doc_id",
+)
+def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity gate (textstats.bigram_ppl): an add-one
+    bigram LM trained on the C4-gate clean slice scores every document
+    by negative log-likelihood.  Each distinct bigram's log-probability
+    is pinned to the 2^-13 integer grid by the shared PPL_W_SQL
+    fragment (the bm25/DSIR integer-ratio ln contract), so nll_q is an
+    exact BIGINT sum."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.bigram_ppl(docs)
+
+
 # the synthetic corpus contains NO verbatim duplicates (every text is
 # unique), so the exact-digest arm of the split audit would be
 # structurally vacuous on it; plant deterministic mirror pages — two

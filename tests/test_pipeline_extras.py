@@ -387,3 +387,27 @@ def test_token_packing_planted_boundaries(spark):
         for r in textstats.token_packing(docs).collect()
     }
     assert got == {"a": (3, 900, 2, 1), "b": (2, 600, 2, 1)}
+
+
+def test_bigram_ppl_gibberish_scores_worse(spark):
+    """Gate semantics: a document whose bigrams all occur in the clean
+    (C4-gate-passing) slice scores a much lower per-token nll than a
+    same-length document of corpus-unseen gibberish bigrams; counts are
+    exact and every nll is positive."""
+    from rgr_pdal_topo_spark.operators import textstats
+
+    common = " ".join(f"c{j % 6}" for j in range(24))   # 24 toks, 6-word loop
+    rows = [(i, common) for i in range(8)]              # clean slice (pass gate)
+    rows.append((8, " ".join(f"c{j % 6}" for j in range(12))))  # fails gate
+    rows.append((9, " ".join(f"z{j}" for j in range(12))))      # gibberish
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_q"])
+        for r in textstats.bigram_ppl(docs).collect()
+    }
+    assert set(got) == set(range(10))
+    assert all(n == (23 if i < 8 else 11) for i, (n, _) in got.items())
+    assert all(v > 0 for _, v in got.values())
+    per_tok_seen = got[8][1] / got[8][0]     # bigrams all in the LM
+    per_tok_junk = got[9][1] / got[9][0]     # bigrams/contexts all unseen
+    assert per_tok_junk > 2 * per_tok_seen
