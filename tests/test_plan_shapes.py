@@ -500,3 +500,47 @@ def test_source_quality_rollup_is_partial_final(spark):
     plan = _plan(textstats.source_quality(docs))
     assert "partial_count" in plan and "partial_sum" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_semdedup_broadcasts_centroids_partitions_by_cluster(spark):
+    """Centroids broadcast into the assignment; the within-cluster
+    self-join is an equi-join on cid (never a cartesian product); the
+    per-cluster rollups combine map-side."""
+    from rgr_pdal_topo_spark.operators import similarity
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = _plan(similarity.semdedup(emb))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or plan.count("BroadcastHashJoin") >= 2
+    assert "partial_count" in plan
+
+
+def test_token_packing_windows_partition_by_shard(spark):
+    """The packing cumsum must never be a global window: every Window
+    node partitions by the shard column."""
+    from rgr_pdal_topo_spark.operators import textstats
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(textstats.token_packing(docs))
+    assert "Window" in plan
+    for line in plan.splitlines():
+        if "Window [" in line:
+            assert "source" in line
+    assert "partial_sum" in plan
+
+
+def test_bigram_ppl_broadcasts_vocab_scalar(spark):
+    """The vocab-size scalar broadcasts (no cartesian), the LM tables
+    join back by key, and the count/score aggs combine map-side."""
+    from rgr_pdal_topo_spark.operators import textstats
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(textstats.bigram_ppl(docs))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_count" in plan and "partial_sum" in plan
