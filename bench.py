@@ -71,7 +71,7 @@ HEADLINE = [
     "bm25_scores",
     "kwic_snippets",
     # r5 continuation — own series (dedup_keep, hll_overlap, and
-    # dup_spans + dsir_weights + bigram_ppl are absent for the eager-builder reason:
+    # dup_spans + dsir_weights + bigram_ppl + winnow_fingerprints are absent for the eager-builder reason:
     # connected components, the sketch register folds, and the
     # positional-shingle / bigram streams localCheckpoint inside the
     # builder)

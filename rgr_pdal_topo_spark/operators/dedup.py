@@ -1136,3 +1136,79 @@ def survivor_stats(
             "chars_kept",
         )
     )
+
+
+WINNOW_W = 4  #: winnowing window: w consecutive k-gram hashes
+
+
+def winnow_fingerprints(
+    documents: DataFrame, k: int = SHINGLE_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, n_grams, n_selected, fp_xor): robust winnowing
+    (Schleimer/Wilkerson/Aiken 2003, the MOSS fingerprinting scheme):
+    over each window of ``w`` consecutive k-gram hashes select the
+    RIGHTMOST minimum; the selected (position, hash) pairs are the
+    document's fingerprint sketch.  Winnowing guarantees every
+    ``w``-window contributes a fingerprint (no gap longer than w), with
+    expected density 2/(w+1) — the position-robust alternative to "every
+    0 mod p hash" selection, and the standard local-similarity
+    fingerprint between full shingling and MinHash.
+
+    Documents with fewer than w k-grams have no full window and emit no
+    row (documented contract; they are fully covered by exact dedup).
+    fp_xor folds the selected pairs order-independently
+    (bit_xor of hash XOR position — the lineage-fingerprint discipline:
+    xor never overflows under ANSI).
+
+    Scale shape: the hash stream is (doc_id, int, int64); the sliding
+    minimum is a per-doc w-row window; the rightmost-argmin resolves by
+    an offset-explode equi-join (w rows per window end, w is a small
+    constant) — nothing wider than ids shuffles, no global window."""
+    d = documents.select("doc_id", _tok_array().alias("toks"))
+    psh = (
+        d.select(
+            "doc_id",
+            F.posexplode(
+                _shingle_array(F.col("toks"), k, distinct=False)
+            ).alias("pos0", "shingle"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos0") + 1).cast("long").alias("pos"),
+            _portable_id(F.md5("shingle")).alias("h"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        -(w - 1), Window.currentRow
+    )
+    cnt_w = Window.partitionBy("doc_id")
+    ends = (
+        psh.withColumn("min_h", F.min("h").over(win))
+        .withColumn("m", F.max("pos").over(cnt_w))
+        .filter(F.col("pos") >= w)  # full windows only
+        .select("doc_id", F.col("pos").alias("q"), "min_h", "m")
+    )
+    # rightmost position attaining the window minimum: offset-explode
+    # the w candidate positions and equi-join back to the hash stream
+    cand = ends.select(
+        "doc_id", "q", "min_h", "m",
+        F.explode(
+            F.array(*[F.lit(o) for o in range(w)])
+        ).alias("o"),
+    ).select(
+        "doc_id", "q", "min_h", "m", (F.col("q") - F.col("o")).alias("pos")
+    )
+    sel = (
+        cand.join(psh, ["doc_id", "pos"])
+        .filter(F.col("h") == F.col("min_h"))
+        .groupBy("doc_id", "q", "min_h", "m")
+        .agg(F.max("pos").alias("sel_pos"))
+        .select("doc_id", "m", "sel_pos", "min_h")
+        .distinct()
+    )
+    return sel.groupBy("doc_id").agg(
+        F.max("m").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_selected"),
+        F.expr("bit_xor(min_h ^ sel_pos)").alias("fp_xor"),
+    )

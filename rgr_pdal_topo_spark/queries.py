@@ -4602,6 +4602,43 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "winnow_fingerprints",
+    _with(
+        f"d AS ({_DOCTOKS_DUCK})",
+        f"psh AS ({_PSH_DUCK})",
+        "pt AS MATERIALIZED (SELECT doc_id, pos, "
+        f"{dedup.horner_hash_sql('h')} AS tid FROM psh)",
+        "ends AS (SELECT * FROM (SELECT doc_id, pos AS q, "
+        "MIN(tid) OVER (PARTITION BY doc_id ORDER BY pos "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS min_h, "
+        "MAX(pos) OVER (PARTITION BY doc_id) AS m FROM pt) z "
+        "WHERE q >= 4)",
+        "cand AS (SELECT doc_id, q, min_h, m, q - u.o AS pos FROM ends, "
+        "LATERAL (SELECT unnest(generate_series(0, 3)) AS o) u)",
+        "sel AS (SELECT DISTINCT doc_id, m, sel_pos, min_h FROM ("
+        "SELECT c.doc_id, c.q, c.min_h, c.m, MAX(p.pos) AS sel_pos "
+        "FROM cand c JOIN pt p ON p.doc_id = c.doc_id "
+        "AND p.pos = c.pos WHERE p.tid = c.min_h "
+        "GROUP BY c.doc_id, c.q, c.min_h, c.m) g)",
+    )
+    + "SELECT doc_id, CAST(MAX(m) AS BIGINT) AS n_grams, "
+    "CAST(COUNT(*) AS BIGINT) AS n_selected, "
+    "CAST(bit_xor(xor(min_h, sel_pos)) AS BIGINT) AS fp_xor "
+    "FROM sel GROUP BY doc_id",
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust winnowing (dedup.winnow_fingerprints, the MOSS scheme):
+    rightmost minimum of each 4-window of 3-gram hashes selected as the
+    document's fingerprint sketch; every window is guaranteed a
+    fingerprint, density ~2/(w+1).  All-integer (60-bit portable
+    hashes, xor folds), so the oracle replays selection bit-for-bit."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_fingerprints(docs)
+
+
+@query(
     "bigram_ppl",
     _with(
         f"toks AS ({_TOKS_DUCK})",

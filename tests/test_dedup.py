@@ -587,3 +587,56 @@ def test_split_leakage_python_replay(spark):
         for r in dedup.split_leakage(docs).collect()
     }
     assert got == expected
+
+
+def test_winnow_fingerprints_python_replay(spark):
+    """Full pure-Python replay of robust winnowing (all-integer, so the
+    replay is exact): rightmost minimum per 4-window of 3-gram hashes,
+    distinct (pos, hash) pairs, xor fold — plus the winnowing coverage
+    guarantee (every full window contains a selected position)."""
+    import hashlib
+
+    texts = {
+        1: " ".join(f"a{j % 5}" for j in range(20)),   # repetitive
+        2: " ".join(f"b{j}" for j in range(15)),       # all-distinct
+        3: "c1 c2 c3 c4 c5 c6",                        # m = 4, one window
+        4: "d1 d2 d3 d4 d5",                           # m = 3 < w -> no row
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+
+    def hashes(t):
+        toks = [x for x in t.split(" ") if x]
+        return [
+            int(hashlib.md5(
+                " ".join(toks[i:i + 3]).encode()
+            ).hexdigest()[:15], 16)
+            for i in range(len(toks) - 2)
+        ]
+
+    expected = {}
+    for i, t in texts.items():
+        hs = hashes(t)
+        m = len(hs)
+        if m < 4:
+            continue
+        sel = set()
+        for q in range(4, m + 1):            # 1-based window ends
+            wnd = [(hs[p - 1], p) for p in range(q - 3, q + 1)]
+            mn = min(h for h, _ in wnd)
+            sel.add((max(p for h, p in wnd if h == mn), mn))
+        fp = 0
+        for p, h in sel:
+            fp ^= h ^ p
+        # coverage guarantee: every window has a selected position
+        for q in range(4, m + 1):
+            assert any(q - 3 <= p <= q for p, _ in sel)
+        expected[i] = (m, len(sel), fp)
+
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_selected"], r["fp_xor"])
+        for r in dedup.winnow_fingerprints(docs).collect()
+    }
+    assert got == expected
+    assert 4 not in got   # no full window -> no row
