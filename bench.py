@@ -82,6 +82,7 @@ HEADLINE = [
     "source_quality",
     "semdedup",
     "token_packing",
+    "release_pipeline",
 ]
 
 

@@ -1572,6 +1572,63 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "release_pipeline",
+    _with(
+        f"toks AS ({_TOKS_DUCK})",
+        "winners AS (SELECT MIN(doc_id) AS doc_id FROM documents "
+        "GROUP BY md5(text))",
+        "kept AS (SELECT toks.* FROM toks JOIN winners USING (doc_id))",
+        "scored AS (SELECT doc_id, len(t) AS n_tokens, "
+        "CAST(list_sum(list_transform(t, x -> CAST(ceil(length(x) / 4.0) "
+        "AS BIGINT))) AS BIGINT) AS bpe, "
+        f"{_KEEP_CASE_DUCK} AS keep, "
+        f"{_PRED_LANG_CASE_DUCK} AS pred_lang FROM kept)",
+        "sp AS (SELECT doc_id, CASE WHEN "
+        f"({dedup.horner_hash_sql('h')}) % {dedup.N_SPLIT_BUCKETS} = "
+        f"{dedup.VAL_BUCKET} THEN 'val' WHEN "
+        f"({dedup.horner_hash_sql('h')}) % {dedup.N_SPLIT_BUCKETS} = "
+        f"{dedup.TEST_BUCKET} THEN 'test' ELSE 'train' END AS split "
+        "FROM (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h "
+        "FROM documents) hh)",
+    )
+    + "SELECT sp.split, s.pred_lang, COUNT(*) AS n_docs, "
+    "CAST(SUM(s.n_tokens) AS BIGINT) AS total_tokens, "
+    "CAST(SUM(s.bpe) AS BIGINT) AS total_bpe_tokens "
+    "FROM scored s JOIN sp ON sp.doc_id = s.doc_id WHERE s.keep = 1 "
+    "GROUP BY sp.split, s.pred_lang",
+)
+def q_release_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus RELEASE composed end to end — the fifth composed
+    flagship: exact dedup (min-doc_id winner per content digest) ->
+    C4 quality gate -> language-ID -> deterministic train/val/test
+    split -> per-(split, language) datasheet totals, all in ONE plan.
+    Every stage is verified solo elsewhere (dedup_exact,
+    quality_filter, langid, split_leakage, text_stats); this query pins
+    that they COMPOSE, with the same single-spelling oracle fragments
+    so solo/composed drift fails parity.
+
+    Scale shape: digest groupBy shuffles digests (never bodies), the
+    winner semi-join co-partitions on doc_id, quality+langid is ONE
+    projection over ONE scan, the split label is a pure function of
+    doc_id (no join needed on the engine side), and the rollup is a
+    tiny partial+final agg."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    winners = docs.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    kept = docs.join(winners.select("doc_id"), "doc_id", "left_semi")
+    scored = textstats.quality_langid(kept).filter(F.col("keep") == 1)
+    out = scored.withColumn("split", dedup.split_col(F.col("doc_id")))
+    return out.groupBy("split", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("bpe_tokens_est").alias("total_bpe_tokens"),
+    )
+
+
 # Shingle/token ids are md5 -> base-16 Horner fold of the first 15 hex
 # chars — an exact 60-bit value, no modulus involved
 # (dedup.horner_hash_sql): pure built-ins, identical in both engines, and —

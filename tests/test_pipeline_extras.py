@@ -411,3 +411,84 @@ def test_bigram_ppl_gibberish_scores_worse(spark):
     per_tok_seen = got[8][1] / got[8][0]     # bigrams all in the LM
     per_tok_junk = got[9][1] / got[9][0]     # bigrams/contexts all unseen
     assert per_tok_junk > 2 * per_tok_seen
+
+
+def test_release_pipeline_python_replay(spark):
+    """Full pure-Python replay of the composed release: exact-dedup
+    winners, C4 gate, stopword langid (with tie order), hash split,
+    BPE-estimate totals — over a corpus exercising every stage."""
+    import hashlib
+    import math
+
+    from pyspark.sql import functions as FF
+
+    from rgr_pdal_topo_spark.operators import dedup as dd
+    from rgr_pdal_topo_spark.operators import textstats
+
+    en = ("the a and of to " * 4).strip()          # 20 toks, passes
+    es = ("el la de que y " * 4).strip()           # 20 toks, passes, es
+    texts = {0: en, 1: en, 2: es, 3: "x1 x2 x3 x4 x5"}  # 1 dups 0; 3 fails
+    for i in range(4, 10):
+        texts[i] = ("the a and of to " * 3).strip() + (
+            f" u{i} v{i} w{i} z{i} q{i}"
+        )
+    docs = spark.createDataFrame(
+        [(i, "xx", t) for i, t in texts.items()],
+        "doc_id long, lang string, text string",
+    )
+
+    prof = {
+        "en": {"the", "a", "and", "of", "to"},
+        "es": {"el", "la", "de", "que", "y"},
+        "de": {"der", "die", "das", "und", "ist"},
+        "fr": {"le", "la", "de", "et", "les"},
+    }
+
+    def replay():
+        winners = {}
+        for i in sorted(texts):
+            winners.setdefault(texts[i], i)
+        out = {}
+        for i, t in texts.items():
+            if winners[t] != i:
+                continue
+            toks = [x for x in t.split(" ") if x]
+            n = len(toks)
+            avg = sum(len(x) for x in toks) / n
+            if not (n >= 20 and avg <= 12.0 and len(set(toks)) / n >= 0.1):
+                continue
+            scores = {c: sum(1 for x in toks if x in prof[c]) for c in prof}
+            pred, best = "en", scores["en"]
+            for c in ("es", "de", "fr"):
+                if scores[c] > best:
+                    pred, best = c, scores[c]
+            b = int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 10
+            split = {8: "val", 9: "test"}.get(b, "train")
+            bpe = sum(math.ceil(len(x) / 4) for x in toks)
+            d = out.setdefault((split, pred), [0, 0, 0])
+            d[0] += 1
+            d[1] += n
+            d[2] += bpe
+        return {k: tuple(v) for k, v in out.items()}
+
+    expected = replay()
+    assert len(expected) >= 2        # the corpus must exercise >1 group
+
+    winners = docs.groupBy(FF.md5("text").alias("dg")).agg(
+        FF.min("doc_id").alias("doc_id")
+    )
+    kept = docs.join(winners.select("doc_id"), "doc_id", "left_semi")
+    scored = textstats.quality_langid(kept).filter(FF.col("keep") == 1)
+    out = scored.withColumn("split", dd.split_col(FF.col("doc_id")))
+    rows = out.groupBy("split", "pred_lang").agg(
+        FF.count(FF.lit(1)).alias("n_docs"),
+        FF.sum("n_tokens").alias("total_tokens"),
+        FF.sum("bpe_tokens_est").alias("total_bpe_tokens"),
+    ).collect()
+    got = {
+        (r["split"], r["pred_lang"]): (
+            r["n_docs"], r["total_tokens"], r["total_bpe_tokens"]
+        )
+        for r in rows
+    }
+    assert got == expected
