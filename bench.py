@@ -83,6 +83,10 @@ HEADLINE = [
     "semdedup",
     "token_packing",
     "release_pipeline",
+    # final-session addition — own series (ccnet_buckets is absent for
+    # the eager-builder reason: it builds on bigram_ppl's checkpointed
+    # occurrence stream)
+    "bpe_pairs",
 ]
 
 

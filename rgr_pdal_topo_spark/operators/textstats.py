@@ -504,3 +504,109 @@ def bigram_ppl(documents: DataFrame) -> DataFrame:
             (-F.sum("w")).alias("nll_q"),
         )
     )
+
+
+def bpe_pair_counts(documents: DataFrame, top_k: int = 20) -> DataFrame:
+    """(rank, pair, cnt): the inner statistic of one BPE tokenizer
+    training step — adjacent character-pair frequencies over every word
+    occurrence, highest first.  Rank 1 IS the merge classic BPE
+    (Sennrich et al. 2016) would perform next; re-running after applying
+    it yields the merge table.  Counts are occurrence-weighted (a word
+    seen N times contributes N to each of its pairs), matching BPE's
+    word-frequency weighting.
+
+    Determinism: ties broken by pair text ascending; all-integer/string
+    output so the oracle is exact.
+
+    Scale shape: the pair stream is one narrow projection of the token
+    explode (no Python, no shuffle before the count); the count groupBy
+    is map-side combinable onto a key space bounded by alphabet^2, so
+    the aggregated table is tiny and the final top-k window runs on
+    that table, not the corpus.  Words shorter than 2 chars emit
+    nothing (filtered explicitly — Spark's sequence(1, 0) would yield a
+    DESCENDING two-element range, not an empty one)."""
+    from pyspark.sql import Window
+
+    words = documents.select(F.explode(_toks()).alias("w"))
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            "w",
+            F.explode(
+                F.sequence(F.lit(1), F.length("w") - F.lit(1))
+            ).alias("i"),
+        )
+        .select(F.expr("substring(w, i, 2)").alias("pair"))
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    order = Window.orderBy(F.col("cnt").desc(), F.col("pair").asc())
+    return (
+        counts.withColumn(
+            "rank", F.row_number().over(order).cast("long")
+        )
+        .filter(F.col("rank") <= top_k)
+        .select("rank", "pair", "cnt")
+    )
+
+
+def ccnet_buckets(documents: DataFrame) -> DataFrame:
+    """(lang, bucket, n_docs, total_bigrams, total_nll_q, min_nll_q,
+    max_nll_q): CCNet's head/middle/tail corpus split — every document
+    is scored by the add-one bigram LM (``bigram_ppl``), ordered within
+    its language by per-token negative log-likelihood, and cut into
+    three equal-count buckets (1 = head/cleanest).
+
+    Ordering contract: the sort key is the exact integer
+    ``(nll_q * 1024) div n_bigrams`` (per-token nll on a 2^-10-per-unit
+    grid of the already-2^-13-pinned nll_q), ties broken by doc_id —
+    one spelling in both engines, no float comparisons anywhere.
+
+    Scale shape — NO per-language global window: a textbook
+    ``NTILE(3) OVER (PARTITION BY lang ORDER BY ...)`` funnels each
+    language's every row through one task, a wall at 10^9+ docs/lang.
+    Instead the global rank is assembled two-level, the views_asof
+    bucket trick: (a) per-(lang, key) counts -> cumulative offsets via
+    a window over the TINY aggregated key table, (b) row_number
+    partitioned by (lang, key) — bounded partitions (docs sharing one
+    quantized per-token nll; heavy only if the corpus is itself
+    degenerate), (c) rank = offset + within-rank, and bucket =
+    ``(rank-1) * 3 div n_lang + 1``, which reproduces NTILE's
+    ceil-first tile sizes exactly (first n mod k tiles get the extra
+    row).  The DuckDB oracle IS the textbook NTILE spelling, pinning
+    the equivalence.  Offsets and per-language totals broadcast."""
+    from pyspark.sql import Window
+
+    ppl = bigram_ppl(documents)
+    scored = (
+        ppl.join(documents.select("doc_id", "lang"), "doc_id")
+        .withColumn("key", F.expr("(nll_q * 1024) div n_bigrams"))
+    )
+    per_key = scored.groupBy("lang", "key").agg(
+        F.count(F.lit(1)).alias("kc")
+    )
+    cum = Window.partitionBy("lang").orderBy("key").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = per_key.select(
+        "lang",
+        "key",
+        F.coalesce(F.sum("kc").over(cum), F.lit(0)).alias("off"),
+    )
+    totals = scored.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    within = Window.partitionBy("lang", "key").orderBy("doc_id")
+    ranked = (
+        scored.withColumn("rk", F.row_number().over(within))
+        .join(F.broadcast(offs), ["lang", "key"])
+        .join(F.broadcast(totals), "lang")
+        .withColumn(
+            "bucket",
+            F.expr("((off + rk - 1) * 3) div n_l + 1").cast("long"),
+        )
+    )
+    return ranked.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bigrams").alias("total_bigrams"),
+        F.sum("nll_q").alias("total_nll_q"),
+        F.min("nll_q").alias("min_nll_q"),
+        F.max("nll_q").alias("max_nll_q"),
+    )

@@ -4695,37 +4695,42 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_fingerprints(docs)
 
 
-@query(
-    "bigram_ppl",
-    _with(
-        f"toks AS ({_TOKS_DUCK})",
-        f"base AS (SELECT doc_id, t, {_KEEP_CASE_DUCK} AS keep FROM toks)",
-        "bg0 AS (SELECT doc_id, keep, t[u.pos] AS w1tok, "
-        "t[u.pos] || ' ' || t[u.pos+1] AS bigram FROM base, "
-        "LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, "
-        "0))) AS pos) u)",
-        "occ AS MATERIALIZED (SELECT doc_id, keep, "
-        f"{dedup.horner_hash_sql('h1')} AS b1, "
-        f"{dedup.horner_hash_sql('h2')} AS b2 FROM (SELECT doc_id, keep, "
-        "md5(w1tok) AS h1, md5(bigram) AS h2 FROM bg0) x)",
-        "cbt AS (SELECT b2, CAST(COUNT(*) AS BIGINT) AS cb FROM occ "
-        "WHERE keep = 1 GROUP BY b2)",
-        "cut AS (SELECT b1, CAST(COUNT(*) AS BIGINT) AS cu FROM occ "
-        "WHERE keep = 1 GROUP BY b1)",
-        "vt AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vv FROM "
-        "(SELECT unnest(t) AS tok FROM base WHERE keep = 1) z)",
-        "pairs AS (SELECT DISTINCT b1, b2 FROM occ)",
-        "wt0 AS (SELECT p.b1, p.b2, COALESCE(cbt.cb, 0) AS cb, "
-        "COALESCE(cut.cu, 0) AS cu, vt.vv AS vv FROM pairs p "
-        "LEFT JOIN cbt ON cbt.b2 = p.b2 LEFT JOIN cut ON cut.b1 = p.b1, "
-        "vt)",
-        f"wt AS (SELECT b1, b2, {textstats.PPL_W_SQL} AS w FROM wt0)",
-    )
-    + "SELECT occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
+# the add-one bigram-LM CTE chain + per-doc scoring select, shared by
+# bigram_ppl (the gate itself) and ccnet_buckets (the head/middle/tail
+# split over its scores) so the two oracles cannot drift
+_PPL_CTES = (
+    f"toks AS ({_TOKS_DUCK})",
+    f"base AS (SELECT doc_id, t, {_KEEP_CASE_DUCK} AS keep FROM toks)",
+    "bg0 AS (SELECT doc_id, keep, t[u.pos] AS w1tok, "
+    "t[u.pos] || ' ' || t[u.pos+1] AS bigram FROM base, "
+    "LATERAL (SELECT unnest(generate_series(1, greatest(len(t) - 1, "
+    "0))) AS pos) u)",
+    "occ AS MATERIALIZED (SELECT doc_id, keep, "
+    f"{dedup.horner_hash_sql('h1')} AS b1, "
+    f"{dedup.horner_hash_sql('h2')} AS b2 FROM (SELECT doc_id, keep, "
+    "md5(w1tok) AS h1, md5(bigram) AS h2 FROM bg0) x)",
+    "cbt AS (SELECT b2, CAST(COUNT(*) AS BIGINT) AS cb FROM occ "
+    "WHERE keep = 1 GROUP BY b2)",
+    "cut AS (SELECT b1, CAST(COUNT(*) AS BIGINT) AS cu FROM occ "
+    "WHERE keep = 1 GROUP BY b1)",
+    "vt AS (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS vv FROM "
+    "(SELECT unnest(t) AS tok FROM base WHERE keep = 1) z)",
+    "pairs AS (SELECT DISTINCT b1, b2 FROM occ)",
+    "wt0 AS (SELECT p.b1, p.b2, COALESCE(cbt.cb, 0) AS cb, "
+    "COALESCE(cut.cu, 0) AS cu, vt.vv AS vv FROM pairs p "
+    "LEFT JOIN cbt ON cbt.b2 = p.b2 LEFT JOIN cut ON cut.b1 = p.b1, "
+    "vt)",
+    f"wt AS (SELECT b1, b2, {textstats.PPL_W_SQL} AS w FROM wt0)",
+)
+_PPL_DOC_SELECT = (
+    "SELECT occ.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams, "
     "CAST(-SUM(wt.w) AS BIGINT) AS nll_q "
     "FROM occ JOIN wt ON wt.b1 = occ.b1 AND wt.b2 = occ.b2 "
-    "GROUP BY occ.doc_id",
+    "GROUP BY occ.doc_id"
 )
+
+
+@query("bigram_ppl", _with(*_PPL_CTES) + _PPL_DOC_SELECT)
 def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity gate (textstats.bigram_ppl): an add-one
     bigram LM trained on the C4-gate clean slice scores every document
@@ -4737,6 +4742,65 @@ def q_bigram_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return textstats.bigram_ppl(docs)
+
+
+@query(
+    "ccnet_buckets",
+    _with(
+        *_PPL_CTES,
+        f"ppl AS ({_PPL_DOC_SELECT})",
+        "sc AS (SELECT d.lang, p.n_bigrams, p.nll_q, "
+        "NTILE(3) OVER (PARTITION BY d.lang ORDER BY "
+        "(p.nll_q * 1024) // p.n_bigrams, p.doc_id) AS bucket "
+        "FROM ppl p JOIN documents d ON d.doc_id = p.doc_id)",
+    )
+    + "SELECT lang, CAST(bucket AS BIGINT) AS bucket, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(n_bigrams) AS BIGINT) AS total_bigrams, "
+    "CAST(SUM(nll_q) AS BIGINT) AS total_nll_q, "
+    "CAST(MIN(nll_q) AS BIGINT) AS min_nll_q, "
+    "CAST(MAX(nll_q) AS BIGINT) AS max_nll_q "
+    "FROM sc GROUP BY lang, bucket",
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail split (textstats.ccnet_buckets): documents
+    ordered within each language by exact-integer per-token nll from the
+    bigram LM, cut into three equal-count buckets.  The engine assembles
+    the rank two-level (per-key offsets + bounded within-key windows —
+    no per-language global window); the oracle is the textbook NTILE(3)
+    spelling, pinning the equivalence of the scalable plan to the
+    textbook one."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.ccnet_buckets(docs)
+
+
+@query(
+    "bpe_pairs",
+    _with(
+        f"toks AS ({_TOKS_DUCK})",
+        "w AS (SELECT unnest(t) AS w FROM toks)",
+        "p AS (SELECT substr(w, u.i, 2) AS pair FROM w, "
+        "LATERAL (SELECT unnest(generate_series(1, length(w) - 1)) "
+        "AS i) u WHERE length(w) >= 2)",
+        "c AS (SELECT pair, CAST(COUNT(*) AS BIGINT) AS cnt FROM p "
+        "GROUP BY pair)",
+    )
+    + "SELECT * FROM (SELECT CAST(ROW_NUMBER() OVER "
+    "(ORDER BY cnt DESC, pair) AS BIGINT) AS rank, pair, cnt FROM c) r "
+    "WHERE rank <= 20",
+)
+def q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE tokenizer-training step's statistic
+    (textstats.bpe_pair_counts): occurrence-weighted adjacent
+    character-pair frequencies, top 20; rank 1 is the merge classic BPE
+    performs next.  Map-side-combinable count onto an alphabet^2-bounded
+    key space; the top-k window runs on the tiny aggregated table."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.bpe_pair_counts(docs)
 
 
 # the synthetic corpus contains NO verbatim duplicates (every text is

@@ -492,3 +492,73 @@ def test_release_pipeline_python_replay(spark):
         for r in rows
     }
     assert got == expected
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    """Planted case: pair counts are occurrence-weighted ('ab' twice as a
+    word and once inside 'abc' -> 3), single-char words emit nothing,
+    ties and ordering are (cnt DESC, pair ASC), rank is 1-based."""
+    from rgr_pdal_topo_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(0, "ab ab abc"), (1, "bc a")], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["pair"], r["cnt"])
+        for r in textstats.bpe_pair_counts(docs).orderBy("rank").collect()
+    ]
+    assert got == [(1, "ab", 3), (2, "bc", 2)]
+
+
+def test_ccnet_buckets_matches_ntile_replay(spark):
+    """Pure-Python replay of the two-level rank: per-language NTILE(3)
+    over (integer per-token nll, doc_id) recomputed from bigram_ppl's
+    own output must reproduce ccnet_buckets' aggregation exactly —
+    pinning the offset+within-rank assembly AND the (rank-1)*3 div n + 1
+    tile formula against the textbook definition."""
+    from rgr_pdal_topo_spark.operators import textstats
+
+    # two languages, uneven doc counts (7 and 5) so ceil-first tile
+    # sizes differ (3/2/2 and 2/2/1); per-doc nll varies via gibberish
+    rows = []
+    did = 0
+    for lang, n_docs in (("en", 7), ("es", 5)):
+        clean = " ".join(f"{lang}w{j % 6}" for j in range(24))
+        for i in range(n_docs):
+            junk = " ".join(f"{lang}junk{did}x{j}" for j in range(i))
+            rows.append((did, (clean + " " + junk).strip(), lang))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    ppl = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_q"])
+        for r in textstats.bigram_ppl(docs).collect()
+    }
+    lang_of = {r[0]: r[2] for r in rows}
+    expect: dict[tuple, list] = {}
+    for lang in ("en", "es"):
+        scored = sorted(
+            (nll * 1024 // nb, d)
+            for d, (nb, nll) in ppl.items()
+            if lang_of[d] == lang
+        )
+        n = len(scored)
+        for r0, (_, d) in enumerate(scored):
+            bucket = r0 * 3 // n + 1  # == NTILE(3) ceil-first sizes
+            nb, nll = ppl[d]
+            agg = expect.setdefault((lang, bucket), [0, 0, 0, None, None])
+            agg[0] += 1
+            agg[1] += nb
+            agg[2] += nll
+            agg[3] = nll if agg[3] is None else min(agg[3], nll)
+            agg[4] = nll if agg[4] is None else max(agg[4], nll)
+
+    got = {
+        (r["lang"], r["bucket"]): [
+            r["n_docs"], r["total_bigrams"], r["total_nll_q"],
+            r["min_nll_q"], r["max_nll_q"],
+        ]
+        for r in textstats.ccnet_buckets(docs).collect()
+    }
+    assert got == expect
+    assert {b for (_, b) in got} == {1, 2, 3}

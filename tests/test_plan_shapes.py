@@ -544,3 +544,36 @@ def test_bigram_ppl_broadcasts_vocab_scalar(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_bpe_pairs_topk_window_over_aggregated_pairs(spark):
+    """The pair count combines map-side onto the alphabet^2-bounded key
+    space; the ONE window (top-k rank) runs over that aggregated table,
+    never the corpus; no Python anywhere."""
+    from rgr_pdal_topo_spark.operators import textstats
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(textstats.bpe_pair_counts(docs))
+    assert "partial_count" in plan
+    assert plan.count("Window [") == 1
+    assert "EvalPython" not in plan
+
+
+def test_ccnet_buckets_no_per_lang_global_window(spark):
+    """The scale contract: NO window partitions by lang alone over the
+    document stream — the row_number runs per (lang, key) and the
+    offset cumsum runs over the aggregated per-key table; the offset
+    and per-language-total joins broadcast."""
+    from rgr_pdal_topo_spark.operators import textstats
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = _plan(textstats.ccnet_buckets(docs))
+    for line in plan.splitlines():
+        if "row_number" in line and "Window [" in line:
+            # within-rank partitions by BOTH lang and the nll key
+            assert "key" in line.split("windowspecdefinition")[1]
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "partial_count" in plan and "partial_sum" in plan
