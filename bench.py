@@ -83,10 +83,11 @@ HEADLINE = [
     "semdedup",
     "token_packing",
     "release_pipeline",
-    # final-session addition — own series (ccnet_buckets is absent for
+    # final-session additions — own series (ccnet_buckets is absent for
     # the eager-builder reason: it builds on bigram_ppl's checkpointed
     # occurrence stream)
     "bpe_pairs",
+    "contour_cells",
 ]
 
 

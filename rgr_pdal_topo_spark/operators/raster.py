@@ -439,3 +439,73 @@ def stratified_sample(
     return df.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= n_per_bin
     ).drop("rn")
+
+
+def contour_cases(grid: DataFrame, levels: tuple[int, ...]) -> DataFrame:
+    """(level, mcase, n_cells): marching-squares case histogram — for
+    every complete 2x2 block of the grid and every contour level, the
+    4-bit case index ``8*(v00>L) + 4*(v01>L) + 2*(v11>L) + (v10>L)``
+    (corners clockwise from top-left, the standard marching-squares
+    numbering), counting the non-trivial cases 1..14.  The histogram is
+    the contour-extraction workload's shape: each case maps to a fixed
+    segment stencil, so n_cells per case IS the segment census an
+    isoline pass would emit.
+
+    Exactness: comparisons run on the Q20-pinned mean-DEM values
+    (bit-equal across engines by the GRID_MEAN_CTE contract) against
+    integer level literals — no float arithmetic at all, so counts are
+    exact.
+
+    Scale shape: the 2x2 block assembly is three equi-joins of the
+    cells-sized grid on shifted (row, col) keys — the J5 grid-grid
+    pattern (co-partitioned/bucketed at scale, AQE-coalesced here);
+    the level fan-out explodes AFTER the quad join so the join runs
+    once, not K times; the final agg combines map-side onto at most
+    K x 14 rows.  Blocks with any absent corner drop out of the inner
+    joins (documented: sparse borders undercount vs a dense raster)."""
+    g = grid.select("cell_row", "cell_col", "value")
+    v01 = g.select(
+        "cell_row",
+        (F.col("cell_col") - 1).alias("cell_col"),
+        F.col("value").alias("v01"),
+    )
+    v10 = g.select(
+        (F.col("cell_row") - 1).alias("cell_row"),
+        "cell_col",
+        F.col("value").alias("v10"),
+    )
+    v11 = g.select(
+        (F.col("cell_row") - 1).alias("cell_row"),
+        (F.col("cell_col") - 1).alias("cell_col"),
+        F.col("value").alias("v11"),
+    )
+    block = (
+        g.withColumnRenamed("value", "v00")
+        .join(v01, ["cell_row", "cell_col"])
+        .join(v10, ["cell_row", "cell_col"])
+        .join(v11, ["cell_row", "cell_col"])
+    )
+    fan = block.select(
+        "v00",
+        "v01",
+        "v10",
+        "v11",
+        F.explode(F.array(*[F.lit(int(l)) for l in levels])).alias("level"),
+    )
+
+    def _bit(c: str):
+        return F.when(F.col(c) > F.col("level"), F.lit(1)).otherwise(
+            F.lit(0)
+        )
+
+    cases = fan.select(
+        F.col("level").cast("long").alias("level"),
+        (
+            _bit("v00") * 8 + _bit("v01") * 4 + _bit("v11") * 2 + _bit("v10")
+        ).cast("long").alias("mcase"),
+    )
+    return (
+        cases.filter((F.col("mcase") > 0) & (F.col("mcase") < 15))
+        .groupBy("level", "mcase")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )

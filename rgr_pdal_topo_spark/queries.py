@@ -753,6 +753,40 @@ def q_grid_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# contour levels spanning the synthetic DEM's ~[86, 132] z range
+_CONTOUR_LEVELS = (95, 105, 115, 125)
+
+
+@query(
+    "contour_cells",
+    _BASE.rstrip()
+    + f", g AS ({GRID_MEAN_CTE}), "
+    "cand AS (SELECT lv.level AS level, "
+    "8 * (CASE WHEN a.value > lv.level THEN 1 ELSE 0 END) + "
+    "4 * (CASE WHEN b.value > lv.level THEN 1 ELSE 0 END) + "
+    "2 * (CASE WHEN d.value > lv.level THEN 1 ELSE 0 END) + "
+    "(CASE WHEN c.value > lv.level THEN 1 ELSE 0 END) AS mcase "
+    "FROM g a "
+    "JOIN g b ON b.cell_row = a.cell_row AND b.cell_col = a.cell_col + 1 "
+    "JOIN g c ON c.cell_row = a.cell_row + 1 AND c.cell_col = a.cell_col "
+    "JOIN g d ON d.cell_row = a.cell_row + 1 "
+    "AND d.cell_col = a.cell_col + 1, "
+    "LATERAL (SELECT unnest(["
+    + ", ".join(str(l) for l in _CONTOUR_LEVELS)
+    + "]) AS level) lv) "
+    "SELECT CAST(level AS BIGINT) AS level, CAST(mcase AS BIGINT) AS "
+    "mcase, CAST(COUNT(*) AS BIGINT) AS n_cells FROM cand "
+    "WHERE mcase > 0 AND mcase < 15 GROUP BY level, mcase",
+)
+def q_contour_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marching-squares case histogram over the mean DEM
+    (raster.contour_cases): per contour level, counts of the
+    non-trivial 2x2 corner-threshold cases — the segment census an
+    isoline extraction would emit.  All comparisons run on the
+    Q20-pinned DEM against integer levels, so counts are exact."""
+    return rasterops.contour_cases(mean_dem(spark, sf_dir), _CONTOUR_LEVELS)
+
+
 # ---------------------------------------------------------------------------
 # relational / events (engine breadth: Catalyst agg + joins + windows)
 # ---------------------------------------------------------------------------

@@ -577,3 +577,21 @@ def test_ccnet_buckets_no_per_lang_global_window(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "CartesianProduct" not in plan
     assert "partial_count" in plan and "partial_sum" in plan
+
+
+def test_contour_cases_fans_out_after_quad_join(spark):
+    """The level explode must sit ABOVE the three block equi-joins (the
+    quad assembly runs once, not K times), the joins are equi (no
+    cartesian), and the case histogram combines map-side."""
+    from rgr_pdal_topo_spark.operators import raster
+    from rgr_pdal_topo_spark.operators.gridding import grid_points
+    from rgr_pdal_topo_spark.grid import GridSpec
+    from rgr_pdal_topo_spark import queries as Q
+
+    g = Q.mean_dem(spark, SF_DIR)
+    plan = _plan(raster.contour_cases(g, (95, 105, 115, 125)))
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+    # explode appears once: the fan-out is shared by all levels
+    assert plan.count("Generate explode") == 1
+    assert "partial_count" in plan

@@ -75,3 +75,30 @@ def test_registry_dispatch(spark):
         R.reproject_points(df, 4326, 27700)
     with pytest.raises(NotImplementedError):
         R.reproject_points(df, 3857, 4326)
+
+
+def test_contour_cases_hand_computed(spark):
+    """Planted 2x3 grid, one level: two complete blocks with known
+    corner patterns — left block case 8 (only v00 above), right block
+    case 9 (v00 and v10 above); trivial all-above/all-below cases are
+    suppressed by construction of a second level."""
+    from rgr_pdal_topo_spark.operators import raster
+
+    #  col:   0    1    2
+    # row 0: 10.0  1.0  1.0
+    # row 1:  1.0  1.0 10.0
+    rows = [
+        (0, 0, 10.0), (0, 1, 1.0), (0, 2, 1.0),
+        (1, 0, 1.0), (1, 1, 1.0), (1, 2, 10.0),
+    ]
+    g = spark.createDataFrame(
+        rows, "cell_row int, cell_col int, value double"
+    )
+    got = {
+        (r["level"], r["mcase"]): r["n_cells"]
+        for r in raster.contour_cases(g, (5, 100)).collect()
+    }
+    # level 5: block at (0,0) has v00=10 above -> case 8; block at
+    # (0,1) has v11=10 above -> case 2.  level 100: all below -> case 0
+    # everywhere, suppressed.
+    assert got == {(5, 8): 1, (5, 2): 1}
