@@ -88,6 +88,7 @@ HEADLINE = [
     # occurrence stream)
     "bpe_pairs",
     "contour_cells",
+    "aspect_rose",
 ]
 
 

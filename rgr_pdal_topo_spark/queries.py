@@ -756,6 +756,28 @@ def q_grid_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # contour levels spanning the synthetic DEM's ~[86, 132] z range
 _CONTOUR_LEVELS = (95, 105, 115, 125)
 
+# 8-sector compass octant of the gradient (sx, sy) WITHOUT trig: the
+# 45-degree boundaries are exactly where |sx| == |sy| or a component is
+# zero, so pure sign/magnitude comparisons assign sector k = the
+# half-open angular interval [k*45, (k+1)*45) degrees of atan2(sy, sx)
+# — bit-exact on bit-equal gradients where an ATAN2 spelling would need
+# trig-parity rounding.  ONE spelling: this text runs verbatim as a
+# Spark F.expr AND inside the DuckDB oracle.
+_SECTOR_CASE_SQL = (
+    "CASE "
+    "WHEN sx > 0 AND sy >= 0 AND sy < sx THEN 0 "
+    "WHEN sy > 0 AND sx > 0 AND sy >= sx THEN 1 "
+    "WHEN sy > 0 AND sx <= 0 AND (-1.0) * sx < sy THEN 2 "
+    "WHEN sy > 0 AND sx < 0 AND (-1.0) * sx >= sy THEN 3 "
+    "WHEN sx < 0 AND sy <= 0 AND (-1.0) * sy < (-1.0) * sx THEN 4 "
+    "WHEN sy < 0 AND sx < 0 AND (-1.0) * sy >= (-1.0) * sx THEN 5 "
+    "WHEN sy < 0 AND sx >= 0 AND sx < (-1.0) * sy THEN 6 "
+    "ELSE 7 END"
+)
+_SECTOR_FILTER_SQL = (
+    "sx IS NOT NULL AND sy IS NOT NULL AND NOT (sx = 0 AND sy = 0)"
+)
+
 
 @query(
     "contour_cells",
@@ -977,6 +999,50 @@ def q_slope_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("hillshade", 4).alias("hillshade"),
     )
     return _nan_to_null(out, ["sx", "sy", "smag", "hillshade"])
+
+
+@query(
+    "aspect_rose",
+    _BASE.rstrip()
+    + f", gmean AS ({GRID_MEAN_CTE}), dense AS ({_DENSE_DUCK}), "
+    f"nbrs AS ({_NBRS_DUCK}), slopes AS ({_SLOPES_DUCK}), "
+    f"sect AS (SELECT {_SECTOR_CASE_SQL} AS sector, "
+    f"{qint_sql(_SMAG_RAW_DUCK, Q13)} AS smag_q13 FROM slopes "
+    f"WHERE {_SECTOR_FILTER_SQL}) "
+    "SELECT CAST(sector AS BIGINT) AS sector, "
+    "CAST(COUNT(*) AS BIGINT) AS n_cells, "
+    "CAST(SUM(smag_q13) AS BIGINT) AS smag_q13_sum "
+    "FROM sect GROUP BY sector",
+)
+def q_aspect_rose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect rose: the 8-sector compass histogram of gradient
+    direction over the mean DEM (the classic terrain-aspect product),
+    with per-sector exact cell counts and Q13-integer slope-magnitude
+    sums.  The sector rule is the no-trig octant CASE
+    (_SECTOR_CASE_SQL, one spelling via F.expr in BOTH engines) —
+    45-degree boundaries are pure sign/|sx| vs |sy| comparisons on the
+    bit-equal stencil gradients, so no trig-parity rounding is needed
+    anywhere; flat and empty cells are excluded by the shared filter.
+    Scale shape: ONE tiled stencil pass for sx/sy, then a
+    map-side-combinable count/sum onto at most 8 rows."""
+    from rgr_pdal_topo_spark.operators.stencils import run_stencils
+
+    g = mean_dem(spark, sf_dir)
+    out = run_stencils(
+        g, G, {"sx": ("slope_x", {}), "sy": ("slope_y", {})}, tile_cells=50
+    )
+    ok = _nan_to_null(out, ["sx", "sy"]).filter(F.expr(_SECTOR_FILTER_SQL))
+    return (
+        ok.select(
+            F.expr(_SECTOR_CASE_SQL).cast("long").alias("sector"),
+            F.expr(qint_sql(_SMAG_RAW_DUCK, Q13)).alias("smag_q13"),
+        )
+        .groupBy("sector")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("smag_q13").alias("smag_q13_sum"),
+        )
+    )
 
 
 @query(

@@ -102,3 +102,35 @@ def test_contour_cases_hand_computed(spark):
     # (0,1) has v11=10 above -> case 2.  level 100: all below -> case 0
     # everywhere, suppressed.
     assert got == {(5, 8): 1, (5, 2): 1}
+
+
+def test_aspect_sector_case_matches_atan2_octants(spark):
+    """The no-trig octant CASE must agree with the trig definition:
+    sector k == floor(atan2(sy, sx) mod 2pi / 45deg) for random
+    gradients, and the eight exact boundary directions land in the
+    half-open [k*45, (k+1)*45) sector (boundary belongs to the HIGHER
+    sector where the comparison is >=)."""
+    import math
+    import random
+
+    from pyspark.sql import functions as FF
+
+    from rgr_pdal_topo_spark.queries import _SECTOR_CASE_SQL
+
+    rng = random.Random(7)
+    vecs = [(rng.uniform(-3, 3), rng.uniform(-3, 3)) for _ in range(400)]
+    vecs = [(x, y) for x, y in vecs if (x, y) != (0.0, 0.0)]
+    # the eight exact 45-degree boundary directions
+    edges = [(1.0, 0.0), (1.0, 1.0), (0.0, 1.0), (-1.0, 1.0),
+             (-1.0, 0.0), (-1.0, -1.0), (0.0, -1.0), (1.0, -1.0)]
+    df = spark.createDataFrame(vecs + edges, "sx double, sy double")
+    got = [
+        r["s"]
+        for r in df.select(FF.expr(_SECTOR_CASE_SQL).alias("s")).collect()
+    ]
+    exp_random = [
+        int((math.atan2(y, x) % (2 * math.pi)) // (math.pi / 4))
+        for x, y in vecs
+    ]
+    assert got[: len(vecs)] == exp_random
+    assert got[len(vecs):] == [0, 1, 2, 3, 4, 5, 6, 7]
