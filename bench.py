@@ -89,6 +89,7 @@ HEADLINE = [
     "bpe_pairs",
     "contour_cells",
     "aspect_rose",
+    "zipf_slope",
 ]
 
 

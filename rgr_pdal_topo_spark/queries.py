@@ -4587,6 +4587,91 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Zipf-fit single spellings (run verbatim as F.expr AND in the oracle):
+# ln of an integer-valued double is bit-identical across engines (the
+# bm25 ln contract), pinned to the 2^-13 grid so the OLS sums are exact
+# BIGINTs; the slope is one division of two exact integer combinations
+# (the 8192 scale cancels in the ratio), ROUND(,6)-guarded.
+_ZIPF_X_SQL = "CAST(FLOOR(ln(CAST(rank AS DOUBLE)) * 8192 + 0.5) AS BIGINT)"
+_ZIPF_Y_SQL = "CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 8192 + 0.5) AS BIGINT)"
+_ZIPF_SLOPE_SQL = (
+    "ROUND(CAST(n_types * sxy - sx * sy AS DOUBLE) / "
+    "CAST(n_types * sxx - sx * sx AS DOUBLE), 6)"
+)
+
+
+@query(
+    "zipf_slope",
+    _with(
+        "t AS (SELECT lang, unnest(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS tok FROM documents)",
+        "c AS (SELECT lang, tok, COUNT(*) AS n FROM t GROUP BY lang, tok)",
+        "r AS (SELECT lang, n, ROW_NUMBER() OVER (PARTITION BY lang "
+        "ORDER BY n DESC, tok ASC) AS rank FROM c)",
+        f"q AS (SELECT lang, {_ZIPF_X_SQL} AS x, {_ZIPF_Y_SQL} AS y "
+        "FROM r)",
+        "s AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types, "
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+        "CAST(SUM(x * y) AS BIGINT) AS sxy, "
+        "CAST(SUM(x * x) AS BIGINT) AS sxx FROM q GROUP BY lang)",
+    )
+    + "SELECT lang, n_types, sx, sy, sxy, sxx, "
+    f"{_ZIPF_SLOPE_SQL} AS slope FROM s WHERE n_types >= 2",
+)
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit per language: OLS slope of ln(count) against
+    ln(rank) over the full vocabulary — the corpus power-law statistic
+    (natural text sits near -1; strong departures flag boilerplate or
+    synthetic floods).  Exactness: ln runs on integer-valued doubles
+    (bit-identical across engines), pinned to the 2^-13 grid before the
+    sums, so all five OLS accumulators are exact BIGINTs and the slope
+    is ONE division of identical integer combinations (the quantization
+    scale cancels in the ratio), ROUND(,6)-guarded.  Degenerate
+    single-type languages are excluded (zero variance).
+
+    Scale shape: identical to vocab_topk — tokens fold into a
+    partial+final (lang, tok) count, the rank window runs per-language
+    on the AGGREGATED vocab table (millions of rows at 10^12 docs, not
+    trillions), and the OLS sums combine map-side onto one row per
+    language.  The int64 headroom note: x, y <= 8192*ln(N) ~ 4e5 at
+    N=10^21, so sum(x*y) stays under 2^63 up to ~5e7 vocabulary types
+    per language; beyond that, rescale the grid."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("n").desc(), F.col("tok").asc()
+    )
+    q = c.withColumn("rank", F.row_number().over(w)).select(
+        "lang",
+        F.expr(_ZIPF_X_SQL).alias("x"),
+        F.expr(_ZIPF_Y_SQL).alias("y"),
+    )
+    s = q.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.filter(F.col("n_types") >= 2).select(
+        "lang",
+        "n_types",
+        "sx",
+        "sy",
+        "sxy",
+        "sxx",
+        F.expr(_ZIPF_SLOPE_SQL).alias("slope"),
+    )
+
+
 @query(
     "shingle_dup_stats",
     _with(
@@ -6302,7 +6387,8 @@ DRIVER_WINDOW: list[str] = [
 # shingle_dup_stats + vocab_topk + knn_haversine + pages_pipeline +
 # pip_auto + line_dedup + pagerank_hosts + crawl_latest + hll_distinct +
 # views_asof + cms_heavy_hitters + quantile_sketch + bm25_scores +
-# manifest_ndv + kwic_snippets
+# manifest_ndv + kwic_snippets + ccnet_buckets + bpe_pairs +
+# contour_cells + aspect_rose + zipf_slope
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

@@ -562,3 +562,38 @@ def test_ccnet_buckets_matches_ntile_replay(spark):
     }
     assert got == expect
     assert {b for (_, b) in got} == {1, 2, 3}
+
+
+def test_zipf_slope_python_replay(spark):
+    """Pure-Python replay of the exact OLS contract: q13-pinned ln of
+    rank/count, integer accumulator sums, one final ratio — on a
+    planted corpus with known token frequencies (10/5/2/1 -> a clean
+    descending Zipf profile) plus a single-type language that must be
+    excluded (zero variance)."""
+    import math
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    text_a = " ".join(["w0"] * 10 + ["w1"] * 5 + ["w2"] * 2 + ["w3"])
+    rows = [(0, text_a, "aa"), (1, "only only only", "bb")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    got = {r["lang"]: r for r in QUERIES["zipf_slope"](spark, d).collect()}
+    assert set(got) == {"aa"}  # single-type 'bb' excluded
+
+    q = lambda v: math.floor(math.log(float(v)) * 8192 + 0.5)
+    pts = [(q(rank), q(cnt)) for rank, cnt in ((1, 10), (2, 5), (3, 2), (4, 1))]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    r = got["aa"]
+    assert (r["n_types"], r["sx"], r["sy"], r["sxy"], r["sxx"]) == (
+        n, sx, sy, sxy, sxx
+    )
+    assert r["slope"] == round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    assert r["slope"] < -0.9  # a real descending profile, near Zipf's -1
