@@ -456,34 +456,59 @@ def contour_cases(grid: DataFrame, levels: tuple[int, ...]) -> DataFrame:
     integer level literals — no float arithmetic at all, so counts are
     exact.
 
-    Scale shape: the 2x2 block assembly is three equi-joins of the
-    cells-sized grid on shifted (row, col) keys — the J5 grid-grid
-    pattern (co-partitioned/bucketed at scale, AQE-coalesced here);
-    the level fan-out explodes AFTER the quad join so the join runs
-    once, not K times; the final agg combines map-side onto at most
-    K x 14 rows.  Blocks with any absent corner drop out of the inner
-    joins (documented: sparse borders undercount vs a dense raster)."""
+    Scale shape — NO self-joins: a naive 2x2 assembly is three
+    equi-joins of the grid against shifted copies of ITSELF, and Spark
+    plans that as four independent scans + aggregations of the source
+    (the shifted projections differ, so ReuseExchange never fires —
+    measured: 4 FileScans, 8 HashAggregates, 0 reuse).  Instead each
+    cell REPLICATES to the <= 4 blocks it is a corner of (the
+    pip_join_partitioned cover-cell doctrine), and one groupBy on the
+    block key folds the corners back with max-over-tag; complete blocks
+    are exactly those with corner count 4.  One scan, one grid shuffle,
+    one block shuffle.  The level fan-out explodes AFTER the quad
+    assembly so it runs once, not K times; the final agg combines
+    map-side onto at most K x 14 rows.  Blocks with any absent corner
+    fail the nc = 4 gate (documented: sparse borders undercount vs a
+    dense raster)."""
     g = grid.select("cell_row", "cell_col", "value")
-    v01 = g.select(
+    offsets = [(0, 0, 0), (0, -1, 1), (-1, 0, 2), (-1, -1, 3)]
+    fan = g.select(
         "cell_row",
-        (F.col("cell_col") - 1).alias("cell_col"),
-        F.col("value").alias("v01"),
-    )
-    v10 = g.select(
-        (F.col("cell_row") - 1).alias("cell_row"),
         "cell_col",
-        F.col("value").alias("v10"),
+        "value",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(dr).alias("dr"),
+                        F.lit(dc).alias("dc"),
+                        F.lit(tag).alias("tag"),
+                    )
+                    for dr, dc, tag in offsets
+                ]
+            )
+        ).alias("o"),
     )
-    v11 = g.select(
-        (F.col("cell_row") - 1).alias("cell_row"),
-        (F.col("cell_col") - 1).alias("cell_col"),
-        F.col("value").alias("v11"),
+    corners = fan.select(
+        (F.col("cell_row") + F.col("o.dr")).alias("cell_row"),
+        (F.col("cell_col") + F.col("o.dc")).alias("cell_col"),
+        F.col("o.tag").alias("tag"),
+        "value",
     )
+
+    def _corner(tag: int):
+        return F.max(F.when(F.col("tag") == tag, F.col("value")))
+
     block = (
-        g.withColumnRenamed("value", "v00")
-        .join(v01, ["cell_row", "cell_col"])
-        .join(v10, ["cell_row", "cell_col"])
-        .join(v11, ["cell_row", "cell_col"])
+        corners.groupBy("cell_row", "cell_col")
+        .agg(
+            F.count(F.lit(1)).alias("nc"),
+            _corner(0).alias("v00"),
+            _corner(1).alias("v01"),
+            _corner(2).alias("v10"),
+            _corner(3).alias("v11"),
+        )
+        .filter(F.col("nc") == 4)
     )
     fan = block.select(
         "v00",

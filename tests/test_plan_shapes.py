@@ -579,19 +579,18 @@ def test_ccnet_buckets_no_per_lang_global_window(spark):
     assert "partial_count" in plan and "partial_sum" in plan
 
 
-def test_contour_cases_fans_out_after_quad_join(spark):
-    """The level explode must sit ABOVE the three block equi-joins (the
-    quad assembly runs once, not K times), the joins are equi (no
-    cartesian), and the case histogram combines map-side."""
+def test_contour_cases_single_scan_no_self_join(spark):
+    """The quad assembly must be the replicate-to-blocks spelling, not
+    self-joins: ONE scan of the source, NO join nodes, exactly two
+    explodes (corner fan + level fan), map-side-combinable aggs."""
     from rgr_pdal_topo_spark.operators import raster
-    from rgr_pdal_topo_spark.operators.gridding import grid_points
-    from rgr_pdal_topo_spark.grid import GridSpec
     from rgr_pdal_topo_spark import queries as Q
 
     g = Q.mean_dem(spark, SF_DIR)
     plan = _plan(raster.contour_cases(g, (95, 105, 115, 125)))
-    assert "CartesianProduct" not in plan
-    assert "Generate explode" in plan
-    # explode appears once: the fan-out is shared by all levels
-    assert plan.count("Generate explode") == 1
+    assert plan.count("Scan parquet") == 1
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "CartesianProduct"):
+        assert node not in plan
+    assert plan.count("Generate explode") == 2
     assert "partial_count" in plan
