@@ -573,7 +573,13 @@ def ccnet_buckets(documents: DataFrame) -> DataFrame:
     ``(rank-1) * 3 div n_lang + 1``, which reproduces NTILE's
     ceil-first tile sizes exactly (first n mod k tiles get the extra
     row).  The DuckDB oracle IS the textbook NTILE spelling, pinning
-    the equivalence.  Offsets and per-language totals broadcast."""
+    the equivalence.  The per-language totals (a handful of rows)
+    broadcast by hint; the offset table joins WITHOUT a forced hint —
+    its cardinality is the distinct-key count, bounded by the 2^-23
+    per-token-nll grid (~1e8 worst case at extreme corpora), so AQE
+    broadcasts it when small and falls back to a shuffle join that
+    reuses the (lang, key) partitioning the row_number window already
+    established when it is not."""
     from pyspark.sql import Window
 
     ppl = bigram_ppl(documents)
@@ -596,7 +602,7 @@ def ccnet_buckets(documents: DataFrame) -> DataFrame:
     within = Window.partitionBy("lang", "key").orderBy("doc_id")
     ranked = (
         scored.withColumn("rk", F.row_number().over(within))
-        .join(F.broadcast(offs), ["lang", "key"])
+        .join(offs, ["lang", "key"])
         .join(F.broadcast(totals), "lang")
         .withColumn(
             "bucket",
