@@ -90,6 +90,7 @@ HEADLINE = [
     "contour_cells",
     "aspect_rose",
     "zipf_slope",
+    "hypsometry",
 ]
 
 

@@ -2880,6 +2880,79 @@ def q_flow_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# hypsometric integral, ONE spelling (F.expr + oracle): the basin mean
+# is spelled sum / n explicitly so the association is identical; every
+# input (re-quantized z, exact sum, min, max) is bit-equal, so the two
+# divisions are correctly rounded over identical operands
+_HI_SQL = (
+    "ROUND((zsum / CAST(n_cells AS DOUBLE) - zmin) / (zmax - zmin), 6)"
+)
+
+
+@query(
+    "hypsometry",
+    _FLOW_BASE
+    + f", walkdown AS ({_FREACH.replace('reach', 'walkdown')}), "
+    "b AS (SELECT w.r0 AS cell_row, w.c0 AS cell_col, "
+    f"CAST(w.r * {FG.ncols} + w.c AS BIGINT) AS basin_id "
+    "FROM walkdown w JOIN fd f ON f.cell_row = w.r AND f.cell_col = w.c "
+    "WHERE f.fd = 0), "
+    "bz AS (SELECT b.basin_id, "
+    f"{quant_sql('g.value', Q20)} AS z FROM b "
+    "JOIN fgrid g ON g.cell_row = b.cell_row "
+    "AND g.cell_col = b.cell_col), "
+    "s AS (SELECT basin_id, CAST(COUNT(*) AS BIGINT) AS n_cells, "
+    "MIN(z) AS zmin, MAX(z) AS zmax, SUM(z) AS zsum FROM bz "
+    "GROUP BY basin_id) "
+    "SELECT basin_id, n_cells, ROUND(zmin, 6) AS zmin, "
+    f"ROUND(zmax, 6) AS zmax, {_HI_SQL} AS hi "
+    "FROM s WHERE zmax > zmin AND n_cells >= 8",
+)
+def q_hypsometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-basin hypsometric integral (the Strahler area-elevation
+    statistic): HI = (mean(z) - min(z)) / (max(z) - min(z)) over each
+    drainage basin's cells — high HI flags young/disequilibrium
+    topography, low HI old dissected relief.  Composes the
+    pointer-doubled basin labels (G8) with the flow DEM.
+
+    Exactness: z is RE-quantized to the 2^-20 grid before the basin sum
+    (the terrain_pipeline quantize-twice lesson — per-cell means carry
+    full mantissas, so an unquantized SUM would be aggregation-order-
+    dependent), making zsum exact and HI two correctly-rounded
+    divisions over identical operands, ROUND(,6)-guarded; degenerate
+    flat or tiny basins (zmax == zmin, n < 8) excluded identically in
+    both engines.
+
+    Scale shape: one cells-sized equi-join (basin labels x DEM, both
+    already partitioned on the cell key), then a map-side-combinable
+    agg onto basins-sized output."""
+    basins = _flow_metrics_raw(spark, sf_dir).select(
+        "cell_row", "cell_col", "basin_id"
+    )
+    dem = _flow_dem(spark, sf_dir).select(
+        "cell_row", "cell_col", quant_col(F.col("value"), Q20).alias("z")
+    )
+    s = (
+        basins.join(dem, ["cell_row", "cell_col"])
+        .groupBy("basin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.min("z").alias("zmin"),
+            F.max("z").alias("zmax"),
+            F.sum("z").alias("zsum"),
+        )
+    )
+    return s.filter(
+        (F.col("zmax") > F.col("zmin")) & (F.col("n_cells") >= 8)
+    ).select(
+        "basin_id",
+        "n_cells",
+        F.round("zmin", 6).alias("zmin"),
+        F.round("zmax", 6).alias("zmax"),
+        F.expr(_HI_SQL).alias("hi"),
+    )
+
+
 # calcOrderGrid's sweep is order-dependent (ascending (area, row-major)
 # donors fold as: equal -> +1, greater -> replace), so the oracle replays the
 # exact sequential sweep as a single-row recursive CTE carrying the whole
@@ -6388,7 +6461,7 @@ DRIVER_WINDOW: list[str] = [
 # pip_auto + line_dedup + pagerank_hosts + crawl_latest + hll_distinct +
 # views_asof + cms_heavy_hitters + quantile_sketch + bm25_scores +
 # manifest_ndv + kwic_snippets + ccnet_buckets + bpe_pairs +
-# contour_cells + aspect_rose + zipf_slope
+# contour_cells + aspect_rose + zipf_slope + hypsometry
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

@@ -235,3 +235,41 @@ def test_fill_matches_golden_sf001(spark):
     np.testing.assert_array_equal(
         out.fill.to_numpy(), golden.fill_z.to_numpy()
     )
+
+
+def test_hypsometry_pandas_replay(spark):
+    """Replay the per-basin hypsometric integral in pandas from the
+    engine's own basin labels + quantized DEM (independent of the SQL
+    oracle path): same joins, same n>=8 / zmax>zmin gates, same
+    sum/n - min over max - min formula."""
+    from pyspark.sql import functions as FF
+
+    from rgr_pdal_topo_spark.queries import (
+        QUERIES, Q20, _flow_dem, _flow_metrics_raw, quant_col,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    basins = _flow_metrics_raw(spark, sf).select(
+        "cell_row", "cell_col", "basin_id"
+    ).toPandas()
+    dem = _flow_dem(spark, sf).select(
+        "cell_row", "cell_col",
+        quant_col(FF.col("value"), Q20).alias("z"),
+    ).toPandas()
+    j = basins.merge(dem, on=["cell_row", "cell_col"])
+    exp = {}
+    for bid, grp in j.groupby("basin_id"):
+        n, zmin, zmax = len(grp), grp["z"].min(), grp["z"].max()
+        if n >= 8 and zmax > zmin:
+            hi = round((grp["z"].sum() / n - zmin) / (zmax - zmin), 6)
+            exp[bid] = (n, round(zmin, 6), round(zmax, 6), hi)
+
+    got = {
+        r["basin_id"]: (r["n_cells"], r["zmin"], r["zmax"], r["hi"])
+        for r in QUERIES["hypsometry"](spark, sf).collect()
+    }
+    assert set(got) == set(exp)
+    for bid in exp:
+        assert got[bid][:3] == exp[bid][:3]
+        assert abs(got[bid][3] - exp[bid][3]) < 2e-6
+        assert 0.0 <= got[bid][3] <= 1.0  # HI is a normalized integral
