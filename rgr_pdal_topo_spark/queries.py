@@ -254,6 +254,31 @@ def q_grid_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "grid_mean_salted",
+    _BASE
+    + "SELECT cell_row, cell_col, ROUND(value, 6) AS value, n FROM "
+    f"({GRID_MEAN_CTE}) g",
+)
+def q_grid_mean_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north rule's "salted-repartition handling of dense-cell
+    skew" witnessed as its own driver row: the SAME mean DEM computed
+    through the explicit two-phase salted aggregation (partial sums per
+    (cell, salt-of-pid), then the final fold per cell) against the SAME
+    oracle text as grid_mean — the Q20 input quantization makes every
+    per-cell sum exact, so the salted two-phase is bit-identical to the
+    single-phase spelling REGARDLESS of how the salt splits a heavy
+    cell.  salt=8 is forced (the auto pre-pass would pick 0 on the
+    benign fixture; test_gridding pins auto-detection on a planted
+    80%-one-cell skew)."""
+    g = gridding.grid_points(
+        zq(points_df(spark, sf_dir)), G, output_type="mean", salt=8
+    )
+    return g.select(
+        "cell_row", "cell_col", F.round("value", 6).alias("value"), "n"
+    )
+
+
+@query(
     "grid_count",
     _BASE
     + "SELECT cell_row, cell_col, CAST(COUNT(*) AS DOUBLE) AS value, "
@@ -6461,7 +6486,8 @@ DRIVER_WINDOW: list[str] = [
 # pip_auto + line_dedup + pagerank_hosts + crawl_latest + hll_distinct +
 # views_asof + cms_heavy_hitters + quantile_sketch + bm25_scores +
 # manifest_ndv + kwic_snippets + ccnet_buckets + bpe_pairs +
-# contour_cells + aspect_rose + zipf_slope + hypsometry
+# contour_cells + aspect_rose + zipf_slope + hypsometry +
+# grid_mean_salted
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

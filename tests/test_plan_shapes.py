@@ -594,3 +594,18 @@ def test_contour_cases_single_scan_no_self_join(spark):
         assert node not in plan
     assert plan.count("Generate explode") == 2
     assert "partial_count" in plan
+
+
+def test_grid_mean_salted_two_phase_agg(spark):
+    """The salted spelling must show the explicit two-phase shape: the
+    first aggregation keys on (cell, _salt), the final fold on the cell
+    alone, both combining map-side."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["grid_mean_salted"](spark, SF_DIR))
+    assert "_salt" in plan
+    assert "partial_sum" in plan
+    # two distinct grouping levels: with and without the salt key
+    agg_lines = [l for l in plan.splitlines() if "HashAggregate" in l]
+    assert any("_salt" in l for l in agg_lines)
+    assert any("_salt" not in l and "cell_row" in l for l in agg_lines)
