@@ -4725,7 +4725,11 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     sums, so all five OLS accumulators are exact BIGINTs and the slope
     is ONE division of identical integer combinations (the quantization
     scale cancels in the ratio), ROUND(,6)-guarded.  Degenerate
-    single-type languages are excluded (zero variance).
+    single-type languages are excluded (zero variance).  On the
+    synthetic corpus every language draws from the same 31-token vocab,
+    so the rank-side accumulators (n_types, sx, sxx) are constant
+    ACROSS languages by construction (the source_quality n_docs
+    precedent) — the count-side columns (sy, sxy, slope) discriminate.
 
     Scale shape: identical to vocab_topk — tokens fold into a
     partial+final (lang, tok) count, the rank window runs per-language
