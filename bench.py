@@ -91,6 +91,7 @@ HEADLINE = [
     "aspect_rose",
     "zipf_slope",
     "hypsometry",
+    "pmi_collocations",
 ]
 
 

@@ -4685,6 +4685,105 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PMI single spelling (F.expr + oracle): the ln argument is a chain of
+# three divisions and two multiplies over integer-valued doubles in ONE
+# spelled association — every IEEE op is correctly rounded over
+# identical operands, so the argument (and hence ln, which both engines
+# take from the same libm-compatible implementation: the bm25 contract)
+# is bit-identical; the 2^-13 pin makes pmi_q13 an exact BIGINT.  The
+# divide-first shape also keeps every intermediate near 1.0 — the
+# all-integer numerator c12 * ntok^2 would overflow int64 at corpus
+# scale.
+_PMI_SQL = (
+    "CAST(FLOOR(ln("
+    "CAST(c12 AS DOUBLE) / CAST(nbg AS DOUBLE) * "
+    "(CAST(ntok AS DOUBLE) / CAST(c1 AS DOUBLE)) * "
+    "(CAST(ntok AS DOUBLE) / CAST(c2 AS DOUBLE))"
+    ") * 8192 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "pmi_collocations",
+    _with(
+        f"toks AS ({_TOKS_DUCK})",
+        "tt AS (SELECT unnest(t) AS w FROM toks)",
+        "uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tt "
+        "GROUP BY w)",
+        "nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntok FROM tt)",
+        "bg AS (SELECT t[u.i] AS w1, t[u.i + 1] AS w2 FROM toks, "
+        "LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) u "
+        "WHERE len(t) >= 2)",
+        "cb AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM bg "
+        "GROUP BY w1, w2)",
+        "nb AS (SELECT CAST(SUM(c12) AS BIGINT) AS nbg FROM cb)",
+        "sc AS (SELECT cb.w1, cb.w2, cb.c12, u1.c AS c1, u2.c AS c2, "
+        "nb.nbg, nt.ntok FROM cb "
+        "JOIN uni u1 ON u1.w = cb.w1 JOIN uni u2 ON u2.w = cb.w2, "
+        "nb, nt WHERE cb.c12 >= 3)",
+        f"p AS (SELECT w1, w2, c12, {_PMI_SQL} AS pmi_q13 FROM sc)",
+    )
+    + "SELECT * FROM (SELECT CAST(ROW_NUMBER() OVER (ORDER BY "
+    "pmi_q13 DESC, w1, w2) AS BIGINT) AS rank, w1, w2, c12, pmi_q13 "
+    "FROM p) r WHERE rank <= 20",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information: the
+    top-20 adjacent token pairs by PMI = ln(p(w1,w2) / (p(w1) p(w2)))
+    with a c12 >= 3 support floor — the classic corpus-linguistics
+    collocation pass (and a phrase-vocabulary candidate generator for
+    tokenizer/embedding pipelines).  pmi_q13 is an exact BIGINT via the
+    shared _PMI_SQL spelling (divide-first association, no int64
+    overflow at any corpus size); ties broken lexicographically.
+
+    Scale shape: two map-side-combinable counts (unigram, bigram) over
+    the token stream, two scalar totals, equi-joins of the bigram-TYPE
+    table (vocab^2-bounded, millions of rows at web scale — never the
+    corpus) against the unigram table, and the top-k window over that
+    aggregated table only."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        F.filter(F.split("text", " "), lambda x: x != "").alias("t")
+    )
+    tt = t.select(F.explode("t").alias("w"))
+    uni = tt.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    nt = tt.agg(F.count(F.lit(1)).alias("ntok"))
+    bg = (
+        t.filter(F.size("t") >= 2)
+        .select(
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - F.lit(1))
+            ).alias("i"),
+        )
+        .select(
+            F.element_at("t", F.col("i")).alias("w1"),
+            F.element_at("t", F.col("i") + F.lit(1)).alias("w2"),
+        )
+    )
+    cb = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    nb = cb.agg(F.sum("c12").alias("nbg"))
+    sc = (
+        cb.filter(F.col("c12") >= 3)
+        .join(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1"), "w1")
+        .join(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nt))
+    )
+    p = sc.select("w1", "w2", "c12", F.expr(_PMI_SQL).alias("pmi_q13"))
+    order = Window.orderBy(
+        F.col("pmi_q13").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return (
+        p.withColumn("rank", F.row_number().over(order).cast("long"))
+        .filter(F.col("rank") <= 20)
+        .select("rank", "w1", "w2", "c12", "pmi_q13")
+    )
+
+
 # Zipf-fit single spellings (run verbatim as F.expr AND in the oracle):
 # ln of an integer-valued double is bit-identical across engines (the
 # bm25 ln contract), pinned to the 2^-13 grid so the OLS sums are exact
@@ -6491,7 +6590,7 @@ DRIVER_WINDOW: list[str] = [
 # views_asof + cms_heavy_hitters + quantile_sketch + bm25_scores +
 # manifest_ndv + kwic_snippets + ccnet_buckets + bpe_pairs +
 # contour_cells + aspect_rose + zipf_slope + hypsometry +
-# grid_mean_salted
+# grid_mean_salted + pmi_collocations
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

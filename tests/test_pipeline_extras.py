@@ -597,3 +597,45 @@ def test_zipf_slope_python_replay(spark):
     )
     assert r["slope"] == round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
     assert r["slope"] < -0.9  # a real descending profile, near Zipf's -1
+
+
+def test_pmi_collocations_python_replay(spark):
+    """Pure replay of the PMI contract on a planted corpus where one
+    pair ('new york') always co-occurs and one frequent pair ('the a')
+    is independent: the collocation must out-rank the frequent pair,
+    and every pmi_q13 must equal the replayed divide-first spelling."""
+    import math
+    import os
+    import tempfile
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    base = "the a " * 10                      # frequent independent pair
+    rows = [(i, (base + "new york " * 3).strip()) for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    got = [
+        (r["rank"], r["w1"], r["w2"], r["c12"], r["pmi_q13"])
+        for r in QUERIES["pmi_collocations"](spark, d).orderBy("rank").collect()
+    ]
+
+    toks = [t for _, txt in rows for t in txt.split(" ")]
+    from collections import Counter
+    uni = Counter(toks)
+    bgs = Counter()
+    for _, txt in rows:
+        ts = txt.split(" ")
+        for i in range(len(ts) - 1):
+            bgs[(ts[i], ts[i + 1])] += 1
+    ntok, nbg = len(toks), sum(bgs.values())
+    exp = {}
+    for (w1, w2), c12 in bgs.items():
+        if c12 >= 3:
+            arg = c12 / nbg * (ntok / uni[w1]) * (ntok / uni[w2])
+            exp[(w1, w2)] = (c12, math.floor(math.log(arg) * 8192 + 0.5))
+    for rank, w1, w2, c12, q in got:
+        assert exp[(w1, w2)] == (c12, q)
+    ranks = {(w1, w2): rank for rank, w1, w2, _, _ in got}
+    assert ranks[("new", "york")] < ranks[("the", "a")]
