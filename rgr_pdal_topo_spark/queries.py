@@ -4784,6 +4784,73 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from rgr_pdal_topo_spark.operators import viewshed as vsops  # noqa: E402
+
+# Viewshed oracle: the engine's all-BIGINT R3 ray sampling replayed
+# verbatim — Q20-integer DEM, integer half-up nearest-cell snap
+# ((2a + d) // (2d); numerator >= 0 on the grid so floor == truncate),
+# cross-multiplied angle comparison — so parity is bit-exact with no
+# rounding policy anywhere (the pagerank_hosts doctrine).
+_VS_CTES = [
+    f"g AS ({GRID_MEAN_CTE})",
+    "demq AS (SELECT cell_row, cell_col, "
+    f"{qint_sql('value', Q20)} AS vq FROM g)",
+    "obs AS (SELECT cell_row AS orow, cell_col AS ocol, "
+    f"vq + {vsops.OBS_HEIGHT_Q} AS ozq FROM demq "
+    "ORDER BY vq DESC, cell_row, cell_col LIMIT 1)",
+    "t AS (SELECT d.cell_row, d.cell_col, d.vq, o.orow, o.ocol, o.ozq, "
+    "d.cell_row - o.orow AS dr, d.cell_col - o.ocol AS dc, "
+    "GREATEST(ABS(d.cell_row - o.orow), ABS(d.cell_col - o.ocol)) "
+    "AS dist FROM demq d CROSS JOIN obs o "
+    "WHERE NOT (d.cell_row = o.orow AND d.cell_col = o.ocol))",
+    "ks AS (SELECT t.cell_row, t.cell_col, t.vq, t.ozq, t.dist, u.k, "
+    "(2 * (t.orow * t.dist + t.dr * u.k) + t.dist) // (2 * t.dist) "
+    "AS srow, "
+    "(2 * (t.ocol * t.dist + t.dc * u.k) + t.dist) // (2 * t.dist) "
+    "AS scol FROM t, LATERAL (SELECT unnest(generate_series(1, "
+    "CAST(t.dist - 1 AS BIGINT))) AS k) u WHERE t.dist >= 2)",
+    "vb AS (SELECT ks.cell_row, ks.cell_col, MAX(CASE WHEN "
+    f"(COALESCE(di.vq, {vsops.NEVER_BLOCKS_Q}) - ks.ozq) * ks.dist >= "
+    "(ks.vq - ks.ozq) * ks.k THEN 1 ELSE 0 END) AS blocked FROM ks "
+    "LEFT JOIN demq di ON di.cell_row = ks.srow "
+    "AND di.cell_col = ks.scol GROUP BY ks.cell_row, ks.cell_col)",
+]
+
+
+@query(
+    "viewshed",
+    _BASE
+    + ", "
+    + ", ".join(_VS_CTES)
+    + " SELECT t.cell_row, t.cell_col, t.dist, "
+    "CASE WHEN COALESCE(vb.blocked, 0) = 1 THEN 0 ELSE 1 END AS visible "
+    "FROM t LEFT JOIN vb ON vb.cell_row = t.cell_row "
+    "AND vb.cell_col = t.cell_col",
+)
+def q_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Observer-to-cell visibility over the mean DEM: the classic R3
+    nearest-neighbor ray-sampling viewshed (Franklin & Ray 1994) from
+    the highest cell + 2 m — the terrain-analysis sibling of hypsometry
+    and aspect_rose (the reference ships no viewshed; §2.12 extension).
+
+    Exactness: the Q20-integer DEM, the integer half-up nearest-cell
+    snap, and the cross-multiplied angle test make every comparison
+    BIGINT — no trig, no division, no rounding policy; grazing rays
+    block identically in both engines (operators/viewshed.py has the
+    two identities).
+
+    Scale shape: explode (d-1 samples per target) -> one equi-join
+    against the DEM for sample elevations -> groupBy(target) max —
+    O(N * d) with zero iteration; the DEM probe side broadcasts here
+    and shuffles on cell id at continental extent (sector
+    decomposition is the documented production refinement)."""
+    dem = mean_dem(spark, sf_dir).select(
+        "cell_row", "cell_col",
+        qint_col(F.col("value"), Q20).alias("vq"),
+    )
+    return vsops.viewshed(dem)
+
+
 # Zipf-fit single spellings (run verbatim as F.expr AND in the oracle):
 # ln of an integer-valued double is bit-identical across engines (the
 # bm25 ln contract), pinned to the 2^-13 grid so the OLS sums are exact
