@@ -126,6 +126,76 @@ def pagerank_int(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     return r.select("host", F.col("q").alias("rank_q"))
 
 
+#: HITS fixed-point scale: scores are integers on the 2^-20 grid.
+#: L-inf normalization multiplies a raw sum (<= max_indegree * SCALE)
+#: by SCALE before the exact divide, so the contract requires
+#: max_degree * SCALE^2 < 2^63, i.e. degree < 2^23 at this scale —
+#: comfortably above any host graph's fan-in; a larger graph lowers
+#: HITS_SCALE rather than widening the arithmetic.
+HITS_SCALE = 1 << 20
+HITS_ITERS = 2
+
+
+def hits_int(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """(host, auth_q, hub_q): Kleinberg HITS after ``iters`` rounds,
+    scores as exact int64 numerators on the 2^-20 grid.
+
+    a_t(v) = sum over edges u->v of h_{t-1}(u), then L-inf normalized
+    to floor(raw * SCALE / max(raw)); h_t symmetric over out-edges with
+    the fresh a_t.  L-inf (divide by the max) replaces the textbook L2
+    norm because it keeps every step integer — the ranking and the
+    relative structure are what the scores are for, and the DuckDB
+    oracle replays the chain bit-exactly with no rounding policy (the
+    pagerank_int doctrine).
+
+    Nodes are src UNION dst hosts (authorities are usually link
+    targets), so both sides of every edge carry scores; hosts never
+    linked to keep auth_q = 0, hosts that never link out keep
+    hub_q = 0.  Scale shape per half-step: one narrow (int64, int64)
+    join + map-side-combinable sum over the host graph, then a scalar
+    max broadcast back — the Pregel shape, same as pagerank_int."""
+    edges = edges.localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    h = nodes.select(
+        "host", F.lit(HITS_SCALE).cast("long").alias("hq")
+    )
+    a = None
+
+    def _half(score: DataFrame, key_in: str, key_out: str,
+              col: str) -> DataFrame:
+        raw = (
+            edges.join(
+                score.select(F.col("host").alias(key_in), col), key_in
+            )
+            .select(F.col(key_out).alias("host"), F.col(col))
+            .groupBy("host")
+            .agg(F.sum(col).alias("raw"))
+        )
+        dense = nodes.join(raw, "host", "left").select(
+            "host", F.coalesce("raw", F.lit(0)).alias("raw")
+        )
+        mx = dense.agg(F.max("raw").alias("mx"))
+        return dense.crossJoin(F.broadcast(mx)).select(
+            "host",
+            _exact_div(
+                F.col("raw") * F.lit(HITS_SCALE), F.col("mx")
+            ).alias(col),
+        )
+
+    for _ in range(iters):
+        a = _half(h.withColumnRenamed("hq", "aq"), "src", "dst", "aq")
+        h = _half(a.withColumnRenamed("aq", "hq"), "dst", "src", "hq")
+    return (
+        a.select("host", F.col("aq").alias("auth_q"))
+        .join(h.select("host", F.col("hq").alias("hub_q")), "host")
+    )
+
+
 def extract_anchor_pairs(pages: DataFrame) -> DataFrame:
     """(host, anchor) — one row per hyperlink: destination host + the
     anchor TEXT of the link.  Anchor text is how the web describes a

@@ -5580,14 +5580,19 @@ _PR_BASE = linkgraph.exact_div_sql(
 )
 
 
+_LK_CTE = (
+    "lk AS (SELECT DISTINCT "
+    f"CAST(regexp_extract(url, '{pagesops.HOST_RE}', 1) AS BIGINT) "
+    "AS src, CAST(u.d AS BIGINT) AS dst FROM (SELECT url, "
+    f"regexp_extract_all(page, '{pagesops.LINK_RE}', 1) AS ds "
+    "FROM lp) t, LATERAL (SELECT unnest(t.ds) AS d) u)"
+)
+
+
 def _pagerank_ctes(iters: int) -> list[str]:
     ctes = [
         f"lp AS ({_LINKED_PAGES_DUCK})",
-        "lk AS (SELECT DISTINCT "
-        f"CAST(regexp_extract(url, '{pagesops.HOST_RE}', 1) AS BIGINT) "
-        "AS src, CAST(u.d AS BIGINT) AS dst FROM (SELECT url, "
-        f"regexp_extract_all(page, '{pagesops.LINK_RE}', 1) AS ds "
-        "FROM lp) t, LATERAL (SELECT unnest(t.ds) AS d) u)",
+        _LK_CTE,
         "nodes AS (SELECT DISTINCT src AS host FROM lk)",
         "nn AS (SELECT COUNT(*) AS n FROM nodes)",
         "o AS (SELECT src, COUNT(*) AS odeg FROM lk GROUP BY src)",
@@ -5639,6 +5644,66 @@ def q_pagerank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     connected-components loop."""
     pages = pagesops.linked_pages_df(spark, sf_dir)
     return linkgraph.pagerank_int(linkgraph.extract_links(pages))
+
+
+def _hits_ctes(iters: int) -> list[str]:
+    """Unrolled HITS supersteps, bit-equal to linkgraph.hits_int by
+    construction: every half-step is one join + CAST(SUM AS BIGINT)
+    (DuckDB SUM(BIGINT) is HUGEINT — the recurring gotcha), a scalar
+    MAX, and the exact integer L-inf normalize."""
+    sc = linkgraph.HITS_SCALE
+    ctes = [
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        _LK_CTE,
+        "hnodes AS (SELECT src AS host FROM lk "
+        "UNION SELECT dst FROM lk)",
+        f"h0 AS (SELECT host, CAST({sc} AS BIGINT) AS hq FROM hnodes)",
+    ]
+    norm = linkgraph.exact_div_sql(f"raw * {sc}", "mx")
+    for i in range(1, iters + 1):
+        ctes += [
+            f"ar{i} AS (SELECT n.host, COALESCE(s.raw, 0) AS raw "
+            "FROM hnodes n LEFT JOIN (SELECT lk.dst AS host, "
+            f"CAST(SUM(p.hq) AS BIGINT) AS raw FROM lk JOIN h{i - 1} p "
+            "ON p.host = lk.src GROUP BY lk.dst) s ON s.host = n.host)",
+            f"am{i} AS (SELECT MAX(raw) AS mx FROM ar{i})",
+            f"a{i} AS (SELECT host, {norm} AS aq "
+            f"FROM ar{i} CROSS JOIN am{i})",
+            f"hr{i} AS (SELECT n.host, COALESCE(s.raw, 0) AS raw "
+            "FROM hnodes n LEFT JOIN (SELECT lk.src AS host, "
+            f"CAST(SUM(p.aq) AS BIGINT) AS raw FROM lk JOIN a{i} p "
+            "ON p.host = lk.dst GROUP BY lk.src) s ON s.host = n.host)",
+            f"hm{i} AS (SELECT MAX(raw) AS mx FROM hr{i})",
+            f"h{i} AS (SELECT host, {norm} AS hq "
+            f"FROM hr{i} CROSS JOIN hm{i})",
+        ]
+    return ctes
+
+
+@query(
+    "hits_hosts",
+    _with(*_hits_ctes(linkgraph.HITS_ITERS))
+    + f"SELECT a{linkgraph.HITS_ITERS}.host, "
+    f"a{linkgraph.HITS_ITERS}.aq AS auth_q, "
+    f"h{linkgraph.HITS_ITERS}.hq AS hub_q "
+    f"FROM a{linkgraph.HITS_ITERS} JOIN h{linkgraph.HITS_ITERS} "
+    f"ON h{linkgraph.HITS_ITERS}.host = a{linkgraph.HITS_ITERS}.host",
+)
+def q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kleinberg HITS hubs & authorities over the host link graph —
+    the second iterative graph algorithm next to pagerank_hosts (link
+    equity measures popularity; HITS separates "links to good pages"
+    from "is linked by good hubs", the classic crawl-frontier /
+    seed-selection signal).  All-integer on the 2^-20 grid with exact
+    L-inf normalization, so the unrolled-CTE oracle is bit-equal with
+    no rounding policy (operators/linkgraph.py:hits_int).
+
+    Scale shape: node set = src UNION dst hosts, then per half-step
+    one narrow (int64, int64) equi-join + map-side-combinable sum over
+    the host graph and a one-row max broadcast back — the Pregel shape
+    on the aggregated graph, never the raw crawl."""
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    return linkgraph.hits_int(linkgraph.extract_links(pages))
 
 
 def _smrf_oracle_sql(max_window: int = 4, slope: float = 0.15,

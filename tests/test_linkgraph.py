@@ -117,3 +117,45 @@ def test_top_anchors_rank_and_tiebreak(spark):
         (1, "w1", 2, 3),
         (2, "w5", 1, 1),
     ]
+
+
+def _py_hits(edges: list[tuple[int, int]], iters: int
+             ) -> dict[int, tuple[int, int]]:
+    """Literal integer replay of hits_int's update rule."""
+    nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
+    h = {v: lg.HITS_SCALE for v in nodes}
+    a = {}
+    for _ in range(iters):
+        a = {v: 0 for v in nodes}
+        for s, d in edges:
+            a[d] += h[s]
+        mx = max(a.values())
+        a = {v: r * lg.HITS_SCALE // mx for v, r in a.items()}
+        h = {v: 0 for v in nodes}
+        for s, d in edges:
+            h[s] += a[d]
+        mx = max(h.values())
+        h = {v: r * lg.HITS_SCALE // mx for v, r in h.items()}
+    return {v: (a[v], h[v]) for v in nodes}
+
+
+def test_hits_matches_python_replay(spark):
+    """Bipartite-ish graph: 0 and 1 are hubs pointing at {5, 6, 7};
+    7 also links back.  Engine output equals the integer replay
+    bit-for-bit at 1 and 2 supersteps."""
+    edges = [(0, 5), (0, 6), (0, 7), (1, 5), (1, 7), (7, 5), (2, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 2):
+        got = {
+            r.host: (r.auth_q, r.hub_q)
+            for r in lg.hits_int(df, iters=iters).collect()
+        }
+        assert got == _py_hits(edges, iters), iters
+    # semantics: 5 is the strongest authority (3 in-links incl. both
+    # hubs), 0 the strongest hub (links to all three authorities);
+    # never-linked-to hubs have auth_q = 0, sinks have hub_q = 0
+    final = _py_hits(edges, 2)
+    assert final[5][0] == lg.HITS_SCALE
+    assert final[0][1] == lg.HITS_SCALE
+    assert final[0][0] == 0 and final[1][0] == 0
+    assert final[6][1] == 0 and final[5][1] == 0
