@@ -196,6 +196,100 @@ def hits_int(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     )
 
 
+#: BFS seeds: src hosts with host % BFS_SEED_MOD == 0 (deterministic,
+#: scale-independent); BFS_ITERS bounds the frontier supersteps.
+BFS_SEED_MOD = 101
+BFS_ITERS = 4
+
+
+def bfs_hops(
+    edges: DataFrame, seed_mod: int = BFS_SEED_MOD, iters: int = BFS_ITERS
+) -> DataFrame:
+    """(host, dist): minimum hop count from the seed hosts within
+    ``iters`` supersteps — crawl-frontier depth / seed-proximity, the
+    third iterative graph job beside pagerank_int and hits_int (and the
+    webtext twin of the reference's upstream network walks,
+    networkGraph.py per-node traversals: distance measured along graph
+    edges instead of flow edges).
+
+    Seeds are the crawled (src) hosts with host % seed_mod == 0.  Each
+    superstep relaxes every edge once and folds with MIN — after round
+    r the table holds min(dist over paths <= r), so cycles are harmless
+    and the fixpoint under bounded diameter is the true BFS distance.
+    All arithmetic is int64 increments: bit-exact with no rounding
+    policy, so the recursive-CTE oracle matches exactly.
+
+    Scale shape: the iterated table is the aggregated host graph (the
+    pagerank_int collapse), each round is one narrow (int64, int64)
+    equi-join + map-side-combinable MIN — the Pregel shape with a
+    statically bounded round count; a production frontier would
+    propagate only newly-improved rows (delta iteration), which changes
+    traffic, not results."""
+    edges = edges.localCheckpoint(eager=True)
+    dist = (
+        edges.select(F.col("src").alias("host"))
+        .distinct()
+        .filter(F.col("host") % seed_mod == 0)
+        .select("host", F.lit(0).cast("long").alias("dist"))
+    )
+    for _ in range(iters):
+        nxt = (
+            edges.join(
+                dist.select(F.col("host").alias("src"), "dist"), "src"
+            )
+            .select(
+                F.col("dst").alias("host"),
+                (F.col("dist") + F.lit(1)).alias("dist"),
+            )
+        )
+        dist = (
+            dist.union(nxt)
+            .groupBy("host")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
+#: co-citation fan-out cap: sources with more than this many DISTINCT
+#: out-hosts are excluded before the pair join (a directory/hub page
+#: would otherwise contribute O(odeg^2) pairs — the same
+#: quadratic-blowup cap as the LSH MAX_BUCKET, and like it the cut is a
+#: property of the source, so the surviving pair counts are exact).
+COCITE_MAX_ODEG = 256
+
+
+def cocitation(
+    edges: DataFrame,
+    max_odeg: int = COCITE_MAX_ODEG,
+    min_common: int = 2,
+) -> DataFrame:
+    """(host_a, host_b, n_common): host pairs cited together by at
+    least ``min_common`` common sources — co-citation similarity
+    (Small 1973), the classic related-domain signal next to HITS (two
+    authorities are related when many hubs cite both).
+
+    Scale shape: runs entirely on the DISTINCT host graph; sources
+    above ``max_odeg`` are dropped FIRST so the self-join's pair count
+    is bounded by odeg_cap * |edges| rather than quadratic in a hub's
+    fan-out; the a.dst < b.dst triangle keeps each pair once.  Counts
+    are exact int64 — no rounding policy."""
+    o = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    e = (
+        edges.join(o, "src")
+        .filter(F.col("odeg") <= max_odeg)
+        .select("src", "dst")
+    )
+    a = e.select("src", F.col("dst").alias("host_a"))
+    b = e.select("src", F.col("dst").alias("host_b"))
+    return (
+        a.join(b, "src")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 def extract_anchor_pairs(pages: DataFrame) -> DataFrame:
     """(host, anchor) — one row per hyperlink: destination host + the
     anchor TEXT of the link.  Anchor text is how the web describes a

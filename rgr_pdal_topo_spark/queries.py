@@ -5706,6 +5706,114 @@ def q_hits_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkgraph.hits_int(linkgraph.extract_links(pages))
 
 
+@query(
+    "host_distance",
+    "WITH RECURSIVE "
+    + ", ".join(
+        [
+            f"lp AS ({_LINKED_PAGES_DUCK})",
+            _LK_CTE,
+            "seeds AS (SELECT DISTINCT src AS host FROM lk "
+            f"WHERE src % {linkgraph.BFS_SEED_MOD} = 0)",
+            "bfs AS (SELECT host, CAST(0 AS BIGINT) AS dist FROM seeds "
+            "UNION SELECT lk.dst, bfs.dist + 1 FROM bfs "
+            f"JOIN lk ON lk.src = bfs.host WHERE bfs.dist < "
+            f"{linkgraph.BFS_ITERS})",
+        ]
+    )
+    + " SELECT host, MIN(dist) AS dist FROM bfs GROUP BY host",
+)
+def q_host_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS hop distance from the seed hosts over the link graph
+    (operators/linkgraph.py:bfs_hops) — crawl-frontier depth, the third
+    iterative graph job beside PageRank and HITS and the webtext twin
+    of the reference's along-network distance walks (networkNode.L
+    accumulates metric length down flow edges; here length is hops down
+    hyperlink edges).  Each superstep relaxes every edge and folds with
+    MIN, so after 4 rounds the table is min(dist over paths <= 4) —
+    cycle-safe, all-integer, bit-exact against the recursive-CTE oracle
+    (UNION-deduped (host, dist) frontier, then MIN per host).
+
+    Scale shape: iterates the aggregated host graph, one narrow
+    (int64, int64) join + map-side MIN per round — the Pregel shape
+    with a static round bound (a production delta iteration would ship
+    only improved rows)."""
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    return linkgraph.bfs_hops(linkgraph.extract_links(pages))
+
+
+# Planted syndication overlay for cocitation_hosts (the semdedup /
+# split_leakage discipline: the organic payload lacks the case, so the
+# query plants it in BOTH engines).  Every src host carries exactly 2
+# organic out-links at the 500-doc scales, so no target pair is
+# organically co-cited by two sources there; the overlay adds tiered
+# boilerplate citations (the footer/social-widget pattern co-citation
+# exists to surface): docs = 0 mod 4 cite hosts 7 and 13, = 0 mod 8
+# add host 21, = 0 mod 16 add host 33 — giving pair counts at three
+# distinct magnitudes at every scale.
+_COCITE_TIERS: tuple[tuple[int, int], ...] = (
+    (4, 7), (4, 13), (8, 21), (16, 33)
+)
+_COCITE_PLANT_DUCK = " UNION ".join(
+    f"SELECT DISTINCT CAST(doc_id % 1000 AS BIGINT) AS src, "
+    f"CAST({h} AS BIGINT) AS dst FROM documents WHERE doc_id % {m} = 0"
+    for m, h in _COCITE_TIERS
+)
+
+
+@query(
+    "cocitation_hosts",
+    _with(
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        _LK_CTE,
+        f"pe AS ({_COCITE_PLANT_DUCK})",
+        "lk2 AS (SELECT src, dst FROM lk UNION "
+        "SELECT src, dst FROM pe)",
+        "o AS (SELECT src, COUNT(*) AS odeg FROM lk2 GROUP BY src)",
+        "e AS (SELECT lk2.src, lk2.dst FROM lk2 JOIN o ON o.src = lk2.src "
+        f"AND o.odeg <= {linkgraph.COCITE_MAX_ODEG})",
+    )
+    + "SELECT a.dst AS host_a, b.dst AS host_b, "
+    "CAST(COUNT(*) AS BIGINT) AS n_common "
+    "FROM e a JOIN e b ON a.src = b.src AND a.dst < b.dst "
+    "GROUP BY a.dst, b.dst HAVING COUNT(*) >= 2",
+)
+def q_cocitation_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation similarity over the host graph
+    (operators/linkgraph.py:cocitation): host pairs linked by >= 2
+    common sources — the classic related-domain signal (two
+    authorities are related when many hubs cite both; the
+    query-independent companion of HITS).  All-integer counts, so
+    parity is exact with no rounding policy.  The organic layer gives
+    every source exactly 2 out-links at the 500-doc scales (no pair
+    repeats across sources), so a deterministic syndication overlay is
+    planted in BOTH engines (_COCITE_TIERS — the footer-boilerplate
+    citations this signal exists to surface), yielding pair counts at
+    three magnitudes at every scale; at sf0.1 organic pairs join in
+    (sources s and s+500 share whole page-level link sets).
+
+    Scale shape: the pair join runs on the DISTINCT host graph with
+    sources above COCITE_MAX_ODEG dropped FIRST (the LSH MAX_BUCKET
+    discipline — a directory hub would contribute O(odeg^2) pairs, and
+    because the cut is per-source the surviving counts stay exact);
+    the dst_a < dst_b triangle keeps each pair once."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    planted = None
+    for m, h in _COCITE_TIERS:
+        tier = docs.filter(F.col("doc_id") % m == 0).select(
+            (F.col("doc_id") % 1000).cast("long").alias("src"),
+            F.lit(h).cast("long").alias("dst"),
+        )
+        planted = tier if planted is None else planted.union(tier)
+    edges = (
+        linkgraph.extract_links(pages).union(planted.distinct()).distinct()
+    )
+    return linkgraph.cocitation(edges)
+
+
 def _smrf_oracle_sql(max_window: int = 4, slope: float = 0.15,
                      dh: float = 0.5, n: int = 100, cell: float = 10.0,
                      prelude: str | None = None,
@@ -6722,7 +6830,8 @@ DRIVER_WINDOW: list[str] = [
 # views_asof + cms_heavy_hitters + quantile_sketch + bm25_scores +
 # manifest_ndv + kwic_snippets + ccnet_buckets + bpe_pairs +
 # contour_cells + aspect_rose + zipf_slope + hypsometry +
-# grid_mean_salted + pmi_collocations
+# grid_mean_salted + pmi_collocations + viewshed + hits_hosts +
+# host_distance + cocitation_hosts
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

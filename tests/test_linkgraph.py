@@ -159,3 +159,51 @@ def test_hits_matches_python_replay(spark):
     assert final[0][1] == lg.HITS_SCALE
     assert final[0][0] == 0 and final[1][0] == 0
     assert final[6][1] == 0 and final[5][1] == 0
+
+
+def test_bfs_hops_planted(spark):
+    """A chain with a cycle and a cross-edge: dist is the true minimum
+    hop count, cycles don't inflate it, hosts beyond the round bound
+    are absent, and unreachable hosts never appear."""
+    # seeds (mod 3): 0.  0 -> 1 -> 2 -> 4 -> 5 -> 7 (beyond 4 rounds),
+    # 2 -> 0 closes a cycle, 0 -> 4 shortcuts 4 to dist 1;
+    # 8 -> 9 is a disconnected component (8 is not a seed).
+    edges = [(0, 1), (1, 2), (2, 4), (4, 5), (5, 7), (2, 0), (0, 4),
+             (8, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.host: r.dist
+        for r in lg.bfs_hops(df, seed_mod=3, iters=4).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 4: 1, 5: 2, 7: 3}
+
+
+def test_bfs_hops_min_over_rounds(spark):
+    """A host first reached at round 3 keeps dist 3 when a later round
+    would also reach it at 4 (MIN fold, not last-write)."""
+    edges = [(0, 1), (1, 2), (2, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.host: r.dist
+        for r in lg.bfs_hops(df, seed_mod=7, iters=4).collect()
+    }
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3}
+
+
+def test_cocitation_planted(spark):
+    """Pair counts are exact, the triangle keeps each pair once, and a
+    hub source above the fan-out cap contributes nothing."""
+    edges = (
+        # sources 1 and 2 both cite {10, 20}; source 3 cites {10, 20, 30}
+        [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10), (3, 20), (3, 30)]
+        # hub source 99 cites 5 hosts > cap -> excluded entirely
+        + [(99, d) for d in (10, 20, 30, 40, 50)]
+    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.host_a, r.host_b): r.n_common
+        for r in lg.cocitation(df, max_odeg=4, min_common=2).collect()
+    }
+    # (10, 20) cited together by sources 1, 2, 3; (10, 30)/(20, 30)
+    # only by source 3 -> below min_common
+    assert got == {(10, 20): 3}

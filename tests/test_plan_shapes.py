@@ -609,3 +609,28 @@ def test_grid_mean_salted_two_phase_agg(spark):
     agg_lines = [l for l in plan.splitlines() if "HashAggregate" in l]
     assert any("_salt" in l for l in agg_lines)
     assert any("_salt" not in l and "cell_row" in l for l in agg_lines)
+
+
+def test_host_distance_scans_parquet_once_total(spark):
+    """BFS pays the page scan ONCE: the edge list is checkpoint-pinned
+    before iteration, so the 4-round plan contains zero parquet
+    rescans (an unpinned edge list would re-extract the crawl every
+    superstep) and no Python anywhere."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["host_distance"](spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert max(plan.count("Scan parquet"), plan.count("FileScan")) == 0
+
+
+def test_cocitation_pair_join_is_equi_join(spark):
+    """The co-citation self-join must be a hash/merge EQUI-join on src
+    (the a.dst < b.dst triangle as a post-filter) — never a nested-loop
+    or cartesian pairing, which would be quadratic in the edge count
+    rather than in per-source fan-out."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["cocitation_hosts"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "EvalPython" not in plan
