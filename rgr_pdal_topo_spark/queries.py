@@ -2978,6 +2978,54 @@ def q_hypsometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Topographic wetness index, ONE spelling (F.expr + oracle).  The ln
+# argument is a single division of bit-identical operands: area is
+# COUNT * cell^2 (exact float64), slope_d8 is the identical IEEE chain
+# (z - z_down) / dist in both engines (dist = the same sqrt-literal
+# offsets), and 10.0 * slope is one correctly-rounded multiply — so ln
+# sees the same double and ROUND(,6) guards the residual libm margin
+# (the knn_haversine trig doctrine).  area / (cell * slope) IS
+# a / tan(beta): specific catchment area per unit contour width over
+# the D8 tangent.
+_TWI_SQL = "ROUND(ln(area / (10.0 * slope_d8)), 6)"
+
+
+@query(
+    "twi",
+    _FLOW_BASE
+    + f", reach AS ({_FREACH}), area AS MATERIALIZED ({_FAREA}), "
+    "sl AS (SELECT cell_row, cell_col, s AS slope_d8 FROM best "
+    "WHERE rn = 1 AND s > 0), "
+    "t AS (SELECT a.cell_row, a.cell_col, a.area, sl.slope_d8 "
+    "FROM area a JOIN sl ON sl.cell_row = a.cell_row "
+    "AND sl.cell_col = a.cell_col) "
+    f"SELECT cell_row, cell_col, {_TWI_SQL} AS twi FROM t",
+)
+def q_twi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topographic wetness index TWI = ln(a / tan(beta)) (Beven &
+    Kirkby 1979): specific catchment area over local D8 slope, the
+    standard soil-moisture / saturation proxy — and the second
+    cross-subsystem composition on the flow stack after hypsometry
+    (drainage-area accumulation x steepest-descent slope, the two
+    halves the reference computes separately in flowRoutingGrids.py
+    _calcD8Area and calcD8SlopeGrid).
+
+    Exactness: area (COUNT * cell^2) and slope_d8 ((z - z_down)/dist,
+    the same sqrt-literal distances) are bit-identical inputs, the ln
+    argument is one correctly-rounded multiply + divide of them, and
+    ROUND(,6) absorbs the residual libm ulp margin.  Outlets and flats
+    (fd = 0 <=> no positive descent) are excluded identically in both
+    engines — tan(beta) = 0 has no finite TWI.
+
+    Scale shape: zero new shuffles — both inputs come out of the one
+    memoized flow-metrics pass (the per-basin Arrow sweep), and the
+    TWI projection is pure whole-stage-codegen arithmetic on it."""
+    m = _flow_metrics_raw(spark, sf_dir)
+    return m.filter(F.col("fd") > 0).select(
+        "cell_row", "cell_col", F.expr(_TWI_SQL).alias("twi")
+    )
+
+
 # calcOrderGrid's sweep is order-dependent (ascending (area, row-major)
 # donors fold as: equal -> +1, greater -> replace), so the oracle replays the
 # exact sequential sweep as a single-row recursive CTE carrying the whole
@@ -4940,6 +4988,86 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Unigram Shannon entropy, ONE set of spellings (F.expr + oracle): with
+# S = SUM(c * lnq13(c)) and lnq13(N) both exact BIGINTs, H = ln(N) -
+# (1/N) * SUM(c/N... ) rearranges to (lnq13(N)*N - S) / (8192*N) — ONE
+# division of identical integer-valued operands, ROUND(,6)-guarded.
+# Headroom: lnq13 <= 8192*ln(N) ~ 2.3e5 at N = 10^12, so S <= N * 2.3e5
+# ~ 2.3e17 < 2^63; DuckDB SUM(BIGINT) -> HUGEINT is re-cast (the
+# recurring gotcha).
+_ENT_LNC_SQL = "CAST(FLOOR(ln(CAST(n AS DOUBLE)) * 8192 + 0.5) AS BIGINT)"
+_ENT_LNN_SQL = (
+    "CAST(FLOOR(ln(CAST(n_tokens AS DOUBLE)) * 8192 + 0.5) AS BIGINT)"
+)
+_ENT_H_SQL = (
+    "ROUND(CAST(ln_n_q * n_tokens - s_clnc AS DOUBLE) / "
+    "(8192.0 * CAST(n_tokens AS DOUBLE)), 6)"
+)
+
+
+@query(
+    "token_entropy",
+    _with(
+        "t AS (SELECT lang, unnest(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS tok FROM documents)",
+        "c AS (SELECT lang, tok, COUNT(*) AS n FROM t GROUP BY lang, tok)",
+        f"q AS (SELECT lang, n, {_ENT_LNC_SQL} AS lnq FROM c)",
+        "s AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS n_tokens, "
+        "CAST(COUNT(*) AS BIGINT) AS n_types, "
+        "CAST(SUM(n * lnq) AS BIGINT) AS s_clnc FROM q GROUP BY lang)",
+        f"s2 AS (SELECT lang, n_tokens, n_types, s_clnc, {_ENT_LNN_SQL} "
+        "AS ln_n_q FROM s)",
+    )
+    + "SELECT lang, n_tokens, n_types, s_clnc, ln_n_q, "
+    f"{_ENT_H_SQL} AS entropy_nats FROM s2",
+)
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language unigram Shannon entropy H = ln(N) - (1/N) *
+    SUM(c * ln(c)) in nats — the vocabulary-diversity quality signal
+    beside zipf_slope (low entropy flags boilerplate floods and
+    template spam; the Gopher/C4 report statistic for a corpus slice).
+
+    Exactness: ln runs only on integer-valued doubles (the bm25
+    contract), pinned to the 2^-13 grid, so both accumulators are
+    exact BIGINTs (the hashed verification surface) and the one float
+    is a single division of identical integer-valued operands,
+    ROUND(,6)-guarded.  On the synthetic corpus every language draws
+    from the same 31-token vocab, so n_types is constant ACROSS
+    languages by construction (the zipf_slope precedent) — the count
+    accumulators and the entropy discriminate.
+
+    Scale shape: identical to zipf_slope — tokens fold into a partial+
+    final (lang, tok) count, then the entropy accumulators combine
+    map-side onto one row per language; nothing ever shuffles at
+    corpus size."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    s = (
+        c.select("lang", "n", F.expr(_ENT_LNC_SQL).alias("lnq"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum(F.col("n") * F.col("lnq")).alias("s_clnc"),
+        )
+    )
+    return s.withColumn("ln_n_q", F.expr(_ENT_LNN_SQL)).select(
+        "lang",
+        "n_tokens",
+        "n_types",
+        "s_clnc",
+        "ln_n_q",
+        F.expr(_ENT_H_SQL).alias("entropy_nats"),
+    )
+
+
 @query(
     "shingle_dup_stats",
     _with(
@@ -6831,7 +6959,7 @@ DRIVER_WINDOW: list[str] = [
 # manifest_ndv + kwic_snippets + ccnet_buckets + bpe_pairs +
 # contour_cells + aspect_rose + zipf_slope + hypsometry +
 # grid_mean_salted + pmi_collocations + viewshed + hits_hosts +
-# host_distance + cocitation_hosts
+# host_distance + cocitation_hosts + twi + token_entropy
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

@@ -273,3 +273,34 @@ def test_hypsometry_pandas_replay(spark):
         assert got[bid][:3] == exp[bid][:3]
         assert abs(got[bid][3] - exp[bid][3]) < 2e-6
         assert 0.0 <= got[bid][3] <= 1.0  # HI is a normalized integral
+
+
+def test_twi_tilted_plane_analytic(spark):
+    """TWI on a uniform west-dipping plane (z = col index, cell 10 m):
+    every cell flows due west, area accumulates along the row, slope is
+    exactly 0.1, so twi = ln((ncols - c) * 100) analytically."""
+    import math
+
+    g = GridSpec(x0=0.0, y0=0.0, cell=10.0, nrows=8, ncols=8)
+    df = spark.createDataFrame(
+        [(r, c, float(c)) for r in range(8) for c in range(8)],
+        "cell_row int, cell_col int, value double",
+    )
+    m = flow.flow_metrics(df, g, do_fill=False, tile_cells=4)
+    got = {
+        (r.cell_row, r.cell_col): (r.fd, r.area, r.slope_d8)
+        for r in m.collect()
+    }
+    assert len(got) == 64
+    for r in range(8):
+        assert got[(r, 0)][0] == 0  # col 0: no lower neighbor -> outlet
+        for c in range(1, 8):
+            fd, area, s = got[(r, c)]
+            assert fd == 16, (r, c)  # due west (steeper than diagonals)
+            assert area == (8 - c) * 100.0
+            assert s == 0.1
+            # the query's spelling: ln(area / (10.0 * slope)); 10*0.1
+            # rounds to exactly 1.0, so twi == ln(area) here
+            assert abs(
+                math.log(area / (10.0 * s)) - math.log((8 - c) * 100.0)
+            ) < 1e-12

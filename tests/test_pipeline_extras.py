@@ -639,3 +639,43 @@ def test_pmi_collocations_python_replay(spark):
         assert exp[(w1, w2)] == (c12, q)
     ranks = {(w1, w2): rank for rank, w1, w2, _, _ in got}
     assert ranks[("new", "york")] < ranks[("the", "a")]
+
+
+def test_token_entropy_python_replay(spark):
+    """Pure-Python replay of the exact entropy contract on a planted
+    two-language corpus: a uniform 4-token language (H = ln 4) and a
+    maximally skewed one (low H), accumulators bit-equal."""
+    import math
+    import os
+    import tempfile
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    rows = [
+        (0, "a b c d", "uu"),                    # uniform: H = ln(4)
+        (1, " ".join(["x"] * 9 + ["y"]), "sk"),  # skewed 9/1
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+
+    got = {r["lang"]: r for r in QUERIES["token_entropy"](spark, d).collect()}
+    q = lambda v: math.floor(math.log(float(v)) * 8192 + 0.5)
+
+    for lang, counts in (("uu", [1, 1, 1, 1]), ("sk", [9, 1])):
+        n = sum(counts)
+        s_clnc = sum(c * q(c) for c in counts)
+        r = got[lang]
+        assert (r["n_tokens"], r["n_types"], r["s_clnc"], r["ln_n_q"]) == (
+            n, len(counts), s_clnc, q(n)
+        )
+        assert r["entropy_nats"] == round(
+            (q(n) * n - s_clnc) / (8192.0 * n), 6
+        )
+    # semantics: uniform beats skewed, and uniform ~ ln(4)
+    assert abs(got["uu"]["entropy_nats"] - math.log(4)) < 1e-3
+    assert got["sk"]["entropy_nats"] < got["uu"]["entropy_nats"]
