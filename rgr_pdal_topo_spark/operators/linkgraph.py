@@ -290,6 +290,66 @@ def cocitation(
     )
 
 
+LPA_ITERS = 3
+
+
+def lpa_communities(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
+    """(host, community) after ``iters`` synchronous label-propagation
+    rounds (Raghavan et al. 2007) over the UNDIRECTED host graph —
+    community detection for related-site grouping / crawl sharding,
+    the clustering companion of cocitation (which scores pairs; LPA
+    partitions the whole graph).
+
+    Deterministic variant: every node starts as its own label; each
+    round a node adopts the label most frequent among its neighbours,
+    ties broken by SMALLEST label — spelled as an exact integer argmax
+    (MIN over (-cnt, community) structs), so there is no rounding or
+    randomness anywhere and the unrolled-CTE oracle replays the rounds
+    bit-for-bit.  Synchronous update (all nodes flip together), unlike
+    the asynchronous textbook sweep whose result is order-dependent.
+
+    Scale shape: the symmetrized edge list is checkpoint-pinned once;
+    each round is one narrow (int64, int64) join + two map-side-
+    combinable aggs on the host graph — the Pregel shape with a static
+    round bound, same as pagerank_int / bfs_hops."""
+    und = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lbl = (
+        und.select(F.col("src").alias("host"))
+        .distinct()
+        .select("host", F.col("host").alias("community"))
+    )
+    for _ in range(iters):
+        votes = (
+            und.join(
+                lbl.select(F.col("host").alias("dst"), "community"), "dst"
+            )
+            .groupBy(F.col("src").alias("host"), F.col("community"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        lbl = (
+            votes.groupBy("host")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("nc"),
+                        F.col("community").alias("community"),
+                    )
+                ).alias("m")
+            )
+            .select("host", F.col("m.community").alias("community"))
+        )
+    return lbl
+
+
 def extract_anchor_pairs(pages: DataFrame) -> DataFrame:
     """(host, anchor) — one row per hyperlink: destination host + the
     anchor TEXT of the link.  Anchor text is how the web describes a

@@ -5942,6 +5942,159 @@ def q_cocitation_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkgraph.cocitation(edges)
 
 
+def _lpa_ctes(iters: int) -> list[str]:
+    """Unrolled synchronous LPA rounds, bit-equal to
+    linkgraph.lpa_communities: vote counts are exact integers and the
+    argmax is the (cnt DESC, community ASC) row — the same total order
+    as the engine's MIN over (-cnt, community) structs."""
+    ctes = [
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        _LK_CTE,
+        "und AS (SELECT src, dst FROM lk UNION SELECT dst, src FROM lk)",
+        "l0 AS (SELECT DISTINCT src AS host, src AS community FROM und)",
+    ]
+    for i in range(1, iters + 1):
+        ctes += [
+            f"v{i} AS (SELECT u.src AS host, l.community, "
+            f"COUNT(*) AS cnt FROM und u JOIN l{i - 1} l "
+            "ON l.host = u.dst GROUP BY u.src, l.community)",
+            f"l{i} AS (SELECT host, community FROM (SELECT host, "
+            "community, ROW_NUMBER() OVER (PARTITION BY host "
+            f"ORDER BY cnt DESC, community ASC) AS rn FROM v{i}) t "
+            "WHERE rn = 1)",
+        ]
+    return ctes
+
+
+@query(
+    "lpa_communities",
+    _with(*_lpa_ctes(linkgraph.LPA_ITERS))
+    + f"SELECT host, community FROM l{linkgraph.LPA_ITERS}",
+)
+def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-propagation community detection over the undirected host
+    graph (operators/linkgraph.py:lpa_communities) — related-site
+    grouping / crawl sharding, the partitioning companion of
+    cocitation_hosts (pair scores) and the fourth iterative graph job.
+    The deterministic synchronous variant: adopt the most frequent
+    neighbour label, ties to the smallest — an exact integer argmax,
+    so the unrolled-CTE oracle replays every round bit-for-bit with no
+    randomness or rounding anywhere.
+
+    Scale shape: symmetrized edge list checkpoint-pinned once, then
+    per round one narrow (int64, int64) join + two map-side-combinable
+    aggs on the aggregated host graph — the Pregel shape with a static
+    round bound."""
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    return linkgraph.lpa_communities(linkgraph.extract_links(pages))
+
+
+# Link-geography bands: band edges on the ROUNDED km (bit-identical in
+# both engines), so the CASE comparisons and counts are exact; min/max
+# are order-independent selections of identical doubles (sums/means of
+# decimal-rounded values would NOT be — they stay out of the output).
+_GEOBAND_SQL = (
+    "CASE WHEN dist_km < 100.0 THEN 0 WHEN dist_km < 1000.0 THEN 1 "
+    "WHEN dist_km < 5000.0 THEN 2 ELSE 3 END"
+)
+
+
+@query(
+    "link_geo_bands",
+    _with(
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        _LK_CTE,
+        *_GEO_CTES,
+        "hostgeo AS (SELECT "
+        f"CAST(regexp_extract(url, '{pagesops.HOST_RE}', 1) AS BIGINT) "
+        "AS host, CAST(SUM(lat_milli) AS BIGINT) AS slat, "
+        "CAST(SUM(lon_milli) AS BIGINT) AS slon, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM coords GROUP BY 1)",
+        "cent AS (SELECT host, CAST(slat AS DOUBLE) / (1000.0 * n) "
+        "AS lat, CAST(slon AS DOUBLE) / (1000.0 * n) AS lon "
+        "FROM hostgeo)",
+        "d AS (SELECT "
+        + _hav_km_sql("s.lat", "s.lon", "t.lat", "t.lon")
+        + " AS dist_km FROM lk JOIN cent s ON s.host = lk.src "
+        "JOIN cent t ON t.host = lk.dst)",
+    )
+    + f"SELECT {_GEOBAND_SQL} AS band, CAST(COUNT(*) AS BIGINT) AS "
+    "n_links, MIN(dist_km) AS min_km, MAX(dist_km) AS max_km "
+    "FROM d GROUP BY 1",
+)
+def q_link_geo_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the web link locally?  The distance distribution of
+    hyperlinks: every page's coordinates are extracted from its own
+    markup (the north_star geocoding stage), host centroids are exact
+    integer milli-degree sums divided once, and each host-graph edge
+    gets the great-circle km between its endpoints' centroids, folded
+    into 4 distance bands — the geospatial x webtext graft question
+    stated as one query (link-locality drives crawl sharding and
+    geo-replica placement at 100 TB).
+
+    Exactness: centroid lat/lon are ONE correctly-rounded division of
+    exact integers per axis; the haversine spelling is shared verbatim
+    and ROUND(,4)-guarded (knn_haversine doctrine); bands compare the
+    bit-identical ROUNDED km, so counts are exact; min/max select
+    identical doubles (means of decimal-rounded values would be
+    aggregation-order-dependent and stay out of the output).
+
+    Scale shape: the centroid table is host-sized (built by one
+    map-side-combinable agg over the geo scan) and joins the edge list
+    twice by host id — both sides aggregated, never the raw crawl; the
+    band fold is a 4-row combine."""
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    edges = linkgraph.extract_links(pages)
+    geo = pagesops.geo_coords(spark, sf_dir).select(
+        F.regexp_extract("url", pagesops.HOST_RE, 1)
+        .cast("long")
+        .alias("host"),
+        "lat_milli",
+        "lon_milli",
+    )
+    cent = (
+        geo.groupBy("host")
+        .agg(
+            F.sum("lat_milli").alias("slat"),
+            F.sum("lon_milli").alias("slon"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "host",
+            (F.col("slat").cast("double")
+             / (F.lit(1000.0) * F.col("n"))).alias("lat"),
+            (F.col("slon").cast("double")
+             / (F.lit(1000.0) * F.col("n"))).alias("lon"),
+        )
+    )
+    s = cent.select(
+        F.col("host").alias("src"),
+        F.col("lat").alias("slat_d"),
+        F.col("lon").alias("slon_d"),
+    )
+    t = cent.select(
+        F.col("host").alias("dst"),
+        F.col("lat").alias("tlat_d"),
+        F.col("lon").alias("tlon_d"),
+    )
+    d = (
+        edges.join(s, "src")
+        .join(t, "dst")
+        .selectExpr(
+            _hav_km_sql("slat_d", "slon_d", "tlat_d", "tlon_d")
+            + " AS dist_km"
+        )
+    )
+    return (
+        d.groupBy(F.expr(_GEOBAND_SQL).alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_links"),
+            F.min("dist_km").alias("min_km"),
+            F.max("dist_km").alias("max_km"),
+        )
+    )
+
+
 def _smrf_oracle_sql(max_window: int = 4, slope: float = 0.15,
                      dh: float = 0.5, n: int = 100, cell: float = 10.0,
                      prelude: str | None = None,
@@ -6959,7 +7112,8 @@ DRIVER_WINDOW: list[str] = [
 # manifest_ndv + kwic_snippets + ccnet_buckets + bpe_pairs +
 # contour_cells + aspect_rose + zipf_slope + hypsometry +
 # grid_mean_salted + pmi_collocations + viewshed + hits_hosts +
-# host_distance + cocitation_hosts + twi + token_entropy
+# host_distance + cocitation_hosts + twi + token_entropy +
+# lpa_communities + link_geo_bands
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

@@ -207,3 +207,44 @@ def test_cocitation_planted(spark):
     # (10, 20) cited together by sources 1, 2, 3; (10, 30)/(20, 30)
     # only by source 3 -> below min_common
     assert got == {(10, 20): 3}
+
+
+def _py_lpa(edges: list[tuple[int, int]], iters: int) -> dict[int, int]:
+    """Literal replay of the synchronous deterministic LPA rule."""
+    und = {(s, d) for s, d in edges} | {(d, s) for s, d in edges}
+    nodes = sorted({s for s, _ in und})
+    lbl = {v: v for v in nodes}
+    for _ in range(iters):
+        nxt = {}
+        for v in nodes:
+            votes: dict[int, int] = {}
+            for s, d in und:
+                if s == v:
+                    votes[lbl[d]] = votes.get(lbl[d], 0) + 1
+            nxt[v] = min(votes, key=lambda c: (-votes[c], c))
+        lbl = nxt
+    return lbl
+
+
+def test_lpa_two_cliques_with_bridge(spark):
+    """Two triangles joined by one bridge edge: labels converge to one
+    community per clique (the bridge can't outvote the clique), and
+    every round matches the pure-Python synchronous replay."""
+    tri1 = [(0, 1), (1, 2), (2, 0)]
+    tri2 = [(10, 11), (11, 12), (12, 10)]
+    edges = tri1 + tri2 + [(2, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for iters in (1, 3):
+        got = {
+            r.host: r.community
+            for r in lg.lpa_communities(df, iters=iters).collect()
+        }
+        assert got == _py_lpa(edges, iters), iters
+    final = _py_lpa(edges, 3)
+    # the PARTITION is two clean communities, one per clique (the label
+    # VALUE of the second clique is 2 — node 2's id leaks across the
+    # bridge in round 1 and wins the 3-vote majority — which is why the
+    # contract is deterministic replay, not label aesthetics)
+    assert len({final[0], final[1], final[2]}) == 1
+    assert len({final[10], final[11], final[12]}) == 1
+    assert final[0] != final[10]

@@ -634,3 +634,26 @@ def test_cocitation_pair_join_is_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "NestedLoop" not in plan
     assert "EvalPython" not in plan
+
+
+def test_lpa_scans_parquet_once_total(spark):
+    """LPA's symmetrized edge list is checkpoint-pinned before the
+    rounds: zero parquet rescans across 3 supersteps, no Python."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["lpa_communities"](spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert max(plan.count("Scan parquet"), plan.count("FileScan")) == 0
+
+
+def test_link_geo_bands_joins_centroids_not_crawl(spark):
+    """The distance join pairs the EDGE list with the host-sized
+    centroid table (equi-joins only, no cartesian/nested-loop, no
+    Python) and the band fold ends in one partial+final agg."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["link_geo_bands"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+    assert "EvalPython" not in plan
+    assert "partial_count" in plan or "partial" in plan.lower()
