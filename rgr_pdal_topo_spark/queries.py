@@ -922,6 +922,147 @@ _shared_sql(
 )
 
 
+#: ordered funnel stages over the event stream; progression requires a
+#: strictly later (ts, event_id) than the previous stage's chosen event
+#: AND arrival within the conversion window (without the window every
+#: user completes every stage on the month-long synthetic stream —
+#: constant counts; 48 h yields 150/81/54/31 at sf0.01)
+_FUNNEL_STAGES = ("signup", "view", "click", "purchase")
+_FUNNEL_WINDOW = "INTERVAL 48 HOUR"  # sessionize-proven portable syntax
+
+
+@query(
+    "funnel_steps",
+    _with(
+        *[
+            (
+                f"s{i} AS (SELECT user_id, ts, event_id FROM "
+                f"(SELECT e.user_id, e.ts, e.event_id, ROW_NUMBER() "
+                "OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) "
+                f"AS rn FROM events e "
+                + (
+                    f"JOIN s{i - 1} p ON p.user_id = e.user_id AND "
+                    "(e.ts > p.ts OR (e.ts = p.ts AND "
+                    "e.event_id > p.event_id)) AND "
+                    f"e.ts <= p.ts + {_FUNNEL_WINDOW} "
+                    if i > 0
+                    else ""
+                )
+                + f"WHERE e.event_type = '{st}') t WHERE rn = 1)"
+            )
+            for i, st in enumerate(_FUNNEL_STAGES)
+        ]
+    )
+    + " UNION ALL ".join(
+        f"SELECT {i + 1} AS stage, '{st}' AS stage_name, "
+        f"CAST(COUNT(*) AS BIGINT) AS n_users FROM s{i}"
+        for i, st in enumerate(_FUNNEL_STAGES)
+    ),
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis over the event stream: users whose FIRST
+    signup is followed (strictly later in the (ts, event_id) total
+    order, within the 48 h conversion window) by a view, then a click,
+    then a purchase — the canonical conversion-funnel job of web
+    analytics, and the event-sequencing twin of sessionize.  Each
+    stage's representative event is the minimum (ts, event_id) after
+    the previous stage's choice (first touch), so the whole
+    computation is exact timestamp/integer comparisons — no rounding
+    policy; the oracle replays the identical chain with ROW_NUMBER
+    windows.  The window is what makes the funnel discriminate
+    (150/81/54/31 at sf0.01) — unwindowed, the month-long synthetic
+    stream converts every user at every stage.
+
+    Scale shape: each stage is one equi-join on user_id against a
+    users-sized (not events-sized) previous-stage table plus a
+    per-user window on the single filtered event type — the funnel
+    depth bounds the chain statically; counts combine map-side."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+    from pyspark.sql import Window  # noqa: F401
+
+    ev = load_table(spark, sf_dir, "events")
+    prev = None
+    out = None
+    for i, st in enumerate(_FUNNEL_STAGES):
+        e = ev.filter(F.col("event_type") == st)
+        if prev is not None:
+            p = prev.select(
+                "user_id",
+                F.col("ts").alias("p_ts"),
+                F.col("event_id").alias("p_id"),
+            )
+            e = e.join(p, "user_id").filter(
+                (
+                    (F.col("ts") > F.col("p_ts"))
+                    | (
+                        (F.col("ts") == F.col("p_ts"))
+                        & (F.col("event_id") > F.col("p_id"))
+                    )
+                )
+                & (F.col("ts") <= F.expr(f"p_ts + {_FUNNEL_WINDOW}"))
+            )
+        cur = (
+            e.groupBy("user_id")
+            .agg(F.min(F.struct("ts", "event_id")).alias("m"))
+            .select(
+                "user_id",
+                F.col("m.ts").alias("ts"),
+                F.col("m.event_id").alias("event_id"),
+            )
+        )
+        step = cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("stage"),
+            F.lit(st).alias("stage_name"),
+            "n_users",
+        )
+        out = step if out is None else out.unionAll(step)
+        prev = cur
+    return out
+
+
+@query(
+    "retention_cohorts",
+    _with(
+        "d AS (SELECT DISTINCT user_id, "
+        "CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events)",
+        "c AS (SELECT user_id, MIN(day) AS cohort_day FROM d "
+        "GROUP BY user_id)",
+    )
+    + "SELECT c.cohort_day, d.day - c.cohort_day AS day_offset, "
+    "CAST(COUNT(*) AS BIGINT) AS n_users "
+    "FROM d JOIN c ON c.user_id = d.user_id "
+    "GROUP BY c.cohort_day, d.day - c.cohort_day",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-activity
+    epoch-day, counted on each later active day as an offset from
+    their cohort day — THE product-analytics rollup next to
+    funnel_steps.  All-integer (epoch-day division on the
+    views_asof precedent: Spark unix_timestamp == DuckDB
+    FLOOR(epoch()) for positive epochs), so parity is exact.
+
+    Scale shape: the distinct (user, day) projection collapses the
+    event stream first (bounded by users x days, not events), the
+    cohort table is users-sized, and both the join and the final
+    rollup combine map-side."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).distinct()
+    c = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        d.join(c, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day") - F.col("cohort_day")).alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # W1/W2/W5 + W11 + W13: stencil queries — Spark side runs the tiled
 # applyInArrow engine (operators/stencils.py); oracle recomputes via
@@ -7113,7 +7254,7 @@ DRIVER_WINDOW: list[str] = [
 # contour_cells + aspect_rose + zipf_slope + hypsometry +
 # grid_mean_salted + pmi_collocations + viewshed + hits_hosts +
 # host_distance + cocitation_hosts + twi + token_entropy +
-# lpa_communities + link_geo_bands
+# lpa_communities + link_geo_bands + funnel_steps + retention_cohorts
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

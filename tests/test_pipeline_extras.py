@@ -699,3 +699,96 @@ def test_link_geo_bands_partitions_edges(spark):
     for r in rows:
         assert 0 <= r.band <= 3
         assert lo[r.band] <= r.min_km <= r.max_km < hi[r.band]
+
+
+def _write_events(spark, rows, d=None):
+    import os
+    import tempfile
+
+    d = d or tempfile.mkdtemp()
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_funnel_steps_planted(spark):
+    """Hand-built funnel semantics: order enforced (a view BEFORE the
+    signup never counts), the 48 h window measured from the PREVIOUS
+    stage's event, the (ts, event_id) tie rule, and users without the
+    entry stage absent entirely."""
+    from datetime import datetime, timedelta
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    h = lambda n: t0 + timedelta(hours=n)
+    rows, eid = [], 0
+
+    def ev(user, typ, ts):
+        nonlocal eid
+        rows.append((eid, ts, user, typ, 0.0, "{}"))
+        eid += 1
+
+    # user 1: clean full conversion
+    ev(1, "signup", h(0)); ev(1, "view", h(1)); ev(1, "click", h(2))
+    ev(1, "purchase", h(3))
+    # user 2: view only BEFORE signup -> stops at stage 1
+    ev(2, "view", h(-1)); ev(2, "signup", h(0)); ev(2, "click", h(1))
+    # user 3: view outside the 48 h window -> stops at stage 1
+    ev(3, "signup", h(0)); ev(3, "view", h(49))
+    # user 4: click at the SAME ts as its view with larger event_id
+    ev(4, "signup", h(0)); ev(4, "view", h(1)); ev(4, "click", h(1))
+    ev(4, "purchase", h(2))
+    # user 5: never signs up -> absent from every stage
+    ev(5, "view", h(0)); ev(5, "click", h(1)); ev(5, "purchase", h(2))
+    # user 6: each step within 48 h of the PREVIOUS step, 80 h total
+    ev(6, "signup", h(0)); ev(6, "view", h(40)); ev(6, "click", h(80))
+
+    d = _write_events(spark, rows)
+    got = {
+        r.stage: (r.stage_name, r.n_users)
+        for r in QUERIES["funnel_steps"](spark, d).collect()
+    }
+    assert got == {
+        1: ("signup", 5),
+        2: ("view", 3),     # users 1, 4, 6
+        3: ("click", 3),    # users 1, 4 (tie rule), 6 (per-step window)
+        4: ("purchase", 2),  # users 1, 4
+    }
+
+
+def test_retention_cohorts_planted(spark):
+    """Hand-built retention triangle: per-user cohort = first active
+    epoch-day, one row per (cohort, offset) with exact user counts;
+    multiple events on one day collapse."""
+    from datetime import datetime
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    def day(n, hour=6):
+        return datetime(2024, 3, 1 + n, hour, 0, 0)
+
+    rows = [
+        # user 1: days 0, 1, 3 (two events on day 0 collapse)
+        (0, day(0), 1, "view", 0.0, "{}"),
+        (1, day(0, 20), 1, "click", 0.0, "{}"),
+        (2, day(1), 1, "view", 0.0, "{}"),
+        (3, day(3), 1, "view", 0.0, "{}"),
+        # user 2: cohort day 1, active days 1 and 2
+        (4, day(1), 2, "view", 0.0, "{}"),
+        (5, day(2), 2, "view", 0.0, "{}"),
+    ]
+    d = _write_events(spark, rows)
+    d0 = int(datetime(2024, 3, 1).timestamp()) // 86400
+    got = {
+        (r.cohort_day, r.day_offset): r.n_users
+        for r in QUERIES["retention_cohorts"](spark, d).collect()
+    }
+    assert got == {
+        (d0, 0): 1, (d0, 1): 1, (d0, 3): 1,
+        (d0 + 1, 0): 1, (d0 + 1, 1): 1,
+    }
