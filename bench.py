@@ -92,6 +92,19 @@ HEADLINE = [
     "zipf_slope",
     "hypsometry",
     "pmi_collocations",
+    # closing additions — own series (hits_hosts / host_distance /
+    # lpa_communities are absent for the eager-builder reason: their
+    # edge lists localCheckpoint inside the builder; twi and
+    # grid_mean_salted share upstream passes with flow_chi / grid_idw
+    # but time their OWN marginal plans, the hypsometry precedent)
+    "viewshed",
+    "grid_mean_salted",
+    "twi",
+    "cocitation_hosts",
+    "token_entropy",
+    "link_geo_bands",
+    "funnel_steps",
+    "retention_cohorts",
 ]
 
 
