@@ -105,6 +105,9 @@ HEADLINE = [
     "link_geo_bands",
     "funnel_steps",
     "retention_cohorts",
+    # (host_triangles is absent for the eager-builder reason: its
+    # oriented edge list localCheckpoints inside triangle_counts)
+    "degree_histogram",
 ]
 
 

@@ -350,6 +350,79 @@ def lpa_communities(edges: DataFrame, iters: int = LPA_ITERS) -> DataFrame:
     return lbl
 
 
+def triangle_counts(edges: DataFrame) -> DataFrame:
+    """(host, n_triangles): per-host triangle membership counts over
+    the UNDIRECTED host graph — the local-clustering census behind web
+    spam/link-farm detection (farms are near-cliques) and the classic
+    MapReduce-era benchmark for a graph engine.
+
+    The node-iterator-with-ordering algorithm: orient every undirected
+    edge low -> high, join wedges (a < b, a < c, b < c) against the
+    oriented closing edge (b, c) so each triangle materializes EXACTLY
+    once as a < b < c, then credit all three corners.  Exact integer
+    counts — no rounding policy.
+
+    Scale shape: the wedge join is per-source pairs on the ORIENTED
+    edge list (fan-out bounded by out-degree in the low->high
+    orientation, the standard degeneracy trick that caps hub blowup),
+    then one equi-join against the oriented edges on the (b, c) key and
+    a map-side-combinable count per corner.  At web scale the
+    orientation bounds wedge counts by arboricity, not raw degree."""
+    und = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    lo = und.filter(F.col("src") < F.col("dst")).localCheckpoint(
+        eager=True
+    )
+    w1 = lo.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    w2 = lo.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = w1.join(w2, "a").filter(F.col("b") < F.col("c"))
+    closing = lo.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    corners = (
+        tri.select(F.col("a").alias("host"))
+        .union(tri.select(F.col("b").alias("host")))
+        .union(tri.select(F.col("c").alias("host")))
+    )
+    return corners.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+
+
+def degree_histogram(edges: DataFrame) -> DataFrame:
+    """(side, bucket, n_hosts): log2-bucketed in/out-degree histogram
+    of the host graph — the power-law fingerprint every crawl report
+    publishes (and the skew evidence that sizes joins/salting over the
+    graph).  bucket = number of bits in the degree (1 -> 1, 2-3 -> 2,
+    4-7 -> 3, ...), an exact integer in both engines via LENGTH(BIN()).
+
+    Scale shape: two map-side-combinable degree aggs on the distinct
+    host graph, then a bucket fold over the host-sized degree tables."""
+    out_d = edges.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    in_d = edges.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    both = out_d.select(F.lit("out").alias("side"), "deg").union(
+        in_d.select(F.lit("in").alias("side"), "deg")
+    )
+    return (
+        both.select(
+            "side", F.length(F.bin(F.col("deg"))).alias("bucket")
+        )
+        .groupBy("side", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_hosts"))
+    )
+
+
 def extract_anchor_pairs(pages: DataFrame) -> DataFrame:
     """(host, anchor) — one row per hyperlink: destination host + the
     anchor TEXT of the link.  Anchor text is how the web describes a

@@ -6083,6 +6083,116 @@ def q_cocitation_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkgraph.cocitation(edges)
 
 
+# Planted webring overlay for host_triangles (the cocitation_hosts
+# discipline): the organic crawl's 2-out-link sources never close a
+# 3-cycle at the 500-doc scales, and triangle counting exists to find
+# exactly this structure (link rings / farms) — so the query plants it
+# in BOTH engines: every doc = 0 mod 50 cites hub hosts 41 and 43, and
+# host 41's own page cites 43, closing one triangle per ring member.
+_TRI_RING_DUCK = (
+    "SELECT DISTINCT CAST(doc_id % 1000 AS BIGINT) AS src, "
+    "CAST(41 AS BIGINT) AS dst FROM documents WHERE doc_id % 50 = 0 "
+    "UNION SELECT DISTINCT CAST(doc_id % 1000 AS BIGINT), "
+    "CAST(43 AS BIGINT) FROM documents WHERE doc_id % 50 = 0 "
+    "UNION SELECT DISTINCT CAST(doc_id % 1000 AS BIGINT), "
+    "CAST(43 AS BIGINT) FROM documents WHERE doc_id % 1000 = 41"
+)
+
+
+@query(
+    "host_triangles",
+    _with(
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        _LK_CTE,
+        f"pt AS ({_TRI_RING_DUCK})",
+        "lk2 AS (SELECT src, dst FROM lk UNION SELECT src, dst FROM pt)",
+        "und AS (SELECT src, dst FROM lk2 WHERE src <> dst "
+        "UNION SELECT dst, src FROM lk2 WHERE src <> dst)",
+        "lo AS (SELECT src, dst FROM und WHERE src < dst)",
+        "tri AS (SELECT w1.src AS a, w1.dst AS b, w2.dst AS c "
+        "FROM lo w1 JOIN lo w2 ON w2.src = w1.src AND w1.dst < w2.dst "
+        "JOIN lo e ON e.src = w1.dst AND e.dst = w2.dst)",
+        "corners AS (SELECT a AS host FROM tri UNION ALL "
+        "SELECT b FROM tri UNION ALL SELECT c FROM tri)",
+    )
+    + "SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles "
+    "FROM corners GROUP BY host",
+)
+def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host triangle counts over the undirected host graph
+    (operators/linkgraph.py:triangle_counts) — the local-clustering
+    census behind link-farm detection (farms are near-cliques) and the
+    canonical distributed-graph benchmark.  Low->high edge orientation
+    materializes every triangle exactly once (a < b < c: per-source
+    wedges joined against the oriented closing edge), so counts are
+    exact integers with no dedup step and no rounding policy.  The
+    organic 2-out-link sources close no 3-cycles at the 500-doc
+    scales, so a webring overlay is planted in BOTH engines
+    (_TRI_RING_DUCK — the ring structure this census exists to
+    surface): ring members carry 1 triangle each, the two hub hosts
+    carry one per member.
+
+    Scale shape: wedge fan-out is bounded by ORIENTED out-degree (the
+    degeneracy trick that caps hub blowup — a hub's edges orient
+    mostly inward), the closing probe is one (b, c) equi-join, and the
+    corner credit folds map-side."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    ring = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") % 1000).cast("long").alias("src")
+    )
+    planted = (
+        ring.select("src", F.lit(41).cast("long").alias("dst"))
+        .union(ring.select("src", F.lit(43).cast("long").alias("dst")))
+        .union(
+            docs.filter(F.col("doc_id") % 1000 == 41).select(
+                (F.col("doc_id") % 1000).cast("long").alias("src"),
+                F.lit(43).cast("long").alias("dst"),
+            )
+        )
+        .distinct()
+    )
+    edges = (
+        linkgraph.extract_links(pages).union(planted).distinct()
+    )
+    return linkgraph.triangle_counts(edges)
+
+
+@query(
+    "degree_histogram",
+    _with(
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        _LK_CTE,
+        "o AS (SELECT src AS host, COUNT(*) AS deg FROM lk "
+        "GROUP BY src)",
+        "i AS (SELECT dst AS host, COUNT(*) AS deg FROM lk "
+        "GROUP BY dst)",
+        "b AS (SELECT 'out' AS side, deg FROM o "
+        "UNION ALL SELECT 'in' AS side, deg FROM i)",
+    )
+    + "SELECT side, LENGTH(bin(deg)) AS bucket, "
+    "CAST(COUNT(*) AS BIGINT) AS n_hosts FROM b GROUP BY side, "
+    "LENGTH(bin(deg))",
+)
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2-bucketed in/out-degree histogram of the host graph
+    (operators/linkgraph.py:degree_histogram) — the power-law
+    fingerprint every crawl report publishes, and the measured skew
+    evidence that sizes joins and salting over the graph (the
+    quadratic dst map makes in-degree genuinely heavy-tailed where
+    out-degree is near-uniform).  bucket = bit-length of the degree
+    via LENGTH(BIN()) — the hll_distinct rho spelling, exact in both
+    engines.
+
+    Scale shape: two map-side-combinable degree aggs on the distinct
+    host graph, then a tiny bucket fold — nothing beyond host-sized
+    tables ever shuffles."""
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    return linkgraph.degree_histogram(linkgraph.extract_links(pages))
+
+
 def _lpa_ctes(iters: int) -> list[str]:
     """Unrolled synchronous LPA rounds, bit-equal to
     linkgraph.lpa_communities: vote counts are exact integers and the
@@ -7254,7 +7364,8 @@ DRIVER_WINDOW: list[str] = [
 # contour_cells + aspect_rose + zipf_slope + hypsometry +
 # grid_mean_salted + pmi_collocations + viewshed + hits_hosts +
 # host_distance + cocitation_hosts + twi + token_entropy +
-# lpa_communities + link_geo_bands + funnel_steps + retention_cohorts
+# lpa_communities + link_geo_bands + funnel_steps + retention_cohorts +
+# host_triangles + degree_histogram
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

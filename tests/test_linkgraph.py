@@ -248,3 +248,39 @@ def test_lpa_two_cliques_with_bridge(spark):
     assert len({final[0], final[1], final[2]}) == 1
     assert len({final[10], final[11], final[12]}) == 1
     assert final[0] != final[10]
+
+
+def test_triangle_counts_k4_and_square(spark):
+    """K4 has 4 triangles, 3 per corner; a 4-cycle has none; direction
+    and duplicate edges don't matter (undirected distinct semantics)."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a != b]
+    square = [(10, 11), (11, 12), (12, 13), (13, 10)]
+    df = spark.createDataFrame(
+        k4 + square + [(0, 1)], "src long, dst long"  # dup edge
+    )
+    got = {
+        r.host: r.n_triangles
+        for r in lg.triangle_counts(df).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_degree_histogram_buckets(spark):
+    """bucket = bit length of the degree: deg 1 -> 1, 2-3 -> 2,
+    4-7 -> 3; in and out sides counted independently."""
+    # host 0: out-deg 4 (bucket 3); hosts 1-4: out-deg 1 (bucket 1)
+    # host 9: in-deg 5 (bucket 3); hosts 5-8: in-deg 1 each
+    edges = [(0, 5), (0, 6), (0, 7), (0, 8), (1, 9), (2, 9), (3, 9),
+             (4, 9), (0, 9)]
+    # recompute: host 0 out-deg 5 (bucket 3); 1-4 out-deg 1
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        (r.side, r.bucket): r.n_hosts
+        for r in lg.degree_histogram(df).collect()
+    }
+    assert got == {
+        ("out", 3): 1,   # host 0, deg 5
+        ("out", 1): 4,   # hosts 1-4, deg 1
+        ("in", 3): 1,    # host 9, deg 5
+        ("in", 1): 4,    # hosts 5-8, deg 1
+    }
