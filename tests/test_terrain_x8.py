@@ -191,4 +191,13 @@ def test_ensemble_closure_carries_no_raster(spark):
     )
     n = len(CloudPickleSerializer().dumps(fn))
     assert n < 50_000, f"per-member closure serialized to {n} bytes"
+    # Pickling a live Broadcast side-registers it in the thread-local
+    # _pickled_broadcast_vars (Broadcast.__reduce__) — the registry
+    # PySpark drains into the NEXT serialized Python-UDF command on
+    # this thread.  Destroying pg_bc while it sits there made the next
+    # UDF-bearing test fail with "Attempted to use Broadcast(N) after
+    # it was destroyed" (test_viewshed, ~1-in-2 full-suite runs).
+    # Clear the registry BEFORE destroying so the handle never leaks
+    # into a later job.
+    spark.sparkContext._pickled_broadcast_vars.clear()
     pg_bc.destroy()
