@@ -108,6 +108,8 @@ HEADLINE = [
     # (host_triangles is absent for the eager-builder reason: its
     # oriented edge list localCheckpoints inside triangle_counts)
     "degree_histogram",
+    "curvature_classes",
+    "tile_pyramid",
 ]
 
 

@@ -1545,6 +1545,92 @@ def q_stencil_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Curvature-class census thresholds and the ONE classify spelling (the
+# class CASE runs on ROUND(,6)+0 doubles that are bit-identical across
+# engines, so the census counts are exact integers).
+_CURV_T = 0.001
+
+
+def _curv_class_sql(col: str) -> str:
+    return (
+        f"CASE WHEN {col} IS NULL THEN 9 WHEN {col} < {-_CURV_T!r} "
+        f"THEN -1 WHEN {col} > {_CURV_T!r} THEN 1 ELSE 0 END"
+    )
+
+
+_LAP_ONLY_DUCK = (
+    "SELECT n.cell_row, n.cell_col, "
+    "ROUND((n.rv - 2 * n.value + n.lv) / 100.0 + "
+    "(n.sv - 2 * n.value + n.nv) / 100.0, 6) + 0 AS laplacian "
+    "FROM nbrs n"
+)
+
+
+@query(
+    "curvature_classes",
+    _BASE.rstrip()
+    + f", gmean AS ({GRID_MEAN_CTE}), gq AS ({_GQUANT_CTE}), "
+    f"dense AS MATERIALIZED ({_DENSE_DUCK_Q}), "
+    f"nbrs AS ({_NBRS_DUCK}), lap AS ({_LAP_ONLY_DUCK}), "
+    f"strictnb AS ({_STRICT_DUCK}), ccterms AS ({_CC_TERMS}), "
+    f"ccout AS ({_CC_OUT}), "
+    "cls AS (SELECT "
+    + _curv_class_sql("l.laplacian")
+    + " AS lap_class, "
+    + _curv_class_sql("c.contour_curv")
+    + " AS plan_class FROM lap l JOIN ccout c "
+    "ON c.cell_row = l.cell_row AND c.cell_col = l.cell_col) "
+    "SELECT lap_class, plan_class, CAST(COUNT(*) AS BIGINT) AS n_cells "
+    "FROM cls GROUP BY lap_class, plan_class",
+)
+def q_curvature_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Terrain curvature classification census: every DEM cell classed
+    by profile proxy (laplacian: concave -1 / planar 0 / convex +1 /
+    undefined 9) x plan proxy (contour curvature, same bands) — the
+    9-class landform map (Dikau-style convexity classes) every terrain
+    product ships, here as its exact per-class census.
+
+    Exactness: both curvatures come out of the pinned stencil engine
+    bit-identical to the oracle's neighbor-window replay (ROUND(,6)+0,
+    the stencil_suite contract), so the class CASE compares identical
+    doubles against shared literals and the counts are exact integers.
+
+    Scale shape: ONE halo-replication shuffle + one tiled applyInArrow
+    stage for both kernels (shared pass), then a 16-row census fold —
+    the stencil engine's cost, nothing more."""
+    from rgr_pdal_topo_spark.operators.stencils import run_stencils
+
+    g = mean_dem(spark, sf_dir).withColumn(
+        "value", quant_col(F.col("value"), Q20)
+    )
+    out = run_stencils(
+        g,
+        G,
+        {
+            "laplacian": ("laplacian", {}),
+            "contour_curv": ("contour_curvature", {}),
+        },
+        tile_cells=50,
+    )
+    vals = _nan_to_null(
+        out.select(
+            "cell_row",
+            "cell_col",
+            F.round("laplacian", 6).alias("laplacian"),
+            F.round("contour_curv", 6).alias("contour_curv"),
+        ),
+        ["laplacian", "contour_curv"],
+    )
+    return (
+        vals.select(
+            F.expr(_curv_class_sql("laplacian")).alias("lap_class"),
+            F.expr(_curv_class_sql("contour_curv")).alias("plan_class"),
+        )
+        .groupBy("lap_class", "plan_class")
+        .agg(F.count(F.lit(1)).alias("n_cells"))
+    )
+
+
 @query(
     "terrain_pipeline",
     _with(
@@ -4694,6 +4780,54 @@ def q_pages_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # planted URL dirt for the canonicalizer (deterministic by doc_id):
 # campaign-link params, kept param + tracking + fragment, fragment only,
 # shouty host — the variants a crawler sees for ONE page
+
+_PYRAMID_ZOOMS = (5, 8, 12)
+
+
+@query(
+    "tile_pyramid",
+    _with(*_GEO_CTES)
+    + " UNION ALL ".join(
+        f"SELECT {z} AS zoom, {cellfn.quad_cell_sql('lon', 'lat', z)} "
+        "AS cell, CAST(COUNT(*) AS BIGINT) AS n_pages FROM geo GROUP BY 2"
+        for z in _PYRAMID_ZOOMS
+    ),
+)
+def q_tile_pyramid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-zoom tile pyramid in ONE scan: every geocoded page binned
+    into quadkey cells at zooms 5 / 8 / 12 simultaneously — the web-map
+    overview-tiles job (vector-tile aggregation / COG overview levels),
+    and the webtext twin of the reference's mosaic overview chain
+    (baseGrid.py resampled mosaics).  Cell encoding is the exact
+    integer quadkey (no trig), so counts are exact.
+
+    Scale shape: the engine explodes each page to its 3 (zoom, cell)
+    pairs in ONE pass — a single parquet scan (plan-pinned), where the
+    naive per-zoom spelling re-scans the crawl once per level (the
+    oracle keeps that 3-scan spelling precisely because it is the
+    textbook equivalent) — then one partial+final count keyed by
+    (zoom, cell); output is cells-sized per level, pyramid-summed."""
+    g = pagesops.geo_lonlat(spark, sf_dir)
+    pairs = g.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(z).alias("zoom"),
+                        cellfn.quad_cell(
+                            F.col("lon"), F.col("lat"), z
+                        ).alias("cell"),
+                    )
+                    for z in _PYRAMID_ZOOMS
+                ]
+            )
+        ).alias("zc")
+    ).select("zc.zoom", "zc.cell")
+    return pairs.groupBy("zoom", "cell").agg(
+        F.count(F.lit(1)).alias("n_pages")
+    )
+
+
 _DIRTY_URL_SQL = (
     "CASE WHEN doc_id % 4 = 0 THEN u || '?utm_source=feed&utm_campaign=x' "
     "WHEN doc_id % 4 = 1 THEN u || '?id=7&utm_medium=email#frag' "
@@ -7365,7 +7499,7 @@ DRIVER_WINDOW: list[str] = [
 # grid_mean_salted + pmi_collocations + viewshed + hits_hosts +
 # host_distance + cocitation_hosts + twi + token_entropy +
 # lpa_communities + link_geo_bands + funnel_steps + retention_cohorts +
-# host_triangles + degree_histogram
+# host_triangles + degree_histogram + curvature_classes + tile_pyramid
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

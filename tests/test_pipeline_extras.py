@@ -792,3 +792,57 @@ def test_retention_cohorts_planted(spark):
         (d0, 0): 1, (d0, 1): 1, (d0, 3): 1,
         (d0 + 1, 0): 1, (d0 + 1, 1): 1,
     }
+
+
+def test_curvature_classes_census_and_paraboloid(spark):
+    """The census partitions the 100x100 universe exactly, classes stay
+    in {-1, 0, 1, 9}; and on a pure paraboloid bowl every interior cell
+    classifies laplacian-convex (+1) — the sign contract of the class
+    bands."""
+    import numpy as np
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.grid import GridSpec
+    from rgr_pdal_topo_spark.operators.stencils import run_stencils
+    from rgr_pdal_topo_spark.queries import QUERIES, _curv_class_sql
+    from pyspark.sql import functions as F
+
+    rows = QUERIES["curvature_classes"](spark, "/root/testdata/sf0.001").collect()
+    assert sum(r.n_cells for r in rows) == 10000
+    assert {r.lap_class for r in rows} <= {-1, 0, 1, 9}
+    assert {r.plan_class for r in rows} <= {-1, 0, 1, 9}
+
+    g = GridSpec(x0=0.0, y0=0.0, cell=10.0, nrows=12, ncols=12)
+    rr, cc = np.meshgrid(np.arange(12), np.arange(12), indexing="ij")
+    z = ((rr - 5.5) ** 2 + (cc - 5.5) ** 2).astype("float64")
+    df = spark.createDataFrame(
+        pd.DataFrame({"cell_row": rr.ravel(), "cell_col": cc.ravel(),
+                      "value": z.ravel()})
+    )
+    out = run_stencils(df, g, {"lap": ("laplacian", {})}, tile_cells=6)
+    cls = out.select(
+        "cell_row", "cell_col",
+        F.expr(_curv_class_sql("round(lap, 6)")).alias("c"),
+    ).collect()
+    interior = [r.c for r in cls
+                if 1 <= r.cell_row <= 10 and 1 <= r.cell_col <= 10]
+    assert interior and set(interior) == {1}
+
+
+def test_tile_pyramid_partitions_pages_per_zoom(spark):
+    """Each zoom level bins EVERY geocoded page exactly once:
+    SUM(n_pages) per zoom == page count, and cell counts grow
+    monotonically with zoom (finer tiles split, never merge)."""
+    from rgr_pdal_topo_spark.operators import pages
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    n = pages.geo_lonlat(spark, sf).count()
+    rows = QUERIES["tile_pyramid"](spark, sf).collect()
+    per_zoom = {}
+    cells = {}
+    for r in rows:
+        per_zoom[r.zoom] = per_zoom.get(r.zoom, 0) + r.n_pages
+        cells[r.zoom] = cells.get(r.zoom, 0) + 1
+    assert per_zoom == {5: n, 8: n, 12: n}
+    assert cells[5] <= cells[8] <= cells[12]

@@ -657,3 +657,15 @@ def test_link_geo_bands_joins_centroids_not_crawl(spark):
     assert "NestedLoop" not in plan
     assert "EvalPython" not in plan
     assert "partial_count" in plan or "partial" in plan.lower()
+
+
+def test_tile_pyramid_single_scan_all_zooms(spark):
+    """The 3-level pyramid is ONE parquet scan + explode + one
+    partial+final agg — the per-zoom re-scan spelling (the oracle's
+    textbook UNION ALL) would read the crawl once per level."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["tile_pyramid"](spark, SF_DIR))
+    assert "EvalPython" not in plan
+    assert max(plan.count("Scan parquet"), plan.count("FileScan")) == 1
+    assert "Generate" in plan  # the explode
