@@ -110,6 +110,8 @@ HEADLINE = [
     "degree_histogram",
     "curvature_classes",
     "tile_pyramid",
+    "link_reciprocity",
+    "event_transitions",
 ]
 
 

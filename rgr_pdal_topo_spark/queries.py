@@ -6327,6 +6327,129 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkgraph.degree_histogram(linkgraph.extract_links(pages))
 
 
+# Planted mutual-blogroll overlay for link_reciprocity: the organic
+# graph has exactly 2 reciprocal pairs at the 500-doc scales (the
+# quadratic/linear dst maps almost never invert), and reciprocity is
+# only a useful signal when SOME edges reciprocate and some don't — so
+# the overlay adds hub 61: every doc = 0 mod 25 links to it, and the
+# hub links BACK to the hosts of docs = 0 mod 50 (half the forward
+# edges reciprocate, the other half stay one-way).
+_RECIP_PLANT_DUCK = (
+    "SELECT DISTINCT CAST(doc_id % 1000 AS BIGINT) AS src, "
+    "CAST(61 AS BIGINT) AS dst FROM documents WHERE doc_id % 25 = 0 "
+    "UNION SELECT DISTINCT CAST(61 AS BIGINT), "
+    "CAST(doc_id % 1000 AS BIGINT) FROM documents WHERE doc_id % 50 = 0"
+)
+
+
+@query(
+    "link_reciprocity",
+    _with(
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        _LK_CTE,
+        f"pr AS ({_RECIP_PLANT_DUCK})",
+        "lk2 AS (SELECT src, dst FROM lk WHERE src <> dst "
+        "UNION SELECT src, dst FROM pr WHERE src <> dst)",
+        "r AS (SELECT a.src, a.dst, CASE WHEN b.src IS NOT NULL "
+        "THEN 1 ELSE 0 END AS recip FROM lk2 a LEFT JOIN lk2 b "
+        "ON b.src = a.dst AND b.dst = a.src)",
+    )
+    + "SELECT src AS host, CAST(COUNT(*) AS BIGINT) AS n_out, "
+    "CAST(SUM(recip) AS BIGINT) AS n_recip "
+    "FROM r GROUP BY src HAVING SUM(recip) > 0",
+)
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link reciprocity per host: out-degree and how many of those
+    edges are reciprocated (the reverse edge exists) — the
+    mutual-linking signal behind blogroll/partner-network detection
+    and a standard web-graph statistic (the web's global reciprocity
+    is famously low; spikes flag coordinated structures).  Hosts with
+    zero reciprocated edges are dropped (the one-way crawl majority —
+    the HAVING keeps the output signal-sized).  All-integer, and the
+    organic graph's 2 reciprocal pairs are joined by a PLANTED
+    half-reciprocated hub overlay (_RECIP_PLANT_DUCK, the
+    cocitation_hosts discipline) so reciprocated and one-way edges
+    coexist at every scale.
+
+    Scale shape: one self-equi-join of the distinct host graph on the
+    reversed key (narrow int64 pairs), then a map-side-combinable
+    fold — never the raw crawl."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    fwd = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") % 1000).cast("long").alias("src"),
+        F.lit(61).cast("long").alias("dst"),
+    )
+    back = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.lit(61).cast("long").alias("src"),
+        (F.col("doc_id") % 1000).cast("long").alias("dst"),
+    )
+    lk2 = (
+        linkgraph.extract_links(pages)
+        .union(fwd)
+        .union(back)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = lk2.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.lit(1).alias("has_rev"),
+    )
+    r = lk2.join(rev, ["src", "dst"], "left").select(
+        "src", F.coalesce("has_rev", F.lit(0)).alias("recip")
+    )
+    return (
+        r.groupBy(F.col("src").alias("host"))
+        .agg(
+            F.count(F.lit(1)).alias("n_out"),
+            F.sum("recip").alias("n_recip"),
+        )
+        .filter(F.col("n_recip") > 0)
+    )
+
+
+@query(
+    "event_transitions",
+    _with(
+        "s AS (SELECT user_id, event_type, LAG(event_type) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+        "FROM events)",
+    )
+    + "SELECT prev_type, event_type AS next_type, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM s WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral transition matrix: counts of consecutive event-type
+    pairs per user in the exact (ts, event_id) order — the Markov-chain
+    census behind next-action prediction and funnel design (which
+    states feed purchases, where errors send users).  Pure lag-window
+    integer counting, bit-exact with no rounding policy; each user's
+    first event has no predecessor and is excluded identically.
+
+    Scale shape: one hash-partition by user_id for the lag window
+    (bounded per-user sequences), then a map-side-combinable fold onto
+    the |event_types|^2-bounded matrix."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        s.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def _lpa_ctes(iters: int) -> list[str]:
     """Unrolled synchronous LPA rounds, bit-equal to
     linkgraph.lpa_communities: vote counts are exact integers and the
@@ -7499,7 +7622,8 @@ DRIVER_WINDOW: list[str] = [
 # grid_mean_salted + pmi_collocations + viewshed + hits_hosts +
 # host_distance + cocitation_hosts + twi + token_entropy +
 # lpa_communities + link_geo_bands + funnel_steps + retention_cohorts +
-# host_triangles + degree_histogram + curvature_classes + tile_pyramid
+# host_triangles + degree_histogram + curvature_classes + tile_pyramid +
+# link_reciprocity + event_transitions
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

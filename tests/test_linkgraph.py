@@ -284,3 +284,31 @@ def test_degree_histogram_buckets(spark):
         ("in", 3): 1,    # host 9, deg 5
         ("in", 1): 4,    # hosts 5-8, deg 1
     }
+
+
+def test_link_reciprocity_semantics(spark):
+    """The reciprocity fold over a hand graph: a mutual pair counts on
+    both sides, one-way edges count in n_out only, and zero-recip
+    hosts drop.  (Tests the query's fold shape via the same DataFrame
+    chain the query builds — plant-free, edges given directly.)"""
+    from pyspark.sql import functions as F
+
+    edges = [(1, 2), (2, 1), (1, 3), (3, 4), (4, 3), (5, 1)]
+    lk2 = spark.createDataFrame(edges, "src long, dst long").distinct()
+    rev = lk2.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"),
+        F.lit(1).alias("has_rev"),
+    )
+    r = lk2.join(rev, ["src", "dst"], "left").select(
+        "src", F.coalesce("has_rev", F.lit(0)).alias("recip")
+    )
+    got = {
+        row.host: (row.n_out, row.n_recip)
+        for row in r.groupBy(F.col("src").alias("host"))
+        .agg(F.count(F.lit(1)).alias("n_out"),
+             F.sum("recip").alias("n_recip"))
+        .filter(F.col("n_recip") > 0)
+        .collect()
+    }
+    # 1: out-edges {2, 3}, only (1, 2) reciprocated; 5 drops (one-way)
+    assert got == {1: (2, 1), 2: (1, 1), 3: (1, 1), 4: (1, 1)}

@@ -846,3 +846,36 @@ def test_tile_pyramid_partitions_pages_per_zoom(spark):
         cells[r.zoom] = cells.get(r.zoom, 0) + 1
     assert per_zoom == {5: n, 8: n, 12: n}
     assert cells[5] <= cells[8] <= cells[12]
+
+
+def test_event_transitions_planted(spark):
+    """Known per-user sequences: transitions count consecutive pairs in
+    (ts, event_id) order, same-ts ties break by event_id, first events
+    are excluded, users never mix."""
+    from datetime import datetime, timedelta
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    t0 = datetime(2024, 4, 1)
+    rows = [
+        # user 1: view -> click -> view  (same ts on the last two:
+        # event_id orders click(2) before view(3))
+        (1, t0, 1, "view", 0.0, "{}"),
+        (2, t0 + timedelta(minutes=1), 1, "click", 0.0, "{}"),
+        (3, t0 + timedelta(minutes=1), 1, "view", 0.0, "{}"),
+        # user 2: a single event -> contributes nothing
+        (4, t0, 2, "purchase", 0.0, "{}"),
+        # user 3: view -> view
+        (5, t0, 3, "view", 0.0, "{}"),
+        (6, t0 + timedelta(minutes=2), 3, "view", 0.0, "{}"),
+    ]
+    d = _write_events(spark, rows)
+    got = {
+        (r.prev_type, r.next_type): r.n
+        for r in QUERIES["event_transitions"](spark, d).collect()
+    }
+    assert got == {
+        ("view", "click"): 1,
+        ("click", "view"): 1,
+        ("view", "view"): 1,
+    }
