@@ -112,6 +112,7 @@ HEADLINE = [
     "tile_pyramid",
     "link_reciprocity",
     "event_transitions",
+    "doc_keywords",
 ]
 
 

@@ -7132,6 +7132,69 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "doc_keywords",
+    _with(
+        *_BM25_CORE_CTES[:2],  # toks, postings
+        "dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df "
+        "FROM postings GROUP BY tok)",
+        "st AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) "
+        "AS n)",
+        "sc AS (SELECT p.doc_id, p.tok, p.tf, "
+        f"p.tf * {retrieval.IDF_Q_SQL} AS score_q "
+        "FROM postings p JOIN dft ON dft.tok = p.tok CROSS JOIN st)",
+    )
+    + "SELECT doc_id, tok, tf, score_q, rnk FROM (SELECT doc_id, tok, "
+    "tf, score_q, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY "
+    "score_q DESC, tok ASC) AS rnk FROM sc) r WHERE rnk <= 5",
+)
+def q_doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: top-5 terms by TF-IDF — the
+    query-independent sibling of bm25_scores (BM25 ranks documents for
+    a query; this summarizes each document by its most distinctive
+    terms — the tag/index-term generation pass of a web index).
+    Reuses BM25's Lucene-clamped idf with bit-identical integer-ratio
+    ln inputs pinned to the 1/256 grid, so score_q = tf * idf_q is an
+    exact BIGINT and the (score DESC, tok ASC) cut is engine-exact
+    with no float tolerance.
+
+    Scale shape: postings and df are both aggregated tables (never raw
+    text past the first fold), the corpus scalar broadcasts, and the
+    top-k window runs per-document over each doc's own vocabulary —
+    bounded partitions, and WindowGroupLimit pushes the k-cut below
+    the shuffle (the anchor_text plan shape)."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    postings = toks.groupBy("doc_id", "tok").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    dft = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    n_row = docs.agg(F.count(F.lit(1)).alias("n"))
+    sc = (
+        postings.join(dft, "tok")
+        .crossJoin(F.broadcast(n_row))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            (F.col("tf") * F.expr(retrieval.IDF_Q_SQL)).alias("score_q"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_q").desc(), F.col("tok").asc()
+    )
+    return (
+        sc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 5)
+    )
+
+
+@query(
     "kwic_snippets",
     _with(
         f"d AS ({_DOCTOKS_DUCK})",
@@ -7623,7 +7686,7 @@ DRIVER_WINDOW: list[str] = [
 # host_distance + cocitation_hosts + twi + token_entropy +
 # lpa_communities + link_geo_bands + funnel_steps + retention_cohorts +
 # host_triangles + degree_histogram + curvature_classes + tile_pyramid +
-# link_reciprocity + event_transitions
+# link_reciprocity + event_transitions + doc_keywords
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

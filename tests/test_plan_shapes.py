@@ -669,3 +669,15 @@ def test_tile_pyramid_single_scan_all_zooms(spark):
     assert "EvalPython" not in plan
     assert max(plan.count("Scan parquet"), plan.count("FileScan")) == 1
     assert "Generate" in plan  # the explode
+
+
+def test_doc_keywords_topk_below_shuffle(spark):
+    """The per-doc top-5 cut pushes below the shuffle
+    (WindowGroupLimit) and the corpus scalar broadcasts — the
+    anchor_text plan shape on the postings table."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["doc_keywords"](spark, SF_DIR))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastExchange" in plan
+    assert "EvalPython" not in plan

@@ -167,3 +167,40 @@ def test_search_results_topk_and_snippet_join(spark):
     }
     for d, (_, _, sn) in got.items():
         assert sn == kw[d]
+
+
+def test_doc_keywords_rare_term_wins(spark):
+    """A term unique to one document out-scores its frequent common
+    terms (idf dominates), and the replayed tf*idf_q contract matches
+    exactly."""
+    import math
+    import os
+    import tempfile
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    rows = [
+        (0, "common common common zebra", "en"),
+        (1, "common common other words here", "en"),
+        (2, "common other words more text", "en"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r.doc_id, r.rnk): (r.tok, r.tf, r.score_q)
+        for r in QUERIES["doc_keywords"](spark, d).collect()
+    }
+
+    def idf_q(n, df):
+        return math.floor(math.log((2 * n + 2) / (2 * df + 1)) * 256 + 0.5)
+
+    # doc 0: zebra df=1 -> idf_q(3,1)=ln(8/3)*256; common df=3 ->
+    # ln(8/7)*256; tf 3 * small idf still loses to 1 * big idf
+    z = idf_q(3, 1)
+    c = idf_q(3, 3)
+    assert got[(0, 1)] == ("zebra", 1, 1 * z)
+    assert got[(0, 2)] == ("common", 3, 3 * c)
+    assert 1 * z > 3 * c
