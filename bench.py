@@ -113,6 +113,7 @@ HEADLINE = [
     "link_reciprocity",
     "event_transitions",
     "doc_keywords",
+    "corpus_rollup",
 ]
 
 

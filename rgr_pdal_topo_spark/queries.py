@@ -5263,6 +5263,67 @@ def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "corpus_rollup",
+    _with(
+        "d AS (SELECT lang, doc_id % 4 AS shard, "
+        "CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) "
+        "AS BIGINT) AS ntok, CAST(length(text) AS BIGINT) AS nch "
+        "FROM documents)",
+    )
+    + "SELECT COALESCE(lang, 'ALL') AS lang, "
+    "COALESCE(shard, -1) AS shard, "
+    "CAST(GROUPING(lang) AS BIGINT) AS g_lang, "
+    "CAST(GROUPING(shard) AS BIGINT) AS g_shard, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(ntok) AS BIGINT) AS n_tokens, "
+    "CAST(SUM(nch) AS BIGINT) AS n_chars "
+    "FROM d GROUP BY ROLLUP(lang, shard)",
+)
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level corpus datasheet in ONE pass: doc / token / char
+    totals at (lang, shard), (lang) and grand-total granularities via
+    ROLLUP — the OLAP grouping-sets operator (Catalyst's Expand node:
+    each row replicates to its grouping levels BEFORE the partial agg,
+    so all levels come out of one shuffle instead of one job per
+    level, which is how a 10^12-row datasheet has to be built).
+    Rolled-up dimensions are COALESCEd to 'ALL' / -1 sentinels and
+    GROUPING() flags disambiguate a real 'ALL' value — all-integer +
+    string output, exact parity.
+
+    Scale shape: one scan -> Expand(3 levels) -> partial+final agg;
+    output is (langs x shards + langs + 1)-sized."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", " "), lambda t: t != "")
+    d = docs.select(
+        "lang",
+        (F.col("doc_id") % 4).alias("shard"),
+        F.size(toks).cast("long").alias("ntok"),
+        F.length("text").cast("long").alias("nch"),
+    )
+    return (
+        d.rollup("lang", "shard")
+        .agg(
+            F.grouping("lang").cast("long").alias("g_lang"),
+            F.grouping("shard").cast("long").alias("g_shard"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").alias("n_tokens"),
+            F.sum("nch").alias("n_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("shard", F.lit(-1)).alias("shard"),
+            "g_lang",
+            "g_shard",
+            "n_docs",
+            "n_tokens",
+            "n_chars",
+        )
+    )
+
+
 # Unigram Shannon entropy, ONE set of spellings (F.expr + oracle): with
 # S = SUM(c * lnq13(c)) and lnq13(N) both exact BIGINTs, H = ln(N) -
 # (1/N) * SUM(c/N... ) rearranges to (lnq13(N)*N - S) / (8192*N) — ONE
@@ -7686,7 +7747,7 @@ DRIVER_WINDOW: list[str] = [
 # host_distance + cocitation_hosts + twi + token_entropy +
 # lpa_communities + link_geo_bands + funnel_steps + retention_cohorts +
 # host_triangles + degree_histogram + curvature_classes + tile_pyramid +
-# link_reciprocity + event_transitions + doc_keywords
+# link_reciprocity + event_transitions + doc_keywords + corpus_rollup
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

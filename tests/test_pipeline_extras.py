@@ -879,3 +879,22 @@ def test_event_transitions_planted(spark):
         ("click", "view"): 1,
         ("view", "view"): 1,
     }
+
+
+def test_corpus_rollup_levels_consistent(spark):
+    """The three ROLLUP levels are mutually consistent: per-(lang,
+    shard) rows sum to their lang subtotal, lang subtotals sum to the
+    grand total, and grouping flags identify levels exactly."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    rows = QUERIES["corpus_rollup"](spark, "/root/testdata/sf0.001").collect()
+    leaf = [r for r in rows if (r.g_lang, r.g_shard) == (0, 0)]
+    sub = {r.lang: r for r in rows if (r.g_lang, r.g_shard) == (0, 1)}
+    tot = [r for r in rows if (r.g_lang, r.g_shard) == (1, 1)]
+    assert len(tot) == 1 and tot[0].lang == "ALL" and tot[0].shard == -1
+    for lang, s in sub.items():
+        mine = [r for r in leaf if r.lang == lang]
+        assert s.n_docs == sum(r.n_docs for r in mine)
+        assert s.n_tokens == sum(r.n_tokens for r in mine)
+        assert s.n_chars == sum(r.n_chars for r in mine)
+    assert tot[0].n_docs == sum(s.n_docs for s in sub.values()) == 500

@@ -681,3 +681,14 @@ def test_doc_keywords_topk_below_shuffle(spark):
     assert "WindowGroupLimit" in plan
     assert "BroadcastExchange" in plan
     assert "EvalPython" not in plan
+
+
+def test_corpus_rollup_expand_single_scan(spark):
+    """ROLLUP plans as ONE scan -> Expand(3 grouping levels) ->
+    partial+final agg — not one job per level."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["corpus_rollup"](spark, SF_DIR))
+    assert "Expand" in plan
+    assert max(plan.count("Scan parquet"), plan.count("FileScan")) == 1
+    assert "EvalPython" not in plan
