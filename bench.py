@@ -114,6 +114,8 @@ HEADLINE = [
     "event_transitions",
     "doc_keywords",
     "corpus_rollup",
+    "langid_confusion",
+    "hotspot_cells",
 ]
 
 

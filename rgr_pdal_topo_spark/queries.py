@@ -1545,6 +1545,103 @@ def q_stencil_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hotspot test, ONE integer spelling: window population m is clipped
+# at the grid border, and the 2x-over-expected test cross-multiplies
+# so no division ever happens — exact BIGINTs end to end.
+_HOT_M_SQL = (
+    "(LEAST(cell_row + 1, 99) - GREATEST(cell_row - 1, 0) + 1) * "
+    "(LEAST(cell_col + 1, 99) - GREATEST(cell_col - 1, 0) + 1)"
+)
+
+
+@query(
+    "hotspot_cells",
+    _BASE.rstrip()
+    + ", binned AS (SELECT cell_row, cell_col FROM cells "
+    "UNION ALL SELECT 50 AS cell_row, 50 AS cell_col FROM pts "
+    "WHERE pid % 97 = 0), "
+    "cnt AS (SELECT cell_row, cell_col, CAST(COUNT(*) AS BIGINT) "
+    "AS n FROM binned GROUP BY cell_row, cell_col), "
+    "tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt), "
+    "o9 AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,0),"
+    "(0,1),(1,-1),(1,0),(1,1)) o(dr, dc)), "
+    "nb AS (SELECT c.cell_row + o.dr AS cell_row, "
+    "c.cell_col + o.dc AS cell_col, c.n FROM cnt c JOIN o9 o ON TRUE), "
+    "w AS (SELECT cell_row, cell_col, CAST(SUM(n) AS BIGINT) AS s9 "
+    "FROM nb WHERE cell_row BETWEEN 0 AND 99 "
+    "AND cell_col BETWEEN 0 AND 99 GROUP BY cell_row, cell_col) "
+    f"SELECT cell_row, cell_col, s9, CAST({_HOT_M_SQL} AS BIGINT) AS m "
+    "FROM w CROSS JOIN tot "
+    f"WHERE s9 * 10000 > 2 * total * {_HOT_M_SQL}",
+)
+def q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial hotspot detection (Getis-Ord Gi* reduced to its exact
+    integer core): cells whose 3x3 neighborhood point count exceeds
+    TWICE the uniform expectation for that window's clipped area — the
+    GIS hot-spot-analysis verb over the count grid.  The test
+    cross-multiplies (s9 * n_cells > 2 * total * m), so there is no
+    division, no float, no rounding policy anywhere — exact BIGINT
+    parity.  The synthetic point field is uniform at sf0.01+ (zero
+    organic hotspots once dense), so a 1%-of-points cluster is PLANTED
+    at cell (50, 50) in both engines — the concentration structure the
+    detector exists to find (the cocitation/webring discipline);
+    sparse sf0.001 adds ~150 organic hotspot cells around it.
+
+    Scale shape: the count grid aggregates the point cloud first
+    (cells-sized), each count cell scatters to its <= 9 window targets
+    (the contour_cells replicate-to-blocks pattern — joinless except
+    the constant 9-row offsets), one partial+final window-sum fold,
+    and the corpus total broadcasts as one row."""
+    pts = points_df(spark, sf_dir)
+    binned = pts.select(
+        F.expr(ROW_OF).alias("cell_row"),
+        F.expr(COL_OF).alias("cell_col"),
+    ).unionAll(
+        pts.filter(F.col("pid") % 97 == 0).select(
+            F.lit(50).alias("cell_row"), F.lit(50).alias("cell_col")
+        )
+    )
+    cnt = binned.groupBy("cell_row", "cell_col").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cnt.agg(F.sum("n").alias("total"))
+    offs = F.array(
+        *[
+            F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+            for dr in (-1, 0, 1)
+            for dc in (-1, 0, 1)
+        ]
+    )
+    nb = cnt.select(
+        F.explode(offs).alias("o"), "cell_row", "cell_col", "n"
+    ).select(
+        (F.col("cell_row") + F.col("o.dr")).alias("cell_row"),
+        (F.col("cell_col") + F.col("o.dc")).alias("cell_col"),
+        "n",
+    )
+    w = (
+        nb.filter(
+            F.col("cell_row").between(0, 99)
+            & F.col("cell_col").between(0, 99)
+        )
+        .groupBy("cell_row", "cell_col")
+        .agg(F.sum("n").alias("s9"))
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("s9") * 10000
+            > F.lit(2) * F.col("total") * F.expr(_HOT_M_SQL)
+        )
+        .select(
+            "cell_row",
+            "cell_col",
+            "s9",
+            F.expr(_HOT_M_SQL).cast("long").alias("m"),
+        )
+    )
+
+
 # Curvature-class census thresholds and the ONE classify spelling (the
 # class CASE runs on ROUND(,6)+0 doubles that are bit-identical across
 # engines, so the census counts are exact integers).
@@ -1847,6 +1944,72 @@ def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return textstats.langid_scores(docs)
+
+
+# Planted language markers for langid_confusion (the pii_scrub
+# discipline: the synthetic corpus draws every language's text from
+# ONE shared English-ish vocab, so the stopword heuristic predicts
+# 'en' for every document — a single-column confusion matrix).  Half
+# of each non-en language's docs get their stopword profile appended
+# x4 (score 20 > the measured max organic score_en of 14), so the
+# matrix carries diagonal hits AND the en-default misses at every
+# scale.  ONE spelling runs in both engines.
+_LANGMARK_SQL = "CASE " + " ".join(
+    f"WHEN doc_id % 2 = 0 AND lang = '{code}' THEN text || ' ' || "
+    f"'{' '.join([' '.join(words)] * 4)}'"
+    for code, words in (
+        ("de", ("der", "die", "das", "und", "ist")),
+        ("es", ("el", "la", "de", "que", "y")),
+        ("fr", ("le", "la", "de", "et", "les")),
+    )
+) + " ELSE text END"
+
+
+@query(
+    "langid_confusion",
+    _with(
+        f"d AS (SELECT doc_id, lang, {_LANGMARK_SQL} AS text "
+        "FROM documents)",
+        "toks AS (SELECT doc_id, lang, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS t FROM d)",
+        f"p AS (SELECT lang, {_PRED_LANG_CASE_DUCK} AS pred_lang "
+        "FROM toks)",
+    )
+    + "SELECT lang, pred_lang, "
+    "CASE WHEN lang = pred_lang THEN 1 ELSE 0 END AS is_correct, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "FROM p GROUP BY lang, pred_lang",
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: declared vs predicted language
+    with per-cell counts — the quality-evaluation census every corpus
+    pipeline publishes for its classifiers (precision/recall per
+    language read straight off it).  The synthetic corpus shares one
+    vocabulary across languages (the heuristic predicts 'en'
+    everywhere), so half of each non-en language's docs carry a
+    PLANTED x4 stopword marker (_LANGMARK_SQL, one spelling in both
+    engines) — the matrix then has diagonal hits and en-default misses
+    at every scale.  All-integer counts, exact parity.
+
+    Scale shape: one scan -> per-doc scores -> a languages^2-bounded
+    census fold; nothing wider than the matrix ever shuffles."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", f"{_LANGMARK_SQL} AS text"
+    )
+    p = textstats.langid_scores(docs)
+    return (
+        p.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "lang",
+            "pred_lang",
+            (F.col("lang") == F.col("pred_lang")).cast("int")
+            .alias("is_correct"),
+            "n_docs",
+        )
+    )
 
 
 _shared_sql(
@@ -7747,7 +7910,8 @@ DRIVER_WINDOW: list[str] = [
 # host_distance + cocitation_hosts + twi + token_entropy +
 # lpa_communities + link_geo_bands + funnel_steps + retention_cohorts +
 # host_triangles + degree_histogram + curvature_classes + tile_pyramid +
-# link_reciprocity + event_transitions + doc_keywords + corpus_rollup
+# link_reciprocity + event_transitions + doc_keywords + corpus_rollup +
+# langid_confusion + hotspot_cells
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

@@ -898,3 +898,75 @@ def test_corpus_rollup_levels_consistent(spark):
         assert s.n_tokens == sum(r.n_tokens for r in mine)
         assert s.n_chars == sum(r.n_chars for r in mine)
     assert tot[0].n_docs == sum(s.n_docs for s in sub.values()) == 500
+
+
+def test_langid_confusion_planted_matrix(spark):
+    """Exact matrix on a hand corpus: even-id de/es/fr docs carry the
+    planted marker and classify correctly; odd ids and zh default to
+    'en'; en rows are diagonal."""
+    import os
+    import tempfile
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    rows = [
+        (0, "the a and of to", "de"),   # even -> marker -> de
+        (1, "the a and of to", "de"),   # odd  -> en default
+        (2, "plain words here", "es"),  # even -> es
+        (3, "plain words here", "zh"),  # zh never planted -> en
+        (4, "the a and", "en"),         # en -> en (diagonal)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {
+        (r.lang, r.pred_lang): (r.is_correct, r.n_docs)
+        for r in QUERIES["langid_confusion"](spark, d).collect()
+    }
+    assert got == {
+        ("de", "de"): (1, 1),
+        ("de", "en"): (0, 1),
+        ("es", "es"): (1, 1),
+        ("zh", "en"): (0, 1),
+        ("en", "en"): (1, 1),
+    }
+
+
+def test_hotspot_cells_exceed_recomputed_expectation(spark):
+    """Every returned hotspot really exceeds 2x the uniform expectation
+    for its clipped window, recomputed independently in numpy from the
+    same planted-augmented binned counts; and the planted cluster cell
+    (50, 50) is always found."""
+    import numpy as np
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+    from rgr_pdal_topo_spark.synth import points_df
+    from rgr_pdal_topo_spark.grid import DEFAULT_GRID as G
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    pts = points_df(spark, sf).select(
+        F.expr(G.sql_row_of("y")).alias("r"),
+        F.expr(G.sql_col_of("x")).alias("c"),
+        "pid",
+    ).collect()
+    grid = np.zeros((100, 100), dtype=np.int64)
+    for row in pts:
+        grid[row.r, row.c] += 1
+        if row.pid % 97 == 0:
+            grid[50, 50] += 1
+    total = grid.sum()
+    got = {
+        (r.cell_row, r.cell_col): (r.s9, r.m)
+        for r in QUERIES["hotspot_cells"](spark, sf).collect()
+    }
+    assert (50, 50) in got
+    for (r, c), (s9, m) in got.items():
+        r0, r1 = max(0, r - 1), min(99, r + 1)
+        c0, c1 = max(0, c - 1), min(99, c + 1)
+        s = int(grid[r0:r1 + 1, c0:c1 + 1].sum())
+        mm = (r1 - r0 + 1) * (c1 - c0 + 1)
+        assert (s9, m) == (s, mm), (r, c)
+        assert s * 10000 > 2 * total * mm, (r, c)
