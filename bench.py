@@ -116,6 +116,7 @@ HEADLINE = [
     "corpus_rollup",
     "langid_confusion",
     "hotspot_cells",
+    "slope_area_fit",
 ]
 
 

@@ -3416,6 +3416,89 @@ def q_twi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Slope-area OLS spellings: BOTH regression variables are ln of
+# INTEGER-VALUED doubles (the bm25/zipf contract — arbitrary-double ln
+# may differ by an ulp between engines, integer-valued arguments are
+# measured bit-identical): x = ln(area in CELLS) and y = ln(slope
+# scaled to its exact 2^-13 integer).  The 8192 scaling shifts y by a
+# constant, and an OLS slope is shift-invariant in y, so theta is
+# unchanged; both shift and quantization grid cancel nowhere else
+# because only the SLOPE of the fit is reported.
+_SA_X_SQL = (
+    "CAST(FLOOR(ln(CAST(CAST(area / 100.0 AS BIGINT) AS DOUBLE)) "
+    "* 8192 + 0.5) AS BIGINT)"
+)
+_SA_Y_SQL = (
+    "CAST(FLOOR(ln(CAST(CAST(FLOOR(slope_d8 * 8192.0 + 0.5) AS BIGINT) "
+    "AS DOUBLE)) * 8192 + 0.5) AS BIGINT)"
+)
+_SA_SLOPE_SQL = (
+    "ROUND(CAST(n_ch * sxy - sx * sy AS DOUBLE) / "
+    "CAST(n_ch * sxx - sx * sx AS DOUBLE), 6)"
+)
+_SA_AMIN = 1600.0  # channel threshold (m^2): matches _CHI_AMIN
+
+
+@query(
+    "slope_area_fit",
+    _FLOW_BASE
+    + f", reach AS ({_FREACH}), area AS MATERIALIZED ({_FAREA}), "
+    "sl AS (SELECT cell_row, cell_col, s AS slope_d8 FROM best "
+    "WHERE rn = 1 AND s > 0), "
+    "ch AS (SELECT a.area, sl.slope_d8 FROM area a JOIN sl "
+    "ON sl.cell_row = a.cell_row AND sl.cell_col = a.cell_col "
+    f"WHERE a.area >= {_SA_AMIN!r} "
+    "AND FLOOR(sl.slope_d8 * 8192.0 + 0.5) >= 1), "
+    f"q AS (SELECT {_SA_X_SQL} AS x, {_SA_Y_SQL} AS y FROM ch), "
+    "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ch, "
+    "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+    "CAST(SUM(x * y) AS BIGINT) AS sxy, "
+    "CAST(SUM(x * x) AS BIGINT) AS sxx FROM q) "
+    f"SELECT n_ch, sx, sy, sxy, sxx, {_SA_SLOPE_SQL} AS theta_neg "
+    "FROM s",
+)
+def q_slope_area_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The slope-area plot's regression: OLS of ln(slope) on
+    ln(drainage area) over channel cells — THE stream-power scaling
+    analysis of quantitative geomorphology (S ~ A^(-theta); theta_neg
+    is -theta, the concavity index the reference's chi machinery
+    parameterizes as theta = 0.45).  Composes the D8 slope and the
+    accumulated area out of the one memoized flow pass, like twi.
+
+    Exactness: both regression variables are ln of INTEGER-VALUED
+    doubles (area in cells; slope pre-scaled to its exact 2^-13
+    integer — the constant ln(8192) shift cancels because an OLS slope
+    is shift-invariant in y), pinned to the 2^-13 grid, so all five
+    accumulators are exact BIGINTs and the coefficient is ONE guarded
+    division (the zipf_slope contract end to end).  Sub-quantum slopes
+    (FLOOR(s*8192+0.5) = 0) are excluded identically in both engines
+    (ln(0) is undefined in the model anyway).
+
+    Scale shape: zero new shuffles — a filter + projection off the
+    memoized flow metrics, accumulators combine map-side onto ONE
+    row."""
+    m = _flow_metrics_raw(spark, sf_dir)
+    ch = m.filter(
+        (F.col("fd") > 0)
+        & (F.col("area") >= _SA_AMIN)
+        & (F.floor(F.col("slope_d8") * 8192.0 + 0.5) >= 1)
+    )
+    q = ch.select(
+        F.expr(_SA_X_SQL).alias("x"), F.expr(_SA_Y_SQL).alias("y")
+    )
+    s = q.agg(
+        F.count(F.lit(1)).alias("n_ch"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "n_ch", "sx", "sy", "sxy", "sxx",
+        F.expr(_SA_SLOPE_SQL).alias("theta_neg"),
+    )
+
+
 # calcOrderGrid's sweep is order-dependent (ascending (area, row-major)
 # donors fold as: equal -> +1, greater -> replace), so the oracle replays the
 # exact sequential sweep as a single-row recursive CTE carrying the whole
@@ -7911,7 +7994,7 @@ DRIVER_WINDOW: list[str] = [
 # lpa_communities + link_geo_bands + funnel_steps + retention_cohorts +
 # host_triangles + degree_histogram + curvature_classes + tile_pyramid +
 # link_reciprocity + event_transitions + doc_keywords + corpus_rollup +
-# langid_confusion + hotspot_cells
+# langid_confusion + hotspot_cells + slope_area_fit
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

@@ -304,3 +304,29 @@ def test_twi_tilted_plane_analytic(spark):
             assert abs(
                 math.log(area / (10.0 * s)) - math.log((8 - c) * 100.0)
             ) < 1e-12
+
+
+def test_slope_area_fit_python_replay(spark):
+    """The OLS accumulators replay exactly in pure Python from the
+    flow-metrics channel set (same quantization chain), and the fitted
+    exponent is negative — slopes flatten downstream (the stream-power
+    contract the analysis exists to measure)."""
+    import math
+
+    from rgr_pdal_topo_spark.queries import QUERIES, _flow_metrics_raw
+
+    sf = "/root/testdata/sf0.001"
+    m = _flow_metrics_raw(spark, sf).collect()
+    q13 = lambda v: math.floor(math.log(v) * 8192 + 0.5)
+    xs, ys = [], []
+    for r in m:
+        sq = math.floor(r.slope_d8 * 8192.0 + 0.5)
+        if r.fd > 0 and r.area >= 1600.0 and sq >= 1:
+            xs.append(q13(float(int(r.area / 100.0))))
+            ys.append(q13(float(sq)))
+    row = QUERIES["slope_area_fit"](spark, sf).collect()[0]
+    assert row.n_ch == len(xs)
+    assert row.sx == sum(xs) and row.sy == sum(ys)
+    assert row.sxy == sum(x * y for x, y in zip(xs, ys))
+    assert row.sxx == sum(x * x for x in xs)
+    assert row.theta_neg < 0
