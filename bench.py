@@ -117,6 +117,8 @@ HEADLINE = [
     "langid_confusion",
     "hotspot_cells",
     "slope_area_fit",
+    "crawl_segment_diff",
+    "error_bursts",
 ]
 
 

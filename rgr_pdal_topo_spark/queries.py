@@ -7125,6 +7125,119 @@ _FETCHES_DUCK = (
 )
 
 
+# the capture log WITH the fetch index (crawl_segment_diff segments on
+# its parity; _FETCHES_DUCK drops it)
+_FETCHES_F_DUCK = _FETCHES_DUCK.replace(
+    "SELECT ", "SELECT f.f AS f, ", 1
+)
+
+
+@query(
+    "crawl_segment_diff",
+    _with(
+        f"fetches AS ({_FETCHES_F_DUCK})",
+        "a AS (SELECT DISTINCT md5(text) AS d FROM fetches "
+        "WHERE f % 2 = 0)",
+        "b AS (SELECT DISTINCT md5(text) AS d FROM fetches "
+        "WHERE f % 2 = 1)",
+    )
+    + "SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS n_a, "
+    "CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS n_b, "
+    "CAST((SELECT COUNT(*) FROM (SELECT d FROM a INTERSECT "
+    "SELECT d FROM b) i) AS BIGINT) AS n_common, "
+    "CAST((SELECT COUNT(*) FROM (SELECT d FROM a EXCEPT "
+    "SELECT d FROM b) x) AS BIGINT) AS n_only_a, "
+    "CAST((SELECT COUNT(*) FROM (SELECT d FROM b EXCEPT "
+    "SELECT d FROM a) y) AS BIGINT) AS n_only_b",
+)
+def q_crawl_segment_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cross-crawl content diff by set operators: the capture
+    log split into even/odd fetch segments, each segment's DISTINCT
+    content digests compared with INTERSECT / EXCEPT — the exact twin
+    of hll_overlap's sketch ESTIMATE of the same question ("how much
+    of the new crawl is already in the old one"), and the U-family's
+    set-operator surface (Spark intersect/subtract plan as left-semi /
+    left-anti joins on the digest key).  All counts exact BIGINTs;
+    bodies never travel — only md5 digests.
+
+    Scale shape: digests aggregate each segment to its distinct set
+    first; the set ops are narrow digest-keyed semi/anti joins; five
+    one-row aggregates cross-join into the single output row."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    fetches = docs.selectExpr(
+        "doc_id",
+        "text",
+        f"explode(sequence(CAST(0 AS BIGINT), doc_id % "
+        f"{pagesops.FETCH_MAX})) AS f",
+    ).selectExpr("f", f"md5({pagesops.rev_text_sql('f')}) AS d")
+    a = fetches.filter(F.col("f") % 2 == 0).select("d").distinct()
+    b = fetches.filter(F.col("f") % 2 == 1).select("d").distinct()
+
+    def one(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    return (
+        one(a, "n_a")
+        .crossJoin(one(b, "n_b"))
+        .crossJoin(one(a.intersect(b), "n_common"))
+        .crossJoin(one(a.subtract(b), "n_only_a"))
+        .crossJoin(one(b.subtract(a), "n_only_b"))
+    )
+
+
+@query(
+    "error_bursts",
+    _with(
+        "h AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour, "
+        "CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err "
+        "FROM events)",
+        "hh AS (SELECT hour, CAST(SUM(is_err) AS BIGINT) AS n_err, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events FROM h GROUP BY hour)",
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hours, "
+        "CAST(SUM(n_err) AS BIGINT) AS total_err FROM hh)",
+    )
+    + "SELECT hour, n_err, n_events FROM hh CROSS JOIN tot "
+    "WHERE n_err * n_hours > 2 * total_err",
+)
+def q_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-burst detection: hours whose error count exceeds TWICE
+    the uniform expectation across all observed hours — the temporal
+    twin of hotspot_cells (same cross-multiplied integer test: n_err *
+    n_hours > 2 * total_err — no division, no float), and the ops
+    anomaly sweep every event pipeline runs.
+
+    Scale shape: one partial+final hour fold over the stream, a
+    one-row total broadcast back, and a hours-sized filter."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hh = (
+        ev.select(
+            (F.unix_timestamp("ts") / 3600).cast("long").alias("hour"),
+            (F.col("event_type") == "error").cast("long").alias("is_err"),
+        )
+        .groupBy("hour")
+        .agg(
+            F.sum("is_err").alias("n_err"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    tot = hh.agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n_err").alias("total_err"),
+    )
+    return (
+        hh.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("n_err") * F.col("n_hours")
+            > F.lit(2) * F.col("total_err")
+        )
+        .select("hour", "n_err", "n_events")
+    )
+
+
 @query(
     "crawl_latest",
     _with(f"fetches AS ({_FETCHES_DUCK})")
@@ -7994,7 +8107,8 @@ DRIVER_WINDOW: list[str] = [
 # lpa_communities + link_geo_bands + funnel_steps + retention_cohorts +
 # host_triangles + degree_histogram + curvature_classes + tile_pyramid +
 # link_reciprocity + event_transitions + doc_keywords + corpus_rollup +
-# langid_confusion + hotspot_cells + slope_area_fit
+# langid_confusion + hotspot_cells + slope_area_fit +
+# crawl_segment_diff + error_bursts
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

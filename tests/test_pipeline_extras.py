@@ -970,3 +970,50 @@ def test_hotspot_cells_exceed_recomputed_expectation(spark):
         mm = (r1 - r0 + 1) * (c1 - c0 + 1)
         assert (s9, m) == (s, mm), (r, c)
         assert s * 10000 > 2 * total * mm, (r, c)
+
+
+def test_crawl_segment_diff_inclusion_exclusion(spark):
+    """Set-operator invariants: each segment partitions into common +
+    only, both sides positive (revisions guarantee asymmetry: even
+    fetch indices include f=0 for every url, odd only for
+    multi-capture urls)."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    r = QUERIES["crawl_segment_diff"](spark, "/root/testdata/sf0.001").collect()[0]
+    assert r.n_a == r.n_common + r.n_only_a
+    assert r.n_b == r.n_common + r.n_only_b
+    assert r.n_a > r.n_b > 0 and r.n_common > 0
+
+
+def test_error_bursts_planted(spark):
+    """Hand-built hours: exactly the hours above 2x the uniform error
+    expectation are flagged, with exact counts."""
+    from datetime import datetime, timedelta
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    t0 = datetime(2024, 5, 1)
+    rows, eid = [], 0
+
+    def ev(hour_i, typ, k):
+        nonlocal eid
+        for j in range(k):
+            rows.append(
+                (eid, t0 + timedelta(hours=hour_i, minutes=j), 1, typ,
+                 0.0, "{}")
+            )
+            eid += 1
+
+    # 4 observed hours; errors: 8, 1, 1, 0 (total 10).  Burst test:
+    # n_err * 4 > 2 * 10  <=>  n_err > 5  -> only hour 0.
+    ev(0, "error", 8); ev(0, "view", 2)
+    ev(1, "error", 1); ev(1, "view", 3)
+    ev(2, "error", 1)
+    ev(3, "view", 5)
+    d = _write_events(spark, rows)
+    got = {
+        r.hour: (r.n_err, r.n_events)
+        for r in QUERIES["error_bursts"](spark, d).collect()
+    }
+    h0 = int(t0.timestamp()) // 3600
+    assert got == {h0: (8, 10)}
