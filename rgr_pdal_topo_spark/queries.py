@@ -1601,9 +1601,12 @@ def q_hotspot_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(50).alias("cell_row"), F.lit(50).alias("cell_col")
         )
     )
+    # the count grid feeds BOTH the window scatter and the total; persist
+    # (lazy) so the point scan is paid once — its subtrees sit under
+    # different aggregates, so ReusedExchange never fires for them
     cnt = binned.groupBy("cell_row", "cell_col").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).persist()
     tot = cnt.agg(F.sum("n").alias("total"))
     offs = F.array(
         *[
@@ -7172,8 +7175,11 @@ def q_crawl_segment_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"explode(sequence(CAST(0 AS BIGINT), doc_id % "
         f"{pagesops.FETCH_MAX})) AS f",
     ).selectExpr("f", f"md5({pagesops.rev_text_sql('f')}) AS d")
-    a = fetches.filter(F.col("f") % 2 == 0).select("d").distinct()
-    b = fetches.filter(F.col("f") % 2 == 1).select("d").distinct()
+    # each digest set feeds three of the five set-op aggregates; persist
+    # (lazy) so the crawl scan + distinct is paid once, not per operator
+    # (AQE's ReusedExchange only recovered 3 of the 8 re-derivations)
+    a = fetches.filter(F.col("f") % 2 == 0).select("d").distinct().persist()
+    b = fetches.filter(F.col("f") % 2 == 1).select("d").distinct().persist()
 
     def one(df: DataFrame, name: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).alias(name))
