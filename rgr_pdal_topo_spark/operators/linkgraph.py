@@ -423,6 +423,50 @@ def degree_histogram(edges: DataFrame) -> DataFrame:
     )
 
 
+def bowtie(edges: DataFrame, seed_mod: int, iters: int) -> DataFrame:
+    """(component, n_hosts, example_host): the Broder bow-tie census
+    relative to the seed set within ``iters`` hops — CORE reaches and
+    is reached, IN only reaches, OUT only is reached, DISCONNECTED
+    neither.  Two bfs_hops sweeps (forward, and backward over the
+    reversed edge list) + one membership census over the host
+    universe; the hop horizon is part of the stated contract so the
+    bounded rounds are exact, not approximate."""
+    fwd = bfs_hops(edges, seed_mod=seed_mod, iters=iters)
+    bwd = bfs_hops(
+        edges.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        ),
+        seed_mod=seed_mod,
+        iters=iters,
+    )
+    hosts = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    cls = (
+        hosts.join(
+            fwd.select("host", F.lit(1).alias("in_f")), "host", "left"
+        )
+        .join(bwd.select("host", F.lit(1).alias("in_b")), "host", "left")
+        .select(
+            "host",
+            F.when(
+                F.col("in_f").isNotNull() & F.col("in_b").isNotNull(),
+                F.lit("CORE"),
+            )
+            .when(F.col("in_b").isNotNull(), F.lit("IN"))
+            .when(F.col("in_f").isNotNull(), F.lit("OUT"))
+            .otherwise(F.lit("DISCONNECTED"))
+            .alias("component"),
+        )
+    )
+    return cls.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_hosts"),
+        F.min("host").alias("example_host"),
+    )
+
+
 def extract_anchor_pairs(pages: DataFrame) -> DataFrame:
     """(host, anchor) — one row per hyperlink: destination host + the
     anchor TEXT of the link.  Anchor text is how the web describes a

@@ -6760,6 +6760,74 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bow-tie reachability horizon (hops).  6 covers the synthetic host
+#: graph's effective diameter; the CLASSIFICATION CONTRACT is stated
+#: as "within BOWTIE_K hops" so bounded rounds stay exact, not
+#: approximate (a production run raises K until the frontier dries).
+BOWTIE_K = 6
+
+
+def _bowtie_bfs_cte(name: str, edges_cte: str, src: str,
+                    dst: str) -> str:
+    return (
+        f"{name} AS (SELECT CAST(0 AS BIGINT) AS host, "
+        "CAST(0 AS BIGINT) AS dist "
+        f"UNION SELECT e.{dst}, t.dist + 1 FROM {name} t "
+        f"JOIN {edges_cte} e ON e.{src} = t.host "
+        f"WHERE t.dist < {BOWTIE_K})"
+    )
+
+
+@query(
+    "bowtie_components",
+    "WITH RECURSIVE "
+    + ", ".join(
+        [
+            f"lp AS ({_LINKED_PAGES_DUCK})",
+            _LK_CTE,
+            # explicit DISTINCT: inside WITH RECURSIVE, DuckDB 1.0
+            # treats a non-self-referencing CTE's bare UNION as the
+            # base/recursive splitter and SKIPS the dedup (measured:
+            # SELECT 1 UNION SELECT 1 yields 2 rows there, 1 outside)
+            "hosts AS (SELECT DISTINCT host FROM (SELECT src AS host "
+            "FROM lk UNION ALL SELECT dst FROM lk) u)",
+            _bowtie_bfs_cte("fwd", "lk", "src", "dst"),
+            _bowtie_bfs_cte("bwd", "lk", "dst", "src"),
+            "f AS (SELECT DISTINCT host FROM fwd)",
+            "b AS (SELECT DISTINCT host FROM bwd)",
+            "cls AS (SELECT h.host, CASE "
+            "WHEN f.host IS NOT NULL AND b.host IS NOT NULL THEN 'CORE' "
+            "WHEN b.host IS NOT NULL THEN 'IN' "
+            "WHEN f.host IS NOT NULL THEN 'OUT' "
+            "ELSE 'DISCONNECTED' END AS component "
+            "FROM hosts h LEFT JOIN f ON f.host = h.host "
+            "LEFT JOIN b ON b.host = h.host)",
+        ]
+    )
+    + " SELECT component, CAST(COUNT(*) AS BIGINT) AS n_hosts, "
+    "MIN(host) AS example_host FROM cls GROUP BY component",
+)
+def q_bowtie_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web's bow-tie decomposition (Broder et al. 2000) relative
+    to pivot host 0: CORE = hosts that both reach and are reached by
+    the pivot within BOWTIE_K hops (the pivot's strongly-connected
+    neighbourhood), IN = reach it only, OUT = reached only,
+    DISCONNECTED = neither — THE structural census of web-graph
+    analysis, built from two bounded BFS sweeps (forward along edges,
+    backward along reversed edges) over the aggregated host graph.
+    The k-hop horizon is part of the stated contract, so bounded
+    rounds are exact, and everything is integer set membership — the
+    recursive-CTE oracle replays it with no tolerance.
+
+    Scale shape: two bfs_hops-shaped Pregel sweeps (narrow int64
+    joins + MIN folds, checkpoint-pinned edges) + one membership
+    census over the host universe."""
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    edges = linkgraph.extract_links(pages)
+    # host % 1e6 == 0 -> exactly host 0 at any test scale
+    return linkgraph.bowtie(edges, seed_mod=1_000_000, iters=BOWTIE_K)
+
+
 def _lpa_ctes(iters: int) -> list[str]:
     """Unrolled synchronous LPA rounds, bit-equal to
     linkgraph.lpa_communities: vote counts are exact integers and the
@@ -8114,7 +8182,7 @@ DRIVER_WINDOW: list[str] = [
 # host_triangles + degree_histogram + curvature_classes + tile_pyramid +
 # link_reciprocity + event_transitions + doc_keywords + corpus_rollup +
 # langid_confusion + hotspot_cells + slope_area_fit +
-# crawl_segment_diff + error_bursts
+# crawl_segment_diff + error_bursts + bowtie_components
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

@@ -312,3 +312,21 @@ def test_link_reciprocity_semantics(spark):
     }
     # 1: out-edges {2, 3}, only (1, 2) reciprocated; 5 drops (one-way)
     assert got == {1: (2, 1), 2: (1, 1), 3: (1, 1), 4: (1, 1)}
+
+
+def test_bowtie_planted(spark):
+    """Hand digraph with a known bow-tie relative to pivot 0: a 2-cycle
+    core {0, 1}, an IN node (5 -> 0), an OUT node (1 -> 7), and a
+    disconnected pair {8, 9}."""
+    edges = [(0, 1), (1, 0), (5, 0), (1, 7), (8, 9)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.component: (r.n_hosts, r.example_host)
+        for r in lg.bowtie(df, seed_mod=1_000_000, iters=6).collect()
+    }
+    assert got == {
+        "CORE": (2, 0),
+        "IN": (1, 5),
+        "OUT": (1, 7),
+        "DISCONNECTED": (2, 8),
+    }
