@@ -119,6 +119,7 @@ HEADLINE = [
     "slope_area_fit",
     "crawl_segment_diff",
     "error_bursts",
+    "props_histogram",
 ]
 
 

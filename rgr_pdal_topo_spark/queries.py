@@ -7262,6 +7262,59 @@ def q_crawl_segment_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "props_histogram",
+    _with(
+        "p AS (SELECT event_type, "
+        "CAST(json_extract_string(props, '$.k') AS BIGINT) AS k "
+        "FROM events)",
+    )
+    + "SELECT event_type, k // 10 AS k_bucket, "
+    "CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(k) AS BIGINT) AS sum_k, MIN(k) AS min_k, MAX(k) AS max_k "
+    "FROM p GROUP BY event_type, k // 10",
+)
+def q_props_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payload analytics: the integer property k
+    extracted from every event's JSON props blob, bucketed by decade
+    per event type with exact count/sum/min/max — the
+    schema-on-read verb of event pipelines (Spark get_json_object /
+    DuckDB json_extract_string; the engines spell extraction
+    differently but an integer capture is representation-free, so
+    parity is exact with no shared-text requirement — unlike the
+    float-sensitive families).
+
+    Domain note: bucketing uses integer division, which is floor (//)
+    in DuckDB and trunc (DIV) in Spark — identical on the payload's
+    nonnegative k (0-99 by construction); a signed property would
+    need the subtract-modulus exact_div spelling
+    (operators/linkgraph.py).  Events with no k key fold into a NULL
+    bucket identically in both engines.
+
+    Scale shape: one scan -> JVM-side JSON path extraction (no
+    Python) -> partial+final fold onto the (types x buckets)-bounded
+    census."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.select(
+        "event_type",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    return (
+        p.groupBy(
+            "event_type",
+            F.expr("k DIV 10").alias("k_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
     "error_bursts",
     _with(
         "h AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) // 3600 AS hour, "
@@ -8182,7 +8235,8 @@ DRIVER_WINDOW: list[str] = [
 # host_triangles + degree_histogram + curvature_classes + tile_pyramid +
 # link_reciprocity + event_transitions + doc_keywords + corpus_rollup +
 # langid_confusion + hotspot_cells + slope_area_fit +
-# crawl_segment_diff + error_bursts + bowtie_components
+# crawl_segment_diff + error_bursts + bowtie_components +
+# props_histogram
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

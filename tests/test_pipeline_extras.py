@@ -1017,3 +1017,29 @@ def test_error_bursts_planted(spark):
     }
     h0 = int(t0.timestamp()) // 3600
     assert got == {h0: (8, 10)}
+
+
+def test_props_histogram_planted(spark):
+    """Hand events: JSON k extraction, decade bucketing, and the
+    missing-key NULL bucket, with exact sums and extrema."""
+    from datetime import datetime
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    t0 = datetime(2024, 6, 1)
+    rows = [
+        (0, t0, 1, "view", 0.0, '{"k": 5}'),
+        (1, t0, 1, "view", 0.0, '{"k": 9}'),
+        (2, t0, 1, "view", 0.0, '{"k": 17}'),
+        (3, t0, 1, "click", 0.0, '{"other": 1}'),  # no k -> NULL bucket
+    ]
+    d = _write_events(spark, rows)
+    got = {
+        (r.event_type, r.k_bucket): (r.n, r.sum_k, r.min_k, r.max_k)
+        for r in QUERIES["props_histogram"](spark, d).collect()
+    }
+    assert got == {
+        ("view", 0): (2, 14, 5, 9),
+        ("view", 1): (1, 17, 17, 17),
+        ("click", None): (1, None, None, None),
+    }
