@@ -120,6 +120,7 @@ HEADLINE = [
     "crawl_segment_diff",
     "error_bursts",
     "props_histogram",
+    "morans_i",
 ]
 
 

@@ -1545,6 +1545,97 @@ def q_stencil_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Moran's I, ONE spelling over the six exact integer accumulators:
+# with m = Sz/n, the deviation identities
+#   sum_E (z_i - m)(z_j - m) = Sprod - m * Sdeg + E * m^2
+#   sum_i (z_i - m)^2        = Szz  - n * m^2
+# turn the statistic into one float chain over identical BIGINTs —
+# bit-identical in both engines, ROUND(,6)-guarded.
+_MORAN_M = "(CAST(sz AS DOUBLE) / CAST(n AS DOUBLE))"
+_MORAN_I_SQL = (
+    f"ROUND(CAST(n AS DOUBLE) * (CAST(sprod AS DOUBLE) - {_MORAN_M} * "
+    f"CAST(sdeg AS DOUBLE) + CAST(e_cnt AS DOUBLE) * {_MORAN_M} * "
+    f"{_MORAN_M}) / (CAST(e_cnt AS DOUBLE) * (CAST(szz AS DOUBLE) - "
+    f"CAST(n AS DOUBLE) * {_MORAN_M} * {_MORAN_M})), 6)"
+)
+
+
+@query(
+    "morans_i",
+    _BASE.rstrip()
+    + f", gmean AS ({GRID_MEAN_CTE}), "
+    f"zt AS (SELECT cell_row, cell_col, {qint_sql('value', Q13)} AS z "
+    "FROM gmean), "
+    "pr AS (SELECT a.z AS zi, b.z AS zj FROM zt a JOIN zt b "
+    "ON b.cell_row = a.cell_row AND b.cell_col = a.cell_col + 1 "
+    "UNION ALL SELECT a.z, b.z FROM zt a JOIN zt b "
+    "ON b.cell_row = a.cell_row + 1 AND b.cell_col = a.cell_col), "
+    "s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(z) AS BIGINT) AS sz, CAST(SUM(z * z) AS BIGINT) AS szz "
+    "FROM zt), "
+    "s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS e_cnt, "
+    "CAST(SUM(zi * zj) AS BIGINT) AS sprod, "
+    "CAST(SUM(zi + zj) AS BIGINT) AS sdeg FROM pr) "
+    f"SELECT n, e_cnt, sz, szz, sprod, sdeg, {_MORAN_I_SQL} AS moran_i "
+    "FROM s1 CROSS JOIN s2",
+)
+def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moran's I spatial autocorrelation of the mean DEM under rook
+    adjacency — THE global clustering statistic of spatial analysis
+    (hotspot_cells is its local companion): smooth terrain reads near
+    +1, noise near 0, checkerboards negative.
+
+    Exactness: elevations quantize to exact 2^-13 integers, the six
+    accumulators (n, E, Sz, Szz, Sprod, Sdeg) are exact BIGINT sums
+    (the hashed surface), and the deviation identities collapse the
+    statistic to ONE shared float spelling over those integers —
+    bit-identical chains, ROUND(,6)-guarded.  Missing cells simply
+    contribute no pairs (rook edges require both endpoints present).
+
+    Scale shape: the neighbor pairs come from two narrow equi-joins of
+    the cells-sized grid against its own shifted key (co-located under
+    the grid partitioning; at raster scale the stencil engine's halo
+    replication computes the same pairs shuffle-free), and everything
+    folds map-side onto one row."""
+    dem = mean_dem(spark, sf_dir)
+    zt = dem.select(
+        "cell_row", "cell_col", qint_col(F.col("value"), Q13).alias("z")
+    )
+    right = zt.select(
+        F.col("cell_row").alias("r2"),
+        (F.col("cell_col") - 1).alias("c2"),
+        F.col("z").alias("zj"),
+    )
+    down = zt.select(
+        (F.col("cell_row") - 1).alias("r2"),
+        F.col("cell_col").alias("c2"),
+        F.col("z").alias("zj"),
+    )
+    pr = zt.join(
+        right, (F.col("cell_row") == F.col("r2"))
+        & (F.col("cell_col") == F.col("c2")),
+    ).select(F.col("z").alias("zi"), "zj").unionAll(
+        zt.join(
+            down, (F.col("cell_row") == F.col("r2"))
+            & (F.col("cell_col") == F.col("c2")),
+        ).select(F.col("z").alias("zi"), "zj")
+    )
+    s1 = zt.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    s2 = pr.agg(
+        F.count(F.lit(1)).alias("e_cnt"),
+        F.sum(F.col("zi") * F.col("zj")).alias("sprod"),
+        F.sum(F.col("zi") + F.col("zj")).alias("sdeg"),
+    )
+    return s1.crossJoin(s2).select(
+        "n", "e_cnt", "sz", "szz", "sprod", "sdeg",
+        F.expr(_MORAN_I_SQL).alias("moran_i"),
+    )
+
+
 # Hotspot test, ONE integer spelling: window population m is clipped
 # at the grid border, and the 2x-over-expected test cross-multiplies
 # so no division ever happens — exact BIGINTs end to end.
@@ -8236,7 +8327,7 @@ DRIVER_WINDOW: list[str] = [
 # link_reciprocity + event_transitions + doc_keywords + corpus_rollup +
 # langid_confusion + hotspot_cells + slope_area_fit +
 # crawl_segment_diff + error_bursts + bowtie_components +
-# props_histogram
+# props_histogram + morans_i
 # (r5 additions,
 # ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.

@@ -1043,3 +1043,46 @@ def test_props_histogram_planted(spark):
         ("view", 1): (1, 17, 17, 17),
         ("click", None): (1, None, None, None),
     }
+
+
+def test_morans_i_checkerboard_vs_plane(spark):
+    """Sign semantics of the Moran chain (same spelling the query
+    uses): a checkerboard is strongly negative, a smooth gradient
+    strongly positive."""
+    import numpy as np
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import _MORAN_I_SQL
+    from pyspark.sql import functions as F
+
+    def moran(z: "np.ndarray") -> float:
+        rr, cc = np.meshgrid(range(z.shape[0]), range(z.shape[1]),
+                             indexing="ij")
+        zt = spark.createDataFrame(pd.DataFrame({
+            "cell_row": rr.ravel(), "cell_col": cc.ravel(),
+            "z": z.ravel().astype("int64")}))
+        right = zt.select(F.col("cell_row").alias("r2"),
+                          (F.col("cell_col") - 1).alias("c2"),
+                          F.col("z").alias("zj"))
+        down = zt.select((F.col("cell_row") - 1).alias("r2"),
+                         F.col("cell_col").alias("c2"),
+                         F.col("z").alias("zj"))
+        cond = lambda s: (F.col("cell_row") == F.col("r2")) & (
+            F.col("cell_col") == F.col("c2"))
+        pr = zt.join(right, cond(right)).select(
+            F.col("z").alias("zi"), "zj"
+        ).unionAll(zt.join(down, cond(down)).select(
+            F.col("z").alias("zi"), "zj"))
+        s1 = zt.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("z").alias("sz"),
+                    F.sum(F.col("z") * F.col("z")).alias("szz"))
+        s2 = pr.agg(F.count(F.lit(1)).alias("e_cnt"),
+                    F.sum(F.col("zi") * F.col("zj")).alias("sprod"),
+                    F.sum(F.col("zi") + F.col("zj")).alias("sdeg"))
+        return s1.crossJoin(s2).select(
+            F.expr(_MORAN_I_SQL).alias("i")).collect()[0].i
+
+    checker = np.indices((8, 8)).sum(axis=0) % 2 * 100
+    plane = np.arange(64).reshape(8, 8) * 10
+    assert moran(checker) < -0.9
+    assert moran(plane) > 0.8
