@@ -6919,6 +6919,150 @@ def q_bowtie_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkgraph.bowtie(edges, seed_mod=1_000_000, iters=BOWTIE_K)
 
 
+# Degree assortativity (Newman 2003's directed in-in variant): Pearson
+# correlation of the endpoint IN-degrees across directed edges.  The
+# in-in variant is deliberate: the synthetic crawl's out-degree is
+# constant by construction (every page embeds the same number of
+# anchors), so the out-in variant has zero x-variance and r is
+# undefined — and under the driver's ANSI-ON session an unguarded
+# Pearson would THROW DIVIDE_BY_ZERO, not return NULL (the
+# test_ansi_sweep lesson).  Both variance factors are therefore
+# CASE-guarded on the exact integer accumulators before any float math.
+_ASSORT_R_SQL = (
+    "CASE WHEN m * sxx - sx * sx > 0 AND m * syy - sy * sy > 0 THEN "
+    "ROUND(CAST(m * sxy - sx * sy AS DOUBLE) / "
+    "(SQRT(CAST(m * sxx - sx * sx AS DOUBLE)) * "
+    "SQRT(CAST(m * syy - sy * sy AS DOUBLE))), 6) "
+    "ELSE NULL END"
+)
+
+
+@query(
+    "degree_assortativity",
+    _with(
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        _LK_CTE,
+        "i AS (SELECT dst AS host, CAST(COUNT(*) AS BIGINT) AS ideg "
+        "FROM lk GROUP BY dst)",
+        "ep AS (SELECT COALESCE(si.ideg, CAST(0 AS BIGINT)) AS x, "
+        "di.ideg AS y FROM lk "
+        "LEFT JOIN i si ON si.host = lk.src "
+        "JOIN i di ON di.host = lk.dst)",
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, "
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+        "CAST(SUM(x * y) AS BIGINT) AS sxy, "
+        "CAST(SUM(x * x) AS BIGINT) AS sxx, "
+        "CAST(SUM(y * y) AS BIGINT) AS syy FROM ep)",
+    )
+    + f"SELECT m, sx, sy, sxy, sxx, syy, {_ASSORT_R_SQL} AS r FROM s",
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the host graph (Newman 2003, directed
+    in-in variant): the Pearson correlation between the in-degrees of
+    the two endpoints of every edge — THE one-number mixing statistic
+    of web-graph reports (the web is famously DISassortative: hubs
+    link to low-degree pages, r < 0).  Degrees are exact integers, the
+    six accumulators are exact BIGINT sums (the hashed surface), and r
+    is one shared float chain over them, CASE-guarded on both integer
+    variance factors (zero variance => NULL, never an ANSI throw) and
+    ROUND(,6)-pinned.  Sources never linked to take in-degree 0 via
+    the LEFT JOIN, mirroring NetworkX's in-in convention.
+
+    Scale shape: one degree agg on the distinct host graph, two narrow
+    host-sized joins back onto the edge list (broadcastable at any
+    realistic host count), accumulators combine map-side onto ONE
+    row."""
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    lk = linkgraph.extract_links(pages)
+    i = lk.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).alias("ideg")
+    )
+    ep = (
+        lk.join(
+            i.select(F.col("host").alias("src"), F.col("ideg").alias("xi")),
+            "src",
+            "left",
+        )
+        .join(
+            i.select(F.col("host").alias("dst"), F.col("ideg").alias("y")),
+            "dst",
+        )
+        .select(
+            F.coalesce(F.col("xi"), F.lit(0).cast("long")).alias("x"), "y"
+        )
+    )
+    s = ep.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return s.select(
+        "m", "sx", "sy", "sxy", "sxx", "syy",
+        F.expr(_ASSORT_R_SQL).alias("r"),
+    )
+
+
+# Gini coefficient over sorted in-degrees: with x_(1) <= ... <= x_(n)
+# ranked ascending, G = (2 * SUM(i * x_i) - (n + 1) * SUM(x_i)) /
+# (n * SUM(x_i)) — every accumulator an exact BIGINT, ties broken by
+# host id so the rank (and therefore SUM(i * x_i)) is deterministic
+# even though G itself is tie-order-invariant within equal values.
+_GINI_SQL = (
+    "CASE WHEN n * sx > 0 THEN "
+    "ROUND(CAST(2 * swx - (n + 1) * sx AS DOUBLE) / "
+    "CAST(n * sx AS DOUBLE), 6) ELSE NULL END"
+)
+
+
+@query(
+    "indegree_gini",
+    _with(
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        _LK_CTE,
+        "i AS (SELECT dst AS host, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM lk GROUP BY dst)",
+        "r AS (SELECT deg, CAST(ROW_NUMBER() OVER (ORDER BY deg ASC, "
+        "host ASC) AS BIGINT) AS rk FROM i)",
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(deg) AS BIGINT) AS sx, "
+        "CAST(SUM(rk * deg) AS BIGINT) AS swx FROM r)",
+    )
+    + f"SELECT n, sx, swx, {_GINI_SQL} AS gini FROM s",
+)
+def q_indegree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of host in-degree — the crawl-concentration
+    inequality statistic every web census publishes (0 = links spread
+    evenly, 1 = one host takes everything; pairs with
+    degree_histogram's shape and pagerank's ranking).  The sorted-rank
+    identity G = (2*SUM(rk*x) - (n+1)*SUM(x)) / (n*SUM(x)) makes every
+    accumulator an exact BIGINT and G one guarded division.
+
+    Scale shape: the rank window runs over the host-sized degree
+    table (never the crawl) — the global sort a Gini needs is
+    inherent to the statistic; at 10^8 hosts it is one narrow
+    (int64, int64) range-partitioned sort."""
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    lk = linkgraph.extract_links(pages)
+    from pyspark.sql import Window
+
+    i = lk.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    w = Window.orderBy(F.col("deg").asc(), F.col("host").asc())
+    r = i.select(
+        "deg", F.row_number().over(w).cast("long").alias("rk")
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("deg").alias("sx"),
+        F.sum(F.col("rk") * F.col("deg")).alias("swx"),
+    )
+    return s.select("n", "sx", "swx", F.expr(_GINI_SQL).alias("gini"))
+
+
 def _lpa_ctes(iters: int) -> list[str]:
     """Unrolled synchronous LPA rounds, bit-equal to
     linkgraph.lpa_communities: vote counts are exact integers and the
