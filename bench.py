@@ -121,6 +121,11 @@ HEADLINE = [
     "error_bursts",
     "props_histogram",
     "morans_i",
+    # (bowtie_components is absent for the eager-builder reason: its BFS
+    # supersteps localCheckpoint inside bowtie)
+    "degree_assortativity",
+    "indegree_gini",
+    "session_peaks",
 ]
 
 

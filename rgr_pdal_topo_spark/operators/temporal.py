@@ -161,3 +161,82 @@ def _bucketed_carry(u: DataFrame, key: str, width: int) -> DataFrame:
         b.unionByName(seeds.select(*b.columns))
         .withColumn(_PAY, F.last(_PAY, ignorenulls=True).over(w))
     )
+
+
+def sweep_concurrency(
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket: str = "hour",
+) -> DataFrame:
+    """Per-bucket peak concurrency of closed intervals — the sweep-line
+    ("how many sessions are open right now") statistic, spelled as a
+    TWO-LEVEL SEGMENTED PREFIX SCAN instead of one global running sum.
+
+    Semantics: an interval is open at instant t iff start <= t <= end
+    (closed on both ends; timestamps are microsecond-granular, so the
+    -1 boundary event fires at end + 1 microsecond).  For every time
+    bucket containing at least one boundary event the output row
+    carries
+
+      bucket_ts   DATE_TRUNC(bucket) of the boundary instants
+      n_changes   boundary events in the bucket (BIGINT)
+      peak        max open-interval count reached in the bucket
+      end_level   open-interval count after the bucket's last boundary
+
+    (buckets strictly inside a long interval have no boundary and no
+    row — their level is the previous row's end_level by construction).
+
+    Scale shape — the reason this module spelling exists: the naive
+    sweep is ONE window over the globally time-ordered boundary stream
+    (the oracle's spelling), which at 10^11 boundaries is a
+    single-ordering sort with a sequential tail.  Here the running sum
+    is split the textbook way (Blelloch's two-phase scan): boundary
+    deltas aggregate per distinct instant (map-side combinable), the
+    within-bucket running sum windows over (bucket) partitions — each
+    bounded by the bucket width — and the cross-bucket carry is a
+    cumulative sum over the BUCKET ROLLUP (cardinality = buckets, not
+    boundaries) joined back.  Every count is an exact BIGINT; nothing
+    to round, no Python anywhere.  The same decomposition is
+    asof_join's ``bucket_width`` carry with SUM in place of
+    last-non-null.
+    """
+    plus = intervals.select(F.col(start_col).alias("t"), F.lit(1).alias("d"))
+    minus = intervals.select(
+        (F.col(end_col) + F.expr("INTERVAL 1 MICROSECOND")).alias("t"),
+        F.lit(-1).alias("d"),
+    )
+    deltas = (
+        plus.unionByName(minus)
+        .groupBy("t")
+        .agg(
+            F.sum("d").cast("long").alias("d"),
+            F.count(F.lit(1)).cast("long").alias("nc"),
+        )
+        .withColumn("bucket_ts", F.date_trunc(bucket, F.col("t")))
+    )
+    win = (
+        Window.partitionBy("bucket_ts")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    within = deltas.withColumn("run", F.sum("d").over(win).cast("long"))
+    per_bucket = within.groupBy("bucket_ts").agg(
+        F.sum("d").cast("long").alias("s"),
+        F.sum("nc").cast("long").alias("n_changes"),
+        F.max("run").cast("long").alias("peak_within"),
+    )
+    carry_w = Window.orderBy("bucket_ts").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        per_bucket.withColumn(
+            "carry", F.coalesce(F.sum("s").over(carry_w), F.lit(0)).cast("long")
+        )
+        .select(
+            "bucket_ts",
+            "n_changes",
+            (F.col("carry") + F.col("peak_within")).alias("peak"),
+            (F.col("carry") + F.col("s")).alias("end_level"),
+        )
+    )

@@ -1020,6 +1020,87 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: sessionize's gap threshold, reused so session_peaks' intervals are
+#: exactly the sessions the sessionize query counts
+_SESSION_GAP = "INTERVAL 30 MINUTE"
+
+
+@query(
+    "session_peaks",
+    _with(
+        "g AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, "
+        "event_id) IS NULL THEN 0 WHEN ts > LAG(ts) OVER (PARTITION BY "
+        f"user_id ORDER BY ts, event_id) + {_SESSION_GAP} THEN 1 "
+        "ELSE 0 END AS is_new FROM events)",
+        "s AS (SELECT user_id, ts, SUM(is_new) OVER (PARTITION BY "
+        "user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS session_id FROM g)",
+        "iv AS (SELECT MIN(ts) AS s_start, MAX(ts) AS s_end FROM s "
+        "GROUP BY user_id, session_id)",
+        "del AS (SELECT s_start AS t, 1 AS d FROM iv UNION ALL "
+        "SELECT s_end + INTERVAL 1 MICROSECOND, -1 FROM iv)",
+        "dd AS (SELECT t, CAST(SUM(d) AS BIGINT) AS d, "
+        "CAST(COUNT(*) AS BIGINT) AS nc FROM del GROUP BY t)",
+        "r AS (SELECT t, nc, d, CAST(SUM(d) OVER (ORDER BY t ROWS "
+        "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS run FROM dd)",
+    )
+    + "SELECT DATE_TRUNC('hour', t) AS bucket_ts, "
+    "CAST(SUM(nc) AS BIGINT) AS n_changes, "
+    "CAST(MAX(run) AS BIGINT) AS peak, "
+    "CAST(MAX_BY(run, t) AS BIGINT) AS end_level "
+    "FROM r GROUP BY DATE_TRUNC('hour', t)",
+)
+def q_session_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions per hour — the sweep-line interval
+    statistic ("how many sessions are open right now") every web
+    operations dashboard carries, over exactly the gap-30min sessions
+    the sessionize query counts.  An interval is open on the CLOSED
+    range [first event, last event]; boundary deltas are +-1 integers,
+    so every level is an exact BIGINT and there is no rounding policy
+    anywhere.
+
+    The engine runs operators/temporal.py sweep_concurrency — the
+    two-level segmented prefix scan (within-hour running sums over
+    hour-partitioned windows + a cross-hour carry cumulated over the
+    HOUR ROLLUP, Blelloch's two-phase scan in DataFrame algebra) — the
+    scale spelling of the global running sum Spark cannot otherwise
+    distribute; the oracle replays it as the naive single global
+    window (ORDER BY t) and MAX/MAX_BY per hour, so the parity row
+    proves the decomposition's carry logic, not just the arithmetic.
+
+    Scale shape: deltas aggregate per distinct instant map-side; the
+    only unbounded window runs over the hour rollup (cardinality =
+    hours, not boundaries); within-hour partitions are bounded by the
+    bucket width.  Ties are impossible by construction (deltas are
+    pre-aggregated per instant)."""
+    from rgr_pdal_topo_spark.operators import temporal
+    from rgr_pdal_topo_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    wuo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag = F.lag("ts").over(wuo)
+    g = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(lag.isNull(), 0)
+        .when(F.col("ts") > lag + F.expr(_SESSION_GAP), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    s = g.withColumn(
+        "session_id",
+        F.sum("is_new").over(wuo.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    iv = s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    return temporal.sweep_concurrency(iv, "s_start", "s_end", bucket="hour")
+
+
 @query(
     "retention_cohorts",
     _with(

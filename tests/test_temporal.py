@@ -123,3 +123,34 @@ def test_asof_join_has_no_join_node(spark):
         left, right, "key", "ts", "rts", ["val"]
     )._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_sweep_concurrency_planted(spark):
+    """Hand-computed sweep over four intervals that exercise every
+    contract clause: closed ends (touching intervals DO overlap at the
+    shared instant), the +1us decrement, a bucket with no boundary
+    (skipped row, level carried), and a cross-hour carry-in > 0."""
+    import datetime as dt
+
+    def t(h, m, s=0, us=0):
+        return dt.datetime(2024, 1, 1, h, m, s, us)
+
+    # A 10:00-10:10, B 10:10-10:40 (touches A at 10:10 -> both open),
+    # C 10:30-12:30 (spans all of hour 11: no boundary there),
+    # D 12:00-12:05 (opens while C still open: carry-in = 1)
+    iv = spark.createDataFrame(
+        [(t(10, 0), t(10, 10)), (t(10, 10), t(10, 40)),
+         (t(10, 30), t(12, 30)), (t(12, 0), t(12, 5))],
+        "s_start timestamp, s_end timestamp",
+    )
+    rows = {
+        r["bucket_ts"].hour: (r["n_changes"], r["peak"], r["end_level"])
+        for r in temporal.sweep_concurrency(iv, "s_start", "s_end").collect()
+    }
+    # hour 10: +A(10:00) +B(10:10) -A(10:10+1us) +C(10:30) -B(10:40+1us)
+    #   levels 1,2,1,2,1 -> 5 changes, peak 2, ends at 1 (C open)
+    # hour 11: no boundary -> NO ROW (C stays open through it)
+    # hour 12: +D(12:00) -D(12:05+1us) -C(12:30+1us)
+    #   levels 2,1,0 -> 3 changes, peak 2 (carry-in 1 + D), ends at 0
+    assert rows == {10: (5, 2, 1), 12: (3, 2, 0)}
+    assert 11 not in rows
