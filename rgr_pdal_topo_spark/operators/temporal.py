@@ -201,13 +201,23 @@ def sweep_concurrency(
     asof_join's ``bucket_width`` carry with SUM in place of
     last-non-null.
     """
-    plus = intervals.select(F.col(start_col).alias("t"), F.lit(1).alias("d"))
-    minus = intervals.select(
-        (F.col(end_col) + F.expr("INTERVAL 1 MICROSECOND")).alias("t"),
-        F.lit(-1).alias("d"),
+    # both boundary events leave ONE interval row via an inline explode —
+    # a union of a +1 and a -1 projection would replay the (possibly
+    # expensive) interval-building subtree twice, once per branch
+    boundary = F.explode(
+        F.array(
+            F.struct(F.col(start_col).alias("t"), F.lit(1).alias("d")),
+            F.struct(
+                (F.col(end_col) + F.expr("INTERVAL 1 MICROSECOND")).alias(
+                    "t"
+                ),
+                F.lit(-1).alias("d"),
+            ),
+        )
     )
     deltas = (
-        plus.unionByName(minus)
+        intervals.select(boundary.alias("b"))
+        .select(F.col("b.t").alias("t"), F.col("b.d").alias("d"))
         .groupBy("t")
         .agg(
             F.sum("d").cast("long").alias("d"),

@@ -692,3 +692,28 @@ def test_corpus_rollup_expand_single_scan(spark):
     assert "Expand" in plan
     assert max(plan.count("Scan parquet"), plan.count("FileScan")) == 1
     assert "EvalPython" not in plan
+
+
+def test_session_peaks_global_window_only_on_hour_rollup(spark):
+    """sweep_concurrency's scale contract, pinned in the physical plan:
+    (1) exactly one SinglePartition exchange, and it feeds the carry
+    window FROM THE HOUR ROLLUP (its child is the bucket_ts
+    HashAggregate — cardinality = hours, never raw boundaries); (2) the
+    boundary-stream window partitions by bucket_ts; (3) the interval
+    subtree runs ONCE (the +-1 boundaries leave one row via explode —
+    a two-branch union would replay the sessionize shuffle twice)."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["session_peaks"](spark, SF_DIR))
+    assert plan.count("Exchange SinglePartition") == 1
+    lines = plan.splitlines()
+    gi = next(i for i, l in enumerate(lines) if "Exchange SinglePartition" in l)
+    assert "HashAggregate(keys=[bucket_ts" in lines[gi + 1]
+    # every Window over the boundary stream (ordering on t) is
+    # bucket-partitioned; the only unpartitioned window orders buckets
+    for line in lines:
+        if "Window [" in line and "windowspecdefinition(bucket_ts" not in line:
+            assert "windowspecdefinition(user_id" in line or (
+                "bucket_ts" in line
+            ), line
+    assert plan.count("Exchange hashpartitioning(user_id") == 1
