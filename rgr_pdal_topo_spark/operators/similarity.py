@@ -568,22 +568,28 @@ def semdedup(
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
+    # argmax as an AGGREGATE, not a row_number window: the max-struct
+    # partials combine map-side, so the N x n_centroids expansion never
+    # shuffles (a per-id window would sort-exchange all 16 candidate
+    # rows per vector first).  max over (ccos, -cid) is the same total
+    # order as (ccos DESC, cid ASC) — the cid negation is integer, so
+    # there is no -0.0 subtlety anywhere near the float.
     asg = (
         base.crossJoin(F.broadcast(cents))
         .withColumn(
             "ccos",
             F.round(cdot / (F.col("norm") * F.col("cnorm")), COS_ROUND),
         )
-        .withColumn(
-            "crn",
-            F.row_number().over(
-                Window.partitionBy(id_col).orderBy(
-                    F.col("ccos").desc(), F.col("cid").asc()
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("ccos").alias("ccos"),
+                    (-F.col("cid")).alias("ncid"),
                 )
-            ),
+            ).alias("best")
         )
-        .filter(F.col("crn") == 1)
-        .select(id_col, "cid")
+        .select(id_col, (-F.col("best.ncid")).alias("cid"))
     )
     qz = emb.withColumn("qv", quantize_sq8("embedding", scale)).select(
         id_col, "qv", _int_dot(F.col("qv"), F.col("qv")).alias("qn")

@@ -335,25 +335,56 @@ def source_quality(documents: DataFrame) -> DataFrame:
     All outputs are exact BIGINTs."""
     from rgr_pdal_topo_spark.operators.dedup import shingle_dup_stats
 
-    q = quality_filter(documents).select("doc_id", "n_tokens", "keep")
-    dup = shingle_dup_stats(documents).select(
-        "doc_id", "n_shingles", "n_dup"
-    )
-    base = (
-        documents.select("doc_id", "source")
-        .join(q, "doc_id")
-        .join(dup, "doc_id", "left")
-    )
-    return base.groupBy("source").agg(
+    toks = _toks()
+    n_tokens = F.size(toks)
+    # quality leg: stat expressions inlined next to `source` (the
+    # quality_langid one-pass discipline), then aggregated STRAIGHT to
+    # the source grain — partials combine map-side to ~|sources| rows,
+    # so this leg never shuffles per-doc rows at all.  The previous
+    # spelling joined quality_filter back on doc_id first, which cost a
+    # third corpus scan plus a docs-sized shuffle join before the same
+    # rollup.  Same expression builders as quality_filter, so the keep
+    # decision cannot drift.
+    per_doc = documents.select(
+        "doc_id",
+        "source",
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (
+            F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+            / n_tokens.cast("double")
+        ).alias("avg_token_len"),
+    ).withColumn("keep", _keep_expr(20, 12.0, 0.1))
+    a = per_doc.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("keep").cast("long").alias("n_kept"),
         F.sum("n_tokens").cast("long").alias("total_tokens"),
-        F.sum(F.coalesce(F.col("n_shingles"), F.lit(0))).alias(
-            "total_shingles"
-        ),
-        F.sum(F.coalesce(F.col("n_dup"), F.lit(0))).alias(
-            "total_dup_shingles"
-        ),
+    )
+    # duplication leg: per-doc dup counts pick up `source` through one
+    # narrow (int64 -> source) join, then roll up; docs too short to
+    # shingle contribute zero via the sources-sized LEFT join below.
+    dup = shingle_dup_stats(documents).select(
+        "doc_id", "n_shingles", "n_dup"
+    )
+    b = (
+        dup.join(documents.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.sum("n_shingles").alias("ts"),
+            F.sum("n_dup").alias("td"),
+        )
+    )
+    return a.join(b, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_kept",
+        "total_tokens",
+        F.coalesce(F.col("ts"), F.lit(0))
+        .cast("long")
+        .alias("total_shingles"),
+        F.coalesce(F.col("td"), F.lit(0))
+        .cast("long")
+        .alias("total_dup_shingles"),
     )
 
 

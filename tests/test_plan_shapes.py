@@ -516,6 +516,11 @@ def test_semdedup_broadcasts_centroids_partitions_by_cluster(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or plan.count("BroadcastHashJoin") >= 2
     assert "partial_count" in plan
+    # the centroid argmax is a max-struct AGGREGATE (partials combine
+    # map-side), never a per-vector row_number window that would
+    # sort-exchange all n_centroids candidate rows per vector
+    assert "Window" not in plan
+    assert "partial_max" in plan
 
 
 def test_token_packing_windows_partition_by_shard(spark):
