@@ -126,6 +126,7 @@ HEADLINE = [
     "degree_assortativity",
     "indegree_gini",
     "session_peaks",
+    "active_users",
 ]
 
 

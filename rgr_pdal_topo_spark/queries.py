@@ -1144,6 +1144,69 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "active_users",
+    _with(
+        "d AS (SELECT DISTINCT user_id, "
+        "CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day FROM events)",
+        "dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM d "
+        "GROUP BY day)",
+        "w AS (SELECT user_id, day + u.o AS day FROM d, "
+        "LATERAL (SELECT unnest(generate_series(0, 6)) AS o) u)",
+        "wau AS (SELECT day, CAST(COUNT(DISTINCT user_id) AS BIGINT) "
+        "AS wau FROM w GROUP BY day)",
+    )
+    + "SELECT dau.day, dau.dau, wau.wau, "
+    "ROUND(CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE), 6) "
+    "AS stickiness FROM dau JOIN wau ON wau.day = dau.day",
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per epoch-day — the
+    rolling-distinct product metric every analytics stack reports.
+    Rolling COUNT DISTINCT has no window-function spelling (distinct
+    isn't decomposable over frames), so the engine uses the
+    replicate-to-offsets plan: a user active on ``day`` is replicated
+    to the 7 window-anchor days it keeps active, and WAU is one
+    count-distinct per anchor.  Rows exist for days with at least one
+    event (WAU there is never 0 — the day's own users are in the
+    window — so the one float division needs no guard); dau, wau are
+    exact BIGINTs, stickiness is ROUND(,6) of their ratio.
+
+    Scale shape: the distinct (user, day) projection collapses the
+    event stream FIRST (bounded by users x days, the retention_cohorts
+    precedent); the x7 replication and both distinct aggs run on that
+    rollup, never on raw events; the final join is day-keyed on two
+    days-sized tables."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        (F.unix_timestamp("ts") / 86400).cast("long").alias("day"),
+    ).distinct()
+    dau = d.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    w = d.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.col("day") + F.lit(6))
+        ).alias("day"),
+    )
+    wau = w.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(
+                F.col("dau").cast("double") / F.col("wau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # W1/W2/W5 + W11 + W13: stencil queries — Spark side runs the tiled
 # applyInArrow engine (operators/stencils.py); oracle recomputes via
