@@ -127,6 +127,7 @@ HEADLINE = [
     "indegree_gini",
     "session_peaks",
     "active_users",
+    "semivariogram",
 ]
 
 

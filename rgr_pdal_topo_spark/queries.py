@@ -1780,6 +1780,104 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Empirical semivariogram, ONE spelling: sdiff2 is an exact BIGINT in
+# Q13^2 units, so gamma(h) is a single float chain — divide by the
+# pair count (x2, the semivariance convention) and by 2^26 to return
+# to meters^2.
+_VGRAM_H = 8  #: max lag (cells) along each axis
+_VGRAM_SQL = (
+    "ROUND(CAST(sdiff2 AS DOUBLE) / "
+    "(CAST(2 * n_pairs AS DOUBLE) * 67108864.0), 6)"
+)
+
+
+@query(
+    "semivariogram",
+    _BASE.rstrip()
+    + f", gmean AS ({GRID_MEAN_CTE}), "
+    f"zt AS (SELECT cell_row, cell_col, {qint_sql('value', Q13)} AS z "
+    "FROM gmean), "
+    f"off AS (SELECT unnest(generate_series(1, {_VGRAM_H})) AS h), "
+    "pr AS (SELECT o.h, a.z AS zi, b.z AS zj FROM zt a CROSS JOIN off o "
+    "JOIN zt b ON b.cell_row = a.cell_row "
+    "AND b.cell_col = a.cell_col + o.h "
+    "UNION ALL SELECT o.h, a.z, b.z FROM zt a CROSS JOIN off o "
+    "JOIN zt b ON b.cell_row = a.cell_row + o.h "
+    "AND b.cell_col = a.cell_col), "
+    "s AS (SELECT h, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+    "CAST(SUM((zi - zj) * (zi - zj)) AS BIGINT) AS sdiff2 "
+    "FROM pr GROUP BY h) "
+    f"SELECT h, n_pairs, sdiff2, {_VGRAM_SQL} AS gamma FROM s",
+)
+def q_semivariogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical semivariogram of the mean DEM — gamma(h) = average
+    squared elevation difference at cell lag h (1..8, pooled over the
+    two axis directions), THE first step of every kriging /
+    geostatistics workflow and the distance-resolved companion of
+    morans_i's single-number autocorrelation (smooth terrain: gamma
+    rises with h toward the sill; pure noise: flat at the nugget).
+
+    Exactness: elevations quantize to exact 2^-13 integers (the
+    morans_i surface), per-lag pair counts and SUM((zi-zj)^2) are
+    exact BIGINTs (the hashed surface; bounded by pairs x (z-range x
+    8192)^2 — far under 2^63 at any realistic tile), and gamma is one
+    shared float spelling over them, ROUND(,6)-guarded.  Missing
+    cells contribute no pairs at any lag.
+
+    Scale shape: each grid cell replicates to its 2 x 8 lag targets
+    through ONE inline explode (the active_users/sweep trick — no
+    16-branch union, no band join), then one equi-join against the
+    cells-sized grid on the exact target key and one partial+final
+    groupBy(h).  At raster scale the same pairs fall out of the
+    stencil engine's halo replication shuffle-free; the lag census
+    here stays a narrow (int, int64) join either way."""
+    dem = mean_dem(spark, sf_dir)
+    zt = dem.select(
+        "cell_row", "cell_col", qint_col(F.col("value"), Q13).alias("z")
+    )
+    targets = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(h).alias("h"),
+                    F.col("cell_row").alias("r2"),
+                    (F.col("cell_col") + F.lit(h)).alias("c2"),
+                )
+                for h in range(1, _VGRAM_H + 1)
+            ],
+            *[
+                F.struct(
+                    F.lit(h).alias("h"),
+                    (F.col("cell_row") + F.lit(h)).alias("r2"),
+                    F.col("cell_col").alias("c2"),
+                )
+                for h in range(1, _VGRAM_H + 1)
+            ],
+        )
+    )
+    probe = zt.select(F.col("z").alias("zi"), targets.alias("t")).select(
+        "zi", F.col("t.h").alias("h"), F.col("t.r2").alias("r2"),
+        F.col("t.c2").alias("c2"),
+    )
+    build = zt.select(
+        F.col("cell_row").alias("r2"),
+        F.col("cell_col").alias("c2"),
+        F.col("z").alias("zj"),
+    )
+    d = F.col("zi") - F.col("zj")
+    s = (
+        probe.join(build, ["r2", "c2"])
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(d * d).alias("sdiff2"),
+        )
+    )
+    return s.select(
+        "h", "n_pairs", "sdiff2", F.expr(_VGRAM_SQL).alias("gamma")
+    )
+
+
 # Hotspot test, ONE integer spelling: window population m is clipped
 # at the grid border, and the 2x-over-expected test cross-multiplies
 # so no division ever happens — exact BIGINTs end to end.
