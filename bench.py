@@ -128,6 +128,7 @@ HEADLINE = [
     "session_peaks",
     "active_users",
     "semivariogram",
+    "ripley_k",
 ]
 
 

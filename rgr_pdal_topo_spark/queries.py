@@ -5359,6 +5359,138 @@ def q_pages_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Ripley's K over the geocoded pages, all-integer core: pair distances
+# stay in exact milli-degree BIGINTs (d2 = dx^2 + dy^2), radii are
+# integer milli-degrees, and K(r) = A * 2 * n_pairs / (n * (n - 1)) is
+# ONE shared float chain over exact integers (A = the lon/lat domain
+# area in milli-deg^2).
+_RIPLEY_RADII = (5000, 10000, 20000, 40000)  #: milli-degrees
+_RIPLEY_RMAX = 40000
+_RIPLEY_A = 360_000 * 180_000  #: domain area (milli-deg^2)
+
+
+def _ripley_k_sql(pairs_col: str) -> str:
+    return (
+        f"ROUND({float(_RIPLEY_A)!r} * (CAST(2 * {pairs_col} AS DOUBLE) / "
+        "CAST(n * (n - 1) AS DOUBLE)), 4)"
+    )
+
+
+_RIPLEY_D2 = (
+    "(a.lon_milli - b.lon_milli) * (a.lon_milli - b.lon_milli) + "
+    "(a.lat_milli - b.lat_milli) * (a.lat_milli - b.lat_milli)"
+)
+
+
+@query(
+    "ripley_k",
+    _with(
+        *_GEO_CTES,
+        f"pd AS (SELECT {_RIPLEY_D2} AS d2 FROM geo a JOIN geo b "
+        "ON a.url < b.url)",
+        "cnt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM geo)",
+        "pc AS (SELECT "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN d2 <= {r * r} THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS c{r}"
+            for r in _RIPLEY_RADII
+        )
+        + " FROM pd)",
+    )
+    + " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS r_milli, c{r} AS n_pairs, n, "
+        f"{_ripley_k_sql(f'c{r}')} AS khat FROM pc CROSS JOIN cnt"
+        for r in _RIPLEY_RADII
+    ),
+)
+def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ripley's K point-pattern statistic over the geocoded pages —
+    "are publishing locations clustered beyond chance at radius r?",
+    the spatial-point-process companion of the semivariogram (which
+    measures VALUES at lags; K measures point DENSITY): K(r) above
+    pi*r^2 means clustering, below means inhibition.  Uncorrected
+    (no edge term) with the radius ladder part of the stated contract.
+
+    Exactness: coordinates stay exact integer milli-degrees, pair
+    distances are exact BIGINT d2 = dx^2 + dy^2 (no sqrt, no float
+    distance anywhere), per-radius pair counts are exact conditional
+    sums, and K is one shared ROUND(,4) float chain over (n_pairs, n).
+
+    Scale shape: the engine bins points to rmax-sized cells and probes
+    each point's 3x3 cell neighborhood through ONE inline explode (the
+    semivariogram trick) — candidate pairs are an equi-join on the
+    cell key, never an all-pairs product, and the bound is exact
+    (points within rmax on both axes are at most one cell apart).
+    The oracle deliberately spells the NAIVE all-pairs join, so the
+    parity row proves the binned pruning drops no pair.  One
+    partial+final conditional aggregate; the n scalar broadcasts."""
+    g = pagesops.geo_coords(spark, sf_dir)
+    cx = F.floor(F.col("lon_milli") / F.lit(_RIPLEY_RMAX)).cast("long")
+    cy = F.floor(F.col("lat_milli") / F.lit(_RIPLEY_RMAX)).cast("long")
+    pts = g.select(
+        "url", "lon_milli", "lat_milli", cx.alias("cx"), cy.alias("cy")
+    )
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"))
+                for i in (-1, 0, 1)
+                for j in (-1, 0, 1)
+            ]
+        )
+    )
+    probe = pts.select(
+        F.col("url").alias("ua"),
+        F.col("lon_milli").alias("xa"),
+        F.col("lat_milli").alias("ya"),
+        "cx",
+        "cy",
+        offs.alias("o"),
+    ).select(
+        "ua", "xa", "ya",
+        (F.col("cx") + F.col("o.i")).alias("cx"),
+        (F.col("cy") + F.col("o.j")).alias("cy"),
+    )
+    build = pts.select(
+        F.col("url").alias("ub"),
+        F.col("lon_milli").alias("xb"),
+        F.col("lat_milli").alias("yb"),
+        "cx",
+        "cy",
+    )
+    dx = F.col("xa") - F.col("xb")
+    dy = F.col("ya") - F.col("yb")
+    d2 = dx * dx + dy * dy
+    pc = (
+        probe.join(build, ["cx", "cy"])
+        .filter(F.col("ua") < F.col("ub"))
+        .select(d2.alias("d2"))
+        .filter(F.col("d2") <= F.lit(_RIPLEY_RMAX * _RIPLEY_RMAX))
+        .agg(
+            *[
+                F.sum((F.col("d2") <= F.lit(r * r)).cast("long")).alias(
+                    f"c{r}"
+                )
+                for r in _RIPLEY_RADII
+            ]
+        )
+    )
+    n = g.agg(F.count(F.lit(1)).alias("n"))
+    one = pc.crossJoin(F.broadcast(n))
+    stacked = one.selectExpr(
+        f"stack({len(_RIPLEY_RADII)}, "
+        + ", ".join(
+            f"CAST({r} AS BIGINT), c{r}" for r in _RIPLEY_RADII
+        )
+        + ") AS (r_milli, n_pairs)",
+        "n",
+    )
+    return stacked.select(
+        "r_milli", "n_pairs", "n",
+        F.expr(_ripley_k_sql("n_pairs")).alias("khat"),
+    )
+
+
 # planted URL dirt for the canonicalizer (deterministic by doc_id):
 # campaign-link params, kept param + tracking + fragment, fragment only,
 # shouty host — the variants a crawler sees for ONE page
