@@ -722,3 +722,21 @@ def test_session_peaks_global_window_only_on_hour_rollup(spark):
                 "bucket_ts" in line
             ), line
     assert plan.count("Exchange hashpartitioning(user_id") == 1
+
+
+def test_pair_statistics_never_cartesian(spark):
+    """semivariogram and ripley_k candidate pairs must be EQUI-joins on
+    the lag-target / cell key — never a cartesian or broadcast-nested-
+    loop product (the oracle spells the naive all-pairs join; the
+    engine must not)."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    for name in ("semivariogram", "ripley_k"):
+        plan = _plan(QUERIES[name](spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        # ripley's one BroadcastNestedLoopJoin is the 1x1 scalar cross
+        # join of (pair counts) x (n) — never on the pair path; the
+        # pair join itself must be hash/sort-merge on the key
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+            or "BroadcastHashJoin" in plan, name
+        assert plan.count("Generate explode") == 1, name
