@@ -129,6 +129,7 @@ HEADLINE = [
     "active_users",
     "semivariogram",
     "ripley_k",
+    "cusum_alarms",
 ]
 
 

@@ -7975,6 +7975,95 @@ def q_error_bursts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cusum_alarms",
+    _with(
+        "b AS (SELECT DATE_TRUNC('hour', MIN(ts)) AS h0, "
+        "DATE_TRUNC('hour', MAX(ts)) AS h1 FROM events)",
+        "spine AS (SELECT unnest(generate_series(h0, h1, "
+        "INTERVAL 1 HOUR)) AS hr FROM b)",
+        "e AS (SELECT DATE_TRUNC('hour', ts) AS hr, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events "
+        "WHERE event_type = 'error' GROUP BY 1)",
+        "d AS (SELECT spine.hr, COALESCE(e.x, CAST(0 AS BIGINT)) AS x "
+        "FROM spine LEFT JOIN e ON e.hr = spine.hr)",
+        "sc AS (SELECT CAST(SUM(x) AS BIGINT) AS terr, "
+        "CAST(COUNT(*) AS BIGINT) AS nh FROM d)",
+        # integer ceil-division: // here, DIV in the Spark twin — the
+        # props_histogram representation-free precedent (exact BIGINTs)
+        "kk AS (SELECT CAST((terr + nh - 1) // nh AS BIGINT) AS k "
+        "FROM sc)",
+        "pp AS (SELECT hr, x, CAST(SUM(x - k) OVER (ORDER BY hr "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS p FROM d CROSS JOIN kk)",
+        "ss AS (SELECT hr, x, p - LEAST(CAST(0 AS BIGINT), "
+        "CAST(MIN(p) OVER (ORDER BY hr ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT)) AS s FROM pp)",
+    )
+    + "SELECT hr, x, s FROM ss WHERE s > 0",
+)
+def q_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection over the hourly error series (Page
+    1954): hours where the one-sided cumulative sum S_t = max(0,
+    S_{t-1} + x_t - k) is positive, with the drift allowance k =
+    ceil(mean hourly errors) derived from the data as an exact
+    integer.  error_bursts flags hours that are INDIVIDUALLY extreme;
+    CUSUM accumulates evidence, so it also catches sustained
+    just-above-normal drifts a per-hour test misses.
+
+    The recurrence is non-associative (the max-with-zero reset), so no
+    window function computes it directly — the engine uses the classic
+    prefix identity S_t = P_t - min(0, min_{j<=t} P_j) with P the
+    plain cumulative sum of (x - k): two stacked windows over the
+    DENSE hour spine (zero-error hours must decay the statistic, so
+    the spine is generate_series'd and left-joined).  Every value is
+    an exact BIGINT; there is no float anywhere.
+
+    Scale shape: the error rollup and the spine are hours-sized; the
+    two global windows run over that rollup, never raw events (the
+    indegree_gini contract — at 10^6 hours it is one narrow
+    (timestamp, int64) range-partitioned sort)."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = b.selectExpr(
+        "explode(sequence(h0, h1, INTERVAL 1 HOUR)) AS hr"
+    )
+    e = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    d = spine.join(e, "hr", "left").select(
+        "hr", F.coalesce("x", F.lit(0).cast("long")).alias("x")
+    )
+    sc = d.agg(
+        F.sum("x").cast("long").alias("terr"),
+        F.count(F.lit(1)).cast("long").alias("nh"),
+    )
+    kk = sc.selectExpr("CAST((terr + nh - 1) DIV nh AS BIGINT) AS k")
+    w = Window.orderBy("hr").rowsBetween(Window.unboundedPreceding, 0)
+    pp = d.crossJoin(F.broadcast(kk)).select(
+        "hr", "x",
+        F.sum(F.col("x") - F.col("k")).over(w).cast("long").alias("p"),
+    )
+    ss = pp.select(
+        "hr", "x",
+        (
+            F.col("p")
+            - F.least(
+                F.lit(0).cast("long"), F.min("p").over(w).cast("long")
+            )
+        ).alias("s"),
+    )
+    return ss.filter(F.col("s") > 0)
+
+
+@query(
     "crawl_latest",
     _with(f"fetches AS ({_FETCHES_DUCK})")
     + "SELECT url, CAST(COUNT(*) AS BIGINT) AS n_captures, "

@@ -1086,3 +1086,50 @@ def test_morans_i_checkerboard_vs_plane(spark):
     plane = np.arange(64).reshape(8, 8) * 10
     assert moran(checker) < -0.9
     assert moran(plane) > 0.8
+
+
+def test_cusum_prefix_identity_matches_direct_recurrence(spark, tmp_path):
+    """The windowed spelling S_t = P_t - min(0, min_{j<=t} P_j) must
+    equal the direct non-associative recurrence S_t = max(0, S_{t-1} +
+    x_t - k) on a crafted series that exercises a rise, a RESET to
+    zero, and a second rise — the identity is the whole point of the
+    query, so it is pinned against the imperative loop."""
+    import datetime as dt
+
+    # hourly error counts: k will be ceil(16/8) = 2
+    xs = [1, 5, 0, 0, 0, 4, 6, 0]  # total 16 over 8 hours
+    rows = []
+    eid = 0
+    t0 = dt.datetime(2024, 3, 1, 0, 0, 0)
+    for h, x in enumerate(xs):
+        # one non-error event pins every hour into the spine bounds
+        rows.append((eid, t0 + dt.timedelta(hours=h), 1, "view", 0.0, "{}"))
+        eid += 1
+        for _ in range(x):
+            rows.append(
+                (eid, t0 + dt.timedelta(hours=h, minutes=5), 1, "error",
+                 0.0, "{}")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    got = {
+        r["hr"].hour: (r["x"], r["s"])
+        for r in QUERIES["cusum_alarms"](spark, str(tmp_path)).collect()
+    }
+    # direct recurrence with k = 2
+    k, s, exp = 2, 0, {}
+    for h, x in enumerate(xs):
+        s = max(0, s + x - k)
+        if s > 0:
+            exp[h] = (x, s)
+    assert got == exp
+    # the crafted series really resets (hour 4 has S == 0 again) and
+    # re-rises — otherwise this pins nothing
+    assert 1 in exp and 4 not in exp and 6 in exp
