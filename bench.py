@@ -130,6 +130,7 @@ HEADLINE = [
     "semivariogram",
     "ripley_k",
     "cusum_alarms",
+    "rich_club",
 ]
 
 

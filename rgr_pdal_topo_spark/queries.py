@@ -7437,6 +7437,109 @@ def q_indegree_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("n", "sx", "swx", F.expr(_GINI_SQL).alias("gini"))
 
 
+# Rich-club coefficient, one pass: an undirected edge belongs to club k
+# iff min(endpoint degrees) > k, so every k in the ladder is a
+# conditional sum over ONE degree-joined edge list — no per-k subgraph
+# materialization.  phi = 2E_k / (n_k * (n_k - 1)) is CASE-guarded on
+# the integer count (clubs of < 2 hosts have no defined density).
+_RICH_KS = (4, 6, 10)
+
+
+def _rich_phi_sql(e: str, n: str) -> str:
+    return (
+        f"CASE WHEN {n} >= 2 THEN ROUND(CAST(2 * {e} AS DOUBLE) / "
+        f"CAST({n} * ({n} - 1) AS DOUBLE), 6) ELSE NULL END"
+    )
+
+
+@query(
+    "rich_club",
+    _with(
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        _LK_CTE,
+        "und AS (SELECT src, dst FROM lk UNION SELECT dst, src FROM lk)",
+        "deg AS (SELECT src AS host, CAST(COUNT(*) AS BIGINT) AS d "
+        "FROM und GROUP BY src)",
+        "ed AS (SELECT LEAST(da.d, db.d) AS mind FROM und u "
+        "JOIN deg da ON da.host = u.src JOIN deg db ON db.host = u.dst "
+        "WHERE u.src < u.dst)",
+        "ec AS (SELECT "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN mind > {k} THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS e{k}"
+            for k in _RICH_KS
+        )
+        + " FROM ed)",
+        "nc AS (SELECT "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN d > {k} THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS n{k}"
+            for k in _RICH_KS
+        )
+        + " FROM deg)",
+    )
+    + " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS k, n{k} AS n_rich, "
+        f"e{k} AS e_rich, {_rich_phi_sql(f'e{k}', f'n{k}')} AS phi "
+        "FROM ec CROSS JOIN nc"
+        for k in _RICH_KS
+    ),
+)
+def q_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club coefficient of the host graph (Zhou & Mondragon
+    2004): among hosts of degree > k, what fraction of their possible
+    mutual edges exists?  The structural echo of
+    degree_assortativity's r < 0 — on this crawl the mid-degree core
+    interlinks sparsely and the top hubs not at all, the
+    disassortative signature of real webs.
+
+    One pass: an undirected edge is in club k iff min(endpoint
+    degrees) > k, so the whole ladder is conditional sums over ONE
+    degree-joined edge list (the assortativity join reused) plus one
+    degree census — exact BIGINTs, with the density CASE-guarded on
+    the integer count (a club of < 2 hosts has no defined phi).
+
+    Scale shape: one host-sized degree agg, two narrow joins onto the
+    edge list, both ladders combine map-side onto one row each; the
+    per-k output rows come from stack(), not per-k subgraph scans."""
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    lk = linkgraph.extract_links(pages)
+    und = lk.select("src", "dst").union(
+        lk.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    deg = und.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    ed = (
+        und.filter(F.col("src") < F.col("dst"))
+        .join(deg.select(F.col("host").alias("src"), F.col("d").alias("da")), "src")
+        .join(deg.select(F.col("host").alias("dst"), F.col("d").alias("db")), "dst")
+        .select(F.least("da", "db").alias("mind"))
+    )
+    ec = ed.agg(
+        *[
+            F.sum((F.col("mind") > k).cast("long")).alias(f"e{k}")
+            for k in _RICH_KS
+        ]
+    )
+    nc = deg.agg(
+        *[
+            F.sum((F.col("d") > k).cast("long")).alias(f"n{k}")
+            for k in _RICH_KS
+        ]
+    )
+    one = ec.crossJoin(F.broadcast(nc))
+    stacked = one.selectExpr(
+        f"stack({len(_RICH_KS)}, "
+        + ", ".join(f"CAST({k} AS BIGINT), n{k}, e{k}" for k in _RICH_KS)
+        + ") AS (k, n_rich, e_rich)"
+    )
+    return stacked.select(
+        "k", "n_rich", "e_rich",
+        F.expr(_rich_phi_sql("e_rich", "n_rich")).alias("phi"),
+    )
+
+
 def _lpa_ctes(iters: int) -> list[str]:
     """Unrolled synchronous LPA rounds, bit-equal to
     linkgraph.lpa_communities: vote counts are exact integers and the
