@@ -131,6 +131,7 @@ HEADLINE = [
     "ripley_k",
     "cusum_alarms",
     "rich_club",
+    "trade_volumes",
 ]
 
 

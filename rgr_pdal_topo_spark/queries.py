@@ -876,6 +876,32 @@ _shared_sql(
 )
 
 _shared_sql(
+    "trade_volumes",
+    # per-row cent quantization BEFORE the sum (FLOOR(x*100+0.5) on the
+    # bit-identical per-row product) makes revenue an exact BIGINT sum,
+    # immune to cross-engine aggregation order — the q13 doctrine
+    # applied to money
+    "SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, "
+    "CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr, "
+    "CAST(COUNT(*) AS BIGINT) AS n_items, "
+    "CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) "
+    "* 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents "
+    "FROM lineitem l "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN nation nc ON nc.n_nationkey = c.c_nationkey "
+    "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "JOIN nation ns ON ns.n_nationkey = s.s_nationkey "
+    "WHERE ns.n_name <> nc.n_name "
+    "GROUP BY ns.n_name, nc.n_name, EXTRACT(YEAR FROM o.o_orderdate)",
+    doc="TPC-H Q7-flavored cross-border trade volumes: the 6-table "
+    "multi-way join with the SAME dimension (nation) aliased on both "
+    "the customer and supplier legs — the join-reordering / "
+    "broadcast-chain planner stress none of the other relational "
+    "rows has.  Fact streams once; every dim broadcasts.",
+)
+
+_shared_sql(
     "order_priority",
     "SELECT o_orderpriority, COUNT(*) AS n FROM orders o WHERE EXISTS ("
     "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "
