@@ -132,6 +132,7 @@ HEADLINE = [
     "cusum_alarms",
     "rich_club",
     "trade_volumes",
+    "lang_kl",
 ]
 
 

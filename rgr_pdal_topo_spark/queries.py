@@ -6144,6 +6144,92 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# KL term with ln ONLY on integer-valued doubles (the token_entropy /
+# bm25 contract): ln(p/q) = ln(clt) + ln(T) - ln(tlx) - ln(ctx), each
+# factor q13-pinned, so the per-language accumulator SUM(clt * lsum)
+# is an exact BIGINT and the KL is one guarded division.
+_KL_LQ = "CAST(FLOOR(ln(CAST({x} AS DOUBLE)) * 8192 + 0.5) AS BIGINT)"
+_KL_SQL = (
+    "ROUND(CAST(acc AS DOUBLE) / (CAST(tlx AS DOUBLE) * 8192.0), 6)"
+)
+
+
+@query(
+    "lang_kl",
+    _with(
+        "t AS (SELECT lang, unnest(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS tok FROM documents)",
+        "c AS (SELECT lang, tok, CAST(COUNT(*) AS BIGINT) AS clt "
+        "FROM t GROUP BY 1, 2)",
+        "tl AS (SELECT lang, CAST(SUM(clt) AS BIGINT) AS tlx FROM c "
+        "GROUP BY 1)",
+        "ct AS (SELECT tok, CAST(SUM(clt) AS BIGINT) AS ctx FROM c "
+        "GROUP BY 1)",
+        "tt AS (SELECT CAST(SUM(clt) AS BIGINT) AS t FROM c)",
+        "q AS (SELECT c.lang, tlx, clt * ("
+        + _KL_LQ.format(x="clt") + " + " + _KL_LQ.format(x="t") + " - "
+        + _KL_LQ.format(x="tlx") + " - " + _KL_LQ.format(x="ctx")
+        + ") AS term FROM c JOIN tl ON tl.lang = c.lang "
+        "JOIN ct ON ct.tok = c.tok CROSS JOIN tt)",
+        "s AS (SELECT lang, MIN(tlx) AS tlx, "
+        "CAST(SUM(term) AS BIGINT) AS acc FROM q GROUP BY lang)",
+    )
+    + f"SELECT lang, tlx AS n_tokens, acc, {_KL_SQL} AS kl_nats FROM s",
+)
+def q_lang_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language KL divergence from the whole-corpus unigram
+    distribution — the distribution-drift statistic a training-data
+    pipeline runs per shard / per snapshot ("did this slice's token
+    mix move?"); the directional companion of token_entropy (entropy
+    measures diversity, KL measures departure from the reference mix).
+
+    Exactness: ln(p/q) decomposes to ln(clt) + ln(T) - ln(tlx) -
+    ln(ctx), each on an INTEGER-valued double and q13-pinned (the
+    token_entropy/bm25 contract), so the per-language accumulator
+    SUM(clt * lsum) is an exact BIGINT (the hashed surface) and the
+    KL is one guarded division, ROUND(,6).  KL >= 0 up to the stated
+    2^-13 ln quantization.
+
+    Scale shape: tokens fold into a partial+final (lang, tok) count;
+    the three marginals are rollups of THAT table (langs-, vocab-,
+    and 1-sized); the join back runs on the (lang, tok) rollup, never
+    raw tokens."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select("lang", F.explode(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("clt"))
+    )
+    tl = c.groupBy("lang").agg(F.sum("clt").cast("long").alias("tlx"))
+    ct = c.groupBy("tok").agg(F.sum("clt").cast("long").alias("ctx"))
+    tt = c.agg(F.sum("clt").cast("long").alias("t"))
+    lsum = (
+        F.expr(_KL_LQ.format(x="clt"))
+        + F.expr(_KL_LQ.format(x="t"))
+        - F.expr(_KL_LQ.format(x="tlx"))
+        - F.expr(_KL_LQ.format(x="ctx"))
+    )
+    q = (
+        c.join(tl, "lang")
+        .join(F.broadcast(ct), "tok")
+        .crossJoin(F.broadcast(tt))
+        .select("lang", "tlx", (F.col("clt") * lsum).alias("term"))
+    )
+    s = q.groupBy("lang").agg(
+        F.min("tlx").alias("tlx"),
+        F.sum("term").cast("long").alias("acc"),
+    )
+    return s.select(
+        "lang",
+        F.col("tlx").alias("n_tokens"),
+        "acc",
+        F.expr(_KL_SQL).alias("kl_nats"),
+    )
+
+
 @query(
     "shingle_dup_stats",
     _with(
