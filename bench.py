@@ -133,6 +133,7 @@ HEADLINE = [
     "rich_club",
     "trade_volumes",
     "lang_kl",
+    "adaptive_grid",
 ]
 
 

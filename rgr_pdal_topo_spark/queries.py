@@ -5517,6 +5517,143 @@ def q_ripley_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Adaptive quadtree refinement: ONE page pass encodes the FINEST cell;
+# every coarser level is the exact 2-bit parent shift (the cell_rollup
+# identity), so the cap/split decision chain runs entirely on
+# cells-sized rollups.  A cell is FINAL iff its count <= CAP and every
+# ancestor was over-cap (the root level has no ancestor condition);
+# max-res cells under a live parent emit regardless of count.
+_ADAPT_MIN, _ADAPT_MAX, _ADAPT_CAP = 3, 6, 8
+
+
+def _adapt_ctes() -> list[str]:
+    ctes = [
+        f"c{_ADAPT_MAX} AS (SELECT "
+        + cellfn.quad_cell_sql("lon", "lat", _ADAPT_MAX)
+        + " AS cell, CAST(COUNT(*) AS BIGINT) AS n FROM geo GROUP BY 1)",
+    ]
+    for r in range(_ADAPT_MAX - 1, _ADAPT_MIN - 1, -1):
+        ctes.append(
+            f"c{r} AS (SELECT (cell >> 2) AS cell, "
+            f"CAST(SUM(n) AS BIGINT) AS n FROM c{r + 1} GROUP BY 1)"
+        )
+    ctes.append(
+        f"live{_ADAPT_MIN} AS (SELECT cell FROM c{_ADAPT_MIN} "
+        f"WHERE n > {_ADAPT_CAP})"
+    )
+    for r in range(_ADAPT_MIN + 1, _ADAPT_MAX):
+        ctes.append(
+            f"live{r} AS (SELECT c.cell FROM c{r} c "
+            f"JOIN live{r - 1} p ON (c.cell >> 2) = p.cell "
+            f"WHERE c.n > {_ADAPT_CAP})"
+        )
+    return ctes
+
+
+def _adapt_final_sql() -> str:
+    parts = [
+        f"SELECT cell, CAST({_ADAPT_MIN} AS BIGINT) AS res, n "
+        f"FROM c{_ADAPT_MIN} WHERE n <= {_ADAPT_CAP}"
+    ]
+    for r in range(_ADAPT_MIN + 1, _ADAPT_MAX):
+        parts.append(
+            f"SELECT c.cell, CAST({r} AS BIGINT) AS res, c.n FROM c{r} c "
+            f"JOIN live{r - 1} p ON (c.cell >> 2) = p.cell "
+            f"WHERE c.n <= {_ADAPT_CAP}"
+        )
+    parts.append(
+        f"SELECT c.cell, CAST({_ADAPT_MAX} AS BIGINT) AS res, c.n "
+        f"FROM c{_ADAPT_MAX} c JOIN live{_ADAPT_MAX - 1} p "
+        "ON (c.cell >> 2) = p.cell"
+    )
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "adaptive_grid",
+    _with(*_GEO_CTES, *_adapt_ctes()) + _adapt_final_sql(),
+)
+def q_adaptive_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive quadtree tiling of the geocoded pages: cells split
+    while they hold more than CAP pages, down to a stated max
+    resolution — the skew-adaptive partitioning a spatial engine uses
+    so dense metros don't land in one task while oceans get thousands
+    of empty ones (the tiling analogue of the salted-gridding lever).
+    Every page lands in EXACTLY one emitted cell (sum of emitted n ==
+    page count — the invariant the planted test pins).
+
+    Exactness: one page pass encodes the FINEST cell id; every coarser
+    level is the exact 2-bit parent shift (the identity cell_rollup
+    proves on the whole payload), so counts at every level are exact
+    BIGINTs and the live/final decision chain is pure integer
+    predicates.
+
+    Scale shape: the page scan happens ONCE; the refinement runs on
+    cells-sized rollups joined level-to-parent (each bounded by the
+    cell universe, never pages), and every level agg combines
+    map-side."""
+    g = pagesops.geo_lonlat(spark, sf_dir)
+    c = {
+        _ADAPT_MAX: g.select(
+            cellfn.quad_cell(
+                F.col("lon"), F.col("lat"), _ADAPT_MAX
+            ).alias("cell")
+        )
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"))
+    }
+    for r in range(_ADAPT_MAX - 1, _ADAPT_MIN - 1, -1):
+        c[r] = (
+            c[r + 1]
+            .select(cellfn.quad_parent(F.col("cell")).alias("cell"), "n")
+            .groupBy("cell")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+    live = {
+        _ADAPT_MIN: c[_ADAPT_MIN]
+        .filter(F.col("n") > _ADAPT_CAP)
+        .select("cell")
+    }
+    for r in range(_ADAPT_MIN + 1, _ADAPT_MAX):
+        live[r] = (
+            c[r]
+            .join(
+                live[r - 1].select(F.col("cell").alias("p")),
+                cellfn.quad_parent(F.col("cell")) == F.col("p"),
+            )
+            .filter(F.col("n") > _ADAPT_CAP)
+            .select("cell")
+        )
+    out = (
+        c[_ADAPT_MIN]
+        .filter(F.col("n") <= _ADAPT_CAP)
+        .select(
+            "cell", F.lit(_ADAPT_MIN).cast("long").alias("res"), "n"
+        )
+    )
+    for r in range(_ADAPT_MIN + 1, _ADAPT_MAX):
+        out = out.unionAll(
+            c[r]
+            .join(
+                live[r - 1].select(F.col("cell").alias("p")),
+                cellfn.quad_parent(F.col("cell")) == F.col("p"),
+            )
+            .filter(F.col("n") <= _ADAPT_CAP)
+            .select("cell", F.lit(r).cast("long").alias("res"), "n")
+        )
+    out = out.unionAll(
+        c[_ADAPT_MAX]
+        .join(
+            live[_ADAPT_MAX - 1].select(F.col("cell").alias("p")),
+            cellfn.quad_parent(F.col("cell")) == F.col("p"),
+        )
+        .select(
+            "cell", F.lit(_ADAPT_MAX).cast("long").alias("res"), "n"
+        )
+    )
+    return out
+
+
 # planted URL dirt for the canonicalizer (deterministic by doc_id):
 # campaign-link params, kept param + tracking + fragment, fragment only,
 # shouty host — the variants a crawler sees for ONE page

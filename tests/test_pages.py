@@ -177,3 +177,34 @@ def test_knn_haversine_known_geometry(spark):
     pdf = out.toPandas()
     assert sorted(pdf["rank"].unique()) == [1, 2, 3]
     assert pdf.groupby("qid").size().eq(3).all()
+
+
+def test_adaptive_grid_partitions_every_page_exactly_once(spark):
+    """The adaptive quadtree's defining invariant: emitted cells are
+    disjoint and cover every geocoded page (sum of per-cell counts ==
+    page count), no emitted cell except max-res exceeds the cap, and
+    no emitted cell is the descendant of another emitted cell."""
+    from rgr_pdal_topo_spark.operators import pages as pagesops
+    from rgr_pdal_topo_spark.queries import (
+        QUERIES, _ADAPT_CAP, _ADAPT_MAX, _ADAPT_MIN,
+    )
+    from tests.conftest import SF_DIR
+
+    rows = QUERIES["adaptive_grid"](spark, SF_DIR).collect()
+    n_pages = pagesops.geo_lonlat(spark, SF_DIR).count()
+    assert sum(r["n"] for r in rows) == n_pages > 0
+    for r in rows:
+        assert _ADAPT_MIN <= r["res"] <= _ADAPT_MAX
+        if r["res"] < _ADAPT_MAX:
+            assert r["n"] <= _ADAPT_CAP
+    # ancestor-disjointness: shifting any emitted cell up to a coarser
+    # emitted resolution never lands on another emitted cell
+    by_res = {}
+    for r in rows:
+        by_res.setdefault(r["res"], set()).add(r["cell"])
+    for res, cells in by_res.items():
+        for coarser in range(_ADAPT_MIN, res):
+            anc = {c >> (2 * (res - coarser)) for c in cells}
+            assert not (anc & by_res.get(coarser, set()))
+    # non-vacuity: at least two resolutions actually emitted
+    assert len(by_res) >= 2
