@@ -1806,6 +1806,96 @@ def q_morans_i(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Geary's C, ONE spelling over the same exact integer accumulators as
+# Moran's I (n, Sz, Szz from the cells; E, Sdiff2 from the unordered
+# rook edges).  With each edge counted ONCE, the symmetric-weight
+# doubling cancels:  C = (n-1) * Sdiff2 / (2E * (Szz - n*m^2)).
+_GEARY_C_SQL = (
+    f"ROUND((CAST(n AS DOUBLE) - 1.0) * CAST(sdiff2 AS DOUBLE) / "
+    f"(2.0 * CAST(e_cnt AS DOUBLE) * (CAST(szz AS DOUBLE) - "
+    f"CAST(n AS DOUBLE) * {_MORAN_M} * {_MORAN_M})), 6)"
+)
+
+
+@query(
+    "geary_c",
+    _BASE.rstrip()
+    + f", gmean AS ({GRID_MEAN_CTE}), "
+    f"zt AS (SELECT cell_row, cell_col, {qint_sql('value', Q13)} AS z "
+    "FROM gmean), "
+    "pr AS (SELECT a.z AS zi, b.z AS zj FROM zt a JOIN zt b "
+    "ON b.cell_row = a.cell_row AND b.cell_col = a.cell_col + 1 "
+    "UNION ALL SELECT a.z, b.z FROM zt a JOIN zt b "
+    "ON b.cell_row = a.cell_row + 1 AND b.cell_col = a.cell_col), "
+    "s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(z) AS BIGINT) AS sz, CAST(SUM(z * z) AS BIGINT) AS szz "
+    "FROM zt), "
+    "s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS e_cnt, "
+    "CAST(SUM((zi - zj) * (zi - zj)) AS BIGINT) AS sdiff2 FROM pr) "
+    f"SELECT n, e_cnt, sz, szz, sdiff2, {_GEARY_C_SQL} AS geary_c "
+    "FROM s1 CROSS JOIN s2",
+)
+def q_geary_c(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geary's C spatial autocorrelation of the mean DEM under rook
+    adjacency — Moran's I's squared-difference companion (and the
+    semivariogram's single-number cousin: the numerator IS gamma(1)'s
+    accumulator).  C is sensitive to LOCAL contrast where I measures
+    global covariance: smooth terrain reads near 0, noise near 1,
+    checkerboards near 2 — the pair surfaces complementary structure
+    and real spatial-stats suites always report both.
+
+    Exactness: elevations quantize to exact 2^-13 integers, the five
+    accumulators (n, Sz, Szz, E, Sdiff2) are exact BIGINT sums (the
+    hashed surface — Sdiff2 is shared verbatim with semivariogram's
+    lag-1 census), and with unordered edges the symmetric-weight
+    doubling cancels so the statistic is ONE shared float spelling
+    over those integers, bit-identical in both engines and
+    ROUND(,6)-guarded.  Missing cells contribute no pairs.
+
+    Scale shape: identical to morans_i — two narrow shifted-key
+    equi-joins of the cells-sized grid (co-located under the grid
+    partitioning; halo replication computes the same pairs
+    shuffle-free at raster scale), everything folds map-side onto one
+    row."""
+    dem = mean_dem(spark, sf_dir)
+    zt = dem.select(
+        "cell_row", "cell_col", qint_col(F.col("value"), Q13).alias("z")
+    )
+    right = zt.select(
+        F.col("cell_row").alias("r2"),
+        (F.col("cell_col") - 1).alias("c2"),
+        F.col("z").alias("zj"),
+    )
+    down = zt.select(
+        (F.col("cell_row") - 1).alias("r2"),
+        F.col("cell_col").alias("c2"),
+        F.col("z").alias("zj"),
+    )
+    pr = zt.join(
+        right, (F.col("cell_row") == F.col("r2"))
+        & (F.col("cell_col") == F.col("c2")),
+    ).select(F.col("z").alias("zi"), "zj").unionAll(
+        zt.join(
+            down, (F.col("cell_row") == F.col("r2"))
+            & (F.col("cell_col") == F.col("c2")),
+        ).select(F.col("z").alias("zi"), "zj")
+    )
+    s1 = zt.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    s2 = pr.agg(
+        F.count(F.lit(1)).alias("e_cnt"),
+        F.sum((F.col("zi") - F.col("zj"))
+              * (F.col("zi") - F.col("zj"))).alias("sdiff2"),
+    )
+    return s1.crossJoin(s2).select(
+        "n", "e_cnt", "sz", "szz", "sdiff2",
+        F.expr(_GEARY_C_SQL).alias("geary_c"),
+    )
+
+
 # Empirical semivariogram, ONE spelling: sdiff2 is an exact BIGINT in
 # Q13^2 units, so gamma(h) is a single float chain — divide by the
 # pair count (x2, the semivariance convention) and by 2^26 to return

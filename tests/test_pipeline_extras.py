@@ -1133,3 +1133,47 @@ def test_cusum_prefix_identity_matches_direct_recurrence(spark, tmp_path):
     # the crafted series really resets (hour 4 has S == 0 again) and
     # re-rises — otherwise this pins nothing
     assert 1 in exp and 4 not in exp and 6 in exp
+
+
+def test_geary_c_checkerboard_vs_plane(spark):
+    """Sign semantics of the Geary chain (same spelling the query
+    uses): a checkerboard reads near 2 (maximal local contrast), a
+    smooth gradient near 0 — the complement of Moran's orientation."""
+    import numpy as np
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import _GEARY_C_SQL
+    from pyspark.sql import functions as F
+
+    def geary(z: "np.ndarray") -> float:
+        rr, cc = np.meshgrid(range(z.shape[0]), range(z.shape[1]),
+                             indexing="ij")
+        zt = spark.createDataFrame(pd.DataFrame({
+            "cell_row": rr.ravel(), "cell_col": cc.ravel(),
+            "z": z.ravel().astype("int64")}))
+        right = zt.select(F.col("cell_row").alias("r2"),
+                          (F.col("cell_col") - 1).alias("c2"),
+                          F.col("z").alias("zj"))
+        down = zt.select((F.col("cell_row") - 1).alias("r2"),
+                         F.col("cell_col").alias("c2"),
+                         F.col("z").alias("zj"))
+        cond = lambda s: (F.col("cell_row") == F.col("r2")) & (
+            F.col("cell_col") == F.col("c2"))
+        pr = zt.join(right, cond(right)).select(
+            F.col("z").alias("zi"), "zj"
+        ).unionAll(zt.join(down, cond(down)).select(
+            F.col("z").alias("zi"), "zj"))
+        s1 = zt.agg(F.count(F.lit(1)).alias("n"),
+                    F.sum("z").alias("sz"),
+                    F.sum(F.col("z") * F.col("z")).alias("szz"))
+        s2 = pr.agg(
+            F.count(F.lit(1)).alias("e_cnt"),
+            F.sum((F.col("zi") - F.col("zj"))
+                  * (F.col("zi") - F.col("zj"))).alias("sdiff2"))
+        return s1.crossJoin(s2).select(
+            F.expr(_GEARY_C_SQL).alias("c")).collect()[0].c
+
+    checker = np.indices((8, 8)).sum(axis=0) % 2 * 100
+    plane = np.arange(64).reshape(8, 8) * 10
+    assert geary(checker) > 1.8
+    assert geary(plane) < 0.2
