@@ -396,6 +396,72 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     )
 
 
+#: local clustering coefficient, ONE spelling over exact integers:
+#: 2*triangles / (deg*(deg-1)) — a single division of two
+#: integer-valued doubles, correctly rounded hence bit-identical in
+#: both engines, ROUND(,6)-guarded.
+LCC_SQL = (
+    "ROUND(CAST(2 * n_tri AS DOUBLE) / "
+    "CAST(deg * (deg - 1) AS DOUBLE), 6)"
+)
+
+
+def clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """(host, deg, n_tri, lcc): local clustering coefficient over the
+    UNDIRECTED host graph — triangle_counts normalized by the wedge
+    count deg*(deg-1)/2, the per-node cohesion score behind community
+    cores vs. pure hubs (a link farm's members read near 1.0, an
+    organic directory hub near 0).  Hosts with deg < 2 close no wedge
+    and are dropped; hosts with wedges but no triangle report 0.0.
+
+    Exactness: deg and n_tri are exact integers (distinct-neighbor
+    count; exactly-once oriented triangles), and lcc is ONE division
+    of two integer-valued doubles (LCC_SQL) — bit-identical in both
+    engines.
+
+    Scale shape: the undirected edge list materializes once
+    (localCheckpoint) and feeds BOTH the degree agg and the oriented
+    wedge join of triangle_counts; the final (host, deg) x (host,
+    n_tri) join is host-sized, never edge-sized."""
+    und = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lo = und.filter(F.col("src") < F.col("dst"))
+    w1 = lo.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    w2 = lo.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = w1.join(w2, "a").filter(F.col("b") < F.col("c"))
+    closing = lo.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    corners = (
+        tri.select(F.col("a").alias("host"))
+        .union(tri.select(F.col("b").alias("host")))
+        .union(tri.select(F.col("c").alias("host")))
+    )
+    tc = corners.groupBy("host").agg(F.count(F.lit(1)).alias("n_tri"))
+    deg = und.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("deg")
+    )
+    return (
+        deg.filter(F.col("deg") >= 2)
+        .join(tc, "host", "left")
+        .select(
+            "host",
+            "deg",
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("long")
+            .alias("n_tri"),
+        )
+        .select("host", "deg", "n_tri", F.expr(LCC_SQL).alias("lcc"))
+    )
+
+
 def degree_histogram(edges: DataFrame) -> DataFrame:
     """(side, bucket, n_hosts): log2-bucketed in/out-degree histogram
     of the host graph — the power-law fingerprint every crawl report

@@ -7347,21 +7347,53 @@ _TRI_RING_DUCK = (
 )
 
 
+# The undirected-orientation triangle census, shared verbatim by
+# host_triangles and clustering_coeff (single-spelling discipline —
+# solo and derived oracles can't drift).  Expects lk + pt CTEs.
+_TRI_UND_CTES = (
+    "lk2 AS (SELECT src, dst FROM lk UNION SELECT src, dst FROM pt)",
+    "und AS (SELECT src, dst FROM lk2 WHERE src <> dst "
+    "UNION SELECT dst, src FROM lk2 WHERE src <> dst)",
+    "lo AS (SELECT src, dst FROM und WHERE src < dst)",
+    "tri AS (SELECT w1.src AS a, w1.dst AS b, w2.dst AS c "
+    "FROM lo w1 JOIN lo w2 ON w2.src = w1.src AND w1.dst < w2.dst "
+    "JOIN lo e ON e.src = w1.dst AND e.dst = w2.dst)",
+    "corners AS (SELECT a AS host FROM tri UNION ALL "
+    "SELECT b FROM tri UNION ALL SELECT c FROM tri)",
+)
+
+
+def _webring_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct host graph with the _TRI_RING_DUCK webring overlay
+    planted (shared by host_triangles and clustering_coeff)."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    ring = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") % 1000).cast("long").alias("src")
+    )
+    planted = (
+        ring.select("src", F.lit(41).cast("long").alias("dst"))
+        .union(ring.select("src", F.lit(43).cast("long").alias("dst")))
+        .union(
+            docs.filter(F.col("doc_id") % 1000 == 41).select(
+                (F.col("doc_id") % 1000).cast("long").alias("src"),
+                F.lit(43).cast("long").alias("dst"),
+            )
+        )
+        .distinct()
+    )
+    return linkgraph.extract_links(pages).union(planted).distinct()
+
+
 @query(
     "host_triangles",
     _with(
         f"lp AS ({_LINKED_PAGES_DUCK})",
         _LK_CTE,
         f"pt AS ({_TRI_RING_DUCK})",
-        "lk2 AS (SELECT src, dst FROM lk UNION SELECT src, dst FROM pt)",
-        "und AS (SELECT src, dst FROM lk2 WHERE src <> dst "
-        "UNION SELECT dst, src FROM lk2 WHERE src <> dst)",
-        "lo AS (SELECT src, dst FROM und WHERE src < dst)",
-        "tri AS (SELECT w1.src AS a, w1.dst AS b, w2.dst AS c "
-        "FROM lo w1 JOIN lo w2 ON w2.src = w1.src AND w1.dst < w2.dst "
-        "JOIN lo e ON e.src = w1.dst AND e.dst = w2.dst)",
-        "corners AS (SELECT a AS host FROM tri UNION ALL "
-        "SELECT b FROM tri UNION ALL SELECT c FROM tri)",
+        *_TRI_UND_CTES,
     )
     + "SELECT host, CAST(COUNT(*) AS BIGINT) AS n_triangles "
     "FROM corners GROUP BY host",
@@ -7384,28 +7416,46 @@ def q_host_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     degeneracy trick that caps hub blowup — a hub's edges orient
     mostly inward), the closing probe is one (b, c) equi-join, and the
     corner credit folds map-side."""
-    from rgr_pdal_topo_spark.sources.tables import load_table
+    return linkgraph.triangle_counts(_webring_edges(spark, sf_dir))
 
-    pages = pagesops.linked_pages_df(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
-    ring = docs.filter(F.col("doc_id") % 50 == 0).select(
-        (F.col("doc_id") % 1000).cast("long").alias("src")
+
+@query(
+    "clustering_coeff",
+    _with(
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        _LK_CTE,
+        f"pt AS ({_TRI_RING_DUCK})",
+        *_TRI_UND_CTES,
+        "tc AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_tri "
+        "FROM corners GROUP BY host)",
+        "dg AS (SELECT src AS host, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM und GROUP BY src)",
+        "j AS (SELECT dg.host AS host, deg, "
+        "CAST(COALESCE(n_tri, 0) AS BIGINT) AS n_tri "
+        "FROM dg LEFT JOIN tc ON tc.host = dg.host WHERE deg >= 2)",
     )
-    planted = (
-        ring.select("src", F.lit(41).cast("long").alias("dst"))
-        .union(ring.select("src", F.lit(43).cast("long").alias("dst")))
-        .union(
-            docs.filter(F.col("doc_id") % 1000 == 41).select(
-                (F.col("doc_id") % 1000).cast("long").alias("src"),
-                F.lit(43).cast("long").alias("dst"),
-            )
-        )
-        .distinct()
-    )
-    edges = (
-        linkgraph.extract_links(pages).union(planted).distinct()
-    )
-    return linkgraph.triangle_counts(edges)
+    + f"SELECT host, deg, n_tri, {linkgraph.LCC_SQL} AS lcc FROM j",
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per host
+    (operators/linkgraph.py:clustering_coefficient) — host_triangles
+    normalized by the wedge count deg*(deg-1)/2, the cohesion score
+    that separates link-farm cores (near 1.0: neighbours interlink)
+    from organic directory hubs (near 0: neighbours are strangers).
+    Shares the triangle census CTEs verbatim with host_triangles
+    (_TRI_UND_CTES) and the same planted webring overlay, so the two
+    oracles cannot drift.  Hosts with deg < 2 close no wedge and are
+    dropped; wedges-but-no-triangle hosts report exactly 0.0.
+
+    Exactness: deg (distinct undirected neighbours) and n_tri
+    (exactly-once oriented triangles) are exact integers; lcc is ONE
+    division of two integer-valued doubles (linkgraph.LCC_SQL) —
+    correctly rounded hence bit-identical, ROUND(,6)-guarded.
+
+    Scale shape: the undirected edge list materializes once and feeds
+    both the degree agg and the oriented wedge join; the closing fold
+    is host-sized."""
+    return linkgraph.clustering_coefficient(_webring_edges(spark, sf_dir))
 
 
 @query(

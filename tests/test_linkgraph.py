@@ -330,3 +330,24 @@ def test_bowtie_planted(spark):
         "OUT": (1, 7),
         "DISCONNECTED": (2, 8),
     }
+
+
+def test_clustering_coefficient_square_with_diagonal(spark):
+    """A 4-cycle with one diagonal (1-3): corners on the diagonal see
+    2 triangles over 3 wedges (2/3), the off-diagonal corners see
+    their single wedge closed (1.0); an isolated pendant (deg 1) is
+    dropped."""
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (9, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r.host: (r.deg, r.n_tri, r.lcc)
+        for r in lg.clustering_coefficient(df).collect()
+    }
+    assert got == {
+        1: (4, 2, round(2 * 2 / (4 * 3), 6)),  # deg 4 incl. pendant 9
+        2: (2, 1, 1.0),
+        3: (3, 2, round(2 * 2 / (3 * 2), 6)),
+        4: (2, 1, 1.0),
+    }
+    # host 9 (deg 1) closed no wedge and must be absent
+    assert 9 not in got
