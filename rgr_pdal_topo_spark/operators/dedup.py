@@ -1212,3 +1212,63 @@ def winnow_fingerprints(
         F.count(F.lit(1)).alias("n_selected"),
         F.expr("bit_xor(min_h ^ sel_pos)").alias("fp_xor"),
     )
+
+
+# --- edit-distance near-dup ------------------------------------------------
+
+EDITDIST_PREFIX = 64  #: chars of text compared (bounds the DP cost)
+EDITDIST_MAX = 2      #: keep pairs within this distance
+
+
+def editdist_pairs(
+    documents: DataFrame,
+    prefix: int = EDITDIST_PREFIX,
+    threshold: int = EDITDIST_MAX,
+) -> DataFrame:
+    """(doc_a, doc_b, dist): near-duplicate pairs by Levenshtein edit
+    distance over the first ``prefix`` chars, candidates blocked on the
+    exact (lang, n_chars) key — the character-level near-dup detector
+    that catches single-typo mirrors and template stamps which
+    token-level MinHash/SimHash shingling smears out (one char edit
+    flips every k-gram it touches but costs edit distance 1).
+
+    The blocking key is deliberately EXACT: a near-identical mirror
+    preserves length under substitution, and at corpus scale the
+    (lang, n_chars) blocks stay small (the length distribution is wide)
+    so the within-block pair join is bounded — the standard
+    sorted-neighborhood compromise.  Insertions/deletions change the
+    length and are out of contract (they're the shingle family's job).
+
+    Exactness: classic Levenshtein DP on ASCII prefixes — identical
+    integers in both engines; the engine passes ``threshold`` so
+    Spark's banded O(n*k) early-exit DP does the filtering (returns -1
+    past the cap), while the oracle computes the full DP and applies
+    the same cap.
+
+    Scale shape: one projection of (doc_id, prefix, lang, n_chars),
+    one self-equi-join on the narrow block key (never cartesian), and
+    the banded DP runs inside whole-stage codegen — no Python, no
+    shuffle beyond the block-key hash."""
+    d = documents.select(
+        "doc_id",
+        F.substring("text", 1, prefix).alias("p"),
+        "lang",
+        "n_chars",
+    )
+    a, b = d.alias("a"), d.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.n_chars") == F.col("b.n_chars"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.p"), F.col("b.p"), threshold)
+            .cast("long")
+            .alias("dist"),
+        )
+        .filter(F.col("dist") >= 0)
+    )

@@ -3077,6 +3077,74 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.line_dedup(docs)
 
 
+# Planted single-typo mirrors for editdist_pairs (the pii_scrub /
+# cocitation discipline: the word-salad corpus has no char-level
+# near-dups, and edit-distance detection exists to find exactly the
+# one-character mirror a shingle smears out — so both engines plant
+# one per doc_id = 0 mod 20, substituting char 11 with 'x', a letter
+# absent from the 31-token vocab, so the planted distance is exactly 1
+# and the length/lang blocking key is preserved).
+_EDIT_ALL_DUCK = (
+    "SELECT doc_id, text, lang, n_chars FROM documents "
+    "UNION ALL SELECT doc_id + 10000000, "
+    "SUBSTR(text, 1, 10) || 'x' || SUBSTR(text, 12), lang, n_chars "
+    "FROM documents WHERE doc_id % 20 = 0"
+)
+
+
+@query(
+    "editdist_pairs",
+    _with(
+        f"ad AS ({_EDIT_ALL_DUCK})",
+        f"pp AS (SELECT doc_id, SUBSTR(text, 1, "
+        f"{dedup.EDITDIST_PREFIX}) AS p, lang, n_chars FROM ad)",
+        "pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist "
+        "FROM pp a JOIN pp b ON b.lang = a.lang "
+        "AND b.n_chars = a.n_chars AND a.doc_id < b.doc_id)",
+    )
+    + f"SELECT doc_a, doc_b, dist FROM pr "
+    f"WHERE dist <= {dedup.EDITDIST_MAX}",
+)
+def q_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs by Levenshtein distance over
+    64-char prefixes, blocked on the exact (lang, n_chars) key
+    (operators/dedup.py:editdist_pairs) — the single-typo mirror
+    detector that completes the near-dup family: one char edit flips
+    every k-gram it touches (invisible to MinHash/SimHash at small
+    distance) but costs edit distance 1.  Mirrors are PLANTED in both
+    engines (_EDIT_ALL_DUCK: char 11 -> 'x', a letter outside the
+    corpus vocabulary, so planted distance is exactly 1 and the
+    blocking key survives).
+
+    Exactness: classic DP on ASCII prefixes — identical integers in
+    both engines.  The engine passes the threshold so Spark's banded
+    early-exit DP (levenshtein(l, r, 2), -1 past the cap) does the
+    filtering; the oracle runs the full DP and applies the same cap.
+
+    Scale shape: one projection, one self-equi-join on the narrow
+    block key (the sorted-neighborhood compromise — blocks stay small
+    because the length distribution is wide), banded DP inside
+    whole-stage codegen; never cartesian, no Python."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    mirrors = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 10),
+            F.lit("x"),
+            F.expr("substring(text, 12)"),
+        ).alias("text"),
+        "lang",
+        "n_chars",
+    )
+    all_docs = docs.select(
+        "doc_id", "text", "lang", "n_chars"
+    ).unionAll(mirrors)
+    return dedup.editdist_pairs(all_docs)
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------

@@ -640,3 +640,34 @@ def test_winnow_fingerprints_python_replay(spark):
     }
     assert got == expected
     assert 4 not in got   # no full window -> no row
+
+
+def test_editdist_pairs_semantics(spark):
+    """Hand corpus: a single substitution (dist 1) and a double
+    substitution (dist 2) are caught; three edits exceed the cap; a
+    length-changing insertion breaks the blocking key (documented
+    contract); same text in another lang never pairs."""
+    rows = [
+        (1, "the quick brown fox jumps over it", "en"),
+        (2, "the quick briwn fox jumps over it", "en"),   # 1 sub
+        (3, "the quack briwn fox jumps over it", "en"),   # 2 subs vs 1
+        (4, "xhe xuick xrown fox jumps over it", "en"),   # 3 subs vs 1
+        (5, "the quick brown foxx jumps over i", "en"),   # same len, 2-ish
+        (6, "the quick brown fox jumps over it", "de"),   # other lang
+        (7, "the quick brown foxes jumps over", "en"),    # same len? no
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, l, len(t)) for i, t, l in rows],
+        "doc_id long, text string, lang string, n_chars int",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.dist
+        for r in dedup.editdist_pairs(docs).collect()
+    }
+    assert got[(1, 2)] == 1
+    assert got[(2, 3)] == 1          # quick->quack is 1 more edit
+    assert got[(1, 3)] == 2
+    assert (1, 4) not in got         # 3 edits > cap
+    assert all(6 not in p for p in got)  # lang block
+    # the banded engine distance equals the true DP distance
+    assert got[(1, 5)] == 2

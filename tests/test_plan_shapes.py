@@ -740,3 +740,17 @@ def test_pair_statistics_never_cartesian(spark):
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
             or "BroadcastHashJoin" in plan, name
         assert plan.count("Generate explode") == 1, name
+
+
+def test_editdist_pairs_blocked_join_no_cartesian(spark):
+    """editdist_pairs candidates come from the (lang, n_chars) block
+    equi-join — never a cartesian/nested-loop product — and the banded
+    DP stays JVM-side (no Python/Arrow eval node)."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["editdist_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
