@@ -1051,19 +1051,27 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SESSION_GAP = "INTERVAL 30 MINUTE"
 
 
+# The gap-30min session intervals, shared verbatim by session_peaks
+# and session_overlaps (single-spelling discipline).
+_SESS_IV_CTES = (
+    "g AS (SELECT user_id, ts, event_id, "
+    "CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, "
+    "event_id) IS NULL THEN 0 WHEN ts > LAG(ts) OVER (PARTITION BY "
+    f"user_id ORDER BY ts, event_id) + {_SESSION_GAP} THEN 1 "
+    "ELSE 0 END AS is_new FROM events)",
+    "s AS (SELECT user_id, ts, SUM(is_new) OVER (PARTITION BY "
+    "user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND CURRENT ROW) AS session_id FROM g)",
+    "iv AS (SELECT user_id, CAST(session_id AS BIGINT) AS session_id, "
+    "MIN(ts) AS s_start, MAX(ts) AS s_end FROM s "
+    "GROUP BY user_id, session_id)",
+)
+
+
 @query(
     "session_peaks",
     _with(
-        "g AS (SELECT user_id, ts, event_id, "
-        "CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, "
-        "event_id) IS NULL THEN 0 WHEN ts > LAG(ts) OVER (PARTITION BY "
-        f"user_id ORDER BY ts, event_id) + {_SESSION_GAP} THEN 1 "
-        "ELSE 0 END AS is_new FROM events)",
-        "s AS (SELECT user_id, ts, SUM(is_new) OVER (PARTITION BY "
-        "user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED "
-        "PRECEDING AND CURRENT ROW) AS session_id FROM g)",
-        "iv AS (SELECT MIN(ts) AS s_start, MAX(ts) AS s_end FROM s "
-        "GROUP BY user_id, session_id)",
+        *_SESS_IV_CTES,
         "del AS (SELECT s_start AS t, 1 AS d FROM iv UNION ALL "
         "SELECT s_end + INTERVAL 1 MICROSECOND, -1 FROM iv)",
         "dd AS (SELECT t, CAST(SUM(d) AS BIGINT) AS d, "
@@ -1102,6 +1110,15 @@ def q_session_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket width.  Ties are impossible by construction (deltas are
     pre-aggregated per instant)."""
     from rgr_pdal_topo_spark.operators import temporal
+
+    iv = _session_intervals(spark, sf_dir)
+    return temporal.sweep_concurrency(iv, "s_start", "s_end", bucket="hour")
+
+
+def _session_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The gap-30min session intervals (user_id, session_id, s_start,
+    s_end) — the engine twin of _SESS_IV_CTES, shared by session_peaks
+    and session_overlaps."""
     from rgr_pdal_topo_spark.sources.tables import load_table
     from pyspark.sql import Window
 
@@ -1121,10 +1138,56 @@ def q_session_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "session_id",
         F.sum("is_new").over(wuo.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    iv = s.groupBy("user_id", "session_id").agg(
+    return s.groupBy("user_id", "session_id").agg(
         F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
     )
-    return temporal.sweep_concurrency(iv, "s_start", "s_end", bucket="hour")
+
+
+@query(
+    "session_overlaps",
+    _with(
+        *_SESS_IV_CTES,
+        "ii AS (SELECT user_id, session_id, epoch_us(s_start) AS t0, "
+        "epoch_us(s_end) AS t1 FROM iv)",
+    )
+    + "SELECT a.user_id AS user_id_a, a.session_id AS session_id_a, "
+    "b.user_id AS user_id_b, b.session_id AS session_id_b, "
+    "CAST(LEAST(a.t1, b.t1) - GREATEST(a.t0, b.t0) AS BIGINT) AS ov_us "
+    "FROM ii a JOIN ii b ON a.t0 <= b.t1 AND b.t0 <= a.t1 "
+    "AND (a.user_id < b.user_id OR (a.user_id = b.user_id "
+    "AND a.session_id < b.session_id))",
+)
+def q_session_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every pair of concurrently-open sessions with the exact overlap
+    duration — the INTERVAL RANGE JOIN (operators/temporal.py:
+    interval_self_join), the missing member of the temporal-join family
+    next to views_asof (as-of) and session_peaks (sweep concurrency):
+    co-presence / co-browsing analysis needs the PAIRS, not just the
+    concurrency level.  Over exactly the gap-30min sessions the
+    sessionize query counts (shared _SESS_IV_CTES).
+
+    The engine replicates each interval to the hour buckets it spans
+    and keeps a pair only in the bucket of the LATER start, so every
+    overlapping pair meets EXACTLY once on a hash equi-join — the
+    pip_partitioned cover-cell trick in time.  The oracle spells the
+    textbook range join (the plan Spark would execute as a nested-loop
+    product), so the parity row proves the bucket decomposition, not
+    just the arithmetic.
+
+    Exactness: all-integer microsecond arithmetic (epoch_us /
+    unix_micros, the views_asof spelling); closed intervals, touching
+    endpoints overlap with ov_us = 0.
+
+    Scale shape: one bounded explode (sessions are gap-bounded, ≤ 3
+    hour-buckets each), one hash equi-join on the bucket key
+    (plan-pinned: no cartesian/BNLJ), map-side pair projection — and
+    a flash-crowd bucket salts like any hot join key."""
+    from rgr_pdal_topo_spark.operators import temporal
+
+    iv = _session_intervals(spark, sf_dir)
+    return temporal.interval_self_join(
+        iv, ["user_id", "session_id"], "s_start", "s_end", bucket_s=3600
+    )
 
 
 @query(

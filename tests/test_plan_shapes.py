@@ -754,3 +754,16 @@ def test_editdist_pairs_blocked_join_no_cartesian(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def test_session_overlaps_bucketed_equi_join(spark):
+    """The interval range join must plan as a hash/sort-merge EQUI-join
+    on the bucket key — never the cartesian/nested-loop product the
+    oracle's textbook range predicate would produce."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["session_overlaps"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan

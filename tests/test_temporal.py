@@ -154,3 +154,45 @@ def test_sweep_concurrency_planted(spark):
     #   levels 2,1,0 -> 3 changes, peak 2 (carry-in 1 + D), ends at 0
     assert rows == {10: (5, 2, 1), 12: (3, 2, 0)}
     assert 11 not in rows
+
+
+def test_interval_self_join_exactly_once_and_touch(spark):
+    """The bucket-replicated range join: a pair whose overlap spans
+    several buckets is emitted EXACTLY once (the meet-bucket rule);
+    touching endpoints overlap with ov_us = 0; disjoint intervals are
+    absent; keys order lexicographically."""
+    import datetime as dt
+
+    def t(h, m, s=0, us=0):
+        return dt.datetime(2024, 1, 1, h, m, s, us)
+
+    iv = spark.createDataFrame(
+        [
+            # A and B overlap from 10:30 to 13:00 — spanning FOUR
+            # hour buckets; the naive bucket join would meet 4 times
+            (1, 1, t(9, 0), t(13, 0)),
+            (2, 1, t(10, 30), t(14, 0)),
+            # C touches A exactly at 13:00 (closed intervals: ov 0)
+            (3, 1, t(13, 0), t(13, 5)),
+            # D is disjoint from everything
+            (4, 1, t(20, 0), t(20, 30)),
+            # same user, consecutive sessions: 2nd starts later,
+            # overlapping the (2,1) session -> ordered by session_id
+            (2, 2, t(13, 30), t(13, 45)),
+        ],
+        "user_id long, session_id long, s_start timestamp, "
+        "s_end timestamp",
+    )
+    got = {
+        ((r.user_id_a, r.session_id_a), (r.user_id_b, r.session_id_b)):
+            r.ov_us
+        for r in temporal.interval_self_join(
+            iv, ["user_id", "session_id"]
+        ).collect()
+    }
+    HOUR = 3_600_000_000
+    assert got[((1, 1), (2, 1))] == 2 * HOUR + HOUR // 2  # 10:30-13:00
+    assert got[((1, 1), (3, 1))] == 0                     # touch
+    assert got[((2, 1), (2, 2))] == HOUR // 4             # 13:30-13:45
+    assert got[((2, 1), (3, 1))] == 5 * 60 * 1_000_000    # 13:00-13:05
+    assert len(got) == 4                                  # nothing else
