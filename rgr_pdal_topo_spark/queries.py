@@ -902,6 +902,44 @@ _shared_sql(
 )
 
 _shared_sql(
+    "market_share",
+    # TPC-H Q8 shape: the 8-table join (nation aliased twice, region
+    # gating the CUSTOMER side, part gating the fact) with a
+    # conditional-share aggregate.  Volumes cent-quantized per row
+    # (the trade_volumes doctrine) so both sums are exact BIGINTs and
+    # the share is ONE division of two integer-valued doubles —
+    # bit-identical cross-engine, ROUND(,6)-guarded.
+    "SELECT yr, n_items, vol_cents, tgt_cents, "
+    "ROUND(CAST(tgt_cents AS DOUBLE) / CAST(vol_cents AS DOUBLE), 6) "
+    "AS mkt_share FROM ("
+    "SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS yr, "
+    "CAST(COUNT(*) AS BIGINT) AS n_items, "
+    "CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) "
+    "* 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS vol_cents, "
+    "CAST(SUM(CASE WHEN ns.n_name = 'NATION_3' THEN "
+    "CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) "
+    "* 100.0 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS tgt_cents "
+    "FROM lineitem l "
+    "JOIN part p ON p.p_partkey = l.l_partkey "
+    "JOIN orders o ON o.o_orderkey = l.l_orderkey "
+    "JOIN customer c ON c.c_custkey = o.o_custkey "
+    "JOIN nation nc ON nc.n_nationkey = c.c_nationkey "
+    "JOIN region r ON r.r_regionkey = nc.n_regionkey "
+    "JOIN supplier s ON s.s_suppkey = l.l_suppkey "
+    "JOIN nation ns ON ns.n_nationkey = s.s_nationkey "
+    "WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO' "
+    "AND o.o_orderdate BETWEEN DATE '1995-01-01' "
+    "AND DATE '1996-12-31' "
+    "GROUP BY EXTRACT(YEAR FROM o.o_orderdate)) t",
+    doc="TPC-H Q8-flavored national market share: supplier NATION_3's "
+    "slice of PROMO-part revenue sold into AMERICA customers, by "
+    "order year — the deepest join chain in the registry (8 tables, "
+    "nation aliased on both legs, two selective dim gates feeding "
+    "pushdown).  Fact streams once; every dim broadcasts; the "
+    "conditional share folds map-side.",
+)
+
+_shared_sql(
     "order_priority",
     "SELECT o_orderpriority, COUNT(*) AS n FROM orders o WHERE EXISTS ("
     "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey "

@@ -767,3 +767,16 @@ def test_session_overlaps_bucketed_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
+
+
+def test_market_share_broadcast_chain(spark):
+    """The Q8-shaped 8-table join must stream the fact ONCE through a
+    chain of broadcast hash joins — no sort-merge/shuffled join, no
+    cartesian — the only scalable plan when every dim is small."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["market_share"](spark, SF_DIR))
+    assert plan.count("BroadcastHashJoin") == 7
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+    assert "CartesianProduct" not in plan
