@@ -9418,6 +9418,80 @@ def q_hll_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "shingle_novelty",
+    _with(
+        f"d AS ({_DOCTOKS_DUCK})",
+        f"sh AS ({_SHINGLES_DUCK})",
+        f"dt AS MATERIALIZED ({_SHID_DUCK})",
+        "fo AS (SELECT tid, MIN(doc_id) AS first_doc FROM dt "
+        "GROUP BY tid)",
+        "nb AS (SELECT first_doc // 10 AS batch, "
+        "CAST(COUNT(*) AS BIGINT) AS n_new FROM fo "
+        "GROUP BY first_doc // 10)",
+        "tb AS (SELECT doc_id // 10 AS batch, "
+        "CAST(COUNT(*) AS BIGINT) AS n_occ FROM dt "
+        "GROUP BY doc_id // 10)",
+        "j AS (SELECT tb.batch AS batch, n_occ, "
+        "CAST(COALESCE(n_new, 0) AS BIGINT) AS n_new "
+        "FROM tb LEFT JOIN nb ON nb.batch = tb.batch)",
+    )
+    + "SELECT batch, n_occ, n_new, "
+    "CAST(SUM(n_new) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED "
+    "PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab, "
+    "ROUND(CAST(n_new AS DOUBLE) / CAST(n_occ AS DOUBLE), 6) "
+    "AS novelty_rate FROM j",
+)
+def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle novelty per 10-doc ingest batch: how many of the
+    batch's distinct 3-gram shingles were never seen in ANY earlier
+    batch (first-occurrence credit), the cumulative vocabulary curve
+    (Heaps' law empirically), and the per-batch novelty rate — the
+    EXACT twin of hll_overlap's sketched "how much of the new crawl is
+    new" planning question, and the saturation signal that tells a
+    100 TB ingest when additional crawling stops paying.
+
+    Exactness: all-integer (per-doc-distinct portable shingle ids;
+    first occurrence = MIN(doc_id); batch = integer division — Spark
+    DIV, DuckDB //, identical on the non-negative domain per the
+    props_histogram doctrine); the rate is one division of two
+    integer-valued doubles.
+
+    Scale shape: one groupBy(tid) with map-side combine assigns first
+    occurrences (ids only — bodies never shuffle), two batch-grain
+    rollups, and the cumulative window runs over the BATCH-sized
+    table (cardinality = ingest batches — at production grain these
+    are crawl segments, hundreds; if batches outgrow one partition
+    the sweep-concurrency carry decomposition applies)."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = sketches.shingle_tid_stream_by(docs, key="doc_id")
+    fo = dt.groupBy("tid").agg(F.min("doc_id").alias("first_doc"))
+    nb = fo.groupBy(F.expr("first_doc DIV 10").alias("batch")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    tb = dt.groupBy(F.expr("doc_id DIV 10").alias("batch")).agg(
+        F.count(F.lit(1)).alias("n_occ")
+    )
+    j = tb.join(nb, "batch", "left").select(
+        "batch",
+        "n_occ",
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+    )
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select(
+        "batch",
+        "n_occ",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cum_vocab"),
+        F.expr(
+            "ROUND(CAST(n_new AS DOUBLE) / CAST(n_occ AS DOUBLE), 6)"
+        ).alias("novelty_rate"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #
