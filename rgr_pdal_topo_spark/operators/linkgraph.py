@@ -584,3 +584,50 @@ def top_anchors(pairs: DataFrame, k: int = 3) -> DataFrame:
         agg.withColumn("rnk", F.row_number().over(w).cast("long"))
         .filter(F.col("rnk") <= k)
     )
+
+
+def resolve_pointers(ptr: DataFrame, iters: int = 5) -> DataFrame:
+    """(h, root, hops): resolve a FUNCTIONAL graph — every node h
+    carries one pointer p (p = h marks a root) — to its terminal root
+    with the exact path length, by POINTER DOUBLING: each round joins
+    the current mapping with itself, so after k rounds every node sees
+    its 2^k-th ancestor (or its root, earlier).  The redirect /
+    rel=canonical chain-resolution primitive, and the third iterative
+    idiom of the graph family next to bfs_hops (frontier expansion)
+    and dedup_clusters (min-label propagation).
+
+    ``iters`` is a STATED horizon (the bfs_hops contract): chains up
+    to 2^iters resolve exactly; a longer chain would surface as a
+    non-root in the output rather than silently wrong (hops counts
+    true steps, never the doubling round).
+
+    Exactness: all-integer; hop counts add exactly under doubling
+    because the concatenated segments are disjoint by construction.
+
+    Scale shape: O(log chain-length) self-equi-joins of the node-sized
+    mapping (never the raw edge list), each round localCheckpointed so
+    the lineage — and with it the shuffle DAG — stays flat."""
+    state = ptr.select(
+        F.col("h"),
+        F.col("p").alias("cur"),
+        F.when(F.col("p") == F.col("h"), F.lit(0))
+        .otherwise(F.lit(1))
+        .cast("long")
+        .alias("hops"),
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        look = state.select(
+            F.col("h").alias("cur"),
+            F.col("cur").alias("nxt"),
+            F.col("hops").alias("d2"),
+        )
+        state = (
+            state.join(look, "cur")
+            .select(
+                "h",
+                F.col("nxt").alias("cur"),
+                (F.col("hops") + F.col("d2")).alias("hops"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return state.select("h", F.col("cur").alias("root"), "hops")

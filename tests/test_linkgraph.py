@@ -351,3 +351,27 @@ def test_clustering_coefficient_square_with_diagonal(spark):
     }
     # host 9 (deg 1) closed no wedge and must be absent
     assert 9 not in got
+
+
+def test_resolve_pointers_doubling_and_horizon(spark):
+    """A depth-5 chain resolves in 3 doubling rounds (2^3 >= 5) with
+    exact hop counts; with horizon 2 (reach 4) the too-deep node
+    surfaces as a NON-root instead of silently wrong."""
+    ptr = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 1), (3, 2), (4, 3), (5, 4), (9, 9)],
+        "h long, p long",
+    )
+    got = {
+        r.h: (r.root, r.hops)
+        for r in lg.resolve_pointers(ptr, iters=3).collect()
+    }
+    assert got == {
+        0: (0, 0), 1: (0, 1), 2: (0, 2), 3: (0, 3), 4: (0, 4),
+        5: (0, 5), 9: (9, 0),
+    }
+    short = {
+        r.h: (r.root, r.hops)
+        for r in lg.resolve_pointers(ptr, iters=2).collect()
+    }
+    assert short[5] == (1, 4)   # stopped at the 4th ancestor, visible
+    assert short[4] == (0, 4)
