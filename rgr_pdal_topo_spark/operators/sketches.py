@@ -413,6 +413,99 @@ def hll_summary_grouped(
     )
 
 
+# ---------------------------------------------------------------------------
+# KMV / bottom-k distinct sketch — the third cardinality answer next to HLL:
+# keep the k SMALLEST distinct hash values ever seen; if the k-th smallest
+# of n uniform draws from [0, U) sits at h, then n ~ (k-1) * U / h (the
+# classic KMV estimator, Bar-Yossef et al. 2002, public).  Two properties
+# HLL lacks make it worth carrying alongside:
+#   * the sketch IS a uniform sample of the distinct keys — the k survivors
+#     can be joined back to carry payloads (e.g. "show me 64 representative
+#     distinct shingles"), which registers cannot;
+#   * sketches intersect as well as union (bottom-k of the union = bottom-k
+#     of concatenated sketches; Jaccard over the combined bottom-k is the
+#     theta-sketch trick), so per-snapshot KMVs support set algebra.
+# Scale shape: the per-partition fold keeps a BOUNDED (<= k) sorted-unique
+# int64 array across Arrow batches (mapInPandas with running state — the
+# documented honest Python stage, vectorized via np.unique, never per-row),
+# so the shuffle sees <= k rows PER PARTITION; the global cut is a
+# TakeOrdered over <= k * P rows.  The full-universe distinct only exists
+# as the n_exact verification column.  Everything before the single
+# guarded division is integer-exact: ids are the shared 60-bit portable
+# md5 ids, the k-th value is a BIGINT, and the estimator numerator
+# (k-1) * 2^60 is ONE shared double literal (exactly representable:
+# 63 * 2^60 carries 6 significant bits).
+# ---------------------------------------------------------------------------
+
+KMV_K = 64                                #: sketch size (stderr ~ 1/sqrt(k-2))
+KMV_EST_NUM = float((KMV_K - 1) * (1 << 60))  #: (k-1) * universe, one literal
+
+
+def kmv_fold(ids: DataFrame, id_col: str = "tid", k: int = KMV_K) -> DataFrame:
+    """(tid) — the k smallest DISTINCT 60-bit ids of the stream.
+
+    Bottom-k distributes exactly: bottom-k(distinct(union)) ==
+    bottom-k(union of per-partition bottom-k's), so the per-partition
+    fold is lossless and the wide stage never sees the key universe."""
+    src = ids.select(F.col(id_col).alias("tid"))
+
+    def bottom_k(batches):
+        import numpy as np
+        import pandas as pd
+
+        best = np.empty(0, dtype=np.int64)
+        for pdf in batches:
+            vals = pdf["tid"].to_numpy(dtype=np.int64, copy=False)
+            best = np.unique(np.concatenate([best, vals]))
+            if best.size > k:
+                best = best[:k]
+        yield pd.DataFrame({"tid": best})
+
+    local = src.mapInPandas(bottom_k, "tid long")
+    # <= k rows per input partition reach here; distinct + TakeOrdered
+    # run on that bounded set only
+    return local.distinct().orderBy("tid").limit(k)
+
+
+def kmv_merge(*sketches: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Union sketches by re-cutting bottom-k over the concatenation —
+    the KMV merge law (per-snapshot sketches combine without rescans)."""
+    out = sketches[0]
+    for s in sketches[1:]:
+        out = out.unionByName(s)
+    return out.distinct().orderBy("tid").limit(k)
+
+
+def kmv_summary(ids: DataFrame, id_col: str = "tid") -> DataFrame:
+    """One-row sketch summary: exact distinct count (the verification
+    column), the number of survivors actually held, the exact BIGINT
+    k-th minimum, and the estimate.  When the stream has fewer than k
+    distinct ids the sketch holds the WHOLE set and the estimate is the
+    exact count — the standard small-set escape, spelled identically in
+    the oracle."""
+    bot = kmv_fold(ids, id_col)
+    sk = bot.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.max("tid").alias("kth_q"),
+    )
+    exact = ids.agg(F.count_distinct(F.col(id_col)).alias("n_exact"))
+    return exact.crossJoin(sk).select(
+        "n_exact",
+        "k_used",
+        "kth_q",
+        F.when(
+            F.col("k_used") < F.lit(KMV_K),
+            F.col("k_used").cast("double"),
+        )
+        .otherwise(
+            F.round(
+                F.lit(KMV_EST_NUM) / F.col("kth_q").cast("double"), 4
+            )
+        )
+        .alias("est"),
+    )
+
+
 def shingle_tid_stream_by(
     documents: DataFrame, key: str = "lang", k: int = dedup.SHINGLE_K
 ) -> DataFrame:

@@ -8903,6 +8903,53 @@ def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_summary(sketches.shingle_tid_stream(docs))
 
 
+# KMV oracle: bottom-k over the SAME distinct 60-bit shingle-id stream
+# the HLL row folds; the estimate is one division of the exact BIGINT
+# k-th minimum into one shared double literal ((k-1) * 2^60, exactly
+# representable), with the small-set escape spelled as the same CASE.
+@query(
+    "kmv_distinct",
+    _with(
+        f"d AS ({_DOCTOKS_DUCK})",
+        f"sh AS ({_SHINGLES_DUCK})",
+        f"dt AS MATERIALIZED ({_SHID_DUCK})",
+        f"bot AS (SELECT DISTINCT tid FROM dt ORDER BY tid "
+        f"LIMIT {sketches.KMV_K})",
+    )
+    + "SELECT (SELECT CAST(COUNT(DISTINCT tid) AS BIGINT) FROM dt) AS "
+    "n_exact, CAST(COUNT(*) AS BIGINT) AS k_used, "
+    "CAST(MAX(tid) AS BIGINT) AS kth_q, "
+    f"CASE WHEN COUNT(*) < {sketches.KMV_K} "
+    "THEN CAST(COUNT(*) AS DOUBLE) "
+    f"ELSE ROUND({sketches.KMV_EST_NUM!r} / CAST(MAX(tid) AS DOUBLE), 4) "
+    "END AS est FROM bot",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV / bottom-k distinct-shingle cardinality
+    (operators/sketches.py kmv_fold/kmv_summary): the k = 64 smallest
+    distinct portable shingle ids estimate the universe as
+    (k-1) * 2^60 / kth_min — the third cardinality sketch beside
+    HLL-256 (hll_distinct) and the one whose state doubles as a uniform
+    SAMPLE of the distinct keys (the survivors join back to payloads;
+    registers can't) and supports set intersection (theta-sketch
+    algebra), which is why real manifest layers persist both.
+
+    Exactness: everything up to the single guarded division is BIGINT
+    (60-bit ids, exact k-th minimum); the estimator numerator is ONE
+    shared double literal and the small-set escape (fewer than k
+    distinct -> exact count) is the same CASE in both engines.
+
+    Scale shape: the per-partition fold holds a bounded (<= 64)
+    sorted-unique int64 array across Arrow batches, so at most k rows
+    per partition ever shuffle — the full-universe distinct exists only
+    as the n_exact verification column.  Estimate lands within the
+    ~1/sqrt(k-2) = 12.7% stderr at every test scale."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sketches.kmv_summary(sketches.shingle_tid_stream(docs))
+
+
 # Count-min oracle: counters replayed with the same split-half
 # permutations the minhash family uses (j < CMS_D rows, % CMS_W fold);
 # the top-20 cut is made deterministic by the (exact_n DESC, shingle)

@@ -281,3 +281,50 @@ def test_hll_grouped_equals_per_group_global_summary(spark):
             solo["harmonic_q"], solo["est"],
         ), g
     assert grouped["a"][0] == 300 and grouped["b"][0] == 600
+
+
+def test_kmv_fold_keeps_k_smallest_distinct(spark):
+    # 200 distinct ids with duplicates; the sketch must hold exactly the
+    # 64 smallest distinct values regardless of multiplicity or order
+    vals = [v for v in range(5000, 5200) for _ in (0, 1)][::-1]
+    got = [r["tid"] for r in sketches.kmv_fold(_ids(spark, vals)).collect()]
+    assert sorted(got) == list(range(5000, 5064))
+
+
+def test_kmv_fold_partition_invariant(spark):
+    vals = [(v * 2654435761) % (1 << 60) for v in range(3000)]
+    one = sketches.kmv_fold(_ids(spark, vals).coalesce(1))
+    many = sketches.kmv_fold(_ids(spark, vals).repartition(13))
+    assert sorted(r["tid"] for r in one.collect()) == sorted(
+        r["tid"] for r in many.collect()
+    )
+
+
+def test_kmv_merge_law(spark):
+    xs = [(v * 6364136223846793005) % (1 << 60) for v in range(1, 800)]
+    ys = [(v * 1442695040888963407) % (1 << 60) for v in range(1, 900)]
+    merged = sketches.kmv_merge(
+        sketches.kmv_fold(_ids(spark, xs)),
+        sketches.kmv_fold(_ids(spark, ys)),
+    )
+    union = sketches.kmv_fold(_ids(spark, xs + ys))
+    assert sorted(r["tid"] for r in merged.collect()) == sorted(
+        r["tid"] for r in union.collect()
+    )
+
+
+def test_kmv_summary_small_set_escape(spark):
+    # fewer than k distinct: the sketch holds the whole set and the
+    # estimate IS the exact count (as a double)
+    row = sketches.kmv_summary(_ids(spark, [3, 1, 4, 1, 5, 9, 2, 6])).collect()[0]
+    assert (row["n_exact"], row["k_used"], row["est"]) == (7, 7, 7.0)
+    assert row["kth_q"] == 9
+
+
+def test_kmv_summary_estimator_on_corpus(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    row = sketches.kmv_summary(sketches.shingle_tid_stream(docs)).collect()[0]
+    assert row["k_used"] == sketches.KMV_K
+    # (k-1) * 2^60 / kth within 4 stderr of truth (stderr ~ 1/sqrt(k-2))
+    rel = abs(row["est"] - row["n_exact"]) / row["n_exact"]
+    assert rel < 4.0 / (sketches.KMV_K - 2) ** 0.5, (row["est"], row["n_exact"])
