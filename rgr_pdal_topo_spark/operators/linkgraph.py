@@ -631,3 +631,75 @@ def resolve_pointers(ptr: DataFrame, iters: int = 5) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return state.select("h", F.col("cur").alias("root"), "hops")
+
+
+KCORE_K = 4       #: peel threshold (4-core: the link-farm / community core)
+KCORE_ROUNDS = 5  #: synchronous peel supersteps (stated horizon, bfs_hops contract)
+
+
+def k_core(
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """(host, core_deg): nodes surviving ``rounds`` synchronous peeling
+    supersteps of the k-core algorithm over the UNDIRECTED host graph,
+    with their degree in the final induced subgraph.  The k-core — the
+    maximal subgraph where every node keeps >= k neighbors INSIDE the
+    subgraph — is the classic dense-seed extractor (link farms and
+    community cores survive; tree-like organic periphery peels away
+    layer by layer), and the fourth iterative idiom of the graph family
+    next to frontier expansion (bfs_hops), label propagation
+    (lpa_communities), and pointer doubling (resolve_pointers): here
+    each round REMOVES nodes and degrees must be recomputed over the
+    survivors, which no single-pass degree filter gets right.
+
+    ``rounds`` is a STATED horizon: the result after R rounds is the
+    exact R-step truncated peel (deterministic whether or not the peel
+    has converged), and the oracle replays the same R steps.  A
+    converged peel leaves every core_deg >= k; survivors stranded
+    mid-peel surface as core_deg < k rather than silently wrong.
+
+    Exactness: all-integer (distinct-neighbor degrees, set shrinkage).
+
+    Scale shape: the undirected edge list materializes once
+    (localCheckpoint) and each round is two narrow semi-join-shaped
+    equi-joins against the shrinking alive set plus one map-side-
+    combinable count — the Pregel shape on the aggregated host graph,
+    never the raw crawl; every round localCheckpoints so the lineage
+    stays flat (the dedup connected-components discipline)."""
+    und = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = und.select(F.col("src").alias("host")).distinct()
+
+    def induced_deg(alive_set: DataFrame) -> DataFrame:
+        return (
+            und.join(
+                alive_set.select(F.col("host").alias("src")), "src"
+            )
+            .join(alive_set.select(F.col("host").alias("dst")), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+
+    for _ in range(rounds):
+        alive = (
+            induced_deg(alive)
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("host"))
+            .localCheckpoint(eager=True)
+        )
+    final = induced_deg(alive)
+    return alive.join(
+        final.select(F.col("src").alias("host"), "deg"), "host", "left"
+    ).select(
+        "host",
+        F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("core_deg"),
+    )

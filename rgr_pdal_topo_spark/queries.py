@@ -7627,6 +7627,120 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkgraph.clustering_coefficient(_webring_edges(spark, sf_dir))
 
 
+# k-core plant: a four-hub webring (members <-> hubs 41/43/47/53, hubs
+# pairwise linked) is ITSELF a 4-core — member degree 4, hub degree
+# #members + 3 — so a nonempty, structurally interesting core survives
+# the peel at every scale regardless of how much organic periphery
+# peels away.  Same derive-from-documents discipline as _TRI_RING_DUCK.
+_KCORE_RING_DUCK = (
+    "SELECT DISTINCT CAST(doc_id % 1000 AS BIGINT) AS src, "
+    "CAST(h.dst AS BIGINT) AS dst FROM documents CROSS JOIN "
+    "(VALUES (41), (43), (47), (53)) h(dst) WHERE doc_id % 50 = 0 "
+    "UNION SELECT DISTINCT CAST(doc_id % 1000 AS BIGINT), "
+    "CAST(p.dst AS BIGINT) FROM documents CROSS JOIN "
+    "(VALUES (43), (47), (53)) p(dst) WHERE doc_id % 1000 = 41 "
+    "UNION SELECT DISTINCT CAST(doc_id % 1000 AS BIGINT), "
+    "CAST(q.dst AS BIGINT) FROM documents CROSS JOIN "
+    "(VALUES (47), (53)) q(dst) WHERE doc_id % 1000 = 43 "
+    "UNION SELECT DISTINCT CAST(doc_id % 1000 AS BIGINT), "
+    "CAST(53 AS BIGINT) FROM documents WHERE doc_id % 1000 = 47"
+)
+
+
+def _kcore_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct host graph with the _KCORE_RING_DUCK four-hub
+    webring overlay planted (the guaranteed-surviving 4-core)."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    ring = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") % 1000).cast("long").alias("src")
+    )
+    planted = ring.select(
+        "src", F.lit(41).cast("long").alias("dst")
+    )
+    for h in (43, 47, 53):
+        planted = planted.union(
+            ring.select("src", F.lit(h).cast("long").alias("dst"))
+        )
+    for a, b in (
+        (41, 43), (41, 47), (41, 53), (43, 47), (43, 53), (47, 53)
+    ):
+        planted = planted.union(
+            docs.filter(F.col("doc_id") % 1000 == a).select(
+                (F.col("doc_id") % 1000).cast("long").alias("src"),
+                F.lit(b).cast("long").alias("dst"),
+            )
+        )
+    return linkgraph.extract_links(pages).union(
+        planted.distinct()
+    ).distinct()
+
+
+def _kcore_ctes(k: int, rounds: int) -> list[str]:
+    """Unrolled k-core peel: round i recomputes induced degrees over the
+    round-(i-1) survivor set (the same two-sided membership join the
+    engine runs), then cuts at k.  Expects the lk + pt CTEs."""
+    ctes = [
+        "lk2 AS (SELECT src, dst FROM lk UNION SELECT src, dst FROM pt)",
+        "und AS (SELECT src, dst FROM lk2 WHERE src <> dst "
+        "UNION SELECT dst, src FROM lk2 WHERE src <> dst)",
+        "a0 AS (SELECT DISTINCT src AS host FROM und)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes += [
+            f"d{i} AS (SELECT u.src AS host, COUNT(*) AS deg FROM und u "
+            f"JOIN a{i - 1} x ON x.host = u.src "
+            f"JOIN a{i - 1} y ON y.host = u.dst GROUP BY u.src)",
+            f"a{i} AS (SELECT host FROM d{i} WHERE deg >= {k})",
+        ]
+    ctes.append(
+        f"fin AS (SELECT u.src AS host, COUNT(*) AS deg FROM und u "
+        f"JOIN a{rounds} x ON x.host = u.src "
+        f"JOIN a{rounds} y ON y.host = u.dst GROUP BY u.src)"
+    )
+    return ctes
+
+
+@query(
+    "kcore_hosts",
+    _with(
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        _LK_CTE,
+        f"pt AS ({_KCORE_RING_DUCK})",
+        *_kcore_ctes(linkgraph.KCORE_K, linkgraph.KCORE_ROUNDS),
+    )
+    + f"SELECT a.host, CAST(COALESCE(fin.deg, 0) AS BIGINT) AS core_deg "
+    f"FROM a{linkgraph.KCORE_ROUNDS} a "
+    "LEFT JOIN fin ON fin.host = a.host",
+)
+def q_kcore_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition of the host graph
+    (operators/linkgraph.py:k_core): survivors of 5 synchronous peel
+    rounds at k = 4, with their degree inside the final induced
+    subgraph — the dense-seed extractor behind link-farm detection
+    (farms are near-cliques that survive any peel; organic tree-like
+    periphery unravels layer by layer) and the fourth iterative graph
+    idiom beside BFS, label propagation, and pointer doubling.
+    Peeling is the part a single-pass degree filter gets wrong: each
+    removal lowers neighbors' degrees, so degrees must be recomputed
+    over the survivors every round — exactly what the unrolled oracle
+    CTEs replay.  A four-hub webring overlay (itself a 4-core) is
+    planted in BOTH engines so a nonempty core exists at every scale,
+    and the organic periphery cascades for real (500 -> 118 -> 14
+    nodes over the first two rounds at the oracle scale).
+
+    Exactness: all-integer (distinct-neighbor degrees, set shrinkage);
+    the R-round truncation is a stated horizon both engines share.
+
+    Scale shape: the undirected host graph materializes once; each
+    round is two narrow membership equi-joins against the SHRINKING
+    alive set plus one map-side count — monotonically cheaper per
+    round, never touching the raw crawl."""
+    return linkgraph.k_core(_kcore_edges(spark, sf_dir))
+
+
 @query(
     "canonical_chains",
     "WITH RECURSIVE "

@@ -375,3 +375,40 @@ def test_resolve_pointers_doubling_and_horizon(spark):
     }
     assert short[5] == (1, 4)   # stopped at the 4th ancestor, visible
     assert short[4] == (0, 4)
+
+
+def test_k_core_clique_survives_pendant_chain_peels(spark):
+    """K5 clique {0..4} with a pendant chain 4 -> 10 -> 11 -> 12: the
+    chain unravels one layer per round (degree 1 < k), the clique is a
+    4-core and survives with core_deg exactly 4 everywhere."""
+    clique = [(a, b) for a in range(5) for b in range(5) if a < b]
+    chain = [(4, 10), (10, 11), (11, 12)]
+    df = spark.createDataFrame(clique + chain, "src long, dst long")
+    got = {r.host: r.core_deg for r in lg.k_core(df, k=4, rounds=5).collect()}
+    assert got == {h: 4 for h in range(5)}
+
+
+def test_k_core_cascade_needs_recompute(spark):
+    """The case a single-pass degree filter gets wrong: a 6-cycle where
+    every node has degree 2 — at k=2 it survives intact, but adding one
+    pendant makes ONLY the pendant peel (first round), after which the
+    cycle still stands; at k=3 the whole graph unravels to empty."""
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    df = spark.createDataFrame(cyc + [(0, 99)], "src long, dst long")
+    two = {r.host: r.core_deg for r in lg.k_core(df, k=2, rounds=5).collect()}
+    assert two == {h: 2 for h in range(6)}
+    assert lg.k_core(df, k=3, rounds=5).count() == 0
+
+
+def test_k_core_truncated_horizon_is_exact_prefix(spark):
+    """rounds is a stated horizon: a long pendant chain off a clique
+    peels exactly one node per round, so rounds=2 retains precisely the
+    suffix a converged peel would still be working through."""
+    clique = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chain = [(3, 20), (20, 21), (21, 22), (22, 23), (23, 24)]
+    df = spark.createDataFrame(clique + chain, "src long, dst long")
+    # k=2: round 1 peels 24, round 2 peels 23 -> survivors = clique + 20..22
+    got = {r.host for r in lg.k_core(df, k=2, rounds=2).collect()}
+    assert got == {0, 1, 2, 3, 20, 21, 22}
+    conv = {r.host for r in lg.k_core(df, k=2, rounds=8).collect()}
+    assert conv == {0, 1, 2, 3}
