@@ -647,3 +647,48 @@ def ccnet_buckets(documents: DataFrame) -> DataFrame:
         F.min("nll_q").alias("min_nll_q"),
         F.max("nll_q").alias("max_nll_q"),
     )
+
+
+def pareto_skyline(documents: DataFrame) -> DataFrame:
+    """(doc_id, n_chars, n_distinct_tokens): the 2-D Pareto frontier of
+    the corpus under (MINIMIZE length, MAXIMIZE lexical diversity) — a
+    doc survives iff no other doc is at most as long AND at least as
+    diverse with one inequality strict.  The skyline is the classic
+    multi-criteria shortlist ("the most diversity money can buy at
+    every length budget"): data-selection curricula read it as the
+    efficient frontier of the quality/cost trade-off.  Docs tied on
+    BOTH coordinates dominate neither side and all survive (standard
+    skyline semantics, and the oracle's NOT-EXISTS spelling agrees).
+
+    2-D skylines need no quadratic dominance join: sort one axis and
+    the frontier is a strictly-increasing running maximum of the other.
+    The implementation exploits the stronger property that dominance
+    only depends on the PAIR (length, diversity): per-length maxima
+    fold first (one map-side-combinable groupBy), the running-max
+    window runs over that AGGREGATED table only (one row per distinct
+    length — bounded by the value domain, never the corpus), and the
+    surviving (length, diversity) pairs broadcast back to tag the
+    docs.  No doc-level window, no shuffle wider than the stats
+    projection — the same aggregate-then-window discipline as the
+    quantile sketch.
+
+    All-integer; no rounding policy anywhere."""
+    from pyspark.sql import Window
+
+    s = documents.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        F.size(F.array_distinct(_toks())).alias("n_distinct_tokens"),
+    )
+    per_len = s.groupBy("n_chars").agg(
+        F.max("n_distinct_tokens").alias("__m2")
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, -1)
+    front = (
+        per_len.withColumn("__m1", F.max("__m2").over(w))
+        .filter(F.col("__m1").isNull() | (F.col("__m2") > F.col("__m1")))
+        .select("n_chars", F.col("__m2").alias("n_distinct_tokens"))
+    )
+    return s.join(
+        F.broadcast(front), ["n_chars", "n_distinct_tokens"]
+    ).select("doc_id", "n_chars", "n_distinct_tokens")

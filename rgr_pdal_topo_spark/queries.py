@@ -9716,6 +9716,36 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pareto_skyline",
+    _with(
+        f"toks AS ({_TOKS_DUCK})",
+        "s AS (SELECT doc_id, n_chars, len(list_distinct(t)) "
+        "AS n_distinct_tokens FROM toks)",
+    )
+    + "SELECT doc_id, n_chars, n_distinct_tokens FROM s a "
+    "WHERE NOT EXISTS (SELECT 1 FROM s b "
+    "WHERE b.n_chars <= a.n_chars "
+    "AND b.n_distinct_tokens >= a.n_distinct_tokens "
+    "AND (b.n_chars < a.n_chars "
+    "OR b.n_distinct_tokens > a.n_distinct_tokens))",
+)
+def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto skyline of the corpus under (MINIMIZE n_chars,
+    MAXIMIZE n_distinct_tokens) — operators/textstats.py
+    pareto_skyline.  The oracle is the textbook quadratic NOT-EXISTS
+    dominance spelling; the engine exploits the 2-D structure instead
+    (per-length max fold, strictly-increasing running max over the
+    LENGTH-sized aggregate, broadcast tag-back), so the parity row
+    proves the sort-and-sweep reformulation equals the definitional
+    dominance semantics — including the all-survive treatment of docs
+    tied on both coordinates.  All-integer; hash-exact."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.pareto_skyline(docs)
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -1202,3 +1202,64 @@ def test_shingle_novelty_first_occurrence_credit(spark, tmp_path):
         0: (4, 3, 3, 0.75),
         1: (3, 1, 4, round(1 / 3, 6)),
     }
+
+
+def test_pareto_skyline_planted(spark, tmp_path):
+    """Hand corpus with every skyline edge case: strict dominance on
+    one axis, dominance with one tie, and a full two-coordinate tie
+    (BOTH docs survive — neither dominates the other)."""
+    rows = [
+        (0, "a"),          # len 1, div 1 — survives (nothing shorter)
+        (1, "a b"),        # len 3, div 2 — survives
+        (2, "a a a"),      # len 5, div 1 — dominated by doc 0 (shorter, same div)
+        (3, "a b c"),      # len 5, div 3 — survives
+        (4, "x y z"),      # len 5, div 3 — ties doc 3 on BOTH: survives too
+        (5, "a b c d e"),  # len 9, div 5 — survives
+        (6, "a b c d d"),  # len 9, div 4 — dominated by doc 5 (same len, more div)
+        (7, "aa bb"),      # len 5, div 2 — dominated by doc 1 (shorter, same div)
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    got = {
+        r.doc_id: (r.n_chars, r.n_distinct_tokens)
+        for r in QUERIES["pareto_skyline"](spark, str(tmp_path)).collect()
+    }
+    assert got == {0: (1, 1), 1: (3, 2), 3: (5, 3), 4: (5, 3), 5: (9, 5)}
+
+
+def test_pareto_skyline_frontier_is_strictly_increasing(spark):
+    """On the real sf0.001 corpus the surviving (length, diversity)
+    pairs must be strictly increasing in BOTH coordinates across
+    distinct lengths (the defining shape of a 2-D skyline), and every
+    survivor must be undominated under a brute-force pandas check."""
+    from rgr_pdal_topo_spark.operators import textstats as ts
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sky = ts.pareto_skyline(docs).toPandas()
+    front = (
+        sky[["n_chars", "n_distinct_tokens"]]
+        .drop_duplicates()
+        .sort_values("n_chars")
+    )
+    assert front.n_chars.is_monotonic_increasing
+    assert front.n_distinct_tokens.is_monotonic_increasing
+    assert front.n_distinct_tokens.diff().dropna().gt(0).all()
+
+    stats = ts.text_stats(docs).toPandas()[
+        ["doc_id", "n_chars", "n_distinct_tokens"]
+    ]
+    for _, s in sky.iterrows():
+        dom = stats[
+            (stats.n_chars <= s.n_chars)
+            & (stats.n_distinct_tokens >= s.n_distinct_tokens)
+            & (
+                (stats.n_chars < s.n_chars)
+                | (stats.n_distinct_tokens > s.n_distinct_tokens)
+            )
+        ]
+        assert dom.empty, f"doc {s.doc_id} is dominated by {dom.doc_id.tolist()}"
