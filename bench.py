@@ -134,6 +134,18 @@ HEADLINE = [
     "trade_volumes",
     "lang_kl",
     "adaptive_grid",
+    # last-session additions — own series (kcore_hosts, canonical_chains
+    # and clustering_coeff are absent for the eager-builder reason: the
+    # peel rounds, the pointer-doubling rounds, and triangle_counts'
+    # oriented edge list all localCheckpoint inside their builders)
+    "geary_c",
+    "editdist_pairs",
+    "session_overlaps",
+    "market_share",
+    "kmv_distinct",
+    "shingle_novelty",
+    "pareto_skyline",
+    "setsim_pairs",
 ]
 
 

@@ -1272,3 +1272,105 @@ def editdist_pairs(
         )
         .filter(F.col("dist") >= 0)
     )
+
+
+# ---------------------------------------------------------------------------
+# exact set-similarity self-join (AllPairs prefix filtering)
+# ---------------------------------------------------------------------------
+
+#: Jaccard threshold tau = ALLPAIRS_NUM / ALLPAIRS_DEN, kept rational so
+#: every gate is integer arithmetic (no float tau anywhere).
+ALLPAIRS_NUM = 4
+ALLPAIRS_DEN = 5
+
+
+def allpairs_jaccard(
+    doc_tids: DataFrame,
+    num: int = ALLPAIRS_NUM,
+    den: int = ALLPAIRS_DEN,
+) -> DataFrame:
+    """EXACT set-similarity self-join: ALL pairs with Jaccard >= num/den,
+    by prefix filtering (SSJoin/AllPairs/PPJoin lineage) — the
+    completeness-guaranteed complement of the MinHash/SimHash family
+    (which trades recall for candidate volume; reference parity target:
+    the same near-dup detection duty as RGR's tiled duplicate checks).
+
+    Candidate generation self-joins the PREFIXES only: each doc's
+    p = s - ceil(tau*s) + 1 globally-rarest ids (total order: document
+    frequency asc, tid asc).  Completeness proof (the prefix-filtering
+    lemma, made airtight by the size bound that J >= tau itself
+    implies): qualifying pairs have min(sa,sb) >= tau*max(sa,sb), so
+    o = |A n B| >= tau*(sa+sb)/(1+tau) >= tau*max(sa,sb) =: take
+    alpha = ceil(tau*max); both actual prefixes are at least
+    s - alpha + 1 long (since ceil(tau*s) <= alpha for both sides).
+    Let c* be the GLOBALLY SMALLEST common id.  If c* fell past A's
+    prefix, A's suffix (alpha - 1 slots, c* included) would have to
+    hold ALL o >= alpha common ids — every other common id sorts after
+    c* — a contradiction; symmetrically for B.  So c* sits in BOTH
+    prefixes and the equi-join finds the pair.  The same argument is
+    why the order must be one TOTAL order shared by all docs: with
+    per-doc orders "every other common id sorts after c*" fails and so
+    does completeness.
+
+    Every gate is integer-exact: ceil(tau*s) = (num*s + den - 1) DIV den;
+    the size prune den*min(sa,sb) >= num*max(sa,sb) (a consequence of
+    J >= tau, so it never drops a qualifying pair) and the final verify
+    den*inter >= num*uni never touch a float.  The reported jaccard is
+    ONE correctly-rounded division of two exact integers,
+    ROUND(,6)-guarded — bit-identical cross-engine.
+
+    Scale shape: ids only, bodies never shuffle.  The document-frequency
+    table is token-keyed (map-side combinable); the prefix cut is a
+    per-doc window (narrow, doc-partitioned); the candidate join streams
+    prefix-vs-prefix — O((1-tau)*s) ids per doc on BOTH legs, and
+    candidate volume is driven by RARE ids (common ids fall past every
+    prefix), the known AllPairs skew discipline; verification touches
+    candidate pairs only, through the shared jaccard_pairs kernel.
+    Pruning stages only ever SHRINK the candidate set — the verified
+    output is invariant to them, which is what the definitional
+    quadratic oracle certifies."""
+    from pyspark.sql import Window
+
+    sizes = doc_tids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    stream = doc_tids.join(sizes, "doc_id")
+    dfreq = doc_tids.groupBy("tid").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("doc_id").orderBy("__df", "tid")
+    prefix = (
+        stream.join(dfreq, "tid")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            F.col("__rn")
+            <= F.expr(f"s - (({num} * s + {den - 1}) DIV {den}) + 1")
+        )
+        .select(F.col("doc_id").alias("__dp"), "tid", F.col("s").alias("__sp"))
+    )
+    probe = prefix.select(
+        F.col("__dp").alias("__dt"), "tid", F.col("__sp").alias("__st")
+    )
+    cand = (
+        prefix.join(probe, "tid")
+        .filter(F.col("__dp") != F.col("__dt"))
+        .filter(
+            F.lit(den) * F.least("__sp", "__st")
+            >= F.lit(num) * F.greatest("__sp", "__st")
+        )
+        .select(
+            F.least("__dp", "__dt").alias("doc_a"),
+            F.greatest("__dp", "__dt").alias("doc_b"),
+        )
+        .distinct()
+    )
+    v = jaccard_pairs(doc_tids, cand)
+    uni = (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("long")
+    return (
+        v.filter(F.lit(den) * F.col("inter") >= F.lit(num) * uni)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("inter").cast("long").alias("inter"),
+            uni.alias("uni"),
+            F.round(
+                F.col("inter").cast("double") / uni.cast("double"), 6
+            ).alias("jaccard"),
+        )
+    )

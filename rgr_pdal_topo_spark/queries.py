@@ -9717,6 +9717,44 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "setsim_pairs",
+    _with(
+        f"d AS ({_DOCTOKS_DUCK})",
+        f"sh AS ({_SHINGLES_DUCK})",
+        f"dt AS MATERIALIZED ({_SHID_DUCK})",
+        "sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s FROM dt "
+        "GROUP BY doc_id)",
+        "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(COUNT(*) AS BIGINT) AS inter FROM dt a JOIN dt b "
+        "ON a.tid = b.tid AND a.doc_id < b.doc_id GROUP BY 1, 2)",
+    )
+    + "SELECT doc_a, doc_b, inter, x.s + y.s - inter AS uni, "
+    "ROUND(CAST(inter AS DOUBLE) / CAST(x.s + y.s - inter AS DOUBLE), 6) "
+    "AS jaccard FROM i "
+    "JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b "
+    f"WHERE {dedup.ALLPAIRS_DEN} * inter >= "
+    f"{dedup.ALLPAIRS_NUM} * (x.s + y.s - inter)",
+)
+def q_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity self-join at Jaccard >= 4/5 over the 3-gram
+    shingle-id sets (operators/dedup.py allpairs_jaccard) — the
+    completeness-guaranteed near-dup join: unlike minhash_pairs /
+    simhash_pairs, NO qualifying pair can be missed, which is exactly
+    what this parity row certifies (the oracle is the definitional
+    quadratic: every shingle-sharing pair's exact intersection, size
+    join, integer threshold — pairs sharing no shingle have J = 0 and
+    cannot qualify).  The engine generates candidates by AllPairs
+    prefix filtering (rarest p = s - ceil(tau*s) + 1 ids vs the full
+    stream) and verifies exactly, so a green row proves the prefix
+    completeness lemma held on real data.  All gates integer; the one
+    float is a correctly-rounded division, ROUND(,6)-guarded."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.allpairs_jaccard(dedup.shingle_ids(docs))
+
+
+@query(
     "pareto_skyline",
     _with(
         f"toks AS ({_TOKS_DUCK})",

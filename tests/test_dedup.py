@@ -671,3 +671,93 @@ def test_editdist_pairs_semantics(spark):
     assert all(6 not in p for p in got)  # lang block
     # the banded engine distance equals the true DP distance
     assert got[(1, 5)] == 2
+
+
+def _tid_df(spark, sets):
+    rows = [(d, t) for d, ts in sets.items() for t in ts]
+    return spark.createDataFrame(rows, "doc_id long, tid long")
+
+
+def test_allpairs_jaccard_threshold_boundary(spark):
+    """tau = 4/5 is INCLUSIVE and integer-gated: a pair at exactly 0.8
+    qualifies, one shingle more on one side (8/11) does not, and the
+    exact duplicate scores 1.0."""
+    A = set(range(1, 10))              # s=9
+    B = set(range(1, 9)) | {100}       # inter=8, uni=10 -> J=0.8 exactly
+    C = set(range(1, 9)) | {100, 101}  # vs A: inter=8, uni=11 -> J<0.8
+    got = {
+        (r.doc_a, r.doc_b): (r.inter, r.uni, r.jaccard)
+        for r in dedup.allpairs_jaccard(
+            _tid_df(spark, {0: A, 1: B, 2: C, 3: set(A)})
+        ).collect()
+    }
+    assert got[(0, 1)] == (8, 10, 0.8)
+    assert got[(0, 3)] == (9, 9, 1.0)
+    assert (0, 2) not in got
+    # B vs C: inter=9, uni=10 -> 0.9 qualifies
+    assert got[(1, 2)] == (9, 10, 0.9)
+
+
+def test_allpairs_prefix_meet_is_exactly_the_smallest_common_id(spark):
+    """The prefix-filtering lemma's tightest geometry: a qualifying pair
+    whose ONLY meeting point between the two 2-id prefixes is c*, the
+    globally smallest common id — each doc's other prefix slot is its
+    own unique rarest id.  Rotating c* out of either prefix (by making
+    it globally common) is impossible without changing J, so instead we
+    pin the mechanics: the pair IS found, and the computed prefixes
+    intersect in exactly {c*}."""
+    shared = set(range(10, 18))            # df boosted by fillers below
+    A = shared | {1}                       # s=9, prefix = {1, 10}
+    B = shared | {2}                       # s=9, prefix = {2, 10}
+    fillers = {
+        100 + i: set(range(11, 19)) | {1000 + i} for i in range(3)
+    }  # boost df of 11..17 (NOT 10) so c* = 10 is the rarest shared id
+    sets = {0: A, 1: B, **fillers}
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.allpairs_jaccard(_tid_df(spark, sets)).collect()
+    }
+    assert got[(0, 1)] == 0.8              # inter=8, uni=10
+    from pyspark.sql import Window
+    from pyspark.sql import functions as FF
+
+    dt = _tid_df(spark, sets)
+    dfreq = dt.groupBy("tid").agg(FF.count(FF.lit(1)).alias("df"))
+    sz = dt.groupBy("doc_id").agg(FF.count(FF.lit(1)).alias("s"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tid")
+    pref = (
+        dt.join(dfreq, "tid").join(sz, "doc_id")
+        .withColumn("rn", FF.row_number().over(w))
+        .filter("rn <= s - ((4 * s + 4) DIV 5) + 1")
+    )
+    pa = {r.tid for r in pref.filter("doc_id = 0").collect()}
+    pb = {r.tid for r in pref.filter("doc_id = 1").collect()}
+    assert pa == {1, 10} and pb == {2, 10}
+    assert pa & pb == {10}                 # the lemma's c*, and only it
+
+
+def test_allpairs_completeness_vs_brute_force(spark):
+    """Deterministic pseudo-random sets: the prefix-filtered join must
+    return EXACTLY the brute-force qualifying pair set."""
+    sets = {}
+    for d in range(40):
+        # LCG-ish deterministic set of 12-20 ids from a 120-id pool,
+        # with planted heavy overlap between 2k and 2k+1 for k < 5
+        base = {(d * 37 + j * 13) % 120 for j in range(12 + d % 9)}
+        if d % 2 == 1 and d < 10:
+            prev = {((d - 1) * 37 + j * 13) % 120 for j in range(12 + (d - 1) % 9)}
+            base = prev | {999 + d} if len(prev) >= 5 else base
+        sets[d] = base
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.allpairs_jaccard(_tid_df(spark, sets)).collect()
+    }
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a < b:
+                i = len(sets[a] & sets[b])
+                u = len(sets[a] | sets[b])
+                if 5 * i >= 4 * u:
+                    want.add((a, b))
+    assert got == want and want  # nonempty by the planted overlaps

@@ -780,3 +780,15 @@ def test_market_share_broadcast_chain(spark):
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_setsim_pairs_prefix_equi_join(spark):
+    """The exact set-similarity join must stay the prefix-filtered
+    equi-join on tid: no cartesian / nested-loop node anywhere, and no
+    Python in the plan (ids are pure-Column md5/Horner arithmetic)."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["setsim_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
