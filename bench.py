@@ -146,6 +146,7 @@ HEADLINE = [
     "shingle_novelty",
     "pareto_skyline",
     "setsim_pairs",
+    "session_coverage",
 ]
 
 

@@ -320,3 +320,85 @@ def interval_self_join(
         .alias("ov_us")
     )
     return pairs.select(*sel)
+
+
+def union_coverage(
+    intervals: DataFrame,
+    start: str = "s_start",
+    end: str = "s_end",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Exact covered time of the UNION of half-open microsecond
+    intervals [t0, t1), per ``bucket_s`` bucket — the Lebesgue-measure
+    companion of sweep_concurrency (which reports the level's PEAK;
+    this is the integral of ``level > 0``): "how much wall-clock had at
+    least one open session".  Merging overlapping AND touching
+    intervals is free under the net-delta spelling: +1 at t0 and -1 at
+    t1 folded per distinct instant make a touch (one -1 and one +1 at
+    the same t) cancel, so the level never dips to 0 between abutting
+    intervals.  Zero-length intervals (t0 == t1) net to nothing and
+    contribute nothing, exactly like their measure.
+
+    Returns (bkt, covered_us): bucket index (epoch_us DIV bucket) and
+    the exact BIGINT covered microseconds within it.  Buckets with no
+    overlapping interval have no row (outer-join zeros are the
+    caller's rollup choice).
+
+    Scale shape — no global ordered scan: every interval is CLIPPED to
+    the buckets it spans (bounded fan-out for gap-bounded sessions,
+    the interval_self_join discipline), so each bucket's sweep is
+    self-contained: the clipped level returns to 0 at the bucket edge,
+    the within-bucket running sum windows over (bkt) partitions only
+    — bounded by the bucket's boundary count — and the last boundary
+    in a bucket always has level 0, so the missing LEAD there is
+    harmless by construction, not by convention.  All-integer; no
+    Python; the only cross-bucket coupling is the final rollup the
+    caller applies."""
+    w_us = bucket_s * 1_000_000
+    t = (
+        intervals.select(
+            F.unix_micros(F.col(start).cast("timestamp")).alias("t0"),
+            F.unix_micros(F.col(end).cast("timestamp")).alias("t1"),
+        )
+        .filter(F.col("t1") > F.col("t0"))
+    )
+    clipped = (
+        t.select(
+            "t0", "t1",
+            F.explode(
+                F.expr(f"sequence(t0 DIV {w_us}, (t1 - 1) DIV {w_us})")
+            ).alias("bkt"),
+        )
+        .select(
+            "bkt",
+            F.greatest(F.col("t0"), F.col("bkt") * w_us).alias("c0"),
+            F.least(F.col("t1"), (F.col("bkt") + 1) * w_us).alias("c1"),
+        )
+    )
+    deltas = (
+        clipped.select("bkt", F.col("c0").alias("t"), F.lit(1).alias("d"))
+        .unionByName(
+            clipped.select(
+                "bkt", F.col("c1").alias("t"), F.lit(-1).alias("d")
+            )
+        )
+        .groupBy("bkt", "t")
+        .agg(F.sum("d").alias("dd"))
+    )
+    w = Window.partitionBy("bkt").orderBy("t")
+    sc = deltas.select(
+        "bkt",
+        "t",
+        F.sum("dd").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("lvl"),
+        F.lead("t").over(w).alias("nt"),
+    )
+    return sc.groupBy("bkt").agg(
+        F.sum(
+            F.when(F.col("lvl") > 0, F.col("nt") - F.col("t")).otherwise(
+                F.lit(0)
+            )
+        )
+        .cast("long")
+        .alias("covered_us")
+    )

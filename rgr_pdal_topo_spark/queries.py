@@ -1228,6 +1228,90 @@ def q_session_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DAY_US = 86_400_000_000
+
+
+@query(
+    "session_coverage",
+    _with(
+        *_SESS_IV_CTES,
+        "ii AS (SELECT epoch_us(s_start) AS t0, epoch_us(s_end) AS t1 "
+        "FROM iv WHERE epoch_us(s_end) > epoch_us(s_start))",
+        "ev AS (SELECT t, SUM(d) AS dd FROM (SELECT t0 AS t, 1 AS d "
+        "FROM ii UNION ALL SELECT t1, -1 FROM ii) u GROUP BY t)",
+        "sc AS (SELECT t, SUM(dd) OVER (ORDER BY t) AS lvl, "
+        "LEAD(t) OVER (ORDER BY t) AS nt FROM ev)",
+        "seg AS (SELECT t, nt FROM sc WHERE lvl > 0 AND nt IS NOT NULL)",
+        f"sp AS (SELECT u.day, GREATEST(t, u.day * {_DAY_US}) AS a, "
+        f"LEAST(nt, (u.day + 1) * {_DAY_US}) AS b FROM seg, LATERAL ("
+        f"SELECT unnest(generate_series(t // {_DAY_US}, "
+        f"(nt - 1) // {_DAY_US})) AS day) u)",
+        "cov AS (SELECT day, CAST(SUM(b - a) AS BIGINT) AS covered_us "
+        "FROM sp GROUP BY day)",
+        f"st AS (SELECT epoch_us(s_start) // {_DAY_US} AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS n_started FROM iv GROUP BY 1)",
+    )
+    + "SELECT COALESCE(cov.day, st.day) AS day, "
+    "CAST(COALESCE(n_started, 0) AS BIGINT) AS n_started, "
+    "CAST(COALESCE(covered_us, 0) AS BIGINT) AS covered_us, "
+    f"ROUND(CAST(COALESCE(covered_us, 0) AS DOUBLE) / {_DAY_US}.0, 6) "
+    "AS cov_ratio FROM cov FULL OUTER JOIN st ON st.day = cov.day",
+)
+def q_session_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day covered wall-clock of the UNION of all users' gap-30min
+    sessions (operators/temporal.py:union_coverage) — the
+    Lebesgue-measure / service-utilization statistic: the INTEGRAL of
+    (concurrency > 0), completing the sweep family next to
+    session_peaks (the level's peak) and session_overlaps (the pairs).
+    Overlapping and touching sessions merge for free under the
+    net-delta-per-instant spelling; zero-length sessions contribute 0
+    coverage but still count as started.
+
+    The oracle is the textbook GLOBAL sweep (one window over all
+    boundaries, segments split at midnights); the engine never orders
+    globally — intervals clip to hour buckets (bounded fan-out), each
+    bucket sweeps independently because the clipped level provably
+    returns to 0 at the bucket edge, and days roll up from hours.  The
+    parity row therefore certifies the bucket decomposition of the
+    measure, not just the arithmetic.
+
+    Exactness: all-integer microsecond arithmetic end to end; the one
+    float is covered_us / day_length — a correctly-rounded division of
+    exact integers, ROUND(,6)-guarded.  A day covered only by a
+    session that STARTED the previous day keeps n_started = 0 via the
+    full outer join (and vice versa for zero-length-only days)."""
+    from rgr_pdal_topo_spark.operators import temporal
+
+    iv = _session_intervals(spark, sf_dir)
+    cov = (
+        temporal.union_coverage(iv, "s_start", "s_end", bucket_s=3600)
+        .groupBy(F.expr("bkt DIV 24").alias("day"))
+        .agg(F.sum("covered_us").cast("long").alias("covered_us"))
+    )
+    st = (
+        iv.groupBy(
+            F.expr(
+                f"unix_micros(CAST(s_start AS TIMESTAMP)) DIV {_DAY_US}"
+            ).alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n_started"))
+    )
+    return cov.join(st, "day", "full").select(
+        "day",
+        F.coalesce(F.col("n_started"), F.lit(0)).cast("long").alias(
+            "n_started"
+        ),
+        F.coalesce(F.col("covered_us"), F.lit(0)).cast("long").alias(
+            "covered_us"
+        ),
+        F.round(
+            F.coalesce(F.col("covered_us"), F.lit(0)).cast("double")
+            / F.lit(float(_DAY_US)),
+            6,
+        ).alias("cov_ratio"),
+    )
+
+
 @query(
     "retention_cohorts",
     _with(

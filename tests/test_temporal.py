@@ -196,3 +196,59 @@ def test_interval_self_join_exactly_once_and_touch(spark):
     assert got[((2, 1), (2, 2))] == HOUR // 4             # 13:30-13:45
     assert got[((2, 1), (3, 1))] == 5 * 60 * 1_000_000    # 13:00-13:05
     assert len(got) == 4                                  # nothing else
+
+
+def test_union_coverage_merge_touch_zero_and_clip(spark):
+    """Measure semantics of the interval union: overlap merges, touch
+    merges (net delta cancels at the shared instant), zero-length
+    contributes nothing, and clipping to buckets preserves the total —
+    a 3-bucket-spanning interval's per-bucket pieces sum to its
+    length."""
+    import datetime as dt
+
+    def t(h, m, s=0):
+        return dt.datetime(2024, 1, 1, h, m, s)
+
+    iv = spark.createDataFrame(
+        [
+            (t(10, 0), t(10, 10)),   # overlaps the next -> union 15 min
+            (t(10, 5), t(10, 15)),
+            (t(11, 0), t(11, 10)),   # touches the next -> union 20 min
+            (t(11, 10), t(11, 20)),
+            (t(12, 0), t(12, 0)),    # zero-length: measure 0
+            (t(13, 30), t(16, 30)),  # spans 4 hour buckets
+        ],
+        "s_start timestamp, s_end timestamp",
+    )
+    got = {
+        r.bkt: r.covered_us
+        for r in temporal.union_coverage(iv, bucket_s=3600).collect()
+    }
+    h0 = 473352 + 10  # epoch hours of 2024-01-01 10:00 UTC
+    assert got[h0] == 15 * 60_000_000
+    assert got[h0 + 1] == 20 * 60_000_000
+    assert (h0 + 2) not in got           # the zero-length hour
+    # the 13:30-16:30 interval: 30 + 60 + 60 + 30 minutes
+    assert got[h0 + 3] == 30 * 60_000_000
+    assert got[h0 + 4] == 60 * 60_000_000
+    assert got[h0 + 5] == 60 * 60_000_000
+    assert got[h0 + 6] == 30 * 60_000_000
+    assert sum(got.values()) == (15 + 20 + 180) * 60_000_000
+
+
+def test_union_coverage_bucket_edge_alignment(spark):
+    """An interval exactly aligned to bucket edges covers each bucket
+    fully and leaks nothing into the next (half-open [t0, t1)): the
+    bucket after the aligned end has no row."""
+    import datetime as dt
+
+    iv = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1, 6, 0), dt.datetime(2024, 1, 1, 8, 0))],
+        "s_start timestamp, s_end timestamp",
+    )
+    got = {
+        r.bkt: r.covered_us
+        for r in temporal.union_coverage(iv, bucket_s=3600).collect()
+    }
+    h = 473352 + 6
+    assert got == {h: 3_600_000_000, h + 1: 3_600_000_000}
