@@ -147,6 +147,7 @@ HEADLINE = [
     "pareto_skyline",
     "setsim_pairs",
     "session_coverage",
+    "hilbert_locality",
 ]
 
 

@@ -93,19 +93,34 @@ def quad_parent(cell: Column) -> Column:
     return F.shiftright(cell, 2)
 
 
+def quad_ix_sql(lon: str, res: int) -> str:
+    """SQL twin of _quad_ixy's ix (same clamp, same arithmetic)."""
+    n = 1 << res
+    return (f"GREATEST(LEAST(CAST(FLOOR((({lon}) + 180.0) / 360.0 * {n}) "
+            f"AS BIGINT), {n - 1}), 0)")
+
+
+def quad_iy_sql(lat: str, res: int) -> str:
+    """SQL twin of _quad_ixy's iy (same clamp, same arithmetic)."""
+    n = 1 << res
+    return (f"GREATEST(LEAST(CAST(FLOOR((90.0 - ({lat})) / 180.0 * {n}) "
+            f"AS BIGINT), {n - 1}), 0)")
+
+
+def morton_sql(ix: str, iy: str, res: int) -> str:
+    """SQL twin of _morton over already-integer (ix, iy) expressions."""
+    parts = []
+    for b in range(res):
+        parts.append(f"((({ix}) >> {b}) & 1) << {2 * b + 1}")
+        parts.append(f"((({iy}) >> {b}) & 1) << {2 * b}")
+    return "(" + " + ".join(f"({p})" for p in parts) + ")"
+
+
 def quad_cell_sql(lon: str, lat: str, res: int) -> str:
     """DuckDB twin of quad_cell (same integer arithmetic, DuckDB bit
     operators)."""
-    n = 1 << res
-    ix = (f"GREATEST(LEAST(CAST(FLOOR((({lon}) + 180.0) / 360.0 * {n}) "
-          f"AS BIGINT), {n - 1}), 0)")
-    iy = (f"GREATEST(LEAST(CAST(FLOOR((90.0 - ({lat})) / 180.0 * {n}) "
-          f"AS BIGINT), {n - 1}), 0)")
-    parts = []
-    for b in range(res):
-        parts.append(f"((({ix} >> {b}) & 1) << {2 * b + 1})")
-        parts.append(f"((({iy} >> {b}) & 1) << {2 * b})")
-    return f"(CAST({1 << (2 * res)} AS BIGINT) + " + " + ".join(parts) + ")"
+    m = morton_sql(quad_ix_sql(lon, res), quad_iy_sql(lat, res), res)
+    return f"(CAST({1 << (2 * res)} AS BIGINT) + {m})"
 
 
 def quad_k_ring(cell: Column, res: int) -> Column:
@@ -336,3 +351,69 @@ def s2_cell_sql_query(
     return (f"SELECT {id_cols}, CAST(face AS BIGINT) * "
             f"CAST({1 << (2 * level)} AS BIGINT) + "
             + " + ".join(parts) + f" AS s2_cell FROM ({ij}) q5")
+
+
+# ---------------------------------------------------------------------------
+# pure-Column Hilbert (the codegen twin of _hilbert_np)
+# ---------------------------------------------------------------------------
+
+# The quadrant-rotate walk as a 4-state DFA over MSB-first bit pairs.
+# States are the reachable orientation transforms (swap, flip-x, flip-y)
+# of _hilbert_np's rotate step; tables derived from that algebra and
+# exhaustively pinned equal to _hilbert_np at levels 4 and 8
+# (tests/test_cells.py).  Flattened row-major: index = state * 4 + q,
+# q = 2 * x_bit + y_bit.
+_HILBERT_TRANS = (1, 0, 2, 0, 0, 3, 1, 1, 2, 2, 0, 3, 3, 1, 3, 2)
+_HILBERT_DIGIT = (0, 1, 3, 2, 0, 3, 1, 2, 2, 1, 3, 0, 2, 3, 1, 0)
+
+
+def hilbert_cell_col(ix: Column, iy: Column, level: int) -> Column:
+    """xy -> Hilbert-curve position at ``level`` as a PURE Column
+    expression — bit-equal to the Arrow-path ``_hilbert_np`` (pinned in
+    tests), whole-stage-codegen'd like the Morton twin ``_morton``.
+
+    Spelling matters here: unrolling _hilbert_np's rotate step directly
+    rewrites x and y in terms of BOTH previous values each level, so
+    the expression tree grows geometrically (level 8 never finishes
+    analysis).  The DFA form carries only a 2-bit orientation state:
+    each level's curve digit and next state are constant-array lookups
+    on (state, bit-pair), the state chain references each predecessor
+    once, and the whole expression stays O(level^2) nodes."""
+    tr = F.array(*[F.lit(v) for v in _HILBERT_TRANS])
+    dg = F.array(*[F.lit(v) for v in _HILBERT_DIGIT])
+    st = F.lit(0)
+    d = F.lit(0).cast("long")
+    for i in range(level - 1, -1, -1):
+        q = (
+            F.shiftleft(F.shiftright(ix, i).bitwiseAND(F.lit(1)), 1)
+            + F.shiftright(iy, i).bitwiseAND(F.lit(1))
+        ).cast("int")
+        d = d + F.lit(1 << (2 * i)).cast("long") * F.element_at(
+            dg, st * 4 + q + 1
+        ).cast("long")
+        st = F.element_at(tr, st * 4 + q + 1)
+    return d
+
+
+def hilbert_ctes(src: str, level: int, carry: str = "ix, iy") -> list:
+    """DuckDB twin of hilbert_cell_col as an unrolled CTE chain (the
+    _kcore_ctes discipline: one CTE per walk step, so the SQL engine
+    carries (hx, hy, hd) state instead of a geometric expression tree).
+    ``src`` must expose BIGINT ``ix``/``iy`` plus the ``carry`` columns;
+    the final CTE ``hb0`` carries ``hd``."""
+    ctes = [f"hb{level} AS (SELECT {carry}, ix AS hx, iy AS hy, "
+            f"CAST(0 AS BIGINT) AS hd FROM {src})"]
+    for i in range(level - 1, -1, -1):
+        s = 1 << i
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        ctes.append(
+            f"hb{i} AS (SELECT {carry}, "
+            f"CASE WHEN (hy & {s}) = 0 THEN (CASE WHEN (hx & {s}) > 0 "
+            f"THEN {s - 1} - hy ELSE hy END) ELSE hx END AS hx, "
+            f"CASE WHEN (hy & {s}) = 0 THEN (CASE WHEN (hx & {s}) > 0 "
+            f"THEN {s - 1} - hx ELSE hx END) ELSE hy END AS hy, "
+            f"hd + {s * s} * xor(3 * {rx}, {ry}) AS hd "
+            f"FROM hb{i + 1})"
+        )
+    return ctes

@@ -5651,6 +5651,114 @@ def q_pages_geocode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HILBERT_RES = 5
+
+
+@query(
+    "hilbert_locality",
+    _with(
+        *_GEO_CTES,
+        "cells AS (SELECT DISTINCT "
+        f"{cellfn.quad_ix_sql('lon', _HILBERT_RES)} AS ix, "
+        f"{cellfn.quad_iy_sql('lat', _HILBERT_RES)} AS iy FROM geo)",
+        *cellfn.hilbert_ctes("cells", _HILBERT_RES),
+        "enc AS (SELECT ix, iy, hd, "
+        f"{cellfn.morton_sql('ix', 'iy', _HILBERT_RES)} AS md FROM hb0)",
+        "st AS (SELECT 'hilbert' AS ordering, hd AS d, ix, iy FROM enc "
+        "UNION ALL SELECT 'morton', md, ix, iy FROM enc)",
+        "lk AS (SELECT ordering, abs(LEAD(ix) OVER w - ix) + "
+        "abs(LEAD(iy) OVER w - iy) AS step FROM st "
+        "WINDOW w AS (PARTITION BY ordering ORDER BY d))",
+    )
+    + "SELECT ordering, CAST(COUNT(step) AS BIGINT) AS n_steps, "
+    "CAST(SUM(step) AS BIGINT) AS total_step, "
+    "ROUND(CAST(SUM(step) AS DOUBLE) / CAST(COUNT(step) AS DOUBLE), 6) "
+    "AS mean_step FROM lk GROUP BY ordering",
+)
+def q_hilbert_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Space-filling-curve LAYOUT AUDIT: sort the occupied res-5 page
+    cells by curve position and measure the mean GRID (Manhattan)
+    distance between consecutive cells, Hilbert vs Morton — the
+    statistic that decides how to cluster files in a lakehouse layout:
+    curve-consecutive cells become byte-adjacent files, so the smaller
+    this step, the fewer disjoint file ranges a spatial scan touches.
+    Hilbert's defining guarantee is exactly this direction (successive
+    curve positions are always 4-adjacent on the FULL grid; on the
+    occupied subset it stays far ahead of Morton, whose power-of-2
+    seams stride across the map — measured 1.76 vs 2.71 at the oracle
+    scale, 1.03 vs 1.95 at sf0.1).  Direction matters: the converse
+    statistic (curve jump between grid-ADJACENT cells) favors neither
+    curve on sparse data and is not what range scans pay for.  The
+    manifest layer's Z-order skipping is the consumer; res 5 is the
+    F13 layer's coarsest (finer grids leave the synthetic coordinate
+    lattice with no adjacency at all).
+
+    The Hilbert encoder runs THREE bit-equal ways: Arrow (_hilbert_np,
+    the r1 S2 option), pure-Column whole-stage codegen — a 4-state DFA
+    over MSB-first bit-pairs, because the naive rotate-unroll grows a
+    GEOMETRIC expression tree (functions/cells.py:hilbert_cell_col) —
+    and the oracle's unrolled CTE chain which carries (hx, hy, hd)
+    state per step (functions/cells.py:hilbert_ctes, the _kcore_ctes
+    discipline).  All-integer end to end; the two means are one
+    correctly-rounded division each, ROUND(,6)-guarded.
+
+    Scale shape: cells aggregate once (map-side combinable distinct on
+    the CELL table, never raw pages); the order-by-curve window runs
+    over the CELL table only — bounded by 4^res, the aggregate-then-
+    window discipline — and both encodings are injective on (ix, iy)
+    so the order is deterministic.  No Python, no cartesian."""
+    from pyspark.sql import Window
+
+    g = pagesops.geo_lonlat(spark, sf_dir)
+    ix, iy = cellfn._quad_ixy(F.col("lon"), F.col("lat"), _HILBERT_RES)
+    cells = (
+        g.select(ix.alias("ix"), iy.alias("iy"))
+        .distinct()
+        .select(
+            "ix",
+            "iy",
+            cellfn.hilbert_cell_col(
+                F.col("ix"), F.col("iy"), _HILBERT_RES
+            ).alias("hd"),
+            cellfn._morton(
+                F.col("ix"), F.col("iy"), _HILBERT_RES
+            ).alias("md"),
+        )
+    )
+    stacked = cells.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hilbert").alias("ordering"),
+                    F.col("hd").alias("d"),
+                ),
+                F.struct(
+                    F.lit("morton").alias("ordering"),
+                    F.col("md").alias("d"),
+                ),
+            )
+        ).alias("e"),
+        "ix",
+        "iy",
+    ).select("e.ordering", "e.d", "ix", "iy")
+    w = Window.partitionBy("ordering").orderBy("d")
+    steps = stacked.select(
+        "ordering",
+        (
+            F.abs(F.lead("ix").over(w) - F.col("ix"))
+            + F.abs(F.lead("iy").over(w) - F.col("iy"))
+        ).alias("step"),
+    )
+    return steps.groupBy("ordering").agg(
+        F.count("step").alias("n_steps"),
+        F.sum("step").cast("long").alias("total_step"),
+        F.round(
+            F.sum("step").cast("double") / F.count("step").cast("double"),
+            6,
+        ).alias("mean_step"),
+    )
+
+
 # page lon/lat degrees -> the polygon layer's [0,1000]^2 plane: a linear
 # map (every op correctly rounded, no trig) — shared spelling for
 # pages_pip's Spark and SQL sides, applied over the geo CTE / geo_lonlat

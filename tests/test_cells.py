@@ -160,3 +160,71 @@ def test_s2_hilbert_same_face_and_leaf(spark):
         df2.lon.to_numpy(), df2.lat.to_numpy(), interleave="hilbert"
     )
     assert sorted(got.tolist()) == sorted(exp.tolist())
+
+
+def test_hilbert_column_dfa_bit_equals_numpy(spark):
+    """The pure-Column 4-state DFA spelling is bit-equal to _hilbert_np:
+    exhaustively at level 4, on a seeded sample at level 8."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from rgr_pdal_topo_spark.functions import cells as C
+
+    for level, (xs, ys) in {
+        4: np.meshgrid(np.arange(16), np.arange(16)),
+        8: np.random.default_rng(7).integers(0, 256, (2, 300)),
+    }.items():
+        xs = np.asarray(xs).ravel().astype(np.int64)
+        ys = np.asarray(ys).ravel().astype(np.int64)
+        want = C._hilbert_np(xs, ys, level)
+        df = spark.createDataFrame(
+            [(int(a), int(b)) for a, b in zip(xs, ys)], "ix long, iy long"
+        )
+        got = {
+            (r.ix, r.iy): r.d
+            for r in df.select(
+                "ix", "iy",
+                C.hilbert_cell_col(F.col("ix"), F.col("iy"), level)
+                .alias("d"),
+            ).collect()
+        }
+        assert all(
+            got[(a, b)] == w for a, b, w in zip(xs, ys, want)
+        ), f"level {level}"
+
+
+def test_hilbert_sql_ctes_bit_equal_numpy():
+    """The oracle's unrolled CTE chain replays _hilbert_np bit-for-bit
+    (exhaustive at level 4)."""
+    import duckdb
+    import numpy as np
+    from rgr_pdal_topo_spark.functions import cells as C
+
+    xs, ys = np.meshgrid(np.arange(16), np.arange(16))
+    xs, ys = xs.ravel().astype(np.int64), ys.ravel().astype(np.int64)
+    want = C._hilbert_np(xs, ys, 4)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({int(a)},{int(b)})" for a, b in zip(xs, ys))
+        + ") v(ix,iy)"
+    )
+    sql = ("WITH " + ", ".join(C.hilbert_ctes("t", 4))
+           + " SELECT ix, iy, hd FROM hb0")
+    m = {(r.ix, r.iy): r.hd for r in con.execute(sql).df().itertuples()}
+    assert all(m[(a, b)] == w for a, b, w in zip(xs, ys, want))
+
+
+def test_hilbert_locality_beats_morton(spark):
+    """The statistic the layout audit exists for: sorted by curve id,
+    Hilbert's mean grid step between consecutive occupied cells is
+    strictly smaller than Morton's (fewer disjoint file ranges per
+    spatial scan)."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.ordering: (r.n_steps, r.mean_step)
+        for r in QUERIES["hilbert_locality"](spark, SF_DIR).collect()
+    }
+    assert got["hilbert"][0] == got["morton"][0] > 0
+    assert got["hilbert"][1] < got["morton"][1]
