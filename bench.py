@@ -148,6 +148,7 @@ HEADLINE = [
     "setsim_pairs",
     "session_coverage",
     "hilbert_locality",
+    "robust_outliers",
 ]
 
 

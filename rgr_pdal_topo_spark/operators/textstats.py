@@ -692,3 +692,95 @@ def pareto_skyline(documents: DataFrame) -> DataFrame:
     return s.join(
         F.broadcast(front), ["n_chars", "n_distinct_tokens"]
     ).select("doc_id", "n_chars", "n_distinct_tokens")
+
+
+def robust_outliers(documents: DataFrame) -> DataFrame:
+    """Per-language robust outlier census on doc length: exact
+    interpolated MEDIAN, exact MAD (median absolute deviation), and the
+    count of docs beyond the classic 3-MAD fence — the outlier detector
+    that, unlike mean/stddev z-scores, a few giant pages cannot drag
+    (both mean and stddev have unbounded breakdown; median/MAD break
+    down only past 50% contamination).
+
+    Exactness without a per-group value gather: medians come from
+    COUNTING-SORT selection — counts fold per (lang, value) with
+    map-side combine, the cumulative window runs over that AGGREGATED
+    table (bounded by the VALUE DOMAIN, never the corpus — doc lengths
+    are capped), and the lower/upper middle elements are conditional
+    mins over cumulative counts.  The interpolated median is
+    (a + b) / 2 — a dyadic rational, exact in float64.  The MAD pass
+    repeats the trick on the INTEGER deviation 2*|v - med| = |2v-(a+b)|
+    so nothing leaves integer arithmetic until two final dyadic
+    divisions, and the 3-MAD fence is the pure-integer comparison
+    2 * dev2 > 3 * (da + db).  The oracle states the DEFINITION
+    (DuckDB's native median / quantile_cont twice), so the parity row
+    certifies the counting-sort reformulation.
+
+    Returns (lang, n, med, mad, n_outliers).
+
+    Scale shape: two narrow (lang, value)-keyed count folds, two
+    windows over domain-bounded aggregates, one broadcast of the
+    per-lang medians (languages are few).  No percentile() gather, no
+    Python, no doc-level window."""
+    from pyspark.sql import Window
+
+    s = documents.select("lang", F.length("text").alias("v"))
+
+    def _med2(vals: DataFrame, col: str) -> DataFrame:
+        """(lang, a + b) where a/b are the lower/upper middle of ``col``
+        per lang — i.e. TWICE the interpolated median, an exact int."""
+        c = vals.groupBy("lang", col).agg(F.count(F.lit(1)).alias("c"))
+        n = c.groupBy("lang").agg(F.sum("c").alias("n"))
+        w = (
+            Window.partitionBy("lang")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = c.withColumn("cum", F.sum("c").over(w)).join(
+            F.broadcast(n), "lang"
+        )
+        lo = F.expr("(n + 1) DIV 2")
+        hi = F.expr("(n + 2) DIV 2")
+        return cum.groupBy("lang").agg(
+            F.max("n").alias("n"),
+            (
+                F.min(F.when(F.col("cum") >= lo, F.col(col)))
+                + F.min(F.when(F.col("cum") >= hi, F.col(col)))
+            ).alias("m2"),
+        )
+
+    med = _med2(s, "v").withColumnRenamed("m2", "med2")
+    dev = s.join(F.broadcast(med), "lang").select(
+        "lang", F.abs(2 * F.col("v") - F.col("med2")).alias("d2")
+    )
+    mad = (
+        _med2(dev, "d2")
+        .withColumnRenamed("m2", "mad4")
+        .select("lang", "mad4")
+    )
+    fences = med.join(F.broadcast(mad), "lang")
+    out = (
+        s.join(F.broadcast(fences), "lang")
+        .groupBy("lang")
+        .agg(
+            F.sum(
+                F.when(
+                    2 * F.abs(2 * F.col("v") - F.col("med2"))
+                    > 3 * F.col("mad4"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+    )
+    return (
+        fences.join(out, "lang")
+        .select(
+            "lang",
+            "n",
+            (F.col("med2").cast("double") / F.lit(2.0)).alias("med"),
+            (F.col("mad4").cast("double") / F.lit(4.0)).alias("mad"),
+            "n_outliers",
+        )
+    )

@@ -9909,6 +9909,43 @@ def q_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "robust_outliers",
+    _with(
+        "s AS (SELECT lang, length(text) AS v FROM documents)",
+        "m AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(median(v) AS DOUBLE) AS med FROM s GROUP BY lang)",
+        "d AS (SELECT s.lang, abs(s.v - m.med) AS dev FROM s "
+        "JOIN m USING (lang))",
+        "md AS (SELECT lang, CAST(median(dev) AS DOUBLE) AS mad FROM d "
+        "GROUP BY lang)",
+        "o AS (SELECT d.lang, CAST(SUM(CASE WHEN d.dev > 3 * md.mad "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers FROM d "
+        "JOIN md USING (lang) GROUP BY d.lang)",
+    )
+    + "SELECT m.lang, m.n, m.med, md.mad, o.n_outliers "
+    "FROM m JOIN md USING (lang) JOIN o USING (lang)",
+)
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language robust length outliers: exact interpolated median,
+    exact MAD, and the 3-MAD fence census (operators/textstats.py
+    robust_outliers) — the contamination-proof outlier detector (mean
+    and stddev have unbounded breakdown; median/MAD survive anything
+    short of 50% junk).  The engine never gathers values per group:
+    both medians are COUNTING-SORT selections over (lang, value)
+    count folds — windows run over value-domain-bounded aggregates —
+    and every gate stays integer (the deviation pass runs on
+    2|v - med| = |2v - (a+b)|; the fence is 2*dev2 > 3*mad4).  The
+    oracle states the DEFINITION via DuckDB's native median() twice,
+    so the parity row certifies the counting-sort reformulation.
+    Medians and MAD are dyadic rationals — exact in float64 in both
+    engines; no rounding policy needed anywhere."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return textstats.robust_outliers(docs)
+
+
+@query(
     "setsim_pairs",
     _with(
         f"d AS ({_DOCTOKS_DUCK})",

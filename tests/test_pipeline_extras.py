@@ -1263,3 +1263,34 @@ def test_pareto_skyline_frontier_is_strictly_increasing(spark):
             )
         ]
         assert dom.empty, f"doc {s.doc_id} is dominated by {dom.doc_id.tolist()}"
+
+
+def test_robust_outliers_planted(spark, tmp_path):
+    """Hand corpus per the textbook MAD mechanics: odd group (exact
+    middle), even group (interpolated .5 median), and a planted giant
+    that the 3-MAD fence catches while the mean/stddev z-score would
+    be dragged by it."""
+    rows = [
+        # lang 'aa': lengths 3,5,7,9,1000 -> med 7, devs {4,2,0,2,993}
+        # -> MAD 2, fence 6: only the 1000-length doc is out
+        (0, "aaa", "aa"), (1, "aaaaa", "aa"), (2, "a" * 7, "aa"),
+        (3, "a" * 9, "aa"), (4, "a" * 1000, "aa"),
+        # lang 'bb': lengths 2,4,6,8 -> med 5.0, devs {3,1,1,3}
+        # -> MAD 2.0, fence 6.0: nobody is out
+        (5, "bb", "bb"), (6, "bbbb", "bb"), (7, "b" * 6, "bb"),
+        (8, "b" * 8, "bb"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    got = {
+        r.lang: (r.n, r.med, r.mad, r.n_outliers)
+        for r in QUERIES["robust_outliers"](spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "aa": (5, 7.0, 2.0, 1),
+        "bb": (4, 5.0, 2.0, 0),
+    }
