@@ -703,3 +703,62 @@ def k_core(
         "host",
         F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("core_deg"),
     )
+
+
+def neighborhood_reach(edges: DataFrame) -> DataFrame:
+    """Log2-bucketed histogram of the radius-2 NEIGHBORHOOD FUNCTION
+    |N(v, 2)| over the undirected host graph — how many hosts each host
+    can reach in at most two hops, self included.  N(v, r) is the
+    quantity behind effective-diameter and spid estimates (the ANF /
+    HyperBall statistic); radius 2 is where it is still exactly
+    computable by joins, and the histogram's heavy tail is the measured
+    "two hops reach half the web" small-world evidence a crawl
+    scheduler plans around.
+
+    Exact: distinct union of {v}, N1 edges, and the wedge join's 2-hop
+    endpoints, counted per host; bucket = bit_length(count), the
+    degree_histogram / hll rho spelling.
+
+    Scale shape: one wedge self-equi-join on the undirected host list
+    plus a distinct fold — per-host cost is O(sum of neighbor degrees),
+    the honest quadratic-in-hub-degree cost that makes EXACT
+    neighborhood functions infeasible past small radii at web scale;
+    beyond radius 2 the sketched path is per-node HLL registers folded
+    by max (hll_fold), trading exactness for O(r * |E|) — the ANF
+    trade this module's sketch family already implements the
+    primitives for."""
+    und = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    hop2 = (
+        und.select(F.col("src").alias("v"), F.col("dst").alias("m"))
+        .join(
+            und.select(F.col("src").alias("m"), F.col("dst").alias("r")),
+            "m",
+        )
+        .select("v", "r")
+    )
+    reach = (
+        und.select(F.col("src").alias("v"), F.col("dst").alias("r"))
+        .union(und.select(F.col("src").alias("v"), F.col("src").alias("r")))
+        .union(hop2)
+        .distinct()
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n_reach"))
+    )
+    return (
+        reach.groupBy(F.length(F.bin(F.col("n_reach"))).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_hosts"))
+        .select(
+            F.col("bucket").cast("long").alias("bucket"),
+            F.col("n_hosts").cast("long").alias("n_hosts"),
+        )
+    )

@@ -8029,6 +8029,42 @@ def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkgraph.degree_histogram(linkgraph.extract_links(pages))
 
 
+@query(
+    "neighborhood_reach",
+    _with(
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        _LK_CTE,
+        "und AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM lk "
+        "UNION ALL SELECT dst, src FROM lk) u WHERE src <> dst)",
+        "h2 AS (SELECT a.src AS v, b.dst AS r FROM und a "
+        "JOIN und b ON b.src = a.dst)",
+        "rc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS n_reach FROM ("
+        "SELECT src AS v, dst AS r FROM und "
+        "UNION SELECT src, src FROM und "
+        "UNION SELECT v, r FROM h2) x GROUP BY v)",
+    )
+    + "SELECT CAST(LENGTH(bin(n_reach)) AS BIGINT) AS bucket, "
+    "CAST(COUNT(*) AS BIGINT) AS n_hosts FROM rc GROUP BY 1",
+)
+def q_neighborhood_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius-2 neighborhood function over the undirected host graph
+    (operators/linkgraph.py:neighborhood_reach): the log2 histogram of
+    how many hosts each host reaches in <= 2 hops, self included — the
+    ANF / HyperBall statistic at the radius where it is still exactly
+    join-computable, and the measured small-world evidence a crawl
+    scheduler plans around.  Exact distinct-union of {v}, the 1-hop
+    endpoints, and the wedge join's 2-hop endpoints; bucket =
+    bit_length (the degree_histogram / hll rho spelling).  All-integer.
+
+    Scale shape: one wedge self-equi-join plus a distinct fold —
+    honestly quadratic in hub degree, which is WHY beyond radius 2 the
+    sketched path (per-node HLL registers folded by max, the
+    primitives sketches.py already carries) replaces exactness; the
+    docstring records that trade explicitly."""
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    return linkgraph.neighborhood_reach(linkgraph.extract_links(pages))
+
+
 # Planted mutual-blogroll overlay for link_reciprocity: the organic
 # graph has exactly 2 reciprocal pairs at the 500-doc scales (the
 # quadratic/linear dst maps almost never invert), and reciprocity is

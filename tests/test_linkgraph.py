@@ -412,3 +412,27 @@ def test_k_core_truncated_horizon_is_exact_prefix(spark):
     assert got == {0, 1, 2, 3, 20, 21, 22}
     conv = {r.host for r in lg.k_core(df, k=2, rounds=8).collect()}
     assert conv == {0, 1, 2, 3}
+
+
+def test_neighborhood_reach_path_and_star(spark):
+    """Hand graphs: on the path 1-2-3-4-5 the middle reaches all 5,
+    the ends reach 3; on a 4-leaf star EVERY node reaches all 5 within
+    two hops; a disconnected edge contributes reach 2."""
+    path = [(i, i + 1) for i in range(1, 5)]
+    got = {
+        r.bucket: r.n_hosts
+        for r in lg.neighborhood_reach(
+            spark.createDataFrame(path, "src long, dst long")
+        ).collect()
+    }
+    # reaches: 1->3, 2->4, 3->5, 4->4, 5->3  => bits: 2,3,3,3,2
+    assert got == {2: 2, 3: 3}
+    star = [(0, i) for i in range(1, 5)] + [(100, 101)]
+    got2 = {
+        r.bucket: r.n_hosts
+        for r in lg.neighborhood_reach(
+            spark.createDataFrame(star, "src long, dst long")
+        ).collect()
+    }
+    # star nodes all reach 5 (bits 3); 100/101 reach 2 (bits 2)
+    assert got2 == {3: 5, 2: 2}
