@@ -402,3 +402,46 @@ def union_coverage(
         .cast("long")
         .alias("covered_us")
     )
+
+
+DAY_US = 86_400_000_000
+
+
+def daily_coverage(
+    intervals: DataFrame,
+    start: str = "s_start",
+    end: str = "s_end",
+) -> DataFrame:
+    """Per-day (day, n_started, covered_us, cov_ratio) over an interval
+    table: union_coverage's hourly cells rolled up to epoch days plus
+    the sessions-STARTED count, full-outer-joined so a day covered only
+    by a session that started the previous day keeps n_started = 0 and
+    a day of only zero-length sessions keeps covered_us = 0.  The one
+    float is covered_us / day — a correctly-rounded division of exact
+    integers, ROUND(,6)-guarded.  Shared verbatim by the batch
+    session_coverage query and the streaming drain (so drain == batch
+    pins the interval SET, not a re-derivation)."""
+    cov = (
+        union_coverage(intervals, start, end, bucket_s=3600)
+        .groupBy(F.expr("bkt DIV 24").alias("day"))
+        .agg(F.sum("covered_us").cast("long").alias("covered_us"))
+    )
+    st = intervals.groupBy(
+        F.expr(
+            f"unix_micros(CAST({start} AS TIMESTAMP)) DIV {DAY_US}"
+        ).alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_started"))
+    return cov.join(st, "day", "full").select(
+        "day",
+        F.coalesce(F.col("n_started"), F.lit(0)).cast("long").alias(
+            "n_started"
+        ),
+        F.coalesce(F.col("covered_us"), F.lit(0)).cast("long").alias(
+            "covered_us"
+        ),
+        F.round(
+            F.coalesce(F.col("covered_us"), F.lit(0)).cast("double")
+            / F.lit(float(DAY_US)),
+            6,
+        ).alias("cov_ratio"),
+    )

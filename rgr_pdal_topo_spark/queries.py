@@ -1282,34 +1282,7 @@ def q_session_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     full outer join (and vice versa for zero-length-only days)."""
     from rgr_pdal_topo_spark.operators import temporal
 
-    iv = _session_intervals(spark, sf_dir)
-    cov = (
-        temporal.union_coverage(iv, "s_start", "s_end", bucket_s=3600)
-        .groupBy(F.expr("bkt DIV 24").alias("day"))
-        .agg(F.sum("covered_us").cast("long").alias("covered_us"))
-    )
-    st = (
-        iv.groupBy(
-            F.expr(
-                f"unix_micros(CAST(s_start AS TIMESTAMP)) DIV {_DAY_US}"
-            ).alias("day")
-        )
-        .agg(F.count(F.lit(1)).alias("n_started"))
-    )
-    return cov.join(st, "day", "full").select(
-        "day",
-        F.coalesce(F.col("n_started"), F.lit(0)).cast("long").alias(
-            "n_started"
-        ),
-        F.coalesce(F.col("covered_us"), F.lit(0)).cast("long").alias(
-            "covered_us"
-        ),
-        F.round(
-            F.coalesce(F.col("covered_us"), F.lit(0)).cast("double")
-            / F.lit(float(_DAY_US)),
-            6,
-        ).alias("cov_ratio"),
-    )
+    return temporal.daily_coverage(_session_intervals(spark, sf_dir))
 
 
 @query(

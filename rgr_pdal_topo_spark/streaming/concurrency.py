@@ -56,3 +56,14 @@ def peaks_from_drained(intervals: DataFrame) -> DataFrame:
     equals the ``session_peaks`` query exactly once every session has
     closed (tests/test_streaming_concurrency.py)."""
     return sweep_concurrency(intervals, "s_start", "s_end", bucket="hour")
+
+
+def coverage_from_drained(intervals: DataFrame) -> DataFrame:
+    """Per-day (day, n_started, covered_us, cov_ratio) over a DRAINED
+    interval table — the batch ``daily_coverage`` applied verbatim to
+    the stream's session intervals; equals the oracle-backed
+    ``session_coverage`` query exactly once every session has closed
+    (tests/test_streaming_concurrency.py)."""
+    from rgr_pdal_topo_spark.operators.temporal import daily_coverage
+
+    return daily_coverage(intervals)

@@ -106,3 +106,47 @@ def test_interval_stream_matches_batch_sessionize_intervals(spark, tmp_path):
         .collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_streaming_coverage_drains_to_session_coverage(spark, tmp_path):
+    """Drain == batch for the interval-UNION coverage: daily covered
+    time computed from the drained stream's session intervals equals
+    the oracle-backed batch session_coverage query bit-for-bit."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+    from rgr_pdal_topo_spark.streaming.concurrency import (
+        coverage_from_drained,
+        session_intervals_stream,
+    )
+    from rgr_pdal_topo_spark.streaming.windows import (
+        events_stream,
+        run_to_memory,
+    )
+
+    events_dir = tmp_path / "events_cov"
+    spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(3).write.parquet(
+        str(events_dir)
+    )
+    drained = run_to_memory(
+        session_intervals_stream(
+            events_stream(spark, str(events_dir)), watermark="400 days"
+        ),
+        "cov_drain_test",
+        output_mode="complete",
+    )
+    got = (
+        coverage_from_drained(drained)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    exp = (
+        QUERIES["session_coverage"](spark, SF_DIR)
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp) > 0
+    for c in ("day", "n_started", "covered_us", "cov_ratio"):
+        assert (got[c].to_numpy() == exp[c].to_numpy()).all(), c
+    # non-vacuity: some day is partially covered (0 < ratio < 1)
+    assert ((exp["cov_ratio"] > 0) & (exp["cov_ratio"] < 1)).any()
