@@ -149,6 +149,7 @@ HEADLINE = [
     "session_coverage",
     "hilbert_locality",
     "robust_outliers",
+    "containment_pairs",
 ]
 
 

@@ -1374,3 +1374,96 @@ def allpairs_jaccard(
             ).alias("jaccard"),
         )
     )
+
+
+#: containment threshold tau = CONTAIN_NUM / CONTAIN_DEN (rational —
+#: every gate stays integer, the ALLPAIRS discipline).
+CONTAIN_NUM = 9
+CONTAIN_DEN = 10
+
+
+def containment_pairs(
+    doc_tids: DataFrame,
+    num: int = CONTAIN_NUM,
+    den: int = CONTAIN_DEN,
+) -> DataFrame:
+    """EXACT asymmetric containment self-join: ALL ordered pairs with
+    |A n B| / |A| >= num/den, A != B — "doc A's shingle content is
+    (nearly) subsumed by doc B", the quote / mirror / provenance
+    detector a training-data pipeline runs where symmetric Jaccard is
+    blind (a paragraph quoted inside a book has Jaccard ~0 but
+    containment ~1).
+
+    Candidate generation indexes each doc's PREFIX — its
+    p = s - ceil(tau*s) + 1 globally-rarest ids — and probes the FULL
+    id stream (Bayardo's All-Pairs indexing scheme).  Unlike
+    allpairs_jaccard, index-vs-full is FORCED here, not chosen:
+    containment implies no size bound on the superset side (B may be
+    arbitrarily large), and without min >= tau*max the prefix-prefix
+    completeness argument collapses — the superset's prefix can be
+    entirely ids the subset never saw.  The index-vs-full lemma needs
+    only the subset side: containment >= tau gives o >= ceil(tau*|A|)
+    common ids, A's suffix has ceil(tau*|A|) - 1 slots, so some
+    prefix(A) id lands in B and the equi-join finds the ordered pair.
+
+    All gates integer (ceil via DIV; verify den*inter >= num*s_sub);
+    the reported containment is one correctly-rounded division,
+    ROUND(,6)-guarded.  Exact duplicates appear in BOTH directions —
+    the relation is not symmetric and not deduplicated, by contract.
+
+    Scale shape: ids only; the probe side streams the full id table
+    but meets only PREFIX ids on the join key — common ids fall past
+    every prefix, so candidate volume is driven by rare ids exactly as
+    in allpairs_jaccard; verification touches candidate pairs only."""
+    from pyspark.sql import Window
+
+    sizes = doc_tids.groupBy("doc_id").agg(F.count(F.lit(1)).alias("s"))
+    dfreq = doc_tids.groupBy("tid").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("doc_id").orderBy("__df", "tid")
+    prefix = (
+        doc_tids.join(sizes, "doc_id")
+        .join(dfreq, "tid")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            F.col("__rn")
+            <= F.expr(f"s - (({num} * s + {den - 1}) DIV {den}) + 1")
+        )
+        .select(F.col("doc_id").alias("doc_sub"), "tid")
+    )
+    cand = (
+        prefix.join(
+            doc_tids.select(F.col("doc_id").alias("doc_sup"), "tid"),
+            "tid",
+        )
+        .filter(F.col("doc_sub") != F.col("doc_sup"))
+        .select("doc_sub", "doc_sup")
+        .distinct()
+    )
+    sub = doc_tids.select(F.col("doc_id").alias("doc_sub"), "tid")
+    sup = doc_tids.select(F.col("doc_id").alias("doc_sup"), "tid")
+    inter = (
+        cand.join(sub, "doc_sub")
+        .join(sup, ["doc_sup", "tid"])
+        .groupBy("doc_sub", "doc_sup")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.withColumnRenamed("doc_id", "doc_sub").withColumnRenamed(
+                "s", "size_sub"
+            ),
+            "doc_sub",
+        )
+        .filter(F.lit(den) * F.col("inter") >= F.lit(num) * F.col("size_sub"))
+        .select(
+            "doc_sub",
+            "doc_sup",
+            F.col("inter").cast("long").alias("inter"),
+            F.col("size_sub").cast("long").alias("size_sub"),
+            F.round(
+                F.col("inter").cast("double")
+                / F.col("size_sub").cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )

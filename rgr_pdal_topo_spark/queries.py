@@ -9993,6 +9993,41 @@ def q_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "containment_pairs",
+    _with(
+        f"d AS ({_DOCTOKS_DUCK})",
+        f"sh AS ({_SHINGLES_DUCK})",
+        f"dt AS MATERIALIZED ({_SHID_DUCK})",
+        "sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s FROM dt "
+        "GROUP BY doc_id)",
+        "i AS (SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup, "
+        "CAST(COUNT(*) AS BIGINT) AS inter FROM dt a JOIN dt b "
+        "ON a.tid = b.tid AND a.doc_id <> b.doc_id GROUP BY 1, 2)",
+    )
+    + "SELECT doc_sub, doc_sup, inter, sz.s AS size_sub, "
+    "ROUND(CAST(inter AS DOUBLE) / CAST(sz.s AS DOUBLE), 6) "
+    "AS containment FROM i JOIN sz ON sz.doc_id = doc_sub "
+    f"WHERE {dedup.CONTAIN_DEN} * inter >= {dedup.CONTAIN_NUM} * sz.s",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT asymmetric containment join at |A n B|/|A| >= 9/10 over
+    the shingle-id sets (operators/dedup.py containment_pairs) — the
+    quote / mirror / provenance detector where symmetric Jaccard is
+    blind (a paragraph quoted inside a book: J ~ 0, containment ~ 1).
+    Candidates come from Bayardo's index-prefix-probe-full scheme —
+    FORCED here, unlike setsim_pairs' prefix-prefix, because
+    containment implies no size bound on the superset side (the
+    docstring carries both lemmas).  All gates integer; the oracle is
+    the definitional quadratic, so a green row certifies the
+    subset-side prefix completeness lemma on real data.  Ordered
+    pairs by contract: exact duplicates appear in both directions."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.containment_pairs(dedup.shingle_ids(docs))
+
+
+@query(
     "pareto_skyline",
     _with(
         f"toks AS ({_TOKS_DUCK})",

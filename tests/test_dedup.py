@@ -761,3 +761,58 @@ def test_allpairs_completeness_vs_brute_force(spark):
                 if 5 * i >= 4 * u:
                     want.add((a, b))
     assert got == want and want  # nonempty by the planted overlaps
+
+
+def test_containment_boundary_and_asymmetry(spark):
+    """tau = 9/10 inclusive, and the relation is ORDERED: a strict
+    subset is contained in its superset (containment 1.0) while the
+    superset is NOT contained back; a doc with exactly 9 of its 10 ids
+    in the superset sits on the boundary and qualifies; 8 of 10 does
+    not."""
+    SUP = set(range(100))                     # s=100
+    A = set(range(10))                        # subset: c(A,SUP)=1
+    B = set(range(9)) | {500}                 # 9/10 -> boundary in
+    C = set(range(8)) | {500, 501}            # 8/10 -> out
+    got = {
+        (r.doc_sub, r.doc_sup): (r.inter, r.size_sub, r.containment)
+        for r in dedup.containment_pairs(
+            _tid_df(spark, {0: SUP, 1: A, 2: B, 3: C})
+        ).collect()
+    }
+    assert got[(1, 0)] == (10, 10, 1.0)
+    assert (0, 1) not in got                  # 10/100 back-direction
+    assert got[(2, 0)] == (9, 10, 0.9)
+    assert (3, 0) not in got
+    # A vs B: inter 9, size 10 -> 0.9 both present? c(A,B)=9/10 in;
+    # c(B,A)=9/10 in too (sizes equal) — mutual near-containment
+    assert got[(1, 2)] == (9, 10, 0.9) and got[(2, 1)] == (9, 10, 0.9)
+
+
+def test_containment_completeness_vs_brute_force(spark):
+    """The same 40 deterministic sets as the Jaccard sweep: the
+    prefix-indexed join must return EXACTLY the brute-force ordered
+    qualifying pairs."""
+    sets = {}
+    for d in range(40):
+        base = {(d * 37 + j * 13) % 120 for j in range(12 + d % 9)}
+        if d % 2 == 1 and d < 10:
+            prev = {((d - 1) * 37 + j * 13) % 120 for j in range(12 + (d - 1) % 9)}
+            base = prev | {999 + d} if len(prev) >= 5 else base
+        sets[d] = base
+    # plant true subsets: 50 ⊂ 51, and a small doc quoted by a big one
+    sets[50] = set(range(1000, 1010))
+    sets[51] = set(range(1000, 1040))
+    sets[52] = sets[50] | {2000 + i for i in range(90)}
+    got = {
+        (r.doc_sub, r.doc_sup)
+        for r in dedup.containment_pairs(_tid_df(spark, sets)).collect()
+    }
+    want = set()
+    for a in sets:
+        for b in sets:
+            if a != b:
+                i = len(sets[a] & sets[b])
+                if 10 * i >= 9 * len(sets[a]):
+                    want.add((a, b))
+    assert got == want
+    assert (50, 51) in want and (50, 52) in want  # the planted subsets

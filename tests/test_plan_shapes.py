@@ -792,3 +792,14 @@ def test_setsim_pairs_prefix_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_containment_pairs_prefix_equi_join(spark):
+    """The containment join must stay the index-prefix-probe-full
+    equi-join on tid: no cartesian / nested-loop node, no Python."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["containment_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
