@@ -762,3 +762,88 @@ def neighborhood_reach(edges: DataFrame) -> DataFrame:
             F.col("n_hosts").cast("long").alias("n_hosts"),
         )
     )
+
+
+def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Newman modularity Q of a node partition over the UNDIRECTED
+    simple host graph (self-loops dropped, each edge once) — the
+    partition-quality score that turns lpa_communities from "a
+    labeling" into "a measured clustering":
+    Q = sum_c [ e_c/m - (D_c/2m)^2 ], e_c = intra-community edges,
+    D_c = community degree mass, m = edge count.
+
+    Exactness: everything stays integer by scoring the NUMERATOR of
+    Q * 4m^2 = sum_c (4m*e_c - D_c^2); the reported modularity is that
+    exact BIGINT over 4m^2 — one correctly-rounded division,
+    ROUND(,6)-guarded.  (D_c^2 overflows int64 only past m ~ 1.5e9
+    undirected edges; at that scale score per community and aggregate
+    in double, trading the exact-hash property this module keeps at
+    test scale.)  Communities whose members have no surviving edges
+    contribute exactly 0 and may be skipped — only n_communities
+    counts them.
+
+    Returns ONE row (n_communities, m, q_num, modularity).
+
+    Scale shape: one symmetrized distinct fold, two label equi-joins
+    on the once-per-edge list, community-keyed aggs; the only scalars
+    (m, n_communities) broadcast as 1-row frames — no collect."""
+    und = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    once = und.filter(F.col("src") < F.col("dst"))
+    mrow = once.agg(F.count(F.lit(1)).alias("m"))
+    deg = und.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    dc = (
+        deg.join(labels, "host")
+        .groupBy("community")
+        .agg(F.sum("d").alias("dsum"))
+    )
+    la = labels.select(F.col("host").alias("src"), "community")
+    lb = labels.select(F.col("host").alias("dst"), "community")
+    ein = (
+        once.join(la, "src")
+        .join(lb, ["dst", "community"])
+        .groupBy("community")
+        .agg(F.count(F.lit(1)).alias("e"))
+    )
+    q = (
+        dc.join(ein, "community", "left")
+        .select(
+            "dsum", F.coalesce(F.col("e"), F.lit(0)).alias("e")
+        )
+        .crossJoin(F.broadcast(mrow))
+    )
+    qrow = q.agg(
+        F.sum(
+            4 * F.col("m") * F.col("e") - F.col("dsum") * F.col("dsum")
+        )
+        .cast("long")
+        .alias("q_num")
+    )
+    nrow = labels.agg(
+        F.countDistinct("community").cast("long").alias("n_communities")
+    )
+    return (
+        nrow.crossJoin(F.broadcast(mrow))
+        .crossJoin(F.broadcast(qrow))
+        .select(
+            "n_communities",
+            F.col("m").cast("long").alias("m"),
+            "q_num",
+            F.round(
+                F.col("q_num").cast("double")
+                / (4.0 * F.col("m") * F.col("m")).cast("double"),
+                6,
+            ).alias("modularity"),
+        )
+    )

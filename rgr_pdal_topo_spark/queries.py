@@ -8523,6 +8523,53 @@ def q_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkgraph.lpa_communities(linkgraph.extract_links(pages))
 
 
+@query(
+    "lpa_modularity",
+    _with(
+        *_lpa_ctes(linkgraph.LPA_ITERS),
+        f"fin AS (SELECT host, community FROM l{linkgraph.LPA_ITERS})",
+        "undm AS (SELECT DISTINCT src, dst FROM und WHERE src < dst)",
+        "mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM undm)",
+        "dg AS (SELECT src AS host, COUNT(*) AS d FROM "
+        "(SELECT src, dst FROM und WHERE src <> dst) u GROUP BY src)",
+        "dc AS (SELECT community, SUM(d) AS dsum FROM dg "
+        "JOIN fin USING (host) GROUP BY community)",
+        "ein AS (SELECT la.community, COUNT(*) AS e FROM undm "
+        "JOIN fin la ON la.host = undm.src "
+        "JOIN fin lb ON lb.host = undm.dst "
+        "AND lb.community = la.community GROUP BY la.community)",
+        "q AS (SELECT dsum, COALESCE(e, 0) AS e, (SELECT m FROM mm) AS m "
+        "FROM dc LEFT JOIN ein USING (community))",
+        "qq AS (SELECT CAST(SUM(4 * m * e - dsum * dsum) AS BIGINT) "
+        "AS q_num FROM q)",
+    )
+    + "SELECT CAST((SELECT COUNT(DISTINCT community) FROM fin) AS BIGINT) "
+    "AS n_communities, mm.m, qq.q_num, "
+    "ROUND(CAST(qq.q_num AS DOUBLE) / CAST(4 * mm.m * mm.m AS DOUBLE), 6) "
+    "AS modularity FROM mm, qq",
+)
+def q_lpa_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the LPA partition over the simple
+    undirected host graph (operators/linkgraph.py:modularity) — the
+    score that turns lpa_communities from "a labeling" into "a
+    measured clustering", and the quantity community pipelines
+    optimize.  Everything stays integer by scoring the exact BIGINT
+    numerator of Q * 4m^2 = sum_c (4m*e_c - D_c^2); the reported
+    modularity is one correctly-rounded division, ROUND(,6)-guarded
+    (the docstring records the int64 ceiling at m ~ 1.5e9 and the
+    per-community double fallback past it).  The oracle replays the
+    LPA rounds through the shared unrolled CTEs and then states the
+    definition, so the row certifies labeling AND scoring together.
+
+    Scale shape: beyond LPA itself, one symmetrized fold, two label
+    equi-joins on the once-per-edge list, community-keyed aggs; the
+    scalars broadcast as 1-row frames — no collect anywhere."""
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    edges = linkgraph.extract_links(pages)
+    labels = linkgraph.lpa_communities(edges)
+    return linkgraph.modularity(edges, labels)
+
+
 # Link-geography bands: band edges on the ROUNDED km (bit-identical in
 # both engines), so the CASE comparisons and counts are exact; min/max
 # are order-independent selections of identical doubles (sums/means of

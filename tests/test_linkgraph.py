@@ -436,3 +436,46 @@ def test_neighborhood_reach_path_and_star(spark):
     }
     # star nodes all reach 5 (bits 3); 100/101 reach 2 (bits 2)
     assert got2 == {3: 5, 2: 2}
+
+
+def test_modularity_planted_partitions(spark):
+    """Textbook values: two disjoint triangles under the TRUE partition
+    give Q = 1/2 (q_num = 2m^2); the same graph under the everything-
+    in-one-community partition gives Q = 0; splitting one triangle's
+    vertex off makes Q NEGATIVE-leaning (worse than truth)."""
+    tri2 = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    df = spark.createDataFrame(tri2, "src long, dst long")
+
+    def lab(mapping):
+        return spark.createDataFrame(
+            [(h, c) for h, c in mapping.items()], "host long, community long"
+        )
+
+    truth = lab({0: 1, 1: 1, 2: 1, 10: 2, 11: 2, 12: 2})
+    r = lg.modularity(df, truth).first()
+    assert (r.n_communities, r.m) == (2, 6)
+    # e_c = 3 each, D_c = 6 each: q_num = 2*(4*6*3 - 36) = 72 = 2*m*m/... 
+    assert r.q_num == 72 and r.modularity == 0.5
+
+    one = lab({h: 7 for h in (0, 1, 2, 10, 11, 12)})
+    r1 = lg.modularity(df, one).first()
+    assert (r1.q_num, r1.modularity) == (0, 0.0)
+
+    worse = lab({0: 1, 1: 1, 2: 9, 10: 2, 11: 2, 12: 2})
+    r2 = lg.modularity(df, worse).first()
+    assert r2.q_num < 72 and r2.n_communities == 3
+
+
+def test_modularity_drops_self_loops_and_counts_edges_once(spark):
+    """Self-loops vanish; a duplicated/reversed edge still counts once;
+    an isolated-community (no surviving edges) contributes exactly 0
+    but is still counted in n_communities."""
+    df = spark.createDataFrame(
+        [(0, 1), (1, 0), (2, 2), (0, 1)], "src long, dst long"
+    )
+    labels = spark.createDataFrame(
+        [(0, 5), (1, 5), (2, 6)], "host long, community long"
+    )
+    r = lg.modularity(df, labels).first()
+    # one real edge (0,1); community 5: e=1, D=2 -> 4*1*1 - 4 = 0
+    assert (r.m, r.n_communities, r.q_num, r.modularity) == (1, 2, 0, 0.0)
