@@ -150,6 +150,7 @@ HEADLINE = [
     "hilbert_locality",
     "robust_outliers",
     "containment_pairs",
+    "traffic_autocorr",
 ]
 
 

@@ -445,3 +445,53 @@ def daily_coverage(
             6,
         ).alias("cov_ratio"),
     )
+
+
+def series_autocorr(series: DataFrame, lags: list) -> DataFrame:
+    """Pearson autocorrelation of an integer time series at the given
+    integer lags — the periodicity detector (daily/weekly traffic
+    rhythm) over an (t, c) table that MUST be dense (missing ticks
+    pre-filled with 0; on a sparse table a lag join silently skips
+    gaps and the statistic stops being an autocorrelation).
+
+    Returns (lag, n, r): pair count and ROUND(r, 6) per lag.
+
+    Exactness: the five accumulators (sx, sy, sxy, sxx, syy) and the
+    three moment combinations n*sxy - sx*sy etc. are exact BIGINTs;
+    r's denominator is sqrt of their exact product — sqrt IS correctly
+    rounded under IEEE-754 (unlike ln/exp), so both engines compute
+    bit-identical doubles from identical integers and the one division
+    is correctly rounded, ROUND(,6)-guarded.  (The moment products
+    stay inside int64 for series up to ~10^4 ticks of ~10^3 counts;
+    longer series should pre-aggregate to coarser ticks first.)
+
+    Scale shape: the series is a TICK-GRAIN rollup (hours: 10^4 rows
+    for a year), so the lag replication (x |lags|) and the per-lag
+    shifted equi-join run on bounded aggregates, never raw events."""
+    la = series.select(
+        "t", "c", F.explode(F.array(*[F.lit(x) for x in lags])).alias("lag")
+    )
+    lb = series.select(
+        F.col("t").alias("tb"), F.col("c").alias("cb")
+    )
+    pairs = la.join(
+        lb, F.col("tb") == F.col("t") + F.col("lag")
+    )
+    mom = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("sx"),
+        F.sum("cb").alias("sy"),
+        F.sum(F.col("c") * F.col("cb")).alias("sxy"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+        F.sum(F.col("cb") * F.col("cb")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return mom.select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            num.cast("double") / F.sqrt((dx * dy).cast("double")), 6
+        ).alias("r"),
+    )

@@ -1230,6 +1230,88 @@ def q_session_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _DAY_US = 86_400_000_000
 
+# Planted diurnal overlay for traffic_autocorr: the synthetic event
+# stream is time-uniform (every lag's r ~ 0), and a periodicity
+# detector is only evidenced when SOME period is real and its
+# neighbours are not — so both engines add a deterministic NARROW
+# pulse (+30 counts at UTC hour 0 of every day) to the DENSE hourly
+# series before correlating.  Narrow matters: a wide square wave has a
+# triangular ACF (lags 23/25 score almost as high as 24), while a
+# 1-hour pulse overlaps itself only at multiples of 24 — the sharp
+# fingerprint the neighbour-lag test pins.  Same spelling both sides.
+_ACF_LAGS = (1, 2, 6, 12, 23, 24, 25, 168)
+def _acf_boost_sql(t: str) -> str:
+    return f"CASE WHEN (({t}) % 24) = 0 THEN 30 ELSE 0 END"
+
+
+@query(
+    "traffic_autocorr",
+    _with(
+        "hc AS (SELECT epoch_us(ts) // 3600000000 AS t, "
+        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1)",
+        "bounds AS (SELECT MIN(t) AS h0, MAX(t) AS h1 FROM hc)",
+        "dense AS (SELECT u.t AS t, COALESCE(hc.c, 0) + "
+        f"{_acf_boost_sql('u.t')} AS c FROM bounds, "
+        "LATERAL (SELECT unnest(generate_series(h0, h1)) AS t) u "
+        "LEFT JOIN hc ON hc.t = u.t)",
+        "lg AS (SELECT unnest(["
+        + ", ".join(str(x) for x in _ACF_LAGS)
+        + "]) AS lag)",
+        "p AS (SELECT lag, a.c AS x, b.c AS y FROM dense a "
+        "CROSS JOIN lg JOIN dense b ON b.t = a.t + lag)",
+        "m AS (SELECT lag, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+        "CAST(SUM(x * y) AS BIGINT) AS sxy, "
+        "CAST(SUM(x * x) AS BIGINT) AS sxx, "
+        "CAST(SUM(y * y) AS BIGINT) AS syy FROM p GROUP BY lag)",
+    )
+    + "SELECT CAST(lag AS BIGINT) AS lag, n, "
+    "ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / "
+    "sqrt(CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)), 6) "
+    "AS r FROM m",
+)
+def q_traffic_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic periodicity detection: Pearson autocorrelation of the
+    DENSE hourly event-count series at integer lags
+    (operators/temporal.py:series_autocorr) — the daily/weekly-rhythm
+    detector behind capacity planning and anomaly baselines.  The lag
+    menu brackets the planted period (23/24/25) so a green row shows
+    PERIOD detection, not smoothness: r spikes at lag 24 and stays
+    near 0 at 23 and 25 (pinned in tests).  Zero-filling matters and
+    is pinned too — on a sparse series the lag join skips gaps and the
+    statistic silently stops being an autocorrelation.
+
+    Exactness: all five accumulators and the three moment combinations
+    are exact BIGINTs; sqrt is correctly rounded under IEEE-754
+    (unlike ln/exp) so both engines build bit-identical doubles from
+    identical integers; one guarded division.
+
+    Scale shape: the series is an hour-grain rollup (10^4 rows/year);
+    lag replication and the shifted equi-joins run on that bounded
+    aggregate, never raw events."""
+    from rgr_pdal_topo_spark.operators import temporal
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+            "t"
+        )
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = hc.agg(F.min("t").alias("h0"), F.max("t").alias("h1"))
+    dense = (
+        bounds.select(F.explode(F.expr("sequence(h0, h1)")).alias("t"))
+        .join(hc, "t", "left")
+        .select(
+            "t",
+            (
+                F.coalesce(F.col("c"), F.lit(0))
+                + F.expr(_acf_boost_sql('t'))
+            ).alias("c"),
+        )
+    )
+    return temporal.series_autocorr(dense, list(_ACF_LAGS))
+
 
 @query(
     "session_coverage",

@@ -252,3 +252,35 @@ def test_union_coverage_bucket_edge_alignment(spark):
     }
     h = 473352 + 6
     assert got == {h: 3_600_000_000, h + 1: 3_600_000_000}
+
+
+def test_series_autocorr_planted_period(spark):
+    """A pure period-24 square wave scores r = 1.0 at lag 24 and
+    NEGATIVE at lag 12 (anti-phase); a constant-plus-single-spike
+    series scores near 0 at every listed lag — period detection, not
+    smoothness."""
+    wave = [(t, 10 + (5 if t % 24 < 12 else 0)) for t in range(240)]
+    got = {
+        r.lag: r.r
+        for r in temporal.series_autocorr(
+            spark.createDataFrame(wave, "t long, c long"), [12, 24]
+        ).collect()
+    }
+    assert got[24] == 1.0
+    assert got[12] == -1.0
+
+
+def test_traffic_autocorr_detects_the_planted_diurnal(spark):
+    """On the real stream + the planted square wave, lag 24 spikes
+    while its neighbours 23/25 stay near zero — the fingerprint of a
+    true period."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    got = {
+        r.lag: r.r
+        for r in QUERIES["traffic_autocorr"](spark, SF_DIR).collect()
+    }
+    assert got[24] > 0.5
+    assert abs(got[23]) < 0.25 and abs(got[25]) < 0.25
+    assert got[24] > 4 * max(abs(got[23]), abs(got[25]))
