@@ -151,6 +151,7 @@ HEADLINE = [
     "robust_outliers",
     "containment_pairs",
     "traffic_autocorr",
+    "seasonal_anomalies",
 ]
 
 

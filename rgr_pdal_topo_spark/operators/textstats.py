@@ -694,6 +694,38 @@ def pareto_skyline(documents: DataFrame) -> DataFrame:
     ).select("doc_id", "n_chars", "n_distinct_tokens")
 
 
+def grouped_median2(vals: DataFrame, keys: list, col: str) -> DataFrame:
+    """(keys..., n, m2) where m2 = a + b, the lower/upper middle values
+    of ``col`` per key group — i.e. TWICE the interpolated median, an
+    exact integer.  COUNTING-SORT selection: counts fold per
+    (keys, value) with map-side combine, the cumulative window runs
+    over that aggregated table (bounded by the value DOMAIN, never the
+    row count), and the middles are conditional mins over cumulative
+    counts.  Shared by robust_outliers (per-lang doc lengths) and
+    seasonal_anomalies (residual MAD)."""
+    from pyspark.sql import Window
+
+    c = vals.groupBy(*keys, col).agg(F.count(F.lit(1)).alias("c"))
+    n = c.groupBy(*keys).agg(F.sum("c").alias("n"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = c.withColumn("cum", F.sum("c").over(w)).join(
+        F.broadcast(n), list(keys)
+    )
+    lo = F.expr("(n + 1) DIV 2")
+    hi = F.expr("(n + 2) DIV 2")
+    return cum.groupBy(*keys).agg(
+        F.max("n").alias("n"),
+        (
+            F.min(F.when(F.col("cum") >= lo, F.col(col)))
+            + F.min(F.when(F.col("cum") >= hi, F.col(col)))
+        ).alias("m2"),
+    )
+
+
 def robust_outliers(documents: DataFrame) -> DataFrame:
     """Per-language robust outlier census on doc length: exact
     interpolated MEDIAN, exact MAD (median absolute deviation), and the
@@ -722,32 +754,10 @@ def robust_outliers(documents: DataFrame) -> DataFrame:
     windows over domain-bounded aggregates, one broadcast of the
     per-lang medians (languages are few).  No percentile() gather, no
     Python, no doc-level window."""
-    from pyspark.sql import Window
-
     s = documents.select("lang", F.length("text").alias("v"))
 
     def _med2(vals: DataFrame, col: str) -> DataFrame:
-        """(lang, a + b) where a/b are the lower/upper middle of ``col``
-        per lang — i.e. TWICE the interpolated median, an exact int."""
-        c = vals.groupBy("lang", col).agg(F.count(F.lit(1)).alias("c"))
-        n = c.groupBy("lang").agg(F.sum("c").alias("n"))
-        w = (
-            Window.partitionBy("lang")
-            .orderBy(col)
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        cum = c.withColumn("cum", F.sum("c").over(w)).join(
-            F.broadcast(n), "lang"
-        )
-        lo = F.expr("(n + 1) DIV 2")
-        hi = F.expr("(n + 2) DIV 2")
-        return cum.groupBy("lang").agg(
-            F.max("n").alias("n"),
-            (
-                F.min(F.when(F.col("cum") >= lo, F.col(col)))
-                + F.min(F.when(F.col("cum") >= hi, F.col(col)))
-            ).alias("m2"),
-        )
+        return grouped_median2(vals, ["lang"], col)
 
     med = _med2(s, "v").withColumnRenamed("m2", "med2")
     dev = s.join(F.broadcast(med), "lang").select(

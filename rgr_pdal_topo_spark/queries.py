@@ -1244,16 +1244,49 @@ def _acf_boost_sql(t: str) -> str:
     return f"CASE WHEN (({t}) % 24) = 0 THEN 30 ELSE 0 END"
 
 
+# The dense pulsed hourly series — ONE spelling shared by
+# traffic_autocorr (which detects the pulse's period) and
+# seasonal_anomalies (which removes it by seasonal differencing).
+_DENSE_HOURLY_CTES = (
+    "hc AS (SELECT epoch_us(ts) // 3600000000 AS t, "
+    "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1)",
+    "bounds AS (SELECT MIN(t) AS h0, MAX(t) AS h1 FROM hc)",
+    "dense AS (SELECT u.t AS t, COALESCE(hc.c, 0) + "
+    f"{_acf_boost_sql('u.t')} AS c FROM bounds, "
+    "LATERAL (SELECT unnest(generate_series(h0, h1)) AS t) u "
+    "LEFT JOIN hc ON hc.t = u.t)",
+)
+
+
+def _dense_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin of _DENSE_HOURLY_CTES: the zero-filled hourly event
+    count series with the deterministic diurnal pulse."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hc = ev.groupBy(
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
+            "t"
+        )
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = hc.agg(F.min("t").alias("h0"), F.max("t").alias("h1"))
+    return (
+        bounds.select(F.explode(F.expr("sequence(h0, h1)")).alias("t"))
+        .join(hc, "t", "left")
+        .select(
+            "t",
+            (
+                F.coalesce(F.col("c"), F.lit(0))
+                + F.expr(_acf_boost_sql("t"))
+            ).alias("c"),
+        )
+    )
+
+
 @query(
     "traffic_autocorr",
     _with(
-        "hc AS (SELECT epoch_us(ts) // 3600000000 AS t, "
-        "CAST(COUNT(*) AS BIGINT) AS c FROM events GROUP BY 1)",
-        "bounds AS (SELECT MIN(t) AS h0, MAX(t) AS h1 FROM hc)",
-        "dense AS (SELECT u.t AS t, COALESCE(hc.c, 0) + "
-        f"{_acf_boost_sql('u.t')} AS c FROM bounds, "
-        "LATERAL (SELECT unnest(generate_series(h0, h1)) AS t) u "
-        "LEFT JOIN hc ON hc.t = u.t)",
+        *_DENSE_HOURLY_CTES,
         "lg AS (SELECT unnest(["
         + ", ".join(str(x) for x in _ACF_LAGS)
         + "]) AS lag)",
@@ -1290,27 +1323,89 @@ def q_traffic_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag replication and the shifted equi-joins run on that bounded
     aggregate, never raw events."""
     from rgr_pdal_topo_spark.operators import temporal
-    from rgr_pdal_topo_spark.sources.tables import load_table
 
-    ev = load_table(spark, sf_dir, "events")
-    hc = ev.groupBy(
-        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) DIV 3600000000").alias(
-            "t"
-        )
-    ).agg(F.count(F.lit(1)).alias("c"))
-    bounds = hc.agg(F.min("t").alias("h0"), F.max("t").alias("h1"))
-    dense = (
-        bounds.select(F.explode(F.expr("sequence(h0, h1)")).alias("t"))
-        .join(hc, "t", "left")
-        .select(
-            "t",
-            (
-                F.coalesce(F.col("c"), F.lit(0))
-                + F.expr(_acf_boost_sql('t'))
-            ).alias("c"),
-        )
+    return temporal.series_autocorr(
+        _dense_hourly(spark, sf_dir), list(_ACF_LAGS)
     )
-    return temporal.series_autocorr(dense, list(_ACF_LAGS))
+
+
+# Planted anomalies for seasonal_anomalies: +40 at hours 100 and 400
+# after series start — deterministic, same spelling both engines.
+_ANOM_RELS = (100, 400)
+
+
+@query(
+    "seasonal_anomalies",
+    _with(
+        *_DENSE_HOURLY_CTES,
+        "d2 AS (SELECT t, c + CASE WHEN t - (SELECT h0 FROM bounds) IN ("
+        + ", ".join(str(x) for x in _ANOM_RELS)
+        + ") THEN 40 ELSE 0 END AS c FROM dense)",
+        "rr AS (SELECT b.t AS t, b.c AS c, b.c - a.c AS r "
+        "FROM d2 a JOIN d2 b ON b.t = a.t + 24)",
+        "mm AS (SELECT median(r) AS med FROM rr)",
+        "dd AS (SELECT t, c, r, abs(r - (SELECT med FROM mm)) AS dev "
+        "FROM rr)",
+        "md AS (SELECT median(dev) AS mad FROM dd)",
+    )
+    + "SELECT t, c, r FROM dd WHERE dev > 5 * (SELECT mad FROM md)",
+)
+def q_seasonal_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive anomaly detection over the pulsed hourly series:
+    residual r_t = c_t - c_(t-24) removes EXACTLY the daily pattern
+    traffic_autocorr detects (the planted period-24 pulse cancels —
+    the two queries are one narrative: detect the period, then
+    difference it away), and alarms fire where |r - med(r)| exceeds 5
+    robust MADs.  Two anomalies are planted (+40 at hours 100 and 400
+    after start); seasonal differencing honestly ECHOES each one 24
+    hours later with opposite sign (the classic artifact — pinned in
+    tests, not hidden).
+
+    Exactness: residuals are integers; the median/MAD fence reuses the
+    counting-sort selection (textstats.grouped_median2) so nothing
+    leaves integer arithmetic — the fence is 2*|2r - med2| > 5*mad4 —
+    while the oracle states the DEFINITION via DuckDB's native
+    median() twice and the float fence on exact dyadics.
+
+    Scale shape: everything runs on the hour-grain rollup; the only
+    windows are grouped_median2's domain-bounded cumulative scans; the
+    scalar medians broadcast as 1-row frames."""
+    dense = _dense_hourly(spark, sf_dir)
+    h0 = dense.agg(F.min("t").alias("h0"))
+    d2 = dense.crossJoin(F.broadcast(h0)).select(
+        "t",
+        (
+            F.col("c")
+            + F.when(
+                (F.col("t") - F.col("h0")).isin(*_ANOM_RELS), 40
+            ).otherwise(0)
+        ).alias("c"),
+    )
+    a = d2.select((F.col("t") + 24).alias("t"), F.col("c").alias("__ca"))
+    rdf = d2.join(a, "t").select(
+        "t", "c", (F.col("c") - F.col("__ca")).alias("r")
+    )
+    med = (
+        textstats.grouped_median2(
+            rdf.select(F.lit(1).alias("__g"), "r"), ["__g"], "r"
+        )
+        .select(F.col("m2").alias("med2"))
+    )
+    dev = rdf.crossJoin(F.broadcast(med)).select(
+        F.lit(1).alias("__g"),
+        F.abs(2 * F.col("r") - F.col("med2")).alias("d2"),
+    )
+    mad = textstats.grouped_median2(dev, ["__g"], "d2").select(
+        F.col("m2").alias("mad4")
+    )
+    return (
+        rdf.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(mad))
+        .filter(
+            2 * F.abs(2 * F.col("r") - F.col("med2")) > 5 * F.col("mad4")
+        )
+        .select("t", "c", "r")
+    )
 
 
 @query(

@@ -284,3 +284,24 @@ def test_traffic_autocorr_detects_the_planted_diurnal(spark):
     assert got[24] > 0.5
     assert abs(got[23]) < 0.25 and abs(got[25]) < 0.25
     assert got[24] > 4 * max(abs(got[23]), abs(got[25]))
+
+
+def test_seasonal_anomalies_planted_and_echoed(spark):
+    """At the test scale both planted spikes fire, and each is ECHOED
+    24 hours later with opposite sign — the documented seasonal-naive
+    artifact; the daily pulse itself (period 24) never alarms because
+    differencing cancels it exactly."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    rows = {r.t: r.r for r in
+            QUERIES["seasonal_anomalies"](spark, SF_DIR).collect()}
+    h0 = 473352  # first hour of the synthetic event range (2024-01-01)
+    for rel in (100, 400):
+        assert rows[h0 + rel] >= 40, f"planted +40 at rel {rel} missed"
+        assert rows[h0 + rel + 24] <= -40 + 8, f"echo at rel {rel}+24 missed"
+    # the pulse hours (rel % 24 == 0 minus the anomalies) never alarm
+    pulse_alarms = [t for t in rows if (t - h0) % 24 == 0
+                    and (t - h0) not in (100 + 24, 400 + 24)
+                    and (t - h0) not in (100, 400)]
+    assert pulse_alarms == []
