@@ -152,6 +152,7 @@ HEADLINE = [
     "containment_pairs",
     "traffic_autocorr",
     "seasonal_anomalies",
+    "bag_jaccard",
 ]
 
 

@@ -1467,3 +1467,63 @@ def containment_pairs(
             ).alias("containment"),
         )
     )
+
+
+def bag_jaccard(documents: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Weighted (multiset / bag-of-words) Jaccard for given
+    (doc_a, doc_b) pairs:
+    J_w = sum_t min(tf_a, tf_b) / sum_t max(tf_a, tf_b) — the
+    repetition-aware refinement of set Jaccard (two docs with the same
+    vocabulary but one of them looping a sentence 50x look identical
+    to set Jaccard; the bag score exposes them).  Standard second
+    stage over an exact or LSH near-dup pair set.
+
+    Exactness: the identity sum(max) = tot_a + tot_b - sum(min) keeps
+    everything in ONE shared-token join — term frequencies, the min
+    fold and both totals are exact BIGINTs; J_w is one
+    correctly-rounded division, ROUND(,6)-guarded.
+
+    Scale shape: tf/totals are (doc, token)-keyed map-side-combinable
+    folds over the PAIRED docs only (semi-join pushdown via the pair
+    list); the min fold touches candidate pairs x shared tokens.
+    Pairs sharing no token at all would drop (inner join) — callers
+    feed near-dup pairs, where that set is empty by construction."""
+    tok = tokens(documents)
+    tf = tok.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    tot = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tot"))
+    a = tf.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col("tf").alias("tf_a")
+    )
+    b = tf.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col("tf").alias("tf_b")
+    )
+    smin = (
+        pairs.join(a, "doc_a")
+        .join(b, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.least("tf_a", "tf_b")).alias("w_inter"))
+    )
+    w_uni = (F.col("tot_a") + F.col("tot_b") - F.col("w_inter")).cast(
+        "long"
+    )
+    return (
+        smin.join(
+            tot.select(F.col("doc_id").alias("doc_a"),
+                       F.col("tot").alias("tot_a")),
+            "doc_a",
+        )
+        .join(
+            tot.select(F.col("doc_id").alias("doc_b"),
+                       F.col("tot").alias("tot_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("w_inter").cast("long").alias("w_inter"),
+            w_uni.alias("w_uni"),
+            F.round(
+                F.col("w_inter").cast("double") / w_uni.cast("double"), 6
+            ).alias("w_jaccard"),
+        )
+    )

@@ -10217,6 +10217,58 @@ def q_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bag_jaccard",
+    _with(
+        f"d AS ({_DOCTOKS_DUCK})",
+        f"sh AS ({_SHINGLES_DUCK})",
+        f"dt AS MATERIALIZED ({_SHID_DUCK})",
+        "sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS s FROM dt "
+        "GROUP BY doc_id)",
+        "i AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(COUNT(*) AS BIGINT) AS inter FROM dt a JOIN dt b "
+        "ON a.tid = b.tid AND a.doc_id < b.doc_id GROUP BY 1, 2)",
+        "pr AS (SELECT doc_a, doc_b FROM i "
+        "JOIN sz x ON x.doc_id = doc_a JOIN sz y ON y.doc_id = doc_b "
+        f"WHERE {dedup.ALLPAIRS_DEN} * inter >= "
+        f"{dedup.ALLPAIRS_NUM} * (x.s + y.s - inter))",
+        "tf AS (SELECT doc_id, u.tok AS tok, CAST(COUNT(*) AS BIGINT) "
+        "AS tf FROM d, LATERAL (SELECT unnest(toks) AS tok) u "
+        "GROUP BY 1, 2)",
+        "tt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS tot FROM d)",
+        "sm AS (SELECT pr.doc_a, pr.doc_b, "
+        "CAST(SUM(LEAST(a.tf, b.tf)) AS BIGINT) AS w_inter FROM pr "
+        "JOIN tf a ON a.doc_id = pr.doc_a "
+        "JOIN tf b ON b.doc_id = pr.doc_b AND b.tok = a.tok "
+        "GROUP BY 1, 2)",
+    )
+    + "SELECT doc_a, doc_b, w_inter, "
+    "ta.tot + tb.tot - w_inter AS w_uni, "
+    "ROUND(CAST(w_inter AS DOUBLE) / "
+    "CAST(ta.tot + tb.tot - w_inter AS DOUBLE), 6) AS w_jaccard "
+    "FROM sm JOIN tt ta ON ta.doc_id = doc_a "
+    "JOIN tt tb ON tb.doc_id = doc_b",
+)
+def q_bag_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (multiset) Jaccard rescoring of the exact near-dup
+    pairs (operators/dedup.py bag_jaccard over the setsim_pairs
+    survivors): J_w = sum min(tf)/sum max(tf) on token BAGS — the
+    repetition-aware second stage that separates "same vocabulary" from
+    "same document" (a doc looping one sentence 50x ties on set Jaccard
+    and collapses on the bag score).  The sum(max) identity
+    (tot_a + tot_b - sum(min)) keeps it one shared-token join;
+    all-integer, one guarded division.  The oracle recomputes the pair
+    set definitionally and restates the bag formula, so the row
+    certifies the two-stage composition end to end."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.allpairs_jaccard(dedup.shingle_ids(docs)).select(
+        "doc_a", "doc_b"
+    )
+    return dedup.bag_jaccard(docs, pairs)
+
+
+@query(
     "containment_pairs",
     _with(
         f"d AS ({_DOCTOKS_DUCK})",

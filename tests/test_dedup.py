@@ -816,3 +816,28 @@ def test_containment_completeness_vs_brute_force(spark):
                     want.add((a, b))
     assert got == want
     assert (50, 51) in want and (50, 52) in want  # the planted subsets
+
+
+def test_bag_jaccard_separates_repetition_from_identity(spark):
+    """The case set Jaccard cannot see: doc 1 = doc 0's vocabulary with
+    one sentence looped — set J = 1, bag J collapses; exact duplicates
+    score 1.0 on both; and the min/max identity is exact on a hand
+    pair."""
+    base = "alpha beta gamma delta"
+    rows = [
+        (0, base),
+        (1, base + (" alpha beta" * 10)),   # same vocab, heavy repeats
+        (2, base),                           # exact duplicate of 0
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.doc_a, r.doc_b): (r.w_inter, r.w_uni, r.w_jaccard)
+        for r in dedup.bag_jaccard(docs, pairs).collect()
+    }
+    # doc0 bag: a1 b1 g1 d1 (tot 4); doc1: a11 b11 g1 d1 (tot 24)
+    # min-sum = 1+1+1+1 = 4; uni = 4+24-4 = 24
+    assert got[(0, 1)] == (4, 24, round(4 / 24, 6))
+    assert got[(0, 2)] == (4, 4, 1.0)
