@@ -153,6 +153,7 @@ HEADLINE = [
     "traffic_autocorr",
     "seasonal_anomalies",
     "bag_jaccard",
+    "rendezvous_shards",
 ]
 
 

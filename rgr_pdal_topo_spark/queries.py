@@ -10216,6 +10216,52 @@ def q_setsim_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.allpairs_jaccard(dedup.shingle_ids(docs))
 
 
+_HRW_H = "md5(CAST(doc_id AS STRING) || ':' || CAST(u.s AS STRING))"
+
+
+@query(
+    "rendezvous_shards",
+    _with(
+        f"sh AS (SELECT doc_id, u.s AS s, {_HRW_H} AS h "
+        "FROM documents, LATERAL (SELECT "
+        "unnest(generate_series(0, 16)) AS s) u)",
+        f"ss AS (SELECT doc_id, s, {dedup.horner_hash_sql('h')} AS w "
+        "FROM sh)",
+        "r16 AS (SELECT doc_id, s AS shard FROM (SELECT doc_id, s, "
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, s ASC) "
+        "AS rn FROM ss WHERE s < 16) t WHERE rn = 1)",
+        "r17 AS (SELECT doc_id, s AS shard_plus FROM (SELECT doc_id, s, "
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, s ASC) "
+        "AS rn FROM ss) t WHERE rn = 1)",
+        "j AS (SELECT shard, shard_plus FROM r16 JOIN r17 "
+        "USING (doc_id))",
+    )
+    + "SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+    "CAST(SUM(CASE WHEN shard_plus <> shard THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_moved, "
+    "ROUND(CAST(SUM(CASE WHEN shard_plus <> shard THEN 1 ELSE 0 END) "
+    "AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS moved_frac "
+    "FROM j GROUP BY shard",
+)
+def q_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) sharding elasticity report
+    (operators/sharding.py:rendezvous_report): per 16-shard bucket,
+    how many docs a 17th shard would steal — the HRW guarantee that
+    elastically growing a 10^12-doc crawl store moves ~1/17 of the
+    corpus and nothing else (hash-mod would reshuffle 16/17), measured
+    instead of asserted (the planted test also pins that every moved
+    doc lands on the NEW shard).  Weights are the portable md5+Horner
+    ids, so the oracle replays every weight bit-for-bit; both argmaxes
+    come out of ONE doc-keyed aggregation over one bounded (N+1)
+    explode; ties break to the smallest shard by a total struct order.
+    All counts exact; moved_frac is one guarded division."""
+    from rgr_pdal_topo_spark.operators import sharding
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sharding.rendezvous_report(docs)
+
+
 @query(
     "bag_jaccard",
     _with(
