@@ -193,3 +193,59 @@ def search_results(
     return top.join(sn, ["qid", "doc_id"]).select(
         "qid", "doc_id", "rnk", "score_q13", "hit_pos", "snippet"
     )
+
+
+def phrase_hits(
+    documents: DataFrame,
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+) -> DataFrame:
+    """(qid, doc_id, n_hits, first_pos) — EXACT positional phrase
+    search: a document hits only where the query's tokens occur
+    CONSECUTIVELY, in order (the `"quoted phrase"` verb of a search
+    engine, which bm25_scores' bag-of-words scoring cannot express).
+
+    Plan: the positional postings list (doc_id, pos, tok) — the
+    canonical web-search index structure — is built by one posexplode;
+    the (qid, offset, tok) phrase dimension broadcasts into that scan
+    as a semi-filter, each surviving posting is rebased to its implied
+    phrase START (anchor = pos - offset), and ONE groupBy counts
+    distinct matched offsets per (qid, doc, anchor): an anchor where
+    every offset matched is a phrase occurrence.  No positional
+    self-join per phrase word — the classic k-way adjacency join
+    collapses into a single count-distinct aggregation whose input is
+    already filtered to query-vocabulary postings, so shuffle volume
+    is bounded by the phrase words' posting lists, not the corpus.
+    Repeated tokens inside a phrase are handled by construction (the
+    DISTINCT is on offsets, not tokens).
+
+    Everything is integer: positions, offsets, counts — no float
+    anywhere, so cross-engine parity is exact with no rounding policy.
+    """
+    spark = documents.sparkSession
+    d = documents.select("doc_id", dedup._tok_array().alias("toks"))
+    pos = d.select(
+        "doc_id", F.posexplode(F.col("toks")).alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    qw = (
+        spark.createDataFrame(list(queries), "qid int, qtext string")
+        .select(
+            "qid",
+            F.posexplode(F.split("qtext", " ")).alias("off", "tok"),
+        )
+    )
+    qlen = qw.groupBy("qid").agg(F.count(F.lit(1)).alias("qlen"))
+    anchored = pos.join(F.broadcast(qw), "tok").select(
+        "qid", "doc_id", (F.col("pos") - F.col("off")).alias("anchor"),
+        "off",
+    )
+    return (
+        anchored.groupBy("qid", "doc_id", "anchor")
+        .agg(F.count_distinct(F.col("off")).alias("k"))
+        .join(F.broadcast(qlen), "qid")
+        .filter((F.col("k") == F.col("qlen")) & (F.col("anchor") >= 1))
+        .groupBy("qid", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("anchor").cast("long").alias("first_pos"),
+        )
+    )

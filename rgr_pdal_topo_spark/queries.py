@@ -10379,6 +10379,52 @@ def q_pareto_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pareto_skyline(docs)
 
 
+_PHRASE_QW_DUCK = "(VALUES " + ", ".join(
+    f"({qid}, {off}, '{tok}')"
+    for qid, qtext in retrieval.BM25_QUERIES
+    for off, tok in enumerate(qtext.split(" "))
+) + ") pq(qid, off, tok)"
+
+
+@query(
+    "phrase_search",
+    _with(
+        f"d AS ({_DOCTOKS_DUCK})",
+        "p AS (SELECT doc_id, u.pos AS pos, toks[u.pos] AS tok FROM d, "
+        "LATERAL (SELECT unnest(generate_series(1, len(toks))) AS pos) "
+        "u)",
+        f"q AS (SELECT * FROM {_PHRASE_QW_DUCK})",
+        "ql AS (SELECT qid, COUNT(*) AS qlen FROM q GROUP BY qid)",
+        "m AS (SELECT q.qid, p.doc_id, p.pos - q.off AS anchor, q.off "
+        "FROM p JOIN q ON q.tok = p.tok)",
+        "a AS (SELECT qid, doc_id, anchor, COUNT(DISTINCT off) AS k "
+        "FROM m GROUP BY 1, 2, 3)",
+        "h AS (SELECT a.qid, a.doc_id, a.anchor FROM a JOIN ql "
+        "USING (qid) WHERE a.k = ql.qlen AND a.anchor >= 1)",
+    )
+    + "SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, "
+    "CAST(MIN(anchor) AS BIGINT) AS first_pos FROM h "
+    "GROUP BY qid, doc_id",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT positional phrase search (operators/retrieval.py
+    phrase_hits): documents matching the BM25 keyword queries read as
+    QUOTED PHRASES — tokens consecutive and in order — with per-doc
+    occurrence count and first position.  The retrieval verb BM25's
+    bag-of-words scoring cannot express, over the same shared query
+    dimension so the two rows certify the same fixture from opposite
+    semantics (every phrase hit is necessarily a bm25_scores row; the
+    planted test pins that containment).  The oracle is the
+    definitional positional-postings spelling; the engine collapses
+    the k-way adjacency self-join into ONE anchor-rebased
+    count-distinct aggregation over broadcast-filtered postings.
+    All-integer; hash-exact with no rounding policy."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return retrieval.phrase_hits(docs)
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

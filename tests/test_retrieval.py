@@ -204,3 +204,56 @@ def test_doc_keywords_rare_term_wins(spark):
     assert got[(0, 1)] == ("zebra", 1, 1 * z)
     assert got[(0, 2)] == ("common", 3, 3 * c)
     assert 1 * z > 3 * c
+
+
+def test_phrase_hits_planted(spark):
+    # doc 1: "a b c" twice (positions 1 and 4), plus a decoy "a b" with
+    # no "c" after; doc 2: tokens present but never consecutive;
+    # doc 3: phrase at the very start and very end.
+    docs = [
+        (1, "a b c a b c a b x"),
+        (2, "a x b x c a c b"),
+        (3, "a b c x x a b c"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r.qid, r.doc_id): (r.n_hits, r.first_pos)
+        for r in retrieval.phrase_hits(df, ((7, "a b c"),)).collect()
+    }
+    assert got == {(7, 1): (2, 1), (7, 3): (2, 1)}
+
+
+def test_phrase_hits_repeated_token_phrase(spark):
+    # "b b" inside "b b b" overlaps: anchors 1 and 2 both qualify.
+    df = spark.createDataFrame(
+        [(1, "b b b"), (2, "b x b")], "doc_id long, text string"
+    )
+    got = {
+        (r.qid, r.doc_id): (r.n_hits, r.first_pos)
+        for r in retrieval.phrase_hits(df, ((0, "b b"),)).collect()
+    }
+    assert got == {(0, 1): (2, 1)}
+
+
+def test_phrase_hits_single_token_equals_tf(spark):
+    df = spark.createDataFrame(
+        [(1, "z a z"), (2, "a a a")], "doc_id long, text string"
+    )
+    got = {
+        (r.qid, r.doc_id): (r.n_hits, r.first_pos)
+        for r in retrieval.phrase_hits(df, ((0, "z"),)).collect()
+    }
+    assert got == {(0, 1): (2, 1)}
+
+
+def test_phrase_hits_contained_in_bm25_rows(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    ph = {
+        (r.qid, r.doc_id)
+        for r in retrieval.phrase_hits(docs).collect()
+    }
+    bm = {
+        (r.qid, r.doc_id)
+        for r in retrieval.bm25_scores(docs).collect()
+    }
+    assert ph and ph <= bm
