@@ -495,3 +495,111 @@ def series_autocorr(series: DataFrame, lags: list) -> DataFrame:
             num.cast("double") / F.sqrt((dx * dy).cast("double")), 6
         ).alias("r"),
     )
+
+
+MK_Q13 = 8192  #: Theil-Sen slope quantization grid (2^-13, repo-wide)
+
+
+def mann_kendall(events: DataFrame, group: str = "event_type") -> DataFrame:
+    """(event_type, n_days, s_stat, var18, slope_ts) — the
+    Mann-Kendall monotonic-trend test plus the Theil-Sen robust slope
+    over each group's DAILY count series: the standard
+    is-this-metric-drifting pair for operational time series (crawl
+    volume, error rates), robust where slope_area_fit's OLS is not
+    (one outlier day moves OLS arbitrarily; it moves these two not at
+    all).
+
+      s_stat = sum over day pairs i<j of sign(c_j - c_i)   (integer)
+      var18  = n(n-1)(2n+5) - sum_ties t(t-1)(2t+5)        (integer;
+               exactly 18x the tie-corrected Var[S] — kept as the
+               exact integer numerator, no float variance ever forms)
+      slope_ts = median over pairs of (c_j - c_i)/(d_j - d_i),
+               each slope pinned to the 2^-13 grid BEFORE the median
+
+    Cross-engine exactness: counts, day indices, signs, the variance
+    polynomial — all integer.  Each pair slope is ONE correctly-rounded
+    IEEE division of integer-valued doubles (bit-identical in both
+    engines), the *8192 is an exact exponent shift and FLOOR(+0.5)
+    lands on integers; the median of those integers is (lo + hi) / 2
+    over the two middle order statistics — exact in float64 and equal
+    to DuckDB's interpolating median because every quantity is an
+    exactly-representable integer.  The final /8192.0 is exact.
+
+    Scale shape: the pair join is quadratic in DISTINCT TIME BUCKETS,
+    not rows — the heavy lift is the first partial+final groupBy that
+    folds 10^12 events into (group, day) counts; a 10-year daily
+    series is ~3.7k buckets -> ~6.6M pairs per group, and the pair
+    join shuffles on the group key only (tiny aggregate input).  The
+    per-group median runs over that bounded pair set.
+    """
+    daily = events.groupBy(
+        F.col(group), F.unix_date(F.to_date("ts")).cast("long").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+    a, b = daily.alias("a"), daily.alias("b")
+    ac, bc = F.col("a.c"), F.col("b.c")
+    pairs = a.join(
+        b,
+        (F.col(f"a.{group}") == F.col(f"b.{group}"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col(f"a.{group}").alias(group),
+        F.when(bc > ac, F.lit(1)).when(bc < ac, F.lit(-1))
+        .otherwise(F.lit(0)).alias("sgn"),
+        F.floor(
+            (bc - ac).cast("double")
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+            * F.lit(float(MK_Q13))
+            + F.lit(0.5)
+        ).cast("long").alias("sq"),
+    )
+
+    w = Window.partitionBy(group).orderBy("sq")
+    ranked = pairs.withColumn("rn", F.row_number().over(w))
+    np_ = pairs.groupBy(group).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("sgn").cast("long").alias("s_stat"),
+    )
+    med = (
+        ranked.join(np_, group)
+        .filter(
+            (F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+            | (F.col("rn") == F.floor(F.col("n_pairs") / 2) + 1)
+        )
+        .groupBy(group)
+        .agg(
+            (
+                (F.min("sq") + F.max("sq")).cast("double")
+                / F.lit(2.0)
+                / F.lit(float(MK_Q13))
+            ).alias("slope_ts"),
+            F.first("s_stat").alias("s_stat"),
+        )
+    )
+
+    nd = daily.groupBy(group).agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        daily.groupBy(group, "c")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy(group)
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).cast("long").alias("tie_term")
+        )
+    )
+    n = F.col("n_days")
+    return (
+        nd.join(med, group)
+        .join(ties, group, "left")
+        .select(
+            group,
+            "n_days",
+            "s_stat",
+            (
+                n * (n - 1) * (2 * n + 5)
+                - F.coalesce(F.col("tie_term"), F.lit(0))
+            ).cast("long").alias("var18"),
+            "slope_ts",
+        )
+    )

@@ -10425,6 +10425,52 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.phrase_hits(docs)
 
 
+@query(
+    "trend_mk",
+    _with(
+        "daily AS (SELECT event_type, CAST(CAST(ts AS DATE) - "
+        "DATE '1970-01-01' AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) "
+        "AS c FROM events GROUP BY 1, 2)",
+        "nd AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM daily GROUP BY 1)",
+        "pr AS (SELECT a.event_type, CASE WHEN b.c > a.c THEN 1 "
+        "WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn, "
+        "CAST(FLOOR(CAST(b.c - a.c AS DOUBLE) / "
+        "CAST(b.d - a.d AS DOUBLE) * 8192 + 0.5) AS BIGINT) AS sq "
+        "FROM daily a JOIN daily b ON a.event_type = b.event_type "
+        "AND a.d < b.d)",
+        "tg AS (SELECT event_type, CAST(SUM(t * (t - 1) * (2 * t + 5)) "
+        "AS BIGINT) AS tie_term FROM (SELECT event_type, c, "
+        "CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY 1, 2) u "
+        "GROUP BY 1)",
+        "st AS (SELECT event_type, CAST(SUM(sgn) AS BIGINT) AS s_stat, "
+        "median(sq) / 8192.0 AS slope_ts FROM pr GROUP BY 1)",
+    )
+    + "SELECT nd.event_type, nd.n AS n_days, st.s_stat, "
+    "CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5) - "
+    "COALESCE(tg.tie_term, 0) AS BIGINT) AS var18, st.slope_ts "
+    "FROM nd JOIN st USING (event_type) LEFT JOIN tg USING (event_type)",
+)
+def q_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test + Theil-Sen robust slope per event_type
+    over the daily count series (operators/temporal.py mann_kendall):
+    the nonparametric is-this-metric-drifting pair, robust where
+    slope_area_fit's OLS is not.  S and the tie-corrected 18xVar[S]
+    are pure integers; each pairwise slope is one correctly-rounded
+    division of integer-valued doubles pinned to the 2^-13 grid BEFORE
+    the median, so the median — (lo + hi) / 2 over the two middle
+    order statistics in the engine, DuckDB's native interpolating
+    median() in the oracle — is exact dyadic in both and the parity
+    row certifies the equivalence of the two median spellings on
+    integers.  Pairs are quadratic in distinct DAYS, not rows (a
+    10-year series is ~3.7k buckets); the heavy lift is the first
+    partial+final fold of the event stream into (type, day) counts."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return temporal.mann_kendall(ev)
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

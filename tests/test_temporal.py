@@ -305,3 +305,47 @@ def test_seasonal_anomalies_planted_and_echoed(spark):
                     and (t - h0) not in (100 + 24, 400 + 24)
                     and (t - h0) not in (100, 400)]
     assert pulse_alarms == []
+
+
+def _mk_events(spark, spec):
+    """spec: {etype: {day: count}} -> events-shaped frame."""
+    rows = []
+    for et, days in spec.items():
+        for d, c in days.items():
+            for k in range(c):
+                rows.append((et, f"2024-01-{d + 1:02d} 0{k % 10}:0{k // 10}:00"))
+    return spark.createDataFrame(rows, "event_type string, s string").select(
+        "event_type", F.col("s").cast("timestamp").alias("ts")
+    )
+
+
+def test_mann_kendall_planted(spark):
+    # type A: days 0..3, counts 1,2,2,5 -> S=5, n=4, ties {2:2},
+    # var18 = 4*3*13 - 2*1*9 = 138; q13 slopes sorted
+    # [0, 4096, 8192, 10923, 12288, 24576] -> median 9557.5/8192
+    # type B: strictly decreasing 3,2,1 -> S=-3, var18=3*2*11=66,
+    # every slope -1 -> median -1.0 (odd pair count path)
+    ev = _mk_events(
+        spark,
+        {
+            "A": {0: 1, 1: 2, 2: 2, 3: 5},
+            "B": {0: 3, 1: 2, 2: 1},
+        },
+    )
+    got = {
+        r.event_type: (r.n_days, r.s_stat, r.var18, r.slope_ts)
+        for r in temporal.mann_kendall(ev).collect()
+    }
+    assert got == {
+        "A": (4, 5, 138, 9557.5 / 8192.0),
+        "B": (3, -3, 66, -1.0),
+    }
+
+
+def test_mann_kendall_flat_series_is_trendless(spark):
+    # constant counts: S = 0, every slope 0, maximal tie correction
+    ev = _mk_events(spark, {"C": {d: 2 for d in range(5)}})
+    [r] = temporal.mann_kendall(ev).collect()
+    assert (r.s_stat, r.slope_ts) == (0, 0.0)
+    # all 5 days tie on count 2: var18 = 5*4*15 - 5*4*15 = 0
+    assert r.var18 == 0
