@@ -167,3 +167,103 @@ def kmeans_nd(
             for c in range(k)
         ]
     return _assign_nd(dd, "__v", cents, id_col).drop("__v"), cents
+
+
+# ---------------------------------------------------------------------------
+# Grid DBSCAN: density-connected hotspot clustering on an integer lattice.
+#
+# The cell-granular DBSCAN variant (eps = one cell of 8-adjacency,
+# minPts = a per-cell density threshold): cells dense enough to be CORE
+# are clustered by density-CONNECTIVITY — the property kmeans cannot
+# express (non-convex shapes, cluster count discovered not chosen, noise
+# left unlabeled).  The classic point-level DBSCAN needs an eps-radius
+# neighbor search per point; at 10^12 rows the grid formulation is the
+# scalable spelling (DBSCAN's own authors' gridded variant): ONE
+# partial+final groupBy folds the points into cell counts, everything
+# after runs on the (bounded) core-cell set.
+# ---------------------------------------------------------------------------
+
+DBSCAN_LATTICE = 200        #: gx/gy domain: [0, DBSCAN_LATTICE)
+DBSCAN_MINPTS_FLOOR = 5     #: absolute core floor (small scales)
+DBSCAN_DENSITY_MULT = 8     #: relative floor: >= 8x uniform density
+
+
+def dbscan_grid(pts: DataFrame) -> DataFrame:
+    """(cluster, n_cells, n_points, min_gx, max_gx, min_gy, max_gy) —
+    density-connected clusters of lattice cells.
+
+    pts carries integer (gx, gy).  A cell is CORE when its count
+    reaches max(DBSCAN_MINPTS_FLOOR, ceil(DBSCAN_DENSITY_MULT * total /
+    lattice^2)) — the relative term makes the rule scale-free (the same
+    query means the same thing at sf0.001 and at 100 TB), the absolute
+    floor keeps collision noise out when the lattice is nearly empty.
+    Core cells 8-adjacent to each other are density-connected; clusters
+    are the connected components (min-label propagation with path
+    compression, operators/dedup.py duplicate_components — shallow
+    blob graphs converge in ~2 rounds), singleton core cells are their
+    own cluster.  Everything is integer end to end: counts, the
+    ceil-division threshold (one `div`), cell ids, extents.
+
+    Scale shape: the only row-proportional work is the first groupBy
+    (partial+final count fold); the adjacency join explodes 8 offsets
+    per CORE cell only and equi-joins on the (gx, gy) key; the CC loop
+    runs on the core-cell graph, whose size the density threshold
+    bounds regardless of input rows."""
+    l2 = DBSCAN_LATTICE * DBSCAN_LATTICE
+    cells = pts.groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("n"))
+    tot = cells.agg(F.sum("n").alias("tot"))
+    core = (
+        cells.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("n")
+            >= F.greatest(
+                F.lit(DBSCAN_MINPTS_FLOOR),
+                F.expr(
+                    f"({DBSCAN_DENSITY_MULT} * tot + {l2 - 1}) div {l2}"
+                ),
+            )
+        )
+        .select(
+            "gx", "gy", "n",
+            (F.col("gy") * DBSCAN_LATTICE + F.col("gx")).alias("cid"),
+        )
+    )
+    core = core.localCheckpoint(eager=True)  # CC loop re-reads it
+
+    offs = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        if (dx, dy) != (0, 0)
+    ])
+    probes = core.select(
+        "cid",
+        F.explode(offs).alias("o"),
+        (F.col("gx")).alias("gx0"), (F.col("gy")).alias("gy0"),
+    ).select(
+        F.col("cid").alias("cid_a"),
+        (F.col("gx0") + F.col("o.dx")).alias("gx"),
+        (F.col("gy0") + F.col("o.dy")).alias("gy"),
+    )
+    edges = (
+        probes.join(core.select("gx", "gy", "cid"), ["gx", "gy"])
+        .filter(F.col("cid_a") < F.col("cid"))
+        .select(
+            F.col("cid_a").alias("doc_a"), F.col("cid").alias("doc_b")
+        )
+        .distinct()
+    )
+
+    from rgr_pdal_topo_spark.operators.dedup import duplicate_components
+
+    comp = duplicate_components(edges).select(
+        F.col("doc_id").alias("cid"), F.col("cluster")
+    )
+    labeled = core.join(comp, "cid", "left").withColumn(
+        "cluster", F.coalesce(F.col("cluster"), F.col("cid"))
+    )
+    return labeled.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("n").alias("n_points"),
+        F.min("gx").alias("min_gx"), F.max("gx").alias("max_gx"),
+        F.min("gy").alias("min_gy"), F.max("gy").alias("max_gy"),
+    )

@@ -10471,6 +10471,50 @@ def q_trend_mk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.mann_kendall(ev)
 
 
+@query(
+    "dbscan_grid",
+    "WITH RECURSIVE "
+    f"dpts AS ({synth.dbscan_points_sql()}), "
+    "dcells AS (SELECT gx, gy, CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM dpts GROUP BY 1, 2), "
+    "tt AS (SELECT SUM(n) AS tot FROM dcells), "
+    "core AS (SELECT gx, gy, n, gy * 200 + gx AS cid FROM dcells, tt "
+    "WHERE n >= GREATEST(5, (8 * tot + 39999) // 40000)), "
+    "e AS (SELECT a.cid AS x, b.cid AS y FROM core a JOIN core b "
+    "ON abs(a.gx - b.gx) <= 1 AND abs(a.gy - b.gy) <= 1 "
+    "AND a.cid <> b.cid), "
+    "reach(x, y) AS (SELECT x, y FROM e "
+    "UNION SELECT r.x, s.y FROM reach r JOIN e s ON s.x = r.y), "
+    "lab AS (SELECT x AS cid, LEAST(x, MIN(y)) AS cluster "
+    "FROM reach GROUP BY x), "
+    "lb AS (SELECT core.cid, core.n, core.gx, core.gy, "
+    "COALESCE(lab.cluster, core.cid) AS cluster FROM core "
+    "LEFT JOIN lab USING (cid)) "
+    "SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n_cells, "
+    "CAST(SUM(n) AS BIGINT) AS n_points, "
+    "MIN(gx) AS min_gx, MAX(gx) AS max_gx, "
+    "MIN(gy) AS min_gy, MAX(gy) AS max_gy "
+    "FROM lb GROUP BY cluster",
+)
+def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid DBSCAN — density-connected hotspot clustering
+    (operators/cluster.py dbscan_grid) over the planted blob lattice
+    (synth.dbscan_points_sql — 8 compact blobs, two deliberately
+    adjacent, 30% uniform noise): cells at >= max(5, ceil(8x uniform
+    density)) are CORE, 8-adjacent core cells density-connect, and the
+    clusters are the connected components — non-convex shapes, cluster
+    count DISCOVERED not chosen, noise unlabeled: the clustering verb
+    kmeans_scarp cannot express.  The adjacent blob pair certifies
+    transitive merging end to end (one 18-cell cluster must emerge).
+    Engine: one partial+final count fold, 8-offset explode equi-join
+    on the core set only, min-label propagation with path compression
+    (the dedup CC machinery reused on a spatial graph); oracle: the
+    definitional quadratic adjacency join + recursive-CTE closure.
+    Everything integer — threshold included (one ceil-division) — so
+    parity is exact with no rounding policy."""
+    return clusterops.dbscan_grid(synth.dbscan_points_df(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #
@@ -10648,9 +10692,9 @@ DRIVER_WINDOW: list[str] = [
 # link_reciprocity + event_transitions + doc_keywords + corpus_rollup +
 # langid_confusion + hotspot_cells + slope_area_fit +
 # crawl_segment_diff + error_bursts + bowtie_components +
-# props_histogram + morans_i
-# (r5 additions,
-# ANSI-verified at sf0.01 —
+# props_histogram + morans_i + every later r5 addition inventoried in
+# COVERAGE.md (semivariogram through dbscan_grid)
+# (all r5 additions ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.
 
 

@@ -214,3 +214,54 @@ def segments_values_sql() -> str:
 
 def segments_df(spark: SparkSession) -> DataFrame:
     return spark.sql(segments_values_sql())
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN lattice points: a deterministic planted blob mixture over a
+# 200x200 integer lattice, derived from orders exactly like points_sql.
+# 70% of rows fall into 8 compact 3x3 blobs (two of them — centers
+# (60,170) and (63,170) — deliberately ADJACENT so their core cells
+# density-connect into ONE cluster: the transitivity case kmeans-style
+# assignment cannot produce); 30% spray uniformly as noise.  All pure
+# integer modular arithmetic — ONE SQL text runs unchanged in Spark and
+# DuckDB, so the planted structure is engine-exact by construction.
+# ---------------------------------------------------------------------------
+
+DBSCAN_CX_SQL = (
+    "CASE pid % 8 WHEN 0 THEN 30 WHEN 1 THEN 90 WHEN 2 THEN 150 "
+    "WHEN 3 THEN 30 WHEN 4 THEN 90 WHEN 5 THEN 150 WHEN 6 THEN 60 "
+    "ELSE 63 END"
+)
+DBSCAN_CY_SQL = (
+    "CASE pid % 8 WHEN 0 THEN 30 WHEN 1 THEN 30 WHEN 2 THEN 30 "
+    "WHEN 3 THEN 120 WHEN 4 THEN 120 WHEN 5 THEN 120 WHEN 6 THEN 170 "
+    "ELSE 170 END"
+)
+DBSCAN_GX_SQL = (
+    f"CASE WHEN pid % 10 < 7 THEN {DBSCAN_CX_SQL} + "
+    "((pid * 7919) % 1000003) % 3 - 1 "
+    "ELSE ((pid * 48271) % 999983) % 200 END"
+)
+DBSCAN_GY_SQL = (
+    f"CASE WHEN pid % 10 < 7 THEN {DBSCAN_CY_SQL} + "
+    "((pid * 104729) % 1000033) % 3 - 1 "
+    "ELSE ((pid * 16807) % 999979) % 200 END"
+)
+
+
+def dbscan_points_sql(orders: str = "orders") -> str:
+    """The lattice-point derivation as one SQL text (both engines)."""
+    return (
+        f"SELECT pid, {DBSCAN_GX_SQL} AS gx, {DBSCAN_GY_SQL} AS gy "
+        f"FROM (SELECT o_orderkey AS pid FROM {orders}) o"
+    )
+
+
+def dbscan_points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine twin of dbscan_points_sql (same expression text)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderkey AS pid"
+    )
+    return orders.selectExpr(
+        "pid", f"{DBSCAN_GX_SQL} AS gx", f"{DBSCAN_GY_SQL} AS gy"
+    )

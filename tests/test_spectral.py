@@ -203,3 +203,50 @@ def test_best_fit_roughness_discriminates(spark):
         assert len(out) == 1 and np.isfinite(out[0]["l2"])
         fits[true_h] = out[0]["best_h"]
     assert fits[0.9] > fits[0.1]
+
+
+def _dbscan_pts(spark, cells):
+    """cells: {(gx, gy): count} -> (gx, gy) point rows."""
+    rows = [(gx, gy) for (gx, gy), n in cells.items() for _ in range(n)]
+    return spark.createDataFrame(rows, "gx int, gy int")
+
+
+def test_dbscan_grid_planted_shapes(spark):
+    # small total -> absolute floor (5) governs; three planted clusters:
+    #   A: non-convex L of five 6-count cells (the shape kmeans cannot
+    #      label), two legs joined only through the corner cell;
+    #   B: two cells touching DIAGONALLY only (8-adjacency must connect);
+    #   C: a singleton core cell (no edges -> coalesce path);
+    # plus 4-count noise cells everywhere in between (never emitted).
+    cells = {
+        (10, 10): 6, (11, 10): 6, (12, 10): 6, (12, 11): 6, (12, 12): 6,
+        (50, 50): 5, (51, 51): 5,
+        (100, 100): 7,
+        (30, 30): 4, (13, 10): 4, (12, 13): 4,  # sub-core noise
+    }
+    got = {
+        r.cluster: (r.n_cells, r.n_points,
+                    r.min_gx, r.max_gx, r.min_gy, r.max_gy)
+        for r in cluster.dbscan_grid(_dbscan_pts(spark, cells)).collect()
+    }
+    assert got == {
+        10 * 200 + 10: (5, 30, 10, 12, 10, 12),   # L-blob, min cid label
+        50 * 200 + 50: (2, 10, 50, 51, 50, 51),   # diagonal pair
+        100 * 200 + 100: (1, 7, 100, 100, 100, 100),  # singleton core
+    }
+
+
+def test_dbscan_grid_relative_threshold(spark):
+    # one point in EVERY lattice cell (uniform wash) + 8 extra on (5,5)
+    # and 7 extra on (8,8): total = 40015 -> core floor becomes
+    # ceil(8 * 40015 / 40000) = 9, so (5,5) at 9 is core and (8,8) at 8
+    # is NOT — the scale-free relative rule, not the absolute floor,
+    # decides.  Uniform cells (count 1) stay noise.
+    uni = spark.range(40000).selectExpr(
+        "CAST(id % 200 AS INT) AS gx", "CAST(id DIV 200 AS INT) AS gy"
+    )
+    extra = _dbscan_pts(spark, {(5, 5): 8, (8, 8): 7})
+    got = cluster.dbscan_grid(uni.union(extra)).collect()
+    assert [(r.cluster, r.n_cells, r.n_points) for r in got] == [
+        (5 * 200 + 5, 1, 9)
+    ]
