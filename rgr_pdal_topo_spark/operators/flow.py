@@ -428,6 +428,57 @@ def flow_metrics(
     )
 
 
+def hand_grid(
+    metrics: DataFrame, grid: GridSpec, amin: float
+) -> DataFrame:
+    """HAND — height above nearest drainage (Rennó et al. 2008): per
+    cell, the elevation drop to the FIRST stream cell (drainage area
+    >= amin) on its D8 downstream path; 0 on the stream itself; NULL
+    when the path reaches an outlet without ever meeting a stream.
+    The flood-mapping product the reference's flow stack
+    (flowRoutingGrids.py walk loops) stops one step short of.
+
+    Nearest-marked-ancestor on the D8 pointer forest, resolved with the
+    same pointer-doubling primitive as basin labels (G8,
+    flowRoutingGrids.py:849-902): stream cells and outlets self-loop,
+    every other cell points at its D8 neighbour, so O(log longest-path)
+    self-joins resolve all cells at once — no per-cell walk.  Scale
+    shape: the doubling joins shuffle on the long cell id only; the
+    stream side of the final join is the channel network (a small,
+    amin-bounded fraction of cells), joined once.
+
+    metrics: flow_metrics output (needs cell_row, cell_col, z, fd,
+    area).  Returns (cell_row, cell_col, hand) with hand = round(z -
+    z_stream, 6)."""
+    ncols = grid.ncols
+    with_id = metrics.select(
+        "cell_row", "cell_col", "z", "fd", "area"
+    ).withColumn(
+        "id", F.col("cell_row").cast("long") * ncols + F.col("cell_col")
+    )
+    stop = (F.col("area") >= amin) | (F.col("fd") == 0)
+    ptr = with_id.select(
+        "id",
+        F.when(
+            ~stop,
+            (F.col("cell_row") + F.expr(_DR_CASE)).cast("long") * ncols
+            + F.col("cell_col") + F.expr(_DC_CASE),
+        ).otherwise(F.col("id")).alias("ptr"),
+    )
+    roots = _pointer_double(ptr)
+    streams = with_id.filter(F.col("area") >= amin).select(
+        F.col("id").alias("sid"), F.col("z").alias("z_s")
+    )
+    return (
+        with_id.join(roots, "id")
+        .join(streams, F.col("root") == F.col("sid"), "left")
+        .select(
+            "cell_row", "cell_col",
+            F.round(F.col("z") - F.col("z_s"), 6).alias("hand"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # G11-G13: channel network
 # ---------------------------------------------------------------------------

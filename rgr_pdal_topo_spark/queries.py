@@ -10515,6 +10515,43 @@ def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clusterops.dbscan_grid(synth.dbscan_points_df(spark, sf_dir))
 
 
+@query(
+    "hand",
+    _FLOW_BASE
+    + ", walk AS (SELECT cell_row AS r0, cell_col AS c0, cell_row AS r, "
+    "cell_col AS c, 0 AS step FROM fgrid UNION ALL "
+    "SELECT w.r0, w.c0, e.down_row, e.down_col, w.step + 1 "
+    "FROM walk w JOIN edges e ON e.cell_row = w.r AND e.cell_col = w.c), "
+    f"area AS MATERIALIZED (SELECT r AS cell_row, c AS cell_col, "
+    f"COUNT(*) * {_PXL} AS area FROM walk GROUP BY r, c), "
+    "hit AS (SELECT w.r0, w.c0, w.r, w.c, ROW_NUMBER() OVER "
+    "(PARTITION BY w.r0, w.c0 ORDER BY w.step) AS rn FROM walk w "
+    "JOIN area a ON a.cell_row = w.r AND a.cell_col = w.c "
+    f"WHERE a.area >= {_CHI_AMIN!r}) "
+    "SELECT g.cell_row, g.cell_col, ROUND(g.value - gz.value, 6) AS hand "
+    "FROM fgrid g LEFT JOIN hit h ON h.r0 = g.cell_row "
+    "AND h.c0 = g.cell_col AND h.rn = 1 "
+    "LEFT JOIN fgrid gz ON gz.cell_row = h.r AND gz.cell_col = h.c",
+)
+def q_hand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAND — height above nearest drainage (operators/flow.py
+    hand_grid; Rennó et al. 2008, the standard flood-susceptibility
+    product): per DEM cell, the elevation drop to the FIRST cell on its
+    D8 downstream path whose drainage area reaches the channel
+    threshold (the same amin=1600 m² the chi/network queries use); 0 on
+    the channel itself, NULL for cells draining to a sub-threshold
+    outlet.  Engine: nearest-marked-ancestor via the basin-label
+    pointer-doubling primitive (streams and outlets self-loop) —
+    O(log longest-path) id-keyed self-joins, then ONE join against the
+    small channel set for the stream elevation; oracle: the recursive
+    downstream walk with a step index, first channel hit per cell by
+    ROW_NUMBER.  Shares the memoized flow-metrics pass (z, fd, area)
+    with the other five flow queries."""
+    return flowops.hand_grid(
+        _flow_metrics_raw(spark, sf_dir), FG, _CHI_AMIN
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

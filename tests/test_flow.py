@@ -237,6 +237,48 @@ def test_fill_matches_golden_sf001(spark):
     )
 
 
+def test_hand_matches_sequential_walk(spark):
+    """HAND == a direct sequential downstream walk: per cell, z minus the
+    z of the FIRST cell on its D8 path with area >= amin; 0 on channel
+    cells; NaN when the path ends at a sub-threshold outlet.  Covers the
+    three regimes on a DEM whose basins span tile seams."""
+    z = make_dem()
+    m = flow.flow_metrics(
+        dem_df(spark, z), GRID, do_fill=True, agg_slope=AGG
+    ).persist()
+    amin = 10 * GRID.cell * GRID.cell
+    got = (
+        flow.hand_grid(m, GRID, amin)
+        .toPandas()
+        .set_index(["cell_row", "cell_col"])["hand"]
+    )
+    rows = m.select("cell_row", "cell_col", "z", "fd", "area").collect()
+    m.unpersist()
+    info = {(r.cell_row, r.cell_col): r for r in rows}
+    n_zero = n_null = n_pos = 0
+    for (r, c), cur in info.items():
+        node = cur
+        while node.area < amin and node.fd > 0:
+            node = info[
+                (node.cell_row + fk.D8_CODE_TO_DR[node.fd],
+                 node.cell_col + fk.D8_CODE_TO_DC[node.fd])
+            ]
+        g = got.loc[(r, c)]
+        if node.area >= amin:
+            exp = round(cur.z - node.z, 6)
+            assert g == exp, (r, c, g, exp)
+            if (r, c) == (node.cell_row, node.cell_col):
+                assert g == 0.0
+                n_zero += 1
+            else:
+                n_pos += 1
+        else:  # sub-threshold outlet: no drainage on the path
+            assert pd.isna(g), (r, c, g)
+            n_null += 1
+    # all three regimes must actually occur for the test to mean anything
+    assert n_zero > 0 and n_pos > 0 and n_null > 0
+
+
 def test_hypsometry_pandas_replay(spark):
     """Replay the per-basin hypsometric integral in pandas from the
     engine's own basin labels + quantized DEM (independent of the SQL
