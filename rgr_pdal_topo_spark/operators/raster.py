@@ -534,3 +534,140 @@ def contour_cases(grid: DataFrame, levels: tuple[int, ...]) -> DataFrame:
         .groupBy("level", "mcase")
         .agg(F.count(F.lit(1)).alias("n_cells"))
     )
+
+
+# ---------------------------------------------------------------------------
+# geomorphons: 10-class landform classification (engine addition)
+# ---------------------------------------------------------------------------
+
+#: D8 direction unit offsets, kernel order (N, NE, E, SE, S, SW, W, NW).
+_GM_DIRS = [(-1, 0), (-1, 1), (0, 1), (1, 1), (1, 0), (1, -1), (0, -1),
+            (-1, -1)]
+
+#: Geomorphon form matrix (after Jasiewicz & Stepinski 2013, Fig. 4 —
+#: the r.geomorphon lookup), indexed [n_lo][n_hi]: n_hi = directions
+#: whose steepest line-of-sight slope RISES past the flatness angle
+#: (terrain above), n_lo = falls below it.  All 8 above -> the cell is
+#: a depression; all 8 below -> a summit; 3/3 -> mid-slope.  Cells with
+#: n_lo + n_hi > 8 are impossible and absent.
+_GM_FORMS = {
+    (0, 0): "flat", (0, 1): "flat", (0, 2): "flat", (0, 3): "footslope",
+    (0, 4): "footslope", (0, 5): "valley", (0, 6): "valley",
+    (0, 7): "valley", (0, 8): "depression",
+    (1, 0): "flat", (1, 1): "flat", (1, 2): "footslope",
+    (1, 3): "footslope", (1, 4): "footslope", (1, 5): "valley",
+    (1, 6): "valley", (1, 7): "valley",
+    (2, 0): "flat", (2, 1): "shoulder", (2, 2): "slope", (2, 3): "slope",
+    (2, 4): "hollow", (2, 5): "hollow", (2, 6): "valley",
+    (3, 0): "shoulder", (3, 1): "shoulder", (3, 2): "slope",
+    (3, 3): "slope", (3, 4): "slope", (3, 5): "hollow",
+    (4, 0): "shoulder", (4, 1): "shoulder", (4, 2): "slope",
+    (4, 3): "slope", (4, 4): "slope",
+    (5, 0): "ridge", (5, 1): "ridge", (5, 2): "spur", (5, 3): "slope",
+    (6, 0): "ridge", (6, 1): "ridge", (6, 2): "ridge",
+    (7, 0): "ridge", (7, 1): "ridge",
+    (8, 0): "summit",
+}
+
+
+def geomorphon_case_sql(n_lo: str = "n_lo", n_hi: str = "n_hi") -> str:
+    """The form-matrix lookup as ONE portable CASE spelling (engine via
+    F.expr, oracle verbatim), keyed on n_lo * 9 + n_hi."""
+    whens = " ".join(
+        f"WHEN {lo * 9 + hi} THEN '{name}'"
+        for (lo, hi), name in sorted(_GM_FORMS.items())
+    )
+    return f"CASE {n_lo} * 9 + {n_hi} {whens} END"
+
+
+def geomorphons(
+    zgrid: DataFrame, t_flat: int, lookup: int = 5
+) -> DataFrame:
+    """Geomorphons (Jasiewicz & Stepinski 2013): classify every DEM
+    cell into one of 10 landform classes from the ternary
+    rises/flat/falls pattern of its 8 directional horizons — the
+    modern landform-mapping pass the reference's fixed stencil kernels
+    (slope/TPI/curvature, dem.py:176-224) stop short of.
+
+    zgrid: (cell_row, cell_col, zq) with zq the INTEGER-quantized
+    elevation (the caller owns the quantization spelling).  Per
+    direction d the horizon is the steepest slope to any cell within
+    ``lookup`` steps: max_k (zq_k - zq_0) / k.  The ratio comparison is
+    made integer-exact by the LCM trick — the slope key is
+    s = (zq_k - zq_0) * (lcm(1..lookup) / k), an exact BIGINT monotone
+    in the true ratio — so horizons, the ternary split at ``t_flat``
+    (same s units), and the (n_lo, n_hi) counts carry no float anywhere.
+    Ternary rule per direction: +1 if smax > t and smax > -smin, -1 if
+    smin < -t and -smin > smax, else 0 (both-sides-exceed ties fall to
+    0).  Distance is measured in STEPS for all 8 directions (the
+    diagonal sqrt(2) is deliberately dropped — an irrational distance
+    would poison integer exactness; documented metric choice, same
+    doctrine as hexcells' planar lattice).  Directions truncated by the
+    grid edge simply contribute fewer candidate cells; isolated cells
+    (no in-grid neighbour at any offset) are unclassifiable and absent.
+
+    Scale shape: the (dir, step) fan-out is ONE inline explode of
+    8 * lookup offsets over the AGGREGATED cell table (the
+    semivariogram lag-census pattern — no 40-branch union, no band
+    join), one equi-join on the exact target key, and two
+    partial+final groupBys.  At raster scale the same candidates fall
+    out of the stencil engine's halo replication; the census here stays
+    a narrow (int, int, int64) join either way."""
+    lcm = math.lcm(*range(1, lookup + 1))
+    fan = zgrid.select(
+        "cell_row",
+        "cell_col",
+        "zq",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("dir"),
+                        F.lit(dr * k).alias("dr"),
+                        F.lit(dc * k).alias("dc"),
+                        F.lit(lcm // k).alias("m"),
+                    )
+                    for d, (dr, dc) in enumerate(_GM_DIRS)
+                    for k in range(1, lookup + 1)
+                ]
+            )
+        ).alias("o"),
+    ).select(
+        "cell_row",
+        "cell_col",
+        "zq",
+        F.col("o.dir").alias("dir"),
+        (F.col("cell_row") + F.col("o.dr")).alias("tr"),
+        (F.col("cell_col") + F.col("o.dc")).alias("tc"),
+        F.col("o.m").alias("m"),
+    )
+    nbr = zgrid.select(
+        F.col("cell_row").alias("tr"),
+        F.col("cell_col").alias("tc"),
+        F.col("zq").alias("nzq"),
+    )
+    s = (F.col("nzq") - F.col("zq")) * F.col("m")
+    dirs = (
+        fan.join(nbr, ["tr", "tc"])
+        .groupBy("cell_row", "cell_col", "dir")
+        .agg(F.max(s).alias("smax"), F.min(s).alias("smin"))
+    )
+    t = F.lit(int(t_flat))
+    v = (
+        F.when(
+            (F.col("smax") > t) & (F.col("smax") > -F.col("smin")), 1
+        )
+        .when(
+            (F.col("smin") < -t) & (-F.col("smin") > F.col("smax")), -1
+        )
+        .otherwise(0)
+    )
+    return (
+        dirs.select("cell_row", "cell_col", v.alias("v"))
+        .groupBy("cell_row", "cell_col")
+        .agg(
+            F.sum(F.when(F.col("v") == 1, 1).otherwise(0)).alias("n_hi"),
+            F.sum(F.when(F.col("v") == -1, 1).otherwise(0)).alias("n_lo"),
+        )
+        .withColumn("landform", F.expr(geomorphon_case_sql()))
+    )

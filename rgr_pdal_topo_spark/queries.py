@@ -10552,6 +10552,69 @@ def q_hand(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_GMO_LOOKUP = 5
+#: flatness threshold in slope-key units: tangent 9/512 (~1.007 deg,
+#: exactly dyadic) * lcm(1..5) * cell(10 m) * 2^13 = EXACT integer.
+_GMO_T = (9 * 60 * 10 * 8192) // 512
+_GMO_OD = "SELECT * FROM (VALUES " + ", ".join(
+    f"({d}, {dr}, {dc})"
+    for d, (dr, dc) in enumerate(rasterops._GM_DIRS)
+) + ") o(dir, dr, dc)"
+_GMO_KS = "SELECT * FROM (VALUES " + ", ".join(
+    f"({k}, {60 // k})" for k in range(1, _GMO_LOOKUP + 1)
+) + ") kk(k, m)"
+
+
+@query(
+    "geomorphons",
+    _BASE.rstrip()
+    + f", gmean AS ({GRID_MEAN_CTE}), "
+    f"zg AS (SELECT cell_row, cell_col, {qint_sql('value', Q13)} AS zq "
+    "FROM gmean), "
+    f"od AS ({_GMO_OD}), ks AS ({_GMO_KS}), "
+    # flatten (dir, step) to plain-column target keys BEFORE the grid
+    # join: equality on bare columns hash-joins; the inlined
+    # three-relation key nested-loops (measured 90 s vs 0.4 s)
+    "offs AS (SELECT o.dir, o.dr * kk.k AS dr, o.dc * kk.k AS dc, "
+    "kk.m FROM od o, ks kk), "
+    "probe AS MATERIALIZED (SELECT g.cell_row, g.cell_col, o.dir, o.m, "
+    "g.zq, g.cell_row + o.dr AS tr, g.cell_col + o.dc AS tc "
+    "FROM zg g CROSS JOIN offs o), "
+    "cand AS (SELECT p.cell_row, p.cell_col, p.dir, "
+    "(n.zq - p.zq) * p.m AS s FROM probe p JOIN zg n "
+    "ON n.cell_row = p.tr AND n.cell_col = p.tc), "
+    "dirs AS (SELECT cell_row, cell_col, dir, MAX(s) AS smax, "
+    "MIN(s) AS smin FROM cand GROUP BY 1, 2, 3), "
+    f"tern AS (SELECT cell_row, cell_col, CASE WHEN smax > {_GMO_T} "
+    f"AND smax > -smin THEN 1 WHEN smin < -{_GMO_T} AND -smin > smax "
+    "THEN -1 ELSE 0 END AS v FROM dirs), "
+    "cnt AS (SELECT cell_row, cell_col, "
+    "CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi, "
+    "CAST(SUM(CASE WHEN v = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lo "
+    "FROM tern GROUP BY 1, 2) "
+    "SELECT cell_row, cell_col, n_hi, n_lo, "
+    + rasterops.geomorphon_case_sql()
+    + " AS landform FROM cnt",
+)
+def q_geomorphons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geomorphons 10-class landform map of the mean DEM
+    (operators/raster.py geomorphons; Jasiewicz & Stepinski 2013):
+    per cell, the ternary rises/flat/falls pattern of the 8
+    directional horizons within a 5-cell lookup, classified through
+    the form matrix (3/3 -> slope, 8-lower -> summit, 8-higher ->
+    depression, ...).  Integer-exact end to end: Q13-pinned
+    elevations, the LCM slope key (zq_k - zq_0) * (60/k) makes every
+    horizon argmax and the dyadic 9/512 flatness test pure BIGINT
+    comparisons, and the class lookup is ONE shared CASE spelling.
+    Oracle restates the same fan-out/join/fold definitionally, so the
+    row certifies the explode-join census AND the form matrix."""
+    dem = mean_dem(spark, sf_dir)
+    zg = dem.select(
+        "cell_row", "cell_col", qint_col(F.col("value"), Q13).alias("zq")
+    )
+    return rasterops.geomorphons(zg, _GMO_T, _GMO_LOOKUP)
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -803,3 +803,15 @@ def test_containment_pairs_prefix_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_geomorphons_equi_join_no_python(spark):
+    """The geomorphon census must be the explode -> equi-join on the
+    exact target key -> two partial+final aggs: no cartesian /
+    nested-loop node, no Python in the plan."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["geomorphons"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan

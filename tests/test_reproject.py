@@ -134,3 +134,92 @@ def test_aspect_sector_case_matches_atan2_octants(spark):
     ]
     assert got[: len(vecs)] == exp_random
     assert got[len(vecs):] == [0, 1, 2, 3, 4, 5, 6, 7]
+
+
+def _zq_df(spark, z):
+    import numpy as np
+    import pandas as pd
+
+    rr, cc = np.nonzero(np.ones_like(z))
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "cell_row": rr.astype("int32"),
+                "cell_col": cc.astype("int32"),
+                "zq": z[rr, cc].astype("int64"),
+            }
+        )
+    )
+
+
+def test_geomorphons_planted_landforms(spark):
+    """Analytic surfaces hit the expected form-matrix cells:
+    flat plain -> (0,0) flat; uniform tilted plane -> (3,3) slope
+    (3 dirs rise, 3 fall, 2 lateral flat); square cone apex -> (8,0)
+    summit and its negation -> (0,8) depression; crest of a ridge ->
+    (6,0) ridge and the valley floor -> (0,6) valley.  t=60 with the
+    lcm-60 key means |dz|/k must exceed 1 zq unit/step."""
+    import numpy as np
+
+    from rgr_pdal_topo_spark.operators import raster
+
+    n, c0, t = 21, 10, 60
+
+    def classify(z):
+        out = raster.geomorphons(_zq_df(spark, z), t, 5).toPandas()
+        return out.set_index(["cell_row", "cell_col"])
+
+    r = np.arange(n)[:, None] * np.ones(n, dtype=np.int64)[None, :]
+    c = np.ones(n, dtype=np.int64)[:, None] * np.arange(n)[None, :]
+
+    flat = classify(np.full((n, n), 7, dtype=np.int64))
+    row = flat.loc[(c0, c0)]
+    assert (row["n_hi"], row["n_lo"], row["landform"]) == (0, 0, "flat")
+
+    plane = classify(10 * r)
+    row = plane.loc[(c0, c0)]
+    assert (row["n_hi"], row["n_lo"], row["landform"]) == (3, 3, "slope")
+
+    cone = classify(-10 * np.maximum(np.abs(r - c0), np.abs(c - c0)))
+    row = cone.loc[(c0, c0)]
+    assert (row["n_hi"], row["n_lo"], row["landform"]) == (0, 8, "summit")
+    row = classify(
+        10 * np.maximum(np.abs(r - c0), np.abs(c - c0))
+    ).loc[(c0, c0)]
+    assert (row["n_hi"], row["n_lo"], row["landform"]) == (
+        8, 0, "depression",
+    )
+
+    ridge = classify(-10 * np.abs(c - c0))
+    row = ridge.loc[(c0, c0)]
+    assert (row["n_hi"], row["n_lo"], row["landform"]) == (0, 6, "ridge")
+    row = classify(10 * np.abs(c - c0)).loc[(c0, c0)]
+    assert (row["n_hi"], row["n_lo"], row["landform"]) == (6, 0, "valley")
+
+
+def test_geomorphons_line_of_sight_wall(spark):
+    """The horizon is line-of-sight within the lookup, NOT the nearest
+    neighbour: a flat cell ringed by a wall 3 steps away classifies
+    depression (all 8 horizons rise at the wall), while a plain cell
+    far from the wall stays flat — the property that separates
+    geomorphons from fixed-radius curvature stencils."""
+    import numpy as np
+
+    from rgr_pdal_topo_spark.operators import raster
+
+    n, c0 = 21, 10
+    z = np.zeros((n, n), dtype=np.int64)
+    r = np.arange(n)[:, None] * np.ones(n, dtype=np.int64)[None, :]
+    c = np.ones(n, dtype=np.int64)[:, None] * np.arange(n)[None, :]
+    ring = np.maximum(np.abs(r - c0), np.abs(c - c0)) == 3
+    z[ring] = 100
+    out = (
+        raster.geomorphons(_zq_df(spark, z), 60, 5)
+        .toPandas()
+        .set_index(["cell_row", "cell_col"])
+    )
+    center = out.loc[(c0, c0)]
+    assert (center["n_hi"], center["landform"]) == (8, "depression")
+    # far corner: the wall is beyond its 5-step lookup in every dir
+    far = out.loc[(0, 0)]
+    assert far["landform"] == "flat"
