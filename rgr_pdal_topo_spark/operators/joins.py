@@ -815,3 +815,112 @@ def pip_join(
         f"unknown PIP strategy {strategy!r} "
         "(want auto|rect|rtree|partitioned)"
     )
+
+
+# --------------------------------------------------------------------------
+# zonal overlay: exact area-weighted raster <-> vector statistics
+# --------------------------------------------------------------------------
+
+
+def zonal_overlay(grid, polygons, gspec) -> DataFrame:
+    """Exact area-weighted zonal statistics — the raster<->vector
+    OVERLAY the J1 point-in-polygon family approximates by point
+    sampling: per (polygon, DEM cell) pair the exact rectangle
+    intersection area, folded to per-polygon coverage and the
+    area-weighted elevation accumulators.  Replaces the reference's
+    rasterized mask + per-cell mean (createMaskFromGeoDataFrame,
+    baseGrid.py:718-768) with the exact-geometry integral a vector
+    engine would produce.
+
+    grid: (cell_row, cell_col, zq) with INTEGER-quantized elevations
+    (caller owns the spelling); polygons: the synth rect layer
+    (polygon_id, unit, xmin, ymin, width, height).  All geometry is
+    exact: polygon coords and cell edges are integer-valued doubles,
+    so the covered-cell ranges (floor/ceil of exact ratios), the
+    clipped widths/heights, and area = w * h are exact; area and
+    area * zq accumulate as BIGINTs.  Cells only TOUCHING a boundary
+    (zero area) are excluded by the strict range arithmetic.  Cells
+    with no data contribute nothing (coverage is over POPULATED
+    cells); a polygon covering no populated cell is absent.
+
+    Scale shape: the polygon dim explodes to its covered cell ids
+    (pip_join_partitioned's cover-cell doctrine, exact here because
+    rect extents bound coverage), then ONE broadcast equi-join on the
+    exact cell key against the cell-keyed grid — the raster never
+    shuffles — and one polygon-sized partial+final agg."""
+    cell, x0, y0 = gspec.cell, gspec.x0, gspec.y0
+    nrows, ncols = gspec.nrows, gspec.ncols
+    p = polygons.select(
+        "polygon_id",
+        "unit",
+        "xmin",
+        "ymin",
+        (F.col("xmin") + F.col("width")).alias("xmax"),
+        (F.col("ymin") + F.col("height")).alias("ymax"),
+    )
+    ranges = p.select(
+        "*",
+        F.greatest(
+            F.lit(0),
+            F.floor((F.col("xmin") - F.lit(x0)) / F.lit(cell)).cast("int"),
+        ).alias("c1"),
+        F.least(
+            F.lit(ncols - 1),
+            (F.ceil((F.col("xmax") - F.lit(x0)) / F.lit(cell)) - 1).cast(
+                "int"
+            ),
+        ).alias("c2"),
+        F.greatest(
+            F.lit(0),
+            (
+                F.lit(nrows)
+                - F.ceil((F.col("ymax") - F.lit(y0)) / F.lit(cell))
+            ).cast("int"),
+        ).alias("r1"),
+        F.least(
+            F.lit(nrows - 1),
+            (
+                F.lit(nrows - 1)
+                - F.floor((F.col("ymin") - F.lit(y0)) / F.lit(cell))
+            ).cast("int"),
+        ).alias("r2"),
+    ).filter((F.col("c1") <= F.col("c2")) & (F.col("r1") <= F.col("r2")))
+    fan = ranges.select(
+        "polygon_id",
+        "unit",
+        "xmin",
+        "xmax",
+        "ymin",
+        "ymax",
+        F.explode(F.sequence(F.col("r1"), F.col("r2"))).alias("cell_row"),
+        "c1",
+        "c2",
+    ).select(
+        "*",
+        F.explode(F.sequence(F.col("c1"), F.col("c2"))).alias("cell_col"),
+    )
+    cx1 = F.lit(x0) + F.col("cell_col").cast("double") * F.lit(cell)
+    cylo = (
+        F.lit(y0)
+        + (F.lit(nrows - 1) - F.col("cell_row").cast("double"))
+        * F.lit(cell)
+    )
+    w = F.least(F.col("xmax"), cx1 + F.lit(cell)) - F.greatest(
+        F.col("xmin"), cx1
+    )
+    h = F.least(F.col("ymax"), cylo + F.lit(cell)) - F.greatest(
+        F.col("ymin"), cylo
+    )
+    pairs = grid.join(
+        F.broadcast(fan), ["cell_row", "cell_col"]
+    ).select(
+        "polygon_id",
+        "unit",
+        (w * h).cast("long").alias("area"),
+        F.col("zq"),
+    )
+    return pairs.groupBy("polygon_id", "unit").agg(
+        F.count(F.lit(1)).alias("n_cells"),
+        F.sum("area").alias("area_sum"),
+        F.sum(F.col("area") * F.col("zq")).alias("wsum"),
+    )

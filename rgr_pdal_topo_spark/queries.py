@@ -10615,6 +10615,75 @@ def q_geomorphons(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rasterops.geomorphons(zg, _GMO_T, _GMO_LOOKUP)
 
 
+#: shared float spelling of the area-weighted mean: two divisions over
+#: exact BIGINT accumulators, ROUND(,6)-guarded.
+_ZO_WMEAN = (
+    "ROUND(CAST(wsum AS DOUBLE) / CAST(area_sum AS DOUBLE) / "
+    f"{Q13!r}, 6)"
+)
+
+
+@query(
+    "zonal_overlay",
+    _BASE.rstrip()
+    + f", gmean AS ({GRID_MEAN_CTE}), "
+    f"zg AS (SELECT cell_row, cell_col, {qint_sql('value', Q13)} AS zq "
+    "FROM gmean), "
+    f"polys AS ({synth.polygons_sql('nation')}), "
+    "pb AS (SELECT polygon_id, unit, xmin, ymin, xmin + width AS xmax, "
+    "ymin + height AS ymax FROM polys), "
+    "pr AS (SELECT *, "
+    f"GREATEST(0, CAST(FLOOR((xmin - {G.x0!r}) / {G.cell!r}) AS INT)) "
+    "AS c1, "
+    f"LEAST({G.ncols - 1}, "
+    f"CAST(CEIL((xmax - {G.x0!r}) / {G.cell!r}) - 1 AS INT)) AS c2, "
+    f"GREATEST(0, CAST({G.nrows} - "
+    f"CEIL((ymax - {G.y0!r}) / {G.cell!r}) AS INT)) AS r1, "
+    f"LEAST({G.nrows - 1}, CAST({G.nrows - 1} - "
+    f"FLOOR((ymin - {G.y0!r}) / {G.cell!r}) AS INT)) AS r2 "
+    "FROM pb WHERE xmin < xmax AND ymin < ymax), "
+    "fan AS (SELECT polygon_id, unit, xmin, xmax, ymin, ymax, "
+    "u.r AS cell_row, v.c AS cell_col FROM pr, "
+    "LATERAL (SELECT unnest(generate_series(r1, r2)) AS r) u, "
+    "LATERAL (SELECT unnest(generate_series(c1, c2)) AS c) v "
+    "WHERE c1 <= c2 AND r1 <= r2), "
+    "pairs AS (SELECT f.polygon_id, f.unit, CAST("
+    f"(LEAST(f.xmax, {G.x0!r} + (g.cell_col + 1.0) * {G.cell!r}) - "
+    f"GREATEST(f.xmin, {G.x0!r} + g.cell_col * {G.cell!r})) * "
+    f"(LEAST(f.ymax, {G.y0!r} + ({G.nrows}.0 - g.cell_row) * {G.cell!r}) "
+    f"- GREATEST(f.ymin, {G.y0!r} + ({G.nrows - 1}.0 - g.cell_row) * "
+    f"{G.cell!r})) AS BIGINT) AS area, g.zq "
+    "FROM fan f JOIN zg g ON g.cell_row = f.cell_row "
+    "AND g.cell_col = f.cell_col), "
+    "agg AS (SELECT polygon_id, unit, CAST(COUNT(*) AS BIGINT) AS "
+    "n_cells, CAST(SUM(area) AS BIGINT) AS area_sum, "
+    "CAST(SUM(area * zq) AS BIGINT) AS wsum FROM pairs GROUP BY 1, 2) "
+    f"SELECT polygon_id, unit, n_cells, area_sum, wsum, {_ZO_WMEAN} "
+    "AS wmean FROM agg",
+)
+def q_zonal_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact area-weighted zonal statistics (operators/joins.py
+    zonal_overlay): per map-unit polygon, the EXACT rectangle-
+    intersection coverage of the mean DEM — n_cells, total covered
+    area, and the area-weighted elevation — the raster<->vector
+    overlay product the PIP family approximates by point sampling
+    (reference analogue: the rasterized mask + per-cell mean of
+    createMaskFromGeoDataFrame, baseGrid.py:718-768).  All geometry
+    exact (integer-valued rect and cell edges; floor/ceil range
+    arithmetic excludes zero-area touchers), accumulators exact
+    BIGINTs over Q13-pinned elevations, wmean one shared two-division
+    spelling.  Engine: polygon dim -> covered-cell explode -> ONE
+    broadcast equi-join on the cell key (raster never shuffles) ->
+    polygon-sized agg; oracle restates it definitionally with
+    generate_series."""
+    dem = mean_dem(spark, sf_dir)
+    zg = dem.select(
+        "cell_row", "cell_col", qint_col(F.col("value"), Q13).alias("zq")
+    )
+    out = joins.zonal_overlay(zg, synth.polygons_df(spark, sf_dir), G)
+    return out.withColumn("wmean", F.expr(_ZO_WMEAN))
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -529,3 +529,57 @@ def test_pip_join_dispatcher(spark):
 
     with pytest.raises(ValueError):
         joins.pip_join(pts, polys, strategy="quadtree")
+
+
+def test_zonal_overlay_hand_computed(spark):
+    """Exact intersection areas on a hand-built 4x4 grid (cell=10,
+    nrows=4: row 3 is y in [0,10), row 0 is [30,40)):
+
+      * poly A (5,5,10x10) straddles 4 cells, 25 m^2 each;
+      * poly B (10,0,10x20) is edge-aligned: exactly 2 cells at 100,
+        the 4 cells it merely touches excluded;
+      * poly C (35,35,10x10) hangs off the grid: clamped to its one
+        in-grid cell with area 25;
+      * poly D off-grid entirely: absent.
+    """
+    g = GridSpec(x0=0.0, y0=0.0, cell=10.0, nrows=4, ncols=4)
+    zq = {(r, c): 100 * r + c for r in range(4) for c in range(4)}
+    grid = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"cell_row": r, "cell_col": c, "zq": v}
+                for (r, c), v in zq.items()
+            ]
+        )
+    )
+    polys = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                {"polygon_id": 0, "unit": "A", "xmin": 5.0, "ymin": 5.0,
+                 "width": 10.0, "height": 10.0},
+                {"polygon_id": 1, "unit": "B", "xmin": 10.0, "ymin": 0.0,
+                 "width": 10.0, "height": 20.0},
+                {"polygon_id": 2, "unit": "C", "xmin": 35.0, "ymin": 35.0,
+                 "width": 10.0, "height": 10.0},
+                {"polygon_id": 3, "unit": "D", "xmin": 50.0, "ymin": 50.0,
+                 "width": 10.0, "height": 10.0},
+            ]
+        )
+    )
+    out = {
+        r["polygon_id"]: r
+        for r in joins.zonal_overlay(grid, polys, g).collect()
+    }
+    # A: y in [5,15) -> rows 2 ([10,20)) and 3 ([0,10)); x -> cols 0,1
+    a = out[0]
+    assert (a["n_cells"], a["area_sum"]) == (4, 100)
+    assert a["wsum"] == 25 * (
+        zq[(2, 0)] + zq[(2, 1)] + zq[(3, 0)] + zq[(3, 1)]
+    )
+    b = out[1]
+    assert (b["n_cells"], b["area_sum"]) == (2, 200)
+    assert b["wsum"] == 100 * (zq[(2, 1)] + zq[(3, 1)])
+    c = out[2]
+    assert (c["n_cells"], c["area_sum"]) == (1, 25)
+    assert c["wsum"] == 25 * zq[(0, 3)]
+    assert 3 not in out

@@ -815,3 +815,16 @@ def test_geomorphons_equi_join_no_python(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_zonal_overlay_broadcast_cell_join(spark):
+    """The overlay must join the raster on the exact cell key against
+    the BROADCAST polygon fan — no shuffle of the grid side for the
+    join, no cartesian, no Python."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["zonal_overlay"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "EvalPython" not in plan
