@@ -639,3 +639,136 @@ def semdedup(
             ).alias("n_kept"),
         )
     )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential in-row dot product — the same left-to-right fold
+    DuckDB's list_dot_product performs, so the doubles are
+    bit-identical across engines."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_topk_pq(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization ADC search (Jégou et al. 2011) — the third
+    member of the compressed-vector family beside SQ8 (uniform int8)
+    and IVF (coarse lists): the 64-d vector splits into ``m``
+    orthogonal subspaces, each encoded as its nearest of ``n_codes``
+    per-subspace codebook entries, so a vector stores as m small codes
+    (8 bytes vs 256 — the 32x memory win that keeps a 10^12-vector
+    index in cluster RAM).  Queries score candidates against the
+    RECONSTRUCTION x_hat (codebook entries concatenated in subspace
+    order): adc_cosine = <q, x_hat> / (|q| * |x_hat|), with
+    |x_hat|^2 = sum_j |c_j|^2 exactly, by subspace orthogonality.
+
+    Determinism/parity contract: codebooks are the first ``n_codes``
+    vectors' subvectors (the cosine_topk_ivf seed-quantizer doctrine —
+    swap in kmeans_nd per subspace for a trained codebook with
+    everything downstream identical); encoding argmin orders on
+    (ROUND(d2, 5), code) with d2 spelled aa - 2ab + bb from three
+    sequential in-row dots, so seeds encode to themselves exactly
+    (d2 == 0.0) and both engines see bit-identical doubles; every
+    cross-row float SUM is avoided — x_hat assembles by subspace-
+    ordered flatten and all dots are in-row sequential folds.
+
+    Scale shape: the codebook (m x n_codes subvectors) and the LUT-
+    bearing query set broadcast; encoding is ONE corpus x m explode
+    joined to the m-keyed codebook with a min_by fold (paid once at
+    ingest, like the manifest's stats); the ADC scan is a broadcast
+    cross join scoring codes-only data — compose with the IVF coarse
+    quantizer (cosine_topk_ivf) to prune the scan to n_probe lists,
+    exactly as FAISS 'IVF16,PQ8'."""
+    sub = emb.sparkSession.range(m).select(
+        F.col("id").cast("int").alias("j")
+    )
+    base = with_norm(emb).select(
+        F.col(id_col).alias("nn_id"), "vec", "norm"
+    )
+
+    # per-(vector, subspace) slices
+    def slices(df: DataFrame, idc: str) -> DataFrame:
+        w = (F.size(F.col("vec")) / F.lit(m)).cast("int")
+        return df.crossJoin(F.broadcast(sub)).select(
+            idc,
+            "j",
+            F.slice(
+                F.col("vec"), F.col("j") * w + F.lit(1), w
+            ).alias("sv"),
+        )
+
+    cb = slices(base.filter(F.col("nn_id") < n_codes), "nn_id").select(
+        F.col("nn_id").cast("int").alias("code"),
+        "j",
+        F.col("sv").alias("cv"),
+        _dot(F.col("sv"), F.col("sv")).alias("bb"),
+    )
+    enc = (
+        slices(base, "nn_id")
+        .join(F.broadcast(cb), "j")
+        .select(
+            "nn_id",
+            "j",
+            "code",
+            "cv",
+            "bb",
+            F.round(
+                _dot(F.col("sv"), F.col("sv"))
+                - F.lit(2.0) * _dot(F.col("sv"), F.col("cv"))
+                + F.col("bb"),
+                COS_ROUND,
+            ).alias("d2"),
+        )
+        .groupBy("nn_id", "j")
+        .agg(
+            F.min_by(F.col("cv"), F.struct("d2", "code")).alias("cv")
+        )
+    )
+    recon = enc.groupBy("nn_id").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cv"))),
+                lambda s: s["cv"],
+            )
+        ).alias("xhat"),
+    ).withColumn(
+        # |x_hat| from the ASSEMBLED vector, in-row sequential — a
+        # cross-row SUM of the per-subspace |c_j|^2 would be
+        # association-order-dependent
+        "rnorm",
+        F.sqrt(_dot(F.col("xhat"), F.col("xhat"))),
+    )
+    q = base.filter(F.col("nn_id") < n_queries).select(
+        F.col("nn_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+    )
+    cand = recon.crossJoin(F.broadcast(q)).filter(
+        F.col("nn_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "nn_id",
+        F.round(
+            _dot(F.col("qvec"), F.col("xhat"))
+            / (F.col("qnorm") * F.col("rnorm")),
+            COS_ROUND,
+        ).alias("adc_cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("nn_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nn_id", "adc_cosine")
+    )

