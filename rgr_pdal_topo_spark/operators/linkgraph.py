@@ -28,7 +28,7 @@ duplicate_components).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rgr_pdal_topo_spark.operators.pages import HOST_RE, LINK_RE
@@ -124,6 +124,94 @@ def pagerank_int(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
             (base + F.coalesce(F.col("m"), F.lit(0))).alias("q"),
         )
     return r.select("host", F.col("q").alias("rank_q"))
+
+
+
+def trustrank_int(
+    edges: DataFrame, n_seeds: int = 8, iters: int = PR_ITERS
+) -> DataFrame:
+    """(host, trust_q, is_seed): TrustRank (Gyongyi, Garcia-Molina &
+    Pedersen 2004) — PageRank with teleport restricted to a TRUSTED
+    seed set, the canonical link-spam demotion pass: trust flows out
+    of the seeds along links and decays by d per hop, so link farms
+    far from any trusted host score ~0 even with huge in-link mass
+    (where uniform-teleport PageRank rewards them).
+
+      q_0(v)     = [v in T] * floor(S / |T|)
+      q_{t+1}(v) = [v in T] * floor((1-d)*S / |T|)
+                   + sum over edges u->v of floor(d * q_t(u) / odeg(u))
+
+    Same all-integer 2^-30 arithmetic, damping, exact-div spelling and
+    no-dangling-node contract as pagerank_int — parity is bit-exact
+    with no rounding policy.  Seed selection is the paper's inverse-
+    PageRank idea reduced to its deterministic core: the ``n_seeds``
+    nodes of highest in-degree, ties to the smallest host id (a real
+    deployment substitutes a curated whitelist; everything downstream
+    is identical).
+
+    Scale shape: one extra in-degree fold + a top-``n_seeds`` window
+    over the HOST-sized table at setup; per superstep the identical
+    narrow join + partial+final sum as pagerank_int; the seed flag
+    rides the checkpointed per-node frame."""
+    edges = edges.localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("host")).distinct()
+    ind = edges.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).alias("ind")
+    )
+    ranked = (
+        nodes.join(ind, "host", "left")
+        .select(
+            "host", F.coalesce(F.col("ind"), F.lit(0)).alias("ind")
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("ind").desc(), F.col("host").asc())
+            ),
+        )
+    )
+    seeded = ranked.select(
+        "host", (F.col("rn") <= n_seeds).alias("is_seed")
+    )
+    nt = seeded.filter("is_seed").agg(
+        F.count(F.lit(1)).alias("n_seeds")
+    )
+    nodes_t = seeded.crossJoin(F.broadcast(nt)).localCheckpoint(
+        eager=True
+    )
+    odeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("odeg"))
+    e = edges.join(odeg, "src").localCheckpoint(eager=True)
+    seed_mass = F.when(
+        F.col("is_seed"),
+        _exact_div(F.lit(PR_SCALE), F.col("n_seeds")),
+    ).otherwise(F.lit(0))
+    base = F.when(
+        F.col("is_seed"),
+        _exact_div(
+            F.lit((PR_D_DEN - PR_D_NUM) * PR_SCALE),
+            F.lit(PR_D_DEN) * F.col("n_seeds"),
+        ),
+    ).otherwise(F.lit(0))
+    r = nodes_t.select("host", seed_mass.alias("q"))
+    for _ in range(iters):
+        contrib = (
+            e.join(r.select(F.col("host").alias("src"), "q"), "src")
+            .select(
+                F.col("dst").alias("host"),
+                _exact_div(
+                    F.lit(PR_D_NUM) * F.col("q"),
+                    F.lit(PR_D_DEN) * F.col("odeg"),
+                ).alias("m"),
+            )
+            .groupBy("host")
+            .agg(F.sum("m").alias("m"))
+        )
+        r = nodes_t.join(contrib, "host", "left").select(
+            "host",
+            "is_seed",
+            (base + F.coalesce(F.col("m"), F.lit(0))).alias("q"),
+        )
+    return r.select("host", F.col("q").alias("trust_q"), "is_seed")
 
 
 #: HITS fixed-point scale: scores are integers on the 2^-20 grid.

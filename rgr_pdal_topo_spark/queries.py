@@ -10741,6 +10741,80 @@ def q_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TR_SEEDS = 8
+
+
+def _trustrank_ctes(iters: int) -> list[str]:
+    """Unrolled TrustRank supersteps, bit-equal to
+    linkgraph.trustrank_int by construction: the pagerank CTE chain
+    with teleport mass restricted to the top-in-degree seed set."""
+    sc = linkgraph.PR_SCALE
+    ctes = [
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        _LK_CTE,
+        "nodes AS (SELECT DISTINCT src AS host FROM lk)",
+        "ind AS (SELECT dst AS host, COUNT(*) AS ind FROM lk "
+        "GROUP BY dst)",
+        "sr AS (SELECT nodes.host, ROW_NUMBER() OVER (ORDER BY "
+        "COALESCE(ind.ind, 0) DESC, nodes.host ASC) AS rn "
+        "FROM nodes LEFT JOIN ind ON ind.host = nodes.host)",
+        f"sd AS (SELECT host, rn <= {_TR_SEEDS} AS is_seed FROM sr)",
+        "nt AS (SELECT COUNT(*) AS n FROM sd WHERE is_seed)",
+        "o AS (SELECT src, COUNT(*) AS odeg FROM lk GROUP BY src)",
+        "e AS (SELECT lk.src, lk.dst, o.odeg FROM lk "
+        "JOIN o ON lk.src = o.src)",
+        "r0 AS (SELECT sd.host, sd.is_seed, CASE WHEN sd.is_seed THEN "
+        + linkgraph.exact_div_sql(str(sc), "nt.n")
+        + " ELSE 0 END AS q FROM sd CROSS JOIN nt)",
+    ]
+    tbase = linkgraph.exact_div_sql(
+        str((linkgraph.PR_D_DEN - linkgraph.PR_D_NUM) * sc),
+        f"{linkgraph.PR_D_DEN} * nt.n",
+    )
+    for i in range(1, iters + 1):
+        step = linkgraph.exact_div_sql(
+            f"{linkgraph.PR_D_NUM} * r{i - 1}.q",
+            f"{linkgraph.PR_D_DEN} * e.odeg",
+        )
+        ctes.append(
+            f"c{i} AS (SELECT e.dst AS host, CAST(SUM({step}) AS BIGINT) "
+            f"AS m FROM e JOIN r{i - 1} ON r{i - 1}.host = e.src "
+            "GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT sd.host, sd.is_seed, "
+            f"(CASE WHEN sd.is_seed THEN {tbase} ELSE 0 END) + "
+            f"COALESCE(c{i}.m, 0) AS q FROM sd CROSS JOIN nt "
+            f"LEFT JOIN c{i} ON c{i}.host = sd.host)"
+        )
+    return ctes
+
+
+@query(
+    "trustrank_hosts",
+    _with(*_trustrank_ctes(linkgraph.PR_ITERS))
+    + f"SELECT host, q AS trust_q, is_seed FROM r{linkgraph.PR_ITERS}",
+)
+def q_trustrank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank link-spam demotion (operators/linkgraph.py
+    trustrank_int; Gyongyi, Garcia-Molina & Pedersen 2004): PageRank
+    with teleport restricted to a trusted seed set, so trust flows out
+    of the seeds and decays by d per hop — hosts unreachable from any
+    seed score EXACTLY 0 (integer arithmetic, not epsilon) however
+    much in-link mass they farm; the quality prior a crawl scheduler
+    runs beside pagerank_hosts.  Seeds are the top-8 in-degree nodes
+    (ties to smallest id — the paper's inverse-PageRank selection
+    reduced to its deterministic core; a curated whitelist slots in
+    unchanged).  Same 2^-30 all-integer grid, exact-div spelling and
+    4 damped supersteps as pagerank_hosts; the oracle unrolls the
+    identical update, so parity is bit-exact with no rounding
+    policy."""
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    return linkgraph.trustrank_int(
+        linkgraph.extract_links(pages), n_seeds=_TR_SEEDS
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -479,3 +479,34 @@ def test_modularity_drops_self_loops_and_counts_edges_once(spark):
     r = lg.modularity(df, labels).first()
     # one real edge (0,1); community 5: e=1, D=2 -> 4*1*1 - 4 = 0
     assert (r.m, r.n_communities, r.q_num, r.modularity) == (1, 2, 0, 0.0)
+
+
+def test_trustrank_demotes_unreachable_link_farm(spark):
+    """The property TrustRank exists for: a link-farm target with big
+    in-link mass but NO path from the trusted seed scores EXACTLY 0
+    (integer arithmetic, not epsilon), while uniform-teleport PageRank
+    rewards it.  Graph: a legit hub (in-degree 20, so it is the single
+    top-in-degree seed) in a 2-cycle with L1; a farm of 10 hosts all
+    linking to spam target S (in-degree 10) with S cycling back.
+    Every node links out (the no-dangling contract)."""
+    hub, l1 = 1000, 1001
+    spam = 2000
+    edges = [(hub, l1), (l1, hub)]
+    edges += [(1001 + i, hub) for i in range(1, 20)]  # in-links to hub
+    edges += [(1001 + i, l1) for i in range(1, 20)]   # keep them sourced
+    edges += [(3000 + i, spam) for i in range(10)]
+    edges += [(spam, 3000)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    tr = {
+        r["host"]: (r["trust_q"], r["is_seed"])
+        for r in lg.trustrank_int(df, n_seeds=1, iters=4).collect()
+    }
+    assert tr[hub][1] is True and tr[hub][0] > 0
+    assert tr[l1][0] > 0 and tr[l1][1] is False  # reachable from seed
+    assert tr[spam] == (0, False)
+    assert all(tr[3000 + i] == (0, False) for i in range(10))
+    pr = {
+        r["host"]: r["rank_q"]
+        for r in lg.pagerank_int(df, iters=4).collect()
+    }
+    assert pr[spam] > 0  # uniform teleport rewards the farm target
