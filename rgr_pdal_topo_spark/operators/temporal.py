@@ -603,3 +603,61 @@ def mann_kendall(events: DataFrame, group: str = "event_type") -> DataFrame:
             "slope_ts",
         )
     )
+
+
+DECAY_K = 40  # weight grid: newest-day weight 2^K, halves per day
+
+
+def decayed_counts(
+    events: DataFrame, group: str = "event_type"
+) -> DataFrame:
+    """(group, n_events, n_live, score_q, score): exponentially
+    recency-decayed activity per group — the freshness signal behind
+    re-crawl scheduling and trending-topic ranking, where a plain
+    COUNT weighs a year-old event like yesterday's.
+
+    Each event weighs 2^(DECAY_K - age_days) with age measured in
+    whole epoch-days back from the NEWEST day in the table (the
+    data-derived reference point, so the result is replayable), i.e. a
+    one-day half-life on a dyadic grid; events older than DECAY_K days
+    weigh exactly 0 (n_live counts the others).  Exactness: ages are
+    integers, every weight is an exact BIGINT power of two (bit shift,
+    no POWER()), score_q is an exact BIGINT sum bounded by
+    n_events * 2^40 (ANSI-safe to ~8M events per group per 2^63; a
+    larger corpus lowers DECAY_K), and the reported score is the one
+    shared CAST / 2^40 spelling.
+
+    The halving is per-DAY-bucket, not per-second — that is what makes
+    the non-associative-looking exponential decay an exact associative
+    SUM (the same bucketing trick as the histogram sketch).  Scale
+    shape: one scalar max broadcast as a 1-row frame, one projection,
+    one partial+final groupBy."""
+    day = (F.unix_timestamp("ts") / 86400).cast("long")
+    d = events.select(F.col(group), day.alias("day"))
+    ref = d.agg(F.max("day").alias("ref_day"))
+    aged = d.crossJoin(F.broadcast(ref)).select(
+        group,
+        (F.col("ref_day") - F.col("day")).alias("age"),
+    )
+    w = F.when(
+        F.col("age") <= DECAY_K,
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), "
+            f"CAST({DECAY_K} - age AS INT))"
+        ),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        aged.withColumn("w", w)
+        .groupBy(group)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.when(F.col("w") > 0, 1).otherwise(0)).alias(
+                "n_live"
+            ),
+            F.sum("w").alias("score_q"),
+        )
+        .withColumn(
+            "score",
+            F.col("score_q").cast("double") / F.lit(float(1 << DECAY_K)),
+        )
+    )

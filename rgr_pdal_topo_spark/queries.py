@@ -10815,6 +10815,44 @@ def q_trustrank_hosts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "decayed_activity",
+    _with(
+        "d AS (SELECT event_type, CAST(FLOOR(epoch(ts)) AS BIGINT) "
+        "// 86400 AS day FROM events)",
+        "ref AS (SELECT MAX(day) AS ref_day FROM d)",
+        "aged AS (SELECT event_type, ref_day - day AS age "
+        "FROM d CROSS JOIN ref)",
+        "wtd AS (SELECT event_type, CASE WHEN age <= 40 THEN "
+        "CAST(1 AS BIGINT) << CAST(40 - age AS INT) ELSE "
+        "CAST(0 AS BIGINT) END AS w FROM aged)",
+        "agg AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS "
+        "n_events, CAST(SUM(CASE WHEN w > 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_live, CAST(SUM(w) AS BIGINT) AS score_q "
+        "FROM wtd GROUP BY event_type)",
+    )
+    + "SELECT event_type, n_events, n_live, score_q, "
+    f"CAST(score_q AS DOUBLE) / {float(1 << 40)!r} AS score FROM agg",
+)
+def q_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially recency-decayed activity per event type
+    (operators/temporal.py decayed_counts) — the freshness ranking
+    behind re-crawl scheduling and trending detection, where a plain
+    COUNT weighs a year-old event like yesterday's.  One-day
+    half-life on a dyadic grid: each event weighs the exact BIGINT
+    2^(40 - age_days) (bit shift, no POWER()), ages measured back
+    from the data-derived newest day, >40-day tails weigh exactly 0
+    (n_live surfaces them).  The day-bucketing is what turns the
+    non-associative exponential decay into an exact associative SUM;
+    score is the one shared CAST / 2^40 spelling over the exact
+    integer.  One scalar broadcast + one projection + one
+    partial+final fold."""
+    from rgr_pdal_topo_spark.operators import temporal
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    return temporal.decayed_counts(load_table(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

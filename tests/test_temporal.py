@@ -349,3 +349,34 @@ def test_mann_kendall_flat_series_is_trendless(spark):
     assert (r.s_stat, r.slope_ts) == (0, 0.0)
     # all 5 days tie on count 2: var18 = 5*4*15 - 5*4*15 = 0
     assert r.var18 == 0
+
+
+def test_decayed_counts_hand_computed(spark):
+    """Exact dyadic decay: 3 events on the newest day (w = 2^40), 2
+    one day earlier (2^39), 1 exactly 41 days back (w = 0, excluded
+    from n_live): score_q = 3*2^40 + 2*2^39 = 2^42, score = 4.0
+    EXACTLY.  A second type with only the stale event scores 0."""
+    rows = [
+        ("a", "2024-03-01 10:00:00"),
+        ("a", "2024-03-01 11:00:00"),
+        ("a", "2024-03-01 12:00:00"),
+        ("a", "2024-02-29 09:00:00"),
+        ("a", "2024-02-29 23:00:00"),
+        ("a", "2024-01-20 05:00:00"),  # 41 days before 2024-03-01
+        ("b", "2024-01-20 06:00:00"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_type string, s string"
+    ).select("event_type", F.col("s").cast("timestamp").alias("ts"))
+    out = {
+        r["event_type"]: r
+        for r in temporal.decayed_counts(ev).collect()
+    }
+    a = out["a"]
+    assert (a["n_events"], a["n_live"]) == (6, 5)
+    assert a["score_q"] == 1 << 42
+    assert a["score"] == 4.0
+    b = out["b"]
+    assert (b["n_events"], b["n_live"], b["score_q"], b["score"]) == (
+        1, 0, 0, 0.0,
+    )
