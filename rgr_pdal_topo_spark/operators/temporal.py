@@ -609,7 +609,9 @@ DECAY_K = 40  # weight grid: newest-day weight 2^K, halves per day
 
 
 def decayed_counts(
-    events: DataFrame, group: str = "event_type"
+    events: DataFrame,
+    group: str = "event_type",
+    day_col: str | None = None,
 ) -> DataFrame:
     """(group, n_events, n_live, score_q, score): exponentially
     recency-decayed activity per group — the freshness signal behind
@@ -631,8 +633,15 @@ def decayed_counts(
     the non-associative-looking exponential decay an exact associative
     SUM (the same bucketing trick as the histogram sketch).  Scale
     shape: one scalar max broadcast as a 1-row frame, one projection,
-    one partial+final groupBy."""
-    day = (F.unix_timestamp("ts") / 86400).cast("long")
+    one partial+final groupBy.
+
+    ``day_col`` names a precomputed integer epoch-day column (e.g. a
+    fetch log's warc_epoch // 86400); default derives it from ``ts``."""
+    day = (
+        F.col(day_col)
+        if day_col
+        else (F.unix_timestamp("ts") / 86400).cast("long")
+    )
     d = events.select(F.col(group), day.alias("day"))
     ref = d.agg(F.max("day").alias("ref_day"))
     aged = d.crossJoin(F.broadcast(ref)).select(

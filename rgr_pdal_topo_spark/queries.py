@@ -10853,6 +10853,78 @@ def q_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal.decayed_counts(load_table(spark, sf_dir, "events"))
 
 
+#: crawl priority = (trust / 2^30) * (freshness / 2^40), one shared
+#: spelling over the two exact integers, ROUND(,6)-guarded.
+_CS_PRIORITY = (
+    f"ROUND(CAST(trust_q AS DOUBLE) / {float(1 << 30)!r} * "
+    f"(CAST(score_q AS DOUBLE) / {float(1 << 40)!r}), 6)"
+)
+
+
+@query(
+    "crawl_schedule",
+    _with(
+        *_trustrank_ctes(linkgraph.PR_ITERS),
+        f"fetches AS ({_FETCHES_DUCK})",
+        "fh AS (SELECT CAST(regexp_extract(url, "
+        f"'{pagesops.HOST_RE}', 1) AS BIGINT) AS host, "
+        "warc_epoch // 86400 AS day FROM fetches)",
+        "fref AS (SELECT MAX(day) AS ref_day FROM fh)",
+        "fw AS (SELECT host, CASE WHEN ref_day - day <= 40 THEN "
+        "CAST(1 AS BIGINT) << CAST(40 - (ref_day - day) AS INT) "
+        "ELSE CAST(0 AS BIGINT) END AS w FROM fh CROSS JOIN fref)",
+        "fr AS (SELECT host, CAST(COUNT(*) AS BIGINT) AS n_fetches, "
+        "CAST(SUM(w) AS BIGINT) AS score_q FROM fw GROUP BY host)",
+    )
+    + f"SELECT r.host, r.q AS trust_q, r.is_seed, fr.n_fetches, "
+    f"fr.score_q, {_CS_PRIORITY} AS priority "
+    f"FROM (SELECT host, q, is_seed FROM r{linkgraph.PR_ITERS}) r "
+    "JOIN fr ON fr.host = r.host",
+)
+def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl scheduler — the SIXTH composed flagship: per host,
+    TrustRank trust (spam-resistant link equity) x exponentially
+    recency-decayed capture activity (the decayed_activity fold over
+    the CDX fetch log's epoch-days) = the re-crawl priority a frontier
+    actually ranks by — trusted-and-fresh first, link farms exactly 0
+    whatever their churn.  Both stages are the verified solo
+    operators (trustrank_int; decayed_counts with day_col, same
+    2^(40-age) bit-shift weights), joined on the shared host id
+    (regexp host capture on both sides), priority ONE shared
+    two-factor spelling over the exact integers.  Solo/composed drift
+    fails parity because the oracle reuses the same CTE chains."""
+    from rgr_pdal_topo_spark.operators import temporal
+
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    tr = linkgraph.trustrank_int(
+        linkgraph.extract_links(pages), n_seeds=_TR_SEEDS
+    )
+    fetches = pagesops.fetch_log_df(spark, sf_dir).select(
+        F.regexp_extract("url", pagesops.HOST_RE, 1)
+        .cast("long")
+        .alias("host"),
+        (F.col("warc_epoch") / F.lit(86400)).cast("long").alias("day"),
+    )
+    fresh = temporal.decayed_counts(
+        fetches, group="host", day_col="day"
+    ).select(
+        "host",
+        F.col("n_events").alias("n_fetches"),
+        "score_q",
+    )
+    return (
+        tr.join(fresh, "host")
+        .select(
+            "host",
+            "trust_q",
+            "is_seed",
+            "n_fetches",
+            "score_q",
+        )
+        .withColumn("priority", F.expr(_CS_PRIORITY))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #
