@@ -652,47 +652,14 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def cosine_topk_pq(
-    emb: DataFrame,
-    n_queries: int = 10,
-    k: int = 5,
-    m: int = 8,
-    n_codes: int = 16,
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Product-quantization ADC search (Jégou et al. 2011) — the third
-    member of the compressed-vector family beside SQ8 (uniform int8)
-    and IVF (coarse lists): the 64-d vector splits into ``m``
-    orthogonal subspaces, each encoded as its nearest of ``n_codes``
-    per-subspace codebook entries, so a vector stores as m small codes
-    (8 bytes vs 256 — the 32x memory win that keeps a 10^12-vector
-    index in cluster RAM).  Queries score candidates against the
-    RECONSTRUCTION x_hat (codebook entries concatenated in subspace
-    order): adc_cosine = <q, x_hat> / (|q| * |x_hat|), with
-    |x_hat|^2 = sum_j |c_j|^2 exactly, by subspace orthogonality.
-
-    Determinism/parity contract: codebooks are the first ``n_codes``
-    vectors' subvectors (the cosine_topk_ivf seed-quantizer doctrine —
-    swap in kmeans_nd per subspace for a trained codebook with
-    everything downstream identical); encoding argmin orders on
-    (ROUND(d2, 5), code) with d2 spelled aa - 2ab + bb from three
-    sequential in-row dots, so seeds encode to themselves exactly
-    (d2 == 0.0) and both engines see bit-identical doubles; every
-    cross-row float SUM is avoided — x_hat assembles by subspace-
-    ordered flatten and all dots are in-row sequential folds.
-
-    Scale shape: the codebook (m x n_codes subvectors) and the LUT-
-    bearing query set broadcast; encoding is ONE corpus x m explode
-    joined to the m-keyed codebook with a min_by fold (paid once at
-    ingest, like the manifest's stats); the ADC scan is a broadcast
-    cross join scoring codes-only data — compose with the IVF coarse
-    quantizer (cosine_topk_ivf) to prune the scan to n_probe lists,
-    exactly as FAISS 'IVF16,PQ8'."""
-    sub = emb.sparkSession.range(m).select(
+def _pq_reconstruct(base: DataFrame, m: int, n_codes: int) -> DataFrame:
+    """(nn_id, xhat, rnorm): PQ-encode ``base`` (nn_id, vec) against the
+    seed codebooks (first ``n_codes`` vectors' subvectors) and return
+    each vector's subspace-ordered reconstruction with its in-row norm.
+    Shared by the flat ADC scan (cosine_topk_pq) and the IVF-routed one
+    (cosine_topk_ivf_pq)."""
+    sub = base.sparkSession.range(m).select(
         F.col("id").cast("int").alias("j")
-    )
-    base = with_norm(emb).select(
-        F.col(id_col).alias("nn_id"), "vec", "norm"
     )
 
     # per-(vector, subspace) slices
@@ -733,7 +700,7 @@ def cosine_topk_pq(
             F.min_by(F.col("cv"), F.struct("d2", "code")).alias("cv")
         )
     )
-    recon = enc.groupBy("nn_id").agg(
+    return enc.groupBy("nn_id").agg(
         F.flatten(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("j", "cv"))),
@@ -747,6 +714,49 @@ def cosine_topk_pq(
         "rnorm",
         F.sqrt(_dot(F.col("xhat"), F.col("xhat"))),
     )
+
+
+
+def cosine_topk_pq(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Product-quantization ADC search (Jégou et al. 2011) — the third
+    member of the compressed-vector family beside SQ8 (uniform int8)
+    and IVF (coarse lists): the 64-d vector splits into ``m``
+    orthogonal subspaces, each encoded as its nearest of ``n_codes``
+    per-subspace codebook entries, so a vector stores as m small codes
+    (8 bytes vs 256 — the 32x memory win that keeps a 10^12-vector
+    index in cluster RAM).  Queries score candidates against the
+    RECONSTRUCTION x_hat (codebook entries concatenated in subspace
+    order): adc_cosine = <q, x_hat> / (|q| * |x_hat|), with
+    |x_hat|^2 = sum_j |c_j|^2 exactly, by subspace orthogonality.
+
+    Determinism/parity contract: codebooks are the first ``n_codes``
+    vectors' subvectors (the cosine_topk_ivf seed-quantizer doctrine —
+    swap in kmeans_nd per subspace for a trained codebook with
+    everything downstream identical); encoding argmin orders on
+    (ROUND(d2, 5), code) with d2 spelled aa - 2ab + bb from three
+    sequential in-row dots, so seeds encode to themselves exactly
+    (d2 == 0.0) and both engines see bit-identical doubles; every
+    cross-row float SUM is avoided — x_hat assembles by subspace-
+    ordered flatten and all dots are in-row sequential folds.
+
+    Scale shape: the codebook (m x n_codes subvectors) and the LUT-
+    bearing query set broadcast; encoding is ONE corpus x m explode
+    joined to the m-keyed codebook with a min_by fold (paid once at
+    ingest, like the manifest's stats); the ADC scan is a broadcast
+    cross join scoring codes-only data — compose with the IVF coarse
+    quantizer (cosine_topk_ivf) to prune the scan to n_probe lists,
+    exactly as FAISS 'IVF16,PQ8'."""
+    base = with_norm(emb).select(
+        F.col(id_col).alias("nn_id"), "vec", "norm"
+    )
+    recon = _pq_reconstruct(base, m, n_codes)
     q = base.filter(F.col("nn_id") < n_queries).select(
         F.col("nn_id").alias("query_id"),
         F.col("vec").alias("qvec"),
@@ -754,6 +764,107 @@ def cosine_topk_pq(
     )
     cand = recon.crossJoin(F.broadcast(q)).filter(
         F.col("nn_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        "nn_id",
+        F.round(
+            _dot(F.col("qvec"), F.col("xhat"))
+            / (F.col("qnorm") * F.col("rnorm")),
+            COS_ROUND,
+        ).alias("adc_cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_cosine").desc(), F.col("nn_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "nn_id", "adc_cosine")
+    )
+
+
+def cosine_topk_ivf_pq(
+    emb: DataFrame,
+    n_queries: int = 10,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF coarse quantizer OVER the PQ-ADC scan — FAISS's canonical
+    ``IVF<n>,PQ<m>`` index, the workhorse of billion-scale ANN: the
+    coarse quantizer routes each query to ``n_probe`` inverted lists
+    (bounding WORK — lists are the partition key), and the scan inside
+    each list scores PQ reconstructions (bounding MEMORY 32x — 8 codes
+    resident per vector).  Same division of labour as
+    cosine_topk_ivf_sq8, swapping the uniform int8 grid for per-
+    subspace codebooks.
+
+    Composition contract: list ASSIGNMENT uses the float vectors
+    (assignment quality should not pay quantization error — FAISS
+    likewise); codes here encode the RAW vectors, not the per-list
+    residuals FAISS adds as a further refinement (documented
+    simplification — residual encoding needs per-list codebooks,
+    which the seed-codebook determinism doctrine does not reach).
+    Scoring, rounding and tie-breaks are exactly cosine_topk_pq's;
+    routing is exactly cosine_topk_ivf's — so each half is separately
+    oracle-witnessed and the composed row certifies the join of the
+    two structures."""
+    base = with_norm(emb)
+    cents = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"),
+        F.col("vec").alias("cvec"),
+        F.col("norm").alias("cnorm"),
+    )
+
+    def centroid_ranked(df: DataFrame) -> DataFrame:
+        cdot = F.aggregate(
+            F.zip_with(F.col("vec"), F.col("cvec"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        return (
+            df.crossJoin(F.broadcast(cents))
+            .withColumn(
+                "ccos",
+                F.round(cdot / (F.col("norm") * F.col("cnorm")), COS_ROUND),
+            )
+            .withColumn(
+                "crn",
+                F.row_number().over(
+                    Window.partitionBy(id_col).orderBy(
+                        F.col("ccos").desc(), F.col("cid").asc()
+                    )
+                ),
+            )
+        )
+
+    recon = _pq_reconstruct(
+        base.select(F.col(id_col).alias("nn_id"), "vec", "norm"),
+        m,
+        n_codes,
+    )
+    members = (
+        centroid_ranked(base)
+        .filter(F.col("crn") == 1)
+        .select(F.col(id_col).alias("nn_id"), "cid")
+        .join(recon, "nn_id")
+    )
+    probes = centroid_ranked(
+        base.filter(F.col(id_col) < n_queries)
+    ).filter(F.col("crn") <= n_probe).select(
+        F.col(id_col).alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("norm").alias("qnorm"),
+        F.col("cid").alias("pcid"),
+    )
+    cand = members.join(
+        F.broadcast(probes),
+        (F.col("cid") == F.col("pcid"))
+        & (F.col("nn_id") != F.col("query_id")),
     )
     scored = cand.select(
         "query_id",

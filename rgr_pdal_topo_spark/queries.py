@@ -10925,6 +10925,67 @@ def q_crawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cosine_topk_ivf_pq",
+    _with(f"e AS ({_EMB_DUCK})", f"n AS ({_NORM_DUCK})").rstrip()
+    + ", c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n "
+    "WHERE vec_id < 16), "
+    "asg AS (SELECT n.vec_id, n.v, n.nrm, c.cid, "
+    f"ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY {_IVF_COS} DESC, "
+    "c.cid ASC) AS crn FROM n JOIN c ON TRUE), "
+    f"sub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j), "
+    f"cb AS (SELECT CAST(n.vec_id AS INT) AS code, s.j, "
+    f"list_slice(n.v, s.j * {_PQ_W} + 1, s.j * {_PQ_W} + {_PQ_W}) AS cv "
+    f"FROM n, sub s WHERE n.vec_id < {_PQ_CODES}), "
+    "cbb AS (SELECT code, j, cv, list_dot_product(cv, cv) AS bb "
+    "FROM cb), "
+    "sl AS (SELECT n.vec_id AS nn_id, s.j, "
+    f"list_slice(n.v, s.j * {_PQ_W} + 1, s.j * {_PQ_W} + {_PQ_W}) AS sv "
+    "FROM n, sub s), "
+    "d AS (SELECT sl.nn_id, sl.j, c2.code, c2.cv, "
+    "ROUND(list_dot_product(sl.sv, sl.sv) - "
+    "2.0 * list_dot_product(sl.sv, c2.cv) + c2.bb, 5) AS d2 "
+    "FROM sl JOIN cbb c2 ON c2.j = sl.j), "
+    "enc AS (SELECT nn_id, j, cv FROM (SELECT *, ROW_NUMBER() OVER ("
+    "PARTITION BY nn_id, j ORDER BY d2 ASC, code ASC) AS rn FROM d) t "
+    "WHERE rn = 1), "
+    "recon AS (SELECT nn_id, flatten(list(cv ORDER BY j)) AS xhat "
+    "FROM enc GROUP BY nn_id), "
+    "rc AS (SELECT nn_id, xhat, SQRT(list_dot_product(xhat, xhat)) "
+    "AS rnorm FROM recon), "
+    "members AS (SELECT a.vec_id AS nn_id, a.cid, r.xhat, r.rnorm "
+    "FROM asg a JOIN rc r ON r.nn_id = a.vec_id WHERE a.crn = 1), "
+    f"probes AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid "
+    f"FROM asg WHERE vec_id < {_PQ_NQ} AND crn <= 4), "
+    "sc AS (SELECT p.query_id, m.nn_id, "
+    "ROUND(list_dot_product(p.qv, m.xhat) / (p.qn * m.rnorm), 5) "
+    "AS adc_cosine FROM probes p JOIN members m ON m.cid = p.cid "
+    "AND m.nn_id <> p.query_id) "
+    "SELECT query_id, rank, nn_id, adc_cosine FROM (SELECT query_id, "
+    "nn_id, adc_cosine, ROW_NUMBER() OVER (PARTITION BY query_id "
+    "ORDER BY adc_cosine DESC, nn_id ASC) AS rank FROM sc) t "
+    f"WHERE rank <= {_PQ_K}",
+)
+def q_cosine_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FAISS 'IVF16,PQ8' composed (operators/similarity.py
+    cosine_topk_ivf_pq) — the canonical billion-scale ANN index: the
+    float coarse quantizer routes each query to its 4 probed lists
+    (bounding WORK; lists are the partition key) and the in-list scan
+    scores 32x-compressed PQ reconstructions (bounding MEMORY).
+    Assignment is cosine_topk_ivf's exactly; scoring is
+    cosine_topk_pq's exactly (raw-vector codes — the per-list
+    residual refinement is a documented simplification); so each half
+    is separately oracle-witnessed and this row certifies their
+    join.  Top-k <= k rows per query (a probed shard can run dry)."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_ivf_pq(
+        emb, n_queries=_PQ_NQ, k=_PQ_K, n_centroids=16, n_probe=4,
+        m=_PQ_M, n_codes=_PQ_CODES,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -339,3 +339,28 @@ def test_pq_seeds_reconstruct_exactly(spark):
         assert abs(r.adc_cosine - true_cos) < 5e-6, (
             r.query_id, r.nn_id, r.adc_cosine, true_cos,
         )
+
+
+def test_ivf_pq_is_ivf_routing_of_pq_scores(spark):
+    """The composed index must be EXACTLY the PQ scores restricted to
+    IVF-probed lists: every (query, nn, adc_cosine) in ivf_pq appears
+    with the same score in a full PQ scan ranking, and candidates come
+    only from the query's probed lists."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_ORACLE
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    comp = similarity.cosine_topk_ivf_pq(
+        emb, n_queries=10, k=5, n_centroids=16, n_probe=4,
+        m=8, n_codes=16,
+    ).toPandas()
+    assert (comp.groupby("query_id").size() <= 5).all()
+    # full PQ scan with a huge k = the unrestricted score surface
+    full = similarity.cosine_topk_pq(
+        emb, n_queries=10, k=10**6, m=8, n_codes=16
+    ).toPandas()
+    fmap = {
+        (r.query_id, r.nn_id): r.adc_cosine for r in full.itertuples()
+    }
+    for r in comp.itertuples():
+        assert fmap[(r.query_id, int(r.nn_id))] == r.adc_cosine
