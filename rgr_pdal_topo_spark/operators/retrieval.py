@@ -249,3 +249,56 @@ def phrase_hits(
             F.min("anchor").cast("long").alias("first_pos"),
         )
     )
+
+
+def postings_gap_census(documents: DataFrame) -> DataFrame:
+    """(gap_bits, n_gaps, varint_bytes): the delta-gap compressibility
+    census of the inverted index — the pass an index builder runs to
+    size postings storage before choosing a codec.  Postings are the
+    DISTINCT (token, doc_id) pairs under the corpus's one tokenizer
+    spelling; each posting stores as its delta from the previous doc_id
+    in the same list (the universal postings layout), the FIRST posting
+    as doc_id + 1 (delta from the virtual -1, so every posting has a
+    strictly positive gap and the byte total prices the whole index).
+    gap_bits = LENGTH(BIN(gap)) — the degree_histogram log2 idiom — is
+    both the census bucket and the Elias-gamma cost basis;
+    varint_bytes = floor((gap_bits + 6) / 7) * n at the bucket grain
+    (LEB128: 7 payload bits per byte).  All-integer, no rounding
+    policy.
+
+    Scale shape: the distinct collapses the corpus to the postings
+    table once; the lag window partitions by TOKEN (the posting-list
+    key — exactly how shards store them, no global window); the census
+    folds onto <= 64 rows with full map-side combine."""
+    from pyspark.sql import Window
+
+    toks = (
+        documents.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.col("text"), " "), lambda t: t != ""
+                )
+            ).alias("tok"),
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    gap = (
+        F.col("doc_id")
+        - F.coalesce(F.lag("doc_id").over(w), F.lit(-1).cast("long"))
+    )
+    bits = F.length(F.bin(gap)).cast("long")
+    return (
+        toks.select(bits.alias("gap_bits"))
+        .groupBy("gap_bits")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+        .select(
+            "gap_bits",
+            "n_gaps",
+            (
+                F.floor((F.col("gap_bits") + 6) / F.lit(7.0)).cast("long")
+                * F.col("n_gaps")
+            ).alias("varint_bytes"),
+        )
+    )

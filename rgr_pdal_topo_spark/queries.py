@@ -10986,6 +10986,42 @@ def q_cosine_topk_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "postings_gaps",
+    _with(
+        f"toks AS ({_TOKS_DUCK})",
+        "p AS (SELECT DISTINCT doc_id, u.tok FROM toks, "
+        "LATERAL (SELECT unnest(t) AS tok) u)",
+        "g AS (SELECT doc_id - COALESCE(LAG(doc_id) OVER ("
+        "PARTITION BY tok ORDER BY doc_id), -1) AS gap FROM p)",
+        "b AS (SELECT CAST(LENGTH(bin(gap)) AS BIGINT) AS gap_bits "
+        "FROM g)",
+        "agg AS (SELECT gap_bits, CAST(COUNT(*) AS BIGINT) AS n_gaps "
+        "FROM b GROUP BY gap_bits)",
+    )
+    + "SELECT gap_bits, n_gaps, CAST(FLOOR((gap_bits + 6) / 7.0) "
+    "AS BIGINT) * n_gaps AS varint_bytes FROM agg",
+)
+def q_postings_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index delta-gap compressibility census
+    (operators/retrieval.py postings_gap_census) — the index builder's
+    storage-sizing pass: DISTINCT (token, doc_id) postings delta-coded
+    within each list (first posting = doc_id + 1, the virtual -1
+    convention, so every gap is positive and the byte total prices the
+    whole index), bucketed by gap bit-length (the degree_histogram
+    LENGTH(BIN()) idiom — simultaneously the Elias-gamma cost basis)
+    with LEB128 varint bytes per bucket.  All-integer, no rounding
+    policy.  The lag window partitions by TOKEN — the posting-list key,
+    exactly how shards store lists, never a global window; the census
+    folds onto <= 64 rows map-side."""
+    from rgr_pdal_topo_spark.operators import retrieval
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    return retrieval.postings_gap_census(
+        load_table(spark, sf_dir, "documents")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -257,3 +257,32 @@ def test_phrase_hits_contained_in_bm25_rows(spark):
         for r in retrieval.bm25_scores(docs).collect()
     }
     assert ph and ph <= bm
+
+
+def test_postings_gaps_hand_computed(spark):
+    """Two tokens with known posting lists: 'a' in docs {0, 1, 9}
+    (gaps 1, 1, 8 -> bits 1, 1, 4), 'b' in doc {6} (gap 7 -> bits 3).
+    Census: bits 1 x2 (1 varint byte each), bits 3 x1, bits 4 x1."""
+    docs = spark.createDataFrame(
+        [
+            (0, "a"),
+            (1, "a"),
+            (9, "a x"),
+            (6, "b"),
+        ],
+        "doc_id long, text string",
+    )
+    from rgr_pdal_topo_spark.operators.retrieval import (
+        postings_gap_census,
+    )
+
+    got = {
+        r["gap_bits"]: (r["n_gaps"], r["varint_bytes"])
+        for r in postings_gap_census(docs).collect()
+    }
+    # token 'x' in doc 9: gap 10 -> bits 4 (joins the bits-4 bucket)
+    # token 'b' in doc 6: gap 7 -> bits 3
+    assert got[1] == (2, 2)
+    assert got[3] == (1, 1)
+    assert got[4] == (2, 2)  # gaps 8 and 10, one varint byte each
+    assert set(got) == {1, 3, 4}
