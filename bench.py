@@ -154,6 +154,21 @@ HEADLINE = [
     "seasonal_anomalies",
     "bag_jaccard",
     "rendezvous_shards",
+    "phrase_search",
+    "trend_mk",
+    "dbscan_grid",
+    # this session's additions — own series (trustrank_hosts and
+    # crawl_schedule are absent for the eager-builder reason: the
+    # trust supersteps localCheckpoint inside trustrank_int; hand
+    # times its OWN marginal plan over the shared memoized flow pass,
+    # the flow_chi/twi precedent)
+    "hand",
+    "geomorphons",
+    "zonal_overlay",
+    "cosine_topk_pq",
+    "cosine_topk_ivf_pq",
+    "decayed_activity",
+    "postings_gaps",
 ]
 
 
