@@ -11039,10 +11039,10 @@ DRIVER_WINDOW: list[str] = [
     "grid_idw_filled", "binned_intensity",
     "knn_gps",
     "stencil_suite", "hag", "grid_residuals",
-    "dup_spans", "slope_hillshade",
+    "dup_spans", "geomorphons",
     "points_decimate", "lineage_resume",
     "smrf_ground",
-    "multimodal_features", "flow_area", "flow_chi", "flow_basins",
+    "multimodal_features", "hand", "flow_chi", "flow_basins",
     "network_ksn", "network_dissolve",
     "perm_ensemble", "kmeans_scarp",
     "mosaic_tiles",
@@ -11177,6 +11177,29 @@ DRIVER_WINDOW: list[str] = [
 #                                witnessed by extract_pages +
 #                                pages_geocode; pages_pip driver-green
 #                                r4-r5
+# Closing-session rotation (this session): two swaps, both pre-
+# qualified per the protocol (sf0.001/0.01/0.1 oracle parity, ANSI-on
+# session run, determinism rerun, planted tests, plan pins) —
+#   IN:  geomorphons — the 10-class landform map, a genuinely new
+#        terrain subsystem (LCM-integer horizons + form matrix);
+#        hand — height above nearest drainage, the flow family's new
+#        flood-susceptibility member (consumes z + fd + area off the
+#        SAME memoized metrics pass, so it re-witnesses G3's
+#        accumulation alongside flow_chi).
+#   OUT: slope_hillshade -> W1/W2/W5 stay in-window through
+#        terrain_pipeline (composes hillshade + slope_mag +
+#        windowed_std) and stencil_suite's shared tile engine;
+#        driver-green r1-r5
+#        flow_area       -> G3 stays in-window through flow_chi (the
+#        chi integral consumes the area column directly) and hand
+#        (nearest-drainage thresholds on the same area); driver-green
+#        r1-r5
+# This session's other additions are past-window but equally
+# pre-qualified (rotation-ready): zonal_overlay, cosine_topk_pq,
+# cosine_topk_ivf_pq (kept out only because cosine_topk_ivf_sq8
+# holds the composed-ANN slot per the r4 ask), trustrank_hosts,
+# decayed_activity, crawl_schedule (its oracle embeds the full
+# trustrank CTE chain), postings_gaps.
 # All rotated-out queries remain registered and pytest-parity-checked
 # every run (tests/test_query_parity.py sweeps every oracle pair).
 # Remaining past-window oracle-backed extras: cell_rollup,
