@@ -935,3 +935,97 @@ def modularity(edges: DataFrame, labels: DataFrame) -> DataFrame:
             ).alias("modularity"),
         )
     )
+
+
+AA_MAX_DEG = 64   #: wedge-center degree cap (the cocitation discipline)
+AA_TOP_K = 20     #: predicted links reported
+AA_Q = 8192       #: 2^-13 grid for ln(deg) and the reciprocal weights
+
+#: shared integer spelling of the Adamic-Adar wedge weight: pin ln(deg)
+#: to the 2^-13 grid (integer-valued double -> bit-identical libm input,
+#: the bm25/zipf contract), then one exact floor-division gives the
+#: reciprocal on the same grid: rq = floor(8192 * 8192 / wq).
+AA_WQ_SQL = (
+    "CAST(FLOOR(LN(CAST(deg AS DOUBLE)) * 8192.0 + 0.5) AS BIGINT)"
+)
+
+
+def adamic_adar(
+    edges: DataFrame,
+    max_deg: int = AA_MAX_DEG,
+    k: int = AA_TOP_K,
+) -> DataFrame:
+    """(host_a, host_b, n_common, aa_q, aa): the top-``k`` predicted
+    NEW links by Adamic-Adar similarity (Adamic & Adar 2003) — the
+    classic link-prediction scorer: AA(u, v) = sum over common
+    neighbours w of 1 / ln(deg(w)), so rare shared neighbours count
+    for more than hubs.  Pairs already adjacent are EXCLUDED — the
+    output is the crawl frontier's "these two hosts will probably
+    link" candidates, the graph-side companion of cocitation's
+    related-domain signal.
+
+    Exactness: the graph is the symmetrized simple host graph; per
+    wedge centre, wq pins ln(deg) to the 2^-13 grid (deg >= 2 always —
+    a centre needs two neighbours — so wq >= 5678, never 0) and
+    rq = floor(8192^2 / wq) is one exact integer division; aa_q is an
+    exact BIGINT sum of rq and aa is reported via the one
+    shared aa_q / 8192.0 spelling (rq already lives on the 2^-13
+    grid: rq/8192 ~ 1/ln(deg)).  The k-cut orders on the
+    total (aa_q DESC, host_a, host_b) so the reported SET is
+    deterministic across engines and partitionings.
+
+    Scale shape: wedge centres above ``max_deg`` are dropped FIRST
+    (the cocitation fan-out discipline — a 10^6-degree hub would emit
+    10^12 wedges and add the least-informative weight), the pair join
+    is centre-keyed with the a < b triangle, the anti-join against
+    existing edges runs on the aggregated pair table, and the k-cut is
+    a TakeOrdered, never a global sort materialization."""
+    und = (
+        edges.select("src", "dst")
+        .union(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        # four consumers (degrees, wedge legs x2, the anti-join right
+        # side) — pin once, the pagerank edge-list discipline
+        .localCheckpoint(eager=True)
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ctr = (
+        deg.filter((F.col("deg") >= 2) & (F.col("deg") <= max_deg))
+        .withColumn("wq", F.expr(AA_WQ_SQL))
+        .withColumn(
+            "rq", _exact_div(F.lit(AA_Q * AA_Q), F.col("wq"))
+        )
+        .select("src", "rq")
+    )
+    e = und.join(ctr, "src")
+    a = e.select("src", F.col("dst").alias("host_a"), "rq")
+    b = e.select("src", F.col("dst").alias("host_b"))
+    pairs = (
+        a.join(b, "src")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("rq").alias("aa_q"),
+        )
+    )
+    ex = und.select(
+        F.col("src").alias("host_a"), F.col("dst").alias("host_b")
+    )
+    return (
+        pairs.join(ex, ["host_a", "host_b"], "left_anti")
+        .orderBy(
+            F.col("aa_q").desc(),
+            F.col("host_a").asc(),
+            F.col("host_b").asc(),
+        )
+        .limit(k)
+        .withColumn(
+            "aa", F.col("aa_q").cast("double") / F.lit(8192.0)
+        )
+    )

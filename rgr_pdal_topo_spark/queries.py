@@ -11022,6 +11022,54 @@ def q_postings_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "link_prediction",
+    _with(
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        _LK_CTE,
+        "und AS (SELECT DISTINCT src, dst FROM (SELECT src, dst FROM lk "
+        "UNION ALL SELECT dst AS src, src AS dst FROM lk) t "
+        "WHERE src <> dst)",
+        "dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM und "
+        "GROUP BY src)",
+        f"ctr AS (SELECT src, "
+        + linkgraph.exact_div_sql(
+            str(linkgraph.AA_Q * linkgraph.AA_Q), linkgraph.AA_WQ_SQL
+        )
+        + " AS rq FROM dg WHERE deg >= 2 AND deg <= "
+        f"{linkgraph.AA_MAX_DEG})",
+        "e AS (SELECT und.src, und.dst, ctr.rq FROM und "
+        "JOIN ctr ON ctr.src = und.src)",
+        "pr AS (SELECT a.dst AS host_a, b.dst AS host_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_common, CAST(SUM(a.rq) AS "
+        "BIGINT) AS aa_q FROM e a JOIN e b ON a.src = b.src "
+        "AND a.dst < b.dst GROUP BY 1, 2)",
+        "nw AS (SELECT pr.* FROM pr WHERE NOT EXISTS (SELECT 1 FROM "
+        "und WHERE und.src = pr.host_a AND und.dst = pr.host_b))",
+    )
+    + "SELECT host_a, host_b, n_common, aa_q, "
+    "CAST(aa_q AS DOUBLE) / 8192.0 AS aa FROM nw "
+    f"ORDER BY aa_q DESC, host_a ASC, host_b ASC LIMIT "
+    f"{linkgraph.AA_TOP_K}",
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (operators/linkgraph.py
+    adamic_adar): the top-20 NOT-yet-linked host pairs by
+    AA(u, v) = sum over common neighbours w of 1/ln(deg(w)) — the
+    classic link-prediction scorer (rare shared neighbours outweigh
+    hubs), feeding crawl-frontier discovery beside cocitation's
+    related-domain signal.  Exact: symmetrized simple graph, ln(deg)
+    pinned to the 2^-13 grid (integer-valued libm input, the
+    bm25/zipf contract), reciprocal by one exact floor-division,
+    aa_q an exact BIGINT sum; the k-cut orders on the total
+    (aa_q, host_a, host_b) so the reported set is deterministic.
+    Wedge centres above deg 64 drop FIRST (the cocitation fan-out
+    discipline); the anti-join runs on the aggregated pair table;
+    the k-cut is a TakeOrdered."""
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    return linkgraph.adamic_adar(linkgraph.extract_links(pages))
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

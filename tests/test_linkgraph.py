@@ -510,3 +510,26 @@ def test_trustrank_demotes_unreachable_link_farm(spark):
         for r in lg.pagerank_int(df, iters=4).collect()
     }
     assert pr[spam] > 0  # uniform teleport rewards the farm target
+
+
+def test_adamic_adar_hand_computed_and_capped(spark):
+    """Path graph 1—3—2: the single common neighbour has degree 2, so
+    AA(1,2) = 1/ln 2 on the 2^-13 grid: wq = floor(ln2*8192+.5) = 5678,
+    aa_q = floor(8192^2/5678) = 11819, aa = 11819/8192.  The adjacent
+    pair (1,3) is excluded.  A degree-72 hub (over the 64 cap) linked
+    to both 1 and 2 contributes NO wedge: (1,2) keeps aa_q = 11819 and
+    no hub-leaf pair appears."""
+    edges = [(1, 3), (2, 3), (100, 1), (100, 2)]
+    edges += [(100, 200 + i) for i in range(70)]
+    # every node must source at least one edge is NOT required here:
+    # adamic_adar symmetrizes internally
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {
+        (r["host_a"], r["host_b"]): r
+        for r in lg.adamic_adar(df).collect()
+    }
+    r12 = out[(1, 2)]
+    assert (r12["n_common"], r12["aa_q"]) == (1, 11819)
+    assert r12["aa"] == 11819 / 8192
+    assert (1, 3) not in out and (3, 1) not in out
+    assert not any(a >= 200 and b >= 200 for a, b in out)
