@@ -11070,6 +11070,70 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linkgraph.adamic_adar(linkgraph.extract_links(pages))
 
 
+_Q17_BRAND = "Brand#23"
+
+
+@query(
+    "small_qty_revenue",
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_small, "
+    "CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) "
+    "AS BIGINT) AS revenue_cents, "
+    "ROUND(CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100.0 + 0.5) "
+    "AS BIGINT)) AS DOUBLE) / 700.0, 4) AS avg_yearly "
+    "FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey "
+    f"WHERE p.p_brand = '{_Q17_BRAND}' "
+    "AND 10 * CAST(l.l_quantity AS BIGINT) * (SELECT COUNT(*) FROM "
+    "lineitem l2 WHERE l2.l_partkey = l.l_partkey) < 2 * "
+    "(SELECT CAST(SUM(CAST(l3.l_quantity AS BIGINT)) AS BIGINT) FROM "
+    "lineitem l3 WHERE l3.l_partkey = l.l_partkey)",
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-flavored small-quantity-order revenue — the
+    CORRELATED-SUBQUERY planner stress: revenue from the brand's
+    lineitems whose quantity falls below 20% of that part's average.
+    The oracle states the textbook correlated spelling (two scalar
+    subqueries per row); the engine states the decorrelated plan a
+    warehouse actually runs (ONE per-part partial+final (count, sum)
+    fold joined back, brand dim broadcast) — a green row certifies
+    Catalyst's decorrelation == DuckDB's.  Exactness: the 20% gate is
+    cross-multiplied all-integer (10*qty*cnt < 2*sumq — quantities are
+    integer-valued), revenue quantizes to exact BIGINT cents per row
+    BEFORE the sum (the trade_volumes money doctrine), avg_yearly is
+    one shared /700 spelling."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == _Q17_BRAND
+    )
+    per_part = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("l_quantity").cast("long")).alias("sumq"),
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * F.lit(100.0) + F.lit(0.5)
+    ).cast("long")
+    small = (
+        li.join(F.broadcast(pt.select("p_partkey")),
+                li.l_partkey == F.col("p_partkey"))
+        .join(per_part, "l_partkey")
+        .filter(
+            F.lit(10) * F.col("l_quantity").cast("long") * F.col("cnt")
+            < F.lit(2) * F.col("sumq")
+        )
+    )
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small"),
+        F.sum(cents).alias("revenue_cents"),
+    ).select(
+        "n_small",
+        "revenue_cents",
+        F.round(
+            F.col("revenue_cents").cast("double") / F.lit(700.0), 4
+        ).alias("avg_yearly"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

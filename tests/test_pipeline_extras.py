@@ -1294,3 +1294,31 @@ def test_robust_outliers_planted(spark, tmp_path):
         "aa": (5, 7.0, 2.0, 1),
         "bb": (4, 5.0, 2.0, 0),
     }
+
+
+def test_small_qty_revenue_boundary_and_cents(spark):
+    """Planted part with quantities [1, 2, 10, 17, 20] (avg 10): the
+    20% gate is STRICT (10*qty*cnt < 2*sumq), so qty 2 == 0.2*avg is
+    excluded and only qty 1 survives; its price 10.005 pins the
+    half-up cent quantization (-> 1001 cents)."""
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES, _Q17_BRAND
+
+    li = pd.DataFrame(
+        {
+            "l_partkey": [7] * 5,
+            "l_quantity": [1.0, 2.0, 10.0, 17.0, 20.0],
+            "l_extendedprice": [10.005, 5.0, 5.0, 5.0, 5.0],
+        }
+    )
+    pt = pd.DataFrame({"p_partkey": [7], "p_brand": [_Q17_BRAND]})
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        li.to_parquet(os.path.join(d, "lineitem.parquet"))
+        pt.to_parquet(os.path.join(d, "part.parquet"))
+        [r] = QUERIES["small_qty_revenue"](spark, d).collect()
+    assert (r["n_small"], r["revenue_cents"]) == (1, 1001)
+    assert r["avg_yearly"] == round(1001 / 700.0, 4)
