@@ -652,15 +652,25 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _pq_reconstruct(base: DataFrame, m: int, n_codes: int) -> DataFrame:
-    """(nn_id, xhat, rnorm): PQ-encode ``base`` (nn_id, vec) against the
-    seed codebooks (first ``n_codes`` vectors' subvectors) and return
+def _pq_reconstruct(
+    base: DataFrame,
+    m: int,
+    n_codes: int,
+    codebooks: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """(nn_id, xhat, rnorm): PQ-encode ``base`` (nn_id, vec) and return
     each vector's subspace-ordered reconstruction with its in-row norm.
     Shared by the flat ADC scan (cosine_topk_pq) and the IVF-routed one
-    (cosine_topk_ivf_pq)."""
-    sub = base.sparkSession.range(m).select(
-        F.col("id").cast("int").alias("j")
-    )
+    (cosine_topk_ivf_pq).
+
+    Default codebooks are the first ``n_codes`` vectors' subvectors
+    (deterministic seed doctrine); pass ``codebooks`` —
+    ``codebooks[j][k]`` = subspace j's k-th centroid, e.g. from one
+    cluster.kmeans_nd run per subspace — for a TRAINED quantizer with
+    everything downstream identical (the cosine_topk_ivf ``centroids``
+    contract)."""
+    spark = base.sparkSession
+    sub = spark.range(m).select(F.col("id").cast("int").alias("j"))
 
     # per-(vector, subspace) slices
     def slices(df: DataFrame, idc: str) -> DataFrame:
@@ -673,12 +683,24 @@ def _pq_reconstruct(base: DataFrame, m: int, n_codes: int) -> DataFrame:
             ).alias("sv"),
         )
 
-    cb = slices(base.filter(F.col("nn_id") < n_codes), "nn_id").select(
-        F.col("nn_id").cast("int").alias("code"),
-        "j",
-        F.col("sv").alias("cv"),
-        _dot(F.col("sv"), F.col("sv")).alias("bb"),
-    )
+    if codebooks is not None:
+        rows = [
+            (int(j), int(k), [float(x) for x in c])
+            for j, subs in enumerate(codebooks)
+            for k, c in enumerate(subs)
+        ]
+        cb = spark.createDataFrame(
+            rows, "j int, code int, cv array<double>"
+        ).withColumn("bb", _dot(F.col("cv"), F.col("cv")))
+    else:
+        cb = slices(
+            base.filter(F.col("nn_id") < n_codes), "nn_id"
+        ).select(
+            F.col("nn_id").cast("int").alias("code"),
+            "j",
+            F.col("sv").alias("cv"),
+            _dot(F.col("sv"), F.col("sv")).alias("bb"),
+        )
     enc = (
         slices(base, "nn_id")
         .join(F.broadcast(cb), "j")
@@ -724,6 +746,7 @@ def cosine_topk_pq(
     m: int = 8,
     n_codes: int = 16,
     id_col: str = "vec_id",
+    codebooks: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """Product-quantization ADC search (Jégou et al. 2011) — the third
     member of the compressed-vector family beside SQ8 (uniform int8)
@@ -756,7 +779,7 @@ def cosine_topk_pq(
     base = with_norm(emb).select(
         F.col(id_col).alias("nn_id"), "vec", "norm"
     )
-    recon = _pq_reconstruct(base, m, n_codes)
+    recon = _pq_reconstruct(base, m, n_codes, codebooks)
     q = base.filter(F.col("nn_id") < n_queries).select(
         F.col("nn_id").alias("query_id"),
         F.col("vec").alias("qvec"),

@@ -364,3 +364,49 @@ def test_ivf_pq_is_ivf_routing_of_pq_scores(spark):
     }
     for r in comp.itertuples():
         assert fmap[(r.query_id, int(r.nn_id))] == r.adc_cosine
+
+
+def test_pq_trained_codebooks_reduce_quantization_error(spark):
+    """cosine_topk_pq accepts per-subspace kmeans_nd codebooks (the
+    cosine_topk_ivf trained-quantizer contract): total reconstruction
+    error sum|x - x_hat|^2 with trained codebooks must not exceed the
+    seed codebooks' (Lloyd minimizes exactly this objective), and the
+    structure invariants hold."""
+    import numpy as np
+
+    from rgr_pdal_topo_spark.operators.cluster import kmeans_nd
+    from rgr_pdal_topo_spark.operators.similarity import (
+        _pq_reconstruct, with_norm,
+    )
+    from rgr_pdal_topo_spark.sources.tables import load_table
+    from tests.conftest import SF_DIR_ORACLE
+
+    emb = load_table(spark, SF_DIR_ORACLE, "embeddings")
+    m, w = 8, 8
+    books = []
+    for j in range(m):
+        sl = emb.selectExpr(
+            "vec_id", f"slice(embedding, {j * w + 1}, {w}) AS embedding"
+        )
+        _, cents = kmeans_nd(sl, "embedding", k=16, iters=2)
+        books.append([list(c) for c in cents])
+
+    base = with_norm(emb).selectExpr("vec_id AS nn_id", "vec", "norm")
+
+    def total_err(codebooks):
+        rec = _pq_reconstruct(base, m, 16, codebooks).toPandas()
+        full = base.select("nn_id", "vec").toPandas()
+        xs = {r.nn_id: np.array(r.vec) for r in full.itertuples()}
+        return sum(
+            float(((xs[r.nn_id] - np.array(r.xhat)) ** 2).sum())
+            for r in rec.itertuples()
+        )
+
+    err_seed = total_err(None)
+    err_trained = total_err(books)
+    assert err_trained <= err_seed, (err_trained, err_seed)
+    # and the full query path runs with trained books
+    out = similarity.cosine_topk_pq(
+        emb, n_queries=5, k=3, m=m, n_codes=16, codebooks=books
+    ).toPandas()
+    assert (out.groupby("query_id").size() == 3).all()
