@@ -169,6 +169,10 @@ HEADLINE = [
     "cosine_topk_ivf_pq",
     "decayed_activity",
     "postings_gaps",
+    "small_qty_revenue",
+    "search_rrf",
+    # (link_prediction is absent for the eager-builder reason: the
+    # symmetrized edge list localCheckpoints inside adamic_adar)
 ]
 
 

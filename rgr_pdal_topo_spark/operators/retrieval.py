@@ -302,3 +302,80 @@ def postings_gap_census(documents: DataFrame) -> DataFrame:
             ).alias("varint_bytes"),
         )
     )
+
+
+RRF_K = 60        #: the canonical reciprocal-rank-fusion constant
+RRF_Q = 1 << 20   #: integer grid for the reciprocal contributions
+
+
+def search_fused(
+    documents: DataFrame,
+    queries: tuple[tuple[int, str], ...] = BM25_QUERIES,
+    k: int = SEARCH_TOP_K,
+) -> DataFrame:
+    """(qid, doc_id, r_bm25, r_phrase, rrf_q): reciprocal-rank fusion
+    (Cormack, Clarke & Buettcher 2009) of the BM25 bag-of-words
+    ranking and the exact quoted-phrase ranking — THE standard way
+    modern stacks combine heterogeneous retrievers (keyword + vector,
+    here keyword + positional), robust because it consumes only RANKS:
+    rrf(d) = sum over lists of 1 / (60 + rank_list(d)), zero for a
+    list that missed the doc.
+
+    Exactness: both input rankings are already integer-exact (BIGINT
+    BM25 scores; integer phrase hit counts/positions) with total
+    tie-break orders, and each reciprocal is one exact floor-division
+    onto the 2^-20 grid — rrf_q is an exact BIGINT sum, no float in
+    the fusion at all.  The k-cut orders on (rrf_q DESC, doc_id).
+
+    Scale shape: both rankings window over their own (qid, doc)
+    AGGREGATES (WindowGroupLimit-friendly), the fusion is one full
+    outer join on (qid, doc_id) of two qid-partitioned rank tables,
+    and the k-cut runs on the fused aggregate."""
+    from pyspark.sql import Window
+
+    from rgr_pdal_topo_spark.operators.linkgraph import _exact_div
+
+    bw = Window.partitionBy("qid").orderBy(
+        F.col("score_q13").desc(), F.col("doc_id").asc()
+    )
+    br = (
+        bm25_scores(documents, queries)
+        .select(
+            "qid",
+            "doc_id",
+            F.row_number().over(bw).cast("long").alias("r_bm25"),
+        )
+    )
+    pw = Window.partitionBy("qid").orderBy(
+        F.col("n_hits").desc(),
+        F.col("first_pos").asc(),
+        F.col("doc_id").asc(),
+    )
+    pr = (
+        phrase_hits(documents, queries)
+        .select(
+            "qid",
+            "doc_id",
+            F.row_number().over(pw).cast("long").alias("r_phrase"),
+        )
+    )
+    u = br.join(pr, ["qid", "doc_id"], "full")
+    contrib = lambda r: F.coalesce(  # noqa: E731
+        _exact_div(F.lit(RRF_Q), F.lit(RRF_K) + F.col(r)),
+        F.lit(0).cast("long"),
+    )
+    fused = u.select(
+        "qid",
+        "doc_id",
+        "r_bm25",
+        "r_phrase",
+        (contrib("r_bm25") + contrib("r_phrase")).alias("rrf_q"),
+    )
+    kw = Window.partitionBy("qid").orderBy(
+        F.col("rrf_q").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rk", F.row_number().over(kw))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

@@ -11134,6 +11134,68 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_RRF_DIV = linkgraph.exact_div_sql(str(retrieval.RRF_Q), "60 + {r}")
+
+
+@query(
+    "search_rrf",
+    _with(
+        *_BM25_CORE_CTES,
+        "bs AS (SELECT qid, doc_id, "
+        f"CAST(SUM({retrieval.TERM_Q13_SQL}) AS BIGINT) AS score_q13 "
+        "FROM m GROUP BY 1, 2)",
+        "br AS (SELECT qid, doc_id, CAST(ROW_NUMBER() OVER ("
+        "PARTITION BY qid ORDER BY score_q13 DESC, doc_id ASC) "
+        "AS BIGINT) AS r_bm25 FROM bs)",
+        f"d AS ({_DOCTOKS_DUCK})",
+        "pp AS (SELECT doc_id, u.pos AS pos, toks[u.pos] AS tok FROM "
+        "d, LATERAL (SELECT unnest(generate_series(1, len(toks))) "
+        "AS pos) u)",
+        f"pq2 AS (SELECT * FROM {_PHRASE_QW_DUCK})",
+        "pql AS (SELECT qid, COUNT(*) AS qlen FROM pq2 GROUP BY qid)",
+        "pm AS (SELECT pq2.qid, pp.doc_id, pp.pos - pq2.off AS anchor, "
+        "pq2.off FROM pp JOIN pq2 ON pq2.tok = pp.tok)",
+        "pa AS (SELECT qid, doc_id, anchor, COUNT(DISTINCT off) AS k "
+        "FROM pm GROUP BY 1, 2, 3)",
+        "ph AS (SELECT pa.qid, pa.doc_id, pa.anchor FROM pa JOIN pql "
+        "USING (qid) WHERE pa.k = pql.qlen AND pa.anchor >= 1)",
+        "ps AS (SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS "
+        "n_hits, CAST(MIN(anchor) AS BIGINT) AS first_pos FROM ph "
+        "GROUP BY 1, 2)",
+        "prr AS (SELECT qid, doc_id, CAST(ROW_NUMBER() OVER ("
+        "PARTITION BY qid ORDER BY n_hits DESC, first_pos ASC, "
+        "doc_id ASC) AS BIGINT) AS r_phrase FROM ps)",
+        "uf AS (SELECT COALESCE(b.qid, p.qid) AS qid, "
+        "COALESCE(b.doc_id, p.doc_id) AS doc_id, b.r_bm25, p.r_phrase "
+        "FROM br b FULL JOIN prr p ON p.qid = b.qid "
+        "AND p.doc_id = b.doc_id)",
+        "fs AS (SELECT qid, doc_id, r_bm25, r_phrase, "
+        f"COALESCE({_RRF_DIV.format(r='r_bm25')}, 0) + "
+        f"COALESCE({_RRF_DIV.format(r='r_phrase')}, 0) AS rrf_q "
+        "FROM uf)",
+    )
+    + "SELECT qid, doc_id, r_bm25, r_phrase, rrf_q FROM (SELECT *, "
+    "ROW_NUMBER() OVER (PARTITION BY qid ORDER BY rrf_q DESC, "
+    "doc_id ASC) AS rk FROM fs) t WHERE rk <= 5",
+)
+def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the BM25 and quoted-phrase rankings
+    (operators/retrieval.py search_fused; Cormack et al. 2009) — THE
+    standard hybrid-search combiner (keyword + positional here,
+    keyword + vector in production): per query the top-5 docs by
+    rrf(d) = sum over lists of 1/(60 + rank), consuming only RANKS so
+    heterogeneous scorers fuse without calibration.  Exact end to
+    end: both rankings are integer-exact with total tie-break orders,
+    each reciprocal is one exact floor-division onto the 2^-20 grid,
+    rrf_q an exact BIGINT sum; the oracle restates both rankings from
+    the SAME shared CTE fragments as the solo bm25_scores /
+    phrase_search rows plus the fusion, so solo/fused drift fails
+    parity."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    return retrieval.search_fused(load_table(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -286,3 +286,36 @@ def test_postings_gaps_hand_computed(spark):
     assert got[3] == (1, 1)
     assert got[4] == (2, 2)  # gaps 8 and 10, one varint byte each
     assert set(got) == {1, 3, 4}
+
+
+def test_search_rrf_hand_computed_fusion(spark):
+    """Hand-checkable fusion: doc A ranks 1 in BM25 and 2 in phrase,
+    doc B ranks 2/1, doc C appears ONLY in BM25 (rank 3) -> its phrase
+    contribution is 0 and r_phrase is NULL; rrf_q values are the exact
+    floor-divisions of 2^20."""
+    from rgr_pdal_topo_spark.operators.retrieval import search_fused
+
+    docs = spark.createDataFrame(
+        [
+            # qid 0 tokens: "slow hash batch"
+            (1, "slow hash batch slow hash batch slow"),  # A: top bm25,
+                                                          # 2 phrase hits
+            (2, "slow hash batch x x x"),                 # B: 1 phrase hit
+            (3, "slow x x"),                              # C: bm25 only
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["qid"], r["doc_id"]): r
+        for r in search_fused(docs).collect()
+        if r["qid"] == 0
+    }
+    a, b, c = out[(0, 1)], out[(0, 2)], out[(0, 3)]
+    # A: 2 phrase occurrences -> phrase rank 1; longest/most tokens ->
+    # check consistency rather than assuming bm25 order:
+    ra, pa = a["r_bm25"], a["r_phrase"]
+    assert pa == 1 and b["r_phrase"] == 2
+    assert c["r_phrase"] is None
+    div = lambda r: (1 << 20) // (60 + r) if r is not None else 0  # noqa
+    for row in (a, b, c):
+        assert row["rrf_q"] == div(row["r_bm25"]) + div(row["r_phrase"])
