@@ -500,7 +500,11 @@ def series_autocorr(series: DataFrame, lags: list) -> DataFrame:
 MK_Q13 = 8192  #: Theil-Sen slope quantization grid (2^-13, repo-wide)
 
 
-def mann_kendall(events: DataFrame, group: str = "event_type") -> DataFrame:
+def mann_kendall(
+    events: DataFrame,
+    group: str = "event_type",
+    day_col: str | None = None,
+) -> DataFrame:
     """(event_type, n_days, s_stat, var18, slope_ts) — the
     Mann-Kendall monotonic-trend test plus the Theil-Sen robust slope
     over each group's DAILY count series: the standard
@@ -532,8 +536,13 @@ def mann_kendall(events: DataFrame, group: str = "event_type") -> DataFrame:
     join shuffles on the group key only (tiny aggregate input).  The
     per-group median runs over that bounded pair set.
     """
+    day = (
+        F.col(day_col).cast("long")
+        if day_col
+        else F.unix_date(F.to_date("ts")).cast("long")
+    )
     daily = events.groupBy(
-        F.col(group), F.unix_date(F.to_date("ts")).cast("long").alias("d")
+        F.col(group), day.alias("d")
     ).agg(F.count(F.lit(1)).alias("c"))
 
     a, b = daily.alias("a"), daily.alias("b")

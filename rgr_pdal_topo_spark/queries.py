@@ -11196,6 +11196,107 @@ def q_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retrieval.search_fused(load_table(spark, sf_dir, "documents"))
 
 
+#: planted space-time ramps (the hotspot_cells planting discipline —
+#: the uniform synthetic fetch log has no organic trend, so the two
+#: structures the detector exists to find are planted in BOTH engines):
+#: 7 days of counts 1..7 (emerging) and 7..1 (diminishing), anchored at
+#: the fetch log's first epoch-day.
+_EH_D0 = pagesops.EPOCH0 // 86400
+_EH_PLANT = [
+    (sgn, k, j) for sgn in (1, -1) for k in range(7)
+    for j in range(k + 1 if sgn == 1 else 7 - k)
+]
+_EH_PLANT_DUCK = "(VALUES " + ", ".join(
+    f"({sgn}, {_EH_D0 + k})" for sgn, k, _ in _EH_PLANT
+) + ") pl(sgn, d)"
+#: z >= 2 significance, cross-multiplied all-integer:
+#: z^2 = 18 S^2 / var18 >= 4  <=>  9 S^2 >= 2 var18
+_EH_TREND_SQL = (
+    "CASE WHEN s_stat > 0 AND 9 * s_stat * s_stat >= 2 * var18 "
+    "THEN 'emerging' WHEN s_stat < 0 AND 9 * s_stat * s_stat >= "
+    "2 * var18 THEN 'diminishing' ELSE 'stable' END"
+)
+
+
+@query(
+    "emerging_hotspots",
+    _with(
+        *_GEO_CTES,
+        f"fetches AS ({_FETCHES_DUCK})",
+        f"gc AS (SELECT url, {cellfn.quad_cell_sql('lon', 'lat', 5)} "
+        "AS cell FROM geo)",
+        "ev AS (SELECT gc.cell, f.warc_epoch // 86400 AS d "
+        "FROM fetches f JOIN gc ON gc.url = f.url "
+        "UNION ALL SELECT CASE WHEN pl.sgn = 1 THEN "
+        + cellfn.quad_cell_sql("0.5", "0.5", 5)
+        + " ELSE "
+        + cellfn.quad_cell_sql("-0.5", "-0.5", 5)
+        + f" END AS cell, CAST(pl.d AS BIGINT) AS d FROM "
+        f"{_EH_PLANT_DUCK})",
+        "daily AS (SELECT cell, d, CAST(COUNT(*) AS BIGINT) AS c "
+        "FROM ev GROUP BY 1, 2)",
+        "nd AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM daily "
+        "GROUP BY 1)",
+        "pr AS (SELECT a.cell, CASE WHEN b.c > a.c THEN 1 "
+        "WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn, "
+        "CAST(FLOOR(CAST(b.c - a.c AS DOUBLE) / "
+        "CAST(b.d - a.d AS DOUBLE) * 8192 + 0.5) AS BIGINT) AS sq "
+        "FROM daily a JOIN daily b ON a.cell = b.cell AND a.d < b.d)",
+        "tg AS (SELECT cell, CAST(SUM(t * (t - 1) * (2 * t + 5)) "
+        "AS BIGINT) AS tie_term FROM (SELECT cell, c, "
+        "CAST(COUNT(*) AS BIGINT) AS t FROM daily GROUP BY 1, 2) u "
+        "GROUP BY 1)",
+        "st AS (SELECT cell, CAST(SUM(sgn) AS BIGINT) AS s_stat, "
+        "median(sq) / 8192.0 AS slope_ts FROM pr GROUP BY 1)",
+        "mk AS (SELECT nd.cell, nd.n AS n_days, st.s_stat, "
+        "CAST(nd.n * (nd.n - 1) * (2 * nd.n + 5) - "
+        "COALESCE(tg.tie_term, 0) AS BIGINT) AS var18, st.slope_ts "
+        "FROM nd JOIN st USING (cell) LEFT JOIN tg USING (cell))",
+    )
+    + f"SELECT cell, n_days, s_stat, var18, slope_ts, {_EH_TREND_SQL} "
+    "AS trend FROM mk",
+)
+def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emerging hot-spot analysis — the space-time composite GIS
+    suites ship as a headline tool: per res-5 quadkey cell, the
+    Mann-Kendall trend of the DAILY capture-count series from the CDX
+    fetch log joined to the geocoded pages, classified
+    emerging / diminishing / stable at the z >= 2 gate spelled
+    all-integer (9 S^2 >= 2 var18 — no sqrt, no float variance).
+    Composes three verified stages (geo extraction, fetch log,
+    mann_kendall with day_col) through the SAME shared CTE fragments;
+    two planted ramps (counts 1..7 up, 7..1 down — the hotspot_cells
+    planting discipline, since the uniform synthetic log has no
+    organic trend) guarantee both alarm classes fire.  Pairs are
+    quadratic in distinct DAYS per cell, never rows; the heavy lift
+    is the (cell, day) fold."""
+    from rgr_pdal_topo_spark.operators import temporal
+
+    geo = pagesops.geo_lonlat(spark, sf_dir).select(
+        "url",
+        cellfn.quad_cell(F.col("lon"), F.col("lat"), 5).alias("cell"),
+    )
+    fl = pagesops.fetch_log_df(spark, sf_dir).select(
+        "url", (F.col("warc_epoch") / 86400).cast("long").alias("day")
+    )
+    real = fl.join(geo, "url").select("cell", "day")
+    spark_plant = spark.createDataFrame(
+        [(sgn, _EH_D0 + k) for sgn, k, _ in _EH_PLANT],
+        "sgn int, day long",
+    ).select(
+        F.when(
+            F.col("sgn") == 1,
+            cellfn.quad_cell(F.lit(0.5), F.lit(0.5), 5),
+        )
+        .otherwise(cellfn.quad_cell(F.lit(-0.5), F.lit(-0.5), 5))
+        .alias("cell"),
+        "day",
+    )
+    ev = real.unionByName(spark_plant)
+    mk = temporal.mann_kendall(ev, group="cell", day_col="day")
+    return mk.withColumn("trend", F.expr(_EH_TREND_SQL))
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

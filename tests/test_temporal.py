@@ -420,3 +420,44 @@ def test_crawl_schedule_composes_solo_stages(spark):
             row["trust_q"] / (1 << 30) * (row["score_q"] / (1 << 40)), 6
         )
         assert row["priority"] == exp
+
+
+def test_emerging_hotspots_planted_classes(spark):
+    """The two planted ramps classify as their classes (pure up-ramp
+    S = 21, var18 = 798 -> z ~ 3.15 emerging; down-ramp diminishing),
+    every other cell is stable (the flat synthetic log has no organic
+    trend at the z >= 2 gate), and the integer gate matches a float
+    z-score recomputation."""
+    from rgr_pdal_topo_spark.functions import cells as cellfn
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    out = QUERIES["emerging_hotspots"](spark, SF_DIR).toPandas()
+    up = spark.range(1).select(
+        cellfn.quad_cell(F.lit(0.5), F.lit(0.5), 5).alias("c")
+    ).collect()[0]["c"]
+    dn = spark.range(1).select(
+        cellfn.quad_cell(F.lit(-0.5), F.lit(-0.5), 5).alias("c")
+    ).collect()[0]["c"]
+    by = out.set_index("cell")
+    # organic captures may also geocode into a planted cell (seen:
+    # one extra event turned the down-ramp S from -21 to -20), so pin
+    # class + a strong-signal floor rather than the exact pair count
+    assert by.loc[up, "trend"] == "emerging"
+    assert by.loc[up, "s_stat"] >= 15
+    assert by.loc[dn, "trend"] == "diminishing"
+    assert by.loc[dn, "s_stat"] <= -15
+    rest = out[~out.cell.isin([up, dn])]
+    assert (rest.trend == "stable").all()
+    # the integer gate == the float z >= 2 definition
+    for r in out.itertuples():
+        if r.var18 > 0:
+            z2 = 18.0 * r.s_stat**2 / r.var18
+            sig = z2 >= 4.0
+        else:
+            sig = True  # degenerate: gate reduces to 9 S^2 >= 0
+        want = (
+            "emerging" if sig and r.s_stat > 0
+            else "diminishing" if sig and r.s_stat < 0
+            else "stable"
+        )
+        assert r.trend == want, (r.cell, r.trend, want)
