@@ -562,3 +562,85 @@ def dissolve_network(
             "mean_ksn",
         )
     )
+
+
+COST_STEP_Q = 8192  #: base cost per move (1.0 in Q13 units)
+COST_ROUNDS = 6     #: bounded Bellman-Ford horizon
+
+
+def cost_distance(
+    zgrid: DataFrame,
+    seeds: DataFrame,
+    rounds: int = COST_ROUNDS,
+) -> DataFrame:
+    """(cell_row, cell_col, cost_q): bounded-horizon least-cost
+    distance over the DEM — the GIS cost-surface verb (accessibility /
+    corridor analysis) the flow stack's steepest-descent-only walks
+    cannot express: movement is allowed in all 8 directions and each
+    move into a neighbour costs COST_STEP_Q + |zq(b) - zq(a)| (one
+    base unit plus the climb/descent, all exact integers on the
+    caller's zq grid).
+
+    zgrid: (cell_row, cell_col, zq INTEGER); seeds: (cell_row,
+    cell_col) cost-0 sources (e.g. the channel network).  ``rounds``
+    Bellman-Ford supersteps of the relaxation
+    cost(v) = min(cost(v), min_u cost(u) + w(u, v)) — the bfs_hops
+    bounded-horizon contract: within ``rounds`` moves of a seed the
+    cost is the true minimum (every relaxation sequence is exhausted),
+    beyond it the cell is absent; a production run raises ``rounds``
+    to the surface diameter or switches to delta iteration — traffic,
+    not results.
+
+    All-integer MIN folds — bit-exact, no rounding policy, and the
+    unrolled-CTE oracle matches exactly.  Scale shape: each round is
+    ONE 8-offset explode + equi-join on the cell key + map-side MIN —
+    the Pregel shape on the raster graph."""
+    g = zgrid.select("cell_row", "cell_col", "zq").localCheckpoint(
+        eager=True
+    )
+    offs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(dr).alias("dr"), F.lit(dc).alias("dc"))
+                for dr in (-1, 0, 1)
+                for dc in (-1, 0, 1)
+                if (dr, dc) != (0, 0)
+            ]
+        )
+    ).alias("o")
+    cost = seeds.join(g, ["cell_row", "cell_col"]).select(
+        "cell_row", "cell_col", F.lit(0).cast("long").alias("cost_q")
+    )
+    nbr = g.select(
+        F.col("cell_row").alias("tr"),
+        F.col("cell_col").alias("tc"),
+        F.col("zq").alias("tzq"),
+    )
+    for _ in range(rounds):
+        moved = (
+            cost.join(g, ["cell_row", "cell_col"])
+            .select("cell_row", "cell_col", "cost_q", "zq", offs)
+            .select(
+                (F.col("cell_row") + F.col("o.dr")).alias("tr"),
+                (F.col("cell_col") + F.col("o.dc")).alias("tc"),
+                "cost_q",
+                "zq",
+            )
+            .join(nbr, ["tr", "tc"])
+            .select(
+                F.col("tr").alias("cell_row"),
+                F.col("tc").alias("cell_col"),
+                (
+                    F.col("cost_q")
+                    + F.lit(COST_STEP_Q)
+                    + F.abs(F.col("tzq") - F.col("zq"))
+                ).alias("cost_q"),
+            )
+        )
+        cost = (
+            cost.unionByName(moved)
+            .groupBy("cell_row", "cell_col")
+            .agg(F.min("cost_q").alias("cost_q"))
+            .localCheckpoint(eager=True)
+        )
+    return cost

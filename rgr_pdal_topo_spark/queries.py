@@ -11297,6 +11297,67 @@ def q_emerging_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mk.withColumn("trend", F.expr(_EH_TREND_SQL))
 
 
+def _cost_rounds_ctes(rounds: int) -> list[str]:
+    """Unrolled Bellman-Ford relaxations, bit-equal to
+    flow.cost_distance by construction (all-integer MIN folds)."""
+    ctes = [
+        f"reach AS ({_FREACH})",
+        f"carea AS MATERIALIZED ({_FAREA})",
+        f"z13 AS (SELECT cell_row, cell_col, "
+        f"{qint_sql('value', Q13)} AS zq FROM fgrid)",
+        "od8 AS (SELECT * FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),"
+        "(0,1),(1,-1),(1,0),(1,1)) o(dr, dc))",
+        "r0 AS (SELECT z.cell_row, z.cell_col, CAST(0 AS BIGINT) AS "
+        "cost_q FROM z13 z JOIN carea a ON a.cell_row = z.cell_row "
+        f"AND a.cell_col = z.cell_col WHERE a.area >= {_CHI_AMIN!r})",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"mv{i} AS (SELECT n.cell_row, n.cell_col, "
+            f"r.cost_q + {flowops.COST_STEP_Q} + ABS(n.zq - z.zq) AS "
+            f"cost_q FROM r{i - 1} r JOIN z13 z ON z.cell_row = "
+            "r.cell_row AND z.cell_col = r.cell_col JOIN od8 o ON TRUE "
+            "JOIN z13 n ON n.cell_row = z.cell_row + o.dr "
+            "AND n.cell_col = z.cell_col + o.dc)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT cell_row, cell_col, CAST(MIN(cost_q) AS "
+            f"BIGINT) AS cost_q FROM (SELECT * FROM r{i - 1} UNION ALL "
+            f"SELECT * FROM mv{i}) u GROUP BY 1, 2)"
+        )
+    return ctes
+
+
+@query(
+    "cost_distance",
+    _FLOW_BASE.rstrip().rstrip(",")
+    + ", "
+    + ", ".join(_cost_rounds_ctes(flowops.COST_ROUNDS))
+    + f" SELECT cell_row, cell_col, cost_q FROM r{flowops.COST_ROUNDS}",
+)
+def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon least-cost distance from the channel network
+    (operators/flow.py cost_distance) — the GIS cost-surface /
+    accessibility verb the steepest-descent flow walks cannot
+    express: movement in all 8 directions, each move costing one base
+    unit plus the climb |dz| on the Q13 grid, relaxed for 6
+    Bellman-Ford supersteps (the bfs_hops bounded-horizon contract:
+    exact minimum within 6 moves of a channel, absent beyond).
+    All-integer MIN folds — bit-exact vs the unrolled-CTE oracle, no
+    rounding policy; seeds are the same amin-thresholded channel set
+    as hand/chi, so the row re-witnesses the accumulation walk too.
+    Each round is ONE 8-offset explode + cell-key equi-join +
+    map-side MIN — the Pregel shape on the raster graph."""
+    m = _flow_metrics_raw(spark, sf_dir)
+    zg = _flow_dem(spark, sf_dir).select(
+        "cell_row", "cell_col", qint_col(F.col("value"), Q13).alias("zq")
+    )
+    seeds = m.filter(F.col("area") >= _CHI_AMIN).select(
+        "cell_row", "cell_col"
+    )
+    return flowops.cost_distance(zg, seeds, flowops.COST_ROUNDS)
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -372,3 +372,44 @@ def test_slope_area_fit_python_replay(spark):
     assert row.sxy == sum(x * y for x, y in zip(xs, ys))
     assert row.sxx == sum(x * x for x in xs)
     assert row.theta_neg < 0
+
+
+def test_cost_distance_hand_computed_and_horizon(spark):
+    """Exact costs on a flat 1 x 9 strip with the seed at col 0: cell
+    k costs k * 8192, cells past the 6-round horizon are ABSENT; on a
+    3 x 3 patch with a raised rim cell, the direct move pays the climb
+    and no 2-step detour beats it."""
+    def zdf(cells):
+        return spark.createDataFrame(
+            pd.DataFrame(
+                [
+                    {"cell_row": r, "cell_col": c, "zq": v}
+                    for (r, c), v in cells.items()
+                ]
+            )
+        )
+
+    strip = {(0, c): 0 for c in range(9)}
+    seeds = spark.createDataFrame(
+        pd.DataFrame([{"cell_row": 0, "cell_col": 0}])
+    )
+    got = {
+        (r["cell_row"], r["cell_col"]): r["cost_q"]
+        for r in flow.cost_distance(zdf(strip), seeds, 6).collect()
+    }
+    assert got == {(0, c): c * 8192 for c in range(7)}  # 7, 8 absent
+
+    patch = {(r, c): 0 for r in range(3) for c in range(3)}
+    patch[(0, 1)] = 100
+    patch[(2, 2)] = 30
+    seeds = spark.createDataFrame(
+        pd.DataFrame([{"cell_row": 1, "cell_col": 1}])
+    )
+    got = {
+        (r["cell_row"], r["cell_col"]): r["cost_q"]
+        for r in flow.cost_distance(zdf(patch), seeds, 6).collect()
+    }
+    assert got[(1, 1)] == 0
+    assert got[(0, 1)] == 8192 + 100
+    assert got[(2, 2)] == 8192 + 30
+    assert got[(0, 0)] == 8192  # flat diagonal
