@@ -11358,6 +11358,79 @@ def q_cost_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flowops.cost_distance(zg, seeds, flowops.COST_ROUNDS)
 
 
+@query(
+    "geo_language_map",
+    _with(
+        *_GEO_CTES,
+        f"docs2 AS (SELECT {pagesops.URL_SQL} AS url, lang "
+        "FROM documents)",
+        f"gl AS (SELECT {cellfn.quad_cell_sql('lon', 'lat', 5)} AS "
+        "cell, d2.lang FROM geo g JOIN docs2 d2 ON d2.url = g.url)",
+        "c AS (SELECT cell, lang, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM gl GROUP BY 1, 2)",
+        f"q2 AS (SELECT cell, lang, n, {_ENT_LNC_SQL} AS lnq FROM c)",
+        "s AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS n_tokens, "
+        "CAST(COUNT(*) AS BIGINT) AS n_langs, "
+        "CAST(SUM(n * lnq) AS BIGINT) AS s_clnc FROM q2 GROUP BY 1)",
+        f"s2 AS (SELECT cell, n_tokens, n_langs, s_clnc, "
+        f"{_ENT_LNN_SQL} AS ln_n_q FROM s)",
+        "tp AS (SELECT cell, lang AS top_lang FROM (SELECT cell, lang, "
+        "ROW_NUMBER() OVER (PARTITION BY cell ORDER BY n DESC, "
+        "lang ASC) AS rn FROM c) t WHERE rn = 1)",
+    )
+    + "SELECT s2.cell, s2.n_tokens AS n_docs, s2.n_langs, tp.top_lang, "
+    f"{_ENT_H_SQL} AS lang_entropy FROM s2 "
+    "JOIN tp ON tp.cell = s2.cell",
+)
+def q_geo_language_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The geo-language map — the graft's two payloads in ONE product:
+    per res-5 quadkey cell, document count, language count, DOMINANT
+    language (ties to the smallest code) and the Shannon language-
+    diversity entropy — the linguistic-landscape census a multilingual
+    crawl publishes per region (and the mixing signal behind
+    region-aware sampling).  Composes the geocode stage with the
+    corpus language attribute through the SAME shared CTE fragments as
+    pages_geocode and token_entropy: ln only on integer-valued doubles
+    pinned to the 2^-13 grid, both accumulators exact BIGINTs, the
+    entropy ONE shared guarded spelling; the argmax is a window over
+    the (cell, lang) AGGREGATE with a total tie-break order."""
+    from pyspark.sql import Window
+
+    geo = pagesops.geo_lonlat(spark, sf_dir).select(
+        "url",
+        cellfn.quad_cell(F.col("lon"), F.col("lat"), 5).alias("cell"),
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.expr(pagesops.URL_SQL).alias("url"), "lang"
+    )
+    c = (
+        geo.join(docs, "url")
+        .groupBy("cell", "lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q2 = c.withColumn("lnq", F.expr(_ENT_LNC_SQL))
+    s = q2.groupBy("cell").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_langs"),
+        F.sum(F.col("n") * F.col("lnq")).alias("s_clnc"),
+    ).withColumn("ln_n_q", F.expr(_ENT_LNN_SQL))
+    w = Window.partitionBy("cell").orderBy(
+        F.col("n").desc(), F.col("lang").asc()
+    )
+    tp = (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cell", F.col("lang").alias("top_lang"))
+    )
+    return s.join(tp, "cell").select(
+        "cell",
+        F.col("n_tokens").alias("n_docs"),
+        "n_langs",
+        "top_lang",
+        F.expr(_ENT_H_SQL).alias("lang_entropy"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

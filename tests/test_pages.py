@@ -208,3 +208,50 @@ def test_adaptive_grid_partitions_every_page_exactly_once(spark):
             assert not (anc & by_res.get(coarser, set()))
     # non-vacuity: at least two resolutions actually emitted
     assert len(by_res) >= 2
+
+
+def test_geo_language_map_entropy_replay(spark):
+    """Pandas replay: per-cell dominant language (count desc, lang asc)
+    and the exact-integer entropy identity H = (ln_n_q*N - sum c*lnq)
+    / (8192 N) recomputed from the engine's own (cell, lang) counts;
+    single-language cells have entropy exactly 0."""
+    import math
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+    from tests.conftest import SF_DIR
+
+    out = QUERIES["geo_language_map"](spark, SF_DIR).toPandas()
+    assert len(out) > 50
+    assert (out.n_docs >= out.n_langs).all()
+    single = out[out.n_langs == 1]
+    assert len(single) > 0 and (single.lang_entropy == 0.0).all()
+    multi = out[out.n_langs > 1]
+    assert len(multi) > 0 and (multi.lang_entropy > 0).all()
+    # replay one multi-lang cell from raw data
+    from pyspark.sql import functions as FF
+
+    from rgr_pdal_topo_spark.functions import cells as cellfn
+    from rgr_pdal_topo_spark.operators import pages as pagesops
+
+    cell = multi.iloc[0]["cell"]
+    geo = pagesops.geo_lonlat(spark, SF_DIR).select(
+        "url", cellfn.quad_cell(FF.col("lon"), FF.col("lat"), 5).alias("c")
+    )
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        FF.expr(pagesops.URL_SQL).alias("url"), "lang"
+    )
+    rows = (
+        geo.filter(FF.col("c") == cell).join(docs, "url").groupBy("lang")
+        .count().collect()
+    )
+    counts = {r["lang"]: r["count"] for r in rows}
+    n = sum(counts.values())
+    lnq = lambda v: math.floor(math.log(v) * 8192 + 0.5)  # noqa: E731
+    h = (lnq(n) * n - sum(c * lnq(c) for c in counts.values())) / (
+        8192.0 * n
+    )
+    row = out.set_index("cell").loc[cell]
+    assert row["lang_entropy"] == round(h, 6)
+    assert row["top_lang"] == min(
+        sorted(counts), key=lambda k: (-counts[k], k)
+    )
