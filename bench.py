@@ -171,8 +171,11 @@ HEADLINE = [
     "postings_gaps",
     "small_qty_revenue",
     "search_rrf",
-    # (link_prediction is absent for the eager-builder reason: the
-    # symmetrized edge list localCheckpoints inside adamic_adar)
+    "emerging_hotspots",
+    "geo_language_map",
+    # (link_prediction and cost_distance are absent for the
+    # eager-builder reason: the symmetrized edge list localCheckpoints
+    # inside adamic_adar; the relaxation rounds checkpoint per step)
 ]
 
 
