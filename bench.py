@@ -173,6 +173,7 @@ HEADLINE = [
     "search_rrf",
     "emerging_hotspots",
     "geo_language_map",
+    "good_turing",
     # (link_prediction and cost_distance are absent for the
     # eager-builder reason: the symmetrized edge list localCheckpoints
     # inside adamic_adar; the relaxation rounds checkpoint per step)

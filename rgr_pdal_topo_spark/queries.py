@@ -11431,6 +11431,63 @@ def q_geo_language_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "good_turing",
+    _with(
+        f"d AS ({_DOCTOKS_DUCK})",
+        f"sh AS ({_SHINGLES_DUCK})",
+        f"dt AS ({_SHID_DUCK})",
+        "df AS (SELECT tid, CAST(COUNT(*) AS BIGINT) AS r FROM dt "
+        "GROUP BY tid)",
+        "ff AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM df "
+        "GROUP BY r)",
+        "nx AS (SELECT f.r, f.n_r, f2.n_r AS n_next FROM ff f "
+        "LEFT JOIN ff f2 ON f2.r = f.r + 1)",
+    )
+    + "SELECT r, n_r, n_next, "
+    "ROUND(CAST((r + 1) * n_next AS DOUBLE) / CAST(n_r AS DOUBLE), 6) "
+    "AS r_star FROM nx",
+)
+def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple Good-Turing frequency-of-frequencies over the shingle
+    document counts (Good 1953; Gale & Sampson 1995): N_r = number of
+    shingle types seen in exactly r documents, with the adjusted
+    count r* = (r+1) N_{r+1} / N_r — the smoothing estimator behind
+    n-gram language models, and the principled answer to "how much of
+    the NEXT document's shingle mass have we never seen" (the unseen
+    mass is N_1 / N — shingle_novelty's measured Heaps curve is the
+    empirical twin).  All counts exact BIGINTs (two partial+final
+    folds: type counts, then count-of-counts onto an r-domain-sized
+    table); r* is ONE shared guarded division, NULL where N_{r+1} is
+    empty (the raw estimator's gap — Gale-Sampson smooth over it;
+    surfacing the gap honestly IS the table's point).  The
+    count-of-counts table is the job-sizing view of the whole dedup
+    family: its head says how much of the corpus is hapax (untouched
+    by dedup), its tail how deep the duplication runs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df = dedup.shingle_ids(docs).groupBy("tid").agg(
+        F.count(F.lit(1)).alias("r")
+    )
+    ff = df.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    nx = ff.join(
+        ff.select(
+            (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_next")
+        ),
+        "r",
+        "left",
+    )
+    return nx.select(
+        "r",
+        "n_r",
+        "n_next",
+        F.round(
+            ((F.col("r") + 1) * F.col("n_next")).cast("double")
+            / F.col("n_r").cast("double"),
+            6,
+        ).alias("r_star"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

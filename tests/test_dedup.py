@@ -874,3 +874,43 @@ def test_rendezvous_hrw_guarantees(spark):
     # balance: no shard is pathologically hot (uniform-ish weights)
     sizes = [n for n, _ in rep.values()]
     assert max(sizes) < 2.2 * min(sizes)
+
+
+def test_good_turing_hand_computed(spark):
+    """Four docs with engineered shingle document-frequencies:
+    'a b c d' appears verbatim in docs 0 and 1 (its 2 shingles have
+    df = 2) while docs 2 and 3 contribute 4 unique-shingle docs
+    (df = 1 x 8): N_1 = 8, N_2 = 2, r*(1) = 2*2/8 = 0.5, r*(2)
+    NULL (no N_3) — the raw estimator's honest gap."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                "a b c d",
+                "a b c d",
+                "e f g h i j",          # 4 shingles, unique
+                "k l m n o p",          # 4 shingles, unique
+            ],
+            "lang": ["en"] * 4,
+            "source": ["s"] * 4,
+            "n_chars": [7, 7, 11, 11],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.to_parquet(os.path.join(d, "documents.parquet"))
+        out = {
+            r["r"]: r
+            for r in QUERIES["good_turing"](spark, d).collect()
+        }
+    assert (out[1]["n_r"], out[1]["n_next"], out[1]["r_star"]) == (
+        8, 2, 0.5,
+    )
+    assert out[2]["n_r"] == 2
+    assert out[2]["n_next"] is None and out[2]["r_star"] is None
+    assert set(out) == {1, 2}
