@@ -174,6 +174,7 @@ HEADLINE = [
     "emerging_hotspots",
     "geo_language_map",
     "good_turing",
+    "funnel_wilson",
     # (link_prediction and cost_distance are absent for the
     # eager-builder reason: the symmetrized edge list localCheckpoints
     # inside adamic_adar; the relaxation rounds checkpoint per step)

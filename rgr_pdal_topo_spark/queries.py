@@ -995,33 +995,36 @@ _FUNNEL_STAGES = ("signup", "view", "click", "purchase")
 _FUNNEL_WINDOW = "INTERVAL 48 HOUR"  # sessionize-proven portable syntax
 
 
+# the funnel CTE chain + counts union — ONE spelling shared by
+# funnel_steps and the funnel_wilson inference layer
+_FUNNEL_CTE_LIST = [
+    (
+        f"s{i} AS (SELECT user_id, ts, event_id FROM "
+        f"(SELECT e.user_id, e.ts, e.event_id, ROW_NUMBER() "
+        "OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) "
+        f"AS rn FROM events e "
+        + (
+            f"JOIN s{i - 1} p ON p.user_id = e.user_id AND "
+            "(e.ts > p.ts OR (e.ts = p.ts AND "
+            "e.event_id > p.event_id)) AND "
+            f"e.ts <= p.ts + {_FUNNEL_WINDOW} "
+            if i > 0
+            else ""
+        )
+        + f"WHERE e.event_type = '{st}') t WHERE rn = 1)"
+    )
+    for i, st in enumerate(_FUNNEL_STAGES)
+]
+_FUNNEL_UNION = " UNION ALL ".join(
+    f"SELECT {i + 1} AS stage, '{st}' AS stage_name, "
+    f"CAST(COUNT(*) AS BIGINT) AS n_users FROM s{i}"
+    for i, st in enumerate(_FUNNEL_STAGES)
+)
+
+
 @query(
     "funnel_steps",
-    _with(
-        *[
-            (
-                f"s{i} AS (SELECT user_id, ts, event_id FROM "
-                f"(SELECT e.user_id, e.ts, e.event_id, ROW_NUMBER() "
-                "OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id) "
-                f"AS rn FROM events e "
-                + (
-                    f"JOIN s{i - 1} p ON p.user_id = e.user_id AND "
-                    "(e.ts > p.ts OR (e.ts = p.ts AND "
-                    "e.event_id > p.event_id)) AND "
-                    f"e.ts <= p.ts + {_FUNNEL_WINDOW} "
-                    if i > 0
-                    else ""
-                )
-                + f"WHERE e.event_type = '{st}') t WHERE rn = 1)"
-            )
-            for i, st in enumerate(_FUNNEL_STAGES)
-        ]
-    )
-    + " UNION ALL ".join(
-        f"SELECT {i + 1} AS stage, '{st}' AS stage_name, "
-        f"CAST(COUNT(*) AS BIGINT) AS n_users FROM s{i}"
-        for i, st in enumerate(_FUNNEL_STAGES)
-    ),
+    _with(*_FUNNEL_CTE_LIST) + _FUNNEL_UNION,
 )
 def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel analysis over the event stream: users whose FIRST
@@ -11485,6 +11488,78 @@ def q_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_r").cast("double"),
             6,
         ).alias("r_star"),
+    )
+
+
+#: Wilson interval at z = 2 (the textbook "add 2 successes and 2
+#: failures" Agresti-Coull form — z^2 = 4 keeps every non-sqrt term
+#: integer); ONE spelling, engine via F.expr:
+_WILSON_HALF = (
+    "2.0 * SQRT(CAST(x AS DOUBLE) * CAST(n - x AS DOUBLE) / "
+    "CAST(n AS DOUBLE) + 1.0)"
+)
+_WILSON_LO = (
+    f"ROUND((CAST(x + 2 AS DOUBLE) - {_WILSON_HALF}) / "
+    "CAST(n + 4 AS DOUBLE), 6)"
+)
+_WILSON_HI = (
+    f"ROUND((CAST(x + 2 AS DOUBLE) + {_WILSON_HALF}) / "
+    "CAST(n + 4 AS DOUBLE), 6)"
+)
+_WILSON_RATE = "ROUND(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6)"
+
+
+@query(
+    "funnel_wilson",
+    _with(
+        *_FUNNEL_CTE_LIST,
+        f"fc AS ({_FUNNEL_UNION})",
+        "pr AS (SELECT a.stage AS stage, a.stage_name, b.stage_name AS "
+        "next_stage, a.n_users AS n, b.n_users AS x FROM fc a "
+        "JOIN fc b ON b.stage = a.stage + 1)",
+    )
+    + "SELECT stage, stage_name, next_stage, n, x, "
+    f"{_WILSON_RATE} AS rate, {_WILSON_LO} AS wilson_lo, "
+    f"{_WILSON_HI} AS wilson_hi FROM pr",
+)
+def q_funnel_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-rate confidence intervals for every funnel step —
+    the inference layer a product team actually reads (is
+    view -> click REALLY worse this week, or noise?): the Wilson score
+    interval at z = 2 in its Agresti-Coull "plus four" form,
+    lo/hi = ((x + 2) -/+ 2 sqrt(x (n - x)/n + 1)) / (n + 4) — chosen
+    because z^2 = 4 keeps every term except the single sqrt exact
+    integer arithmetic, and sqrt is correctly rounded under IEEE-754
+    (the traffic_autocorr doctrine) so both engines build bit-identical
+    doubles from identical integers; rate and both bounds are ONE
+    shared ROUND(,6) spelling.  Composes the funnel through the SAME
+    CTE chain as funnel_steps (refactored to shared constants), so
+    solo/inference drift fails parity.  The stage-pair join runs on
+    the 4-row funnel aggregate."""
+    fc = q_funnel_steps(spark, sf_dir)
+    pr = fc.alias("a").join(
+        fc.selectExpr(
+            "stage - 1 AS stage",
+            "stage_name AS next_stage",
+            "n_users AS x",
+        ),
+        "stage",
+    ).select(
+        "stage",
+        "stage_name",
+        "next_stage",
+        F.col("n_users").alias("n"),
+        "x",
+    )
+    return pr.select(
+        "stage",
+        "stage_name",
+        "next_stage",
+        "n",
+        "x",
+        F.expr(_WILSON_RATE).alias("rate"),
+        F.expr(_WILSON_LO).alias("wilson_lo"),
+        F.expr(_WILSON_HI).alias("wilson_hi"),
     )
 
 
