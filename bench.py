@@ -175,6 +175,7 @@ HEADLINE = [
     "geo_language_map",
     "good_turing",
     "funnel_wilson",
+    "chi2_independence",
     # (link_prediction and cost_distance are absent for the
     # eager-builder reason: the symmetrized edge list localCheckpoints
     # inside adamic_adar; the relaxation rounds checkpoint per step)

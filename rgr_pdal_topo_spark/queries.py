@@ -11563,6 +11563,90 @@ def q_funnel_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: chi-square cell term, ONE spelling (E = R*C/N is correctly rounded
+#: from exact integers; the (O-E)^2/E chain is bit-identical; the q13
+#: pin makes the cross-cell SUM exact):
+_CHI2_TERM = (
+    "CAST(FLOOR((CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e "
+    "* 8192 + 0.5) AS BIGINT)"
+)
+_CHI2_E = "CAST(r * c AS DOUBLE) / CAST(n AS DOUBLE)"
+
+
+@query(
+    "chi2_independence",
+    _with(
+        "ct AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o "
+        "FROM documents GROUP BY 1, 2)",
+        "rl AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM ct "
+        "GROUP BY 1)",
+        "cs AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM ct "
+        "GROUP BY 1)",
+        "nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM ct)",
+        "grid2 AS (SELECT rl.lang, cs.source, rl.r, cs.c, nn.n, "
+        "COALESCE(ct.o, 0) AS o FROM rl CROSS JOIN cs CROSS JOIN nn "
+        "LEFT JOIN ct ON ct.lang = rl.lang AND ct.source = cs.source)",
+        f"tq AS (SELECT r, c, n, o, {_CHI2_E} AS e FROM grid2)",
+        f"agg AS (SELECT CAST(SUM({_CHI2_TERM}) AS BIGINT) AS chi2_q, "
+        "CAST(MAX(n) AS BIGINT) AS n FROM tq)",
+        "dims AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM rl) AS "
+        "n_langs, (SELECT CAST(COUNT(*) AS BIGINT) FROM cs) AS "
+        "n_sources)",
+    )
+    + "SELECT agg.n, dims.n_langs, dims.n_sources, "
+    "(dims.n_langs - 1) * (dims.n_sources - 1) AS dof, agg.chi2_q, "
+    "CAST(agg.chi2_q AS DOUBLE) / 8192.0 AS chi2, "
+    "ROUND(SQRT(CAST(agg.chi2_q AS DOUBLE) / 8192.0 / (CAST(agg.n AS DOUBLE) * "
+    "CAST(LEAST(dims.n_langs, dims.n_sources) - 1 AS DOUBLE))), 6) "
+    "AS cramers_v FROM agg CROSS JOIN dims",
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence on the lang x source
+    contingency table + Cramer's V effect size — the categorical
+    drift/bias detector (is language mix independent of the source
+    domain?  the release-audit question beside langid_confusion).
+    Exactness: E = R*C/N is one correctly-rounded division of exact
+    integers (R*C < 2^53), the (O-E)^2/E chain is bit-identical in
+    both engines, and each cell term pins to the 2^-13 grid BEFORE
+    the cross-cell sum, so chi2_q is an exact BIGINT (aggregation
+    order immaterial) and chi2 / V are shared spellings over it.
+    ZERO cells included (the full dim cross with COALESCE — omitting
+    them silently understates the statistic).  Everything runs on the
+    langs x sources aggregate, never the corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ct = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rl = ct.groupBy("lang").agg(F.sum("o").alias("r"))
+    cs = ct.groupBy("source").agg(F.sum("o").alias("c"))
+    nn = ct.agg(F.sum("o").alias("n"))
+    grid2 = (
+        rl.crossJoin(cs)
+        .crossJoin(F.broadcast(nn))
+        .join(ct, ["lang", "source"], "left")
+        .select(
+            "r", "c", "n", F.coalesce(F.col("o"), F.lit(0)).alias("o")
+        )
+    )
+    tq = grid2.withColumn("e", F.expr(_CHI2_E))
+    agg = tq.agg(
+        F.sum(F.expr(_CHI2_TERM)).alias("chi2_q"),
+        F.max("n").alias("n"),
+    )
+    dims = rl.agg(F.count(F.lit(1)).alias("n_langs")).crossJoin(
+        cs.agg(F.count(F.lit(1)).alias("n_sources"))
+    )
+    return agg.crossJoin(F.broadcast(dims)).selectExpr(
+        "n",
+        "n_langs",
+        "n_sources",
+        "(n_langs - 1) * (n_sources - 1) AS dof",
+        "chi2_q",
+        "CAST(chi2_q AS DOUBLE) / 8192.0 AS chi2",
+        "ROUND(SQRT(CAST(chi2_q AS DOUBLE) / 8192.0 / (CAST(n AS DOUBLE) * "
+        "CAST(LEAST(n_langs, n_sources) - 1 AS DOUBLE))), 6) "
+        "AS cramers_v",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

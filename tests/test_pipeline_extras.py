@@ -1322,3 +1322,41 @@ def test_small_qty_revenue_boundary_and_cents(spark):
         [r] = QUERIES["small_qty_revenue"](spark, d).collect()
     assert (r["n_small"], r["revenue_cents"]) == (1, 1001)
     assert r["avg_yearly"] == round(1001 / 700.0, 4)
+
+
+def test_chi2_independence_exact_endpoints(spark):
+    """The two analytic endpoints are EXACT: a perfectly uniform 2x2
+    table gives chi2_q == 0 and V == 0; a perfectly diagonal one gives
+    chi2 == N and V == 1.0 (every term integer, the q13 pin is a
+    no-op)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    def run(rows):
+        df = pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "text": ["x"] * len(rows),
+                "lang": [r[0] for r in rows],
+                "source": [r[1] for r in rows],
+                "n_chars": [1] * len(rows),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "documents.parquet"))
+            [r] = QUERIES["chi2_independence"](spark, d).collect()
+        return r
+
+    uni = run(
+        [("en", "s0")] * 5 + [("en", "s1")] * 5
+        + [("de", "s0")] * 5 + [("de", "s1")] * 5
+    )
+    assert (uni["chi2_q"], uni["chi2"], uni["cramers_v"]) == (0, 0.0, 0.0)
+    assert uni["dof"] == 1
+    diag = run([("en", "s0")] * 10 + [("de", "s1")] * 10)
+    assert diag["chi2"] == 20.0 and diag["n"] == 20
+    assert diag["cramers_v"] == 1.0
