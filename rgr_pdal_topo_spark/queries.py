@@ -11647,6 +11647,79 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "late_suppliers",
+    _with(
+        "late AS (SELECT DISTINCT l.l_orderkey AS ok, l.l_suppkey AS sk "
+        "FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey "
+        "WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)",
+        "alls AS (SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk "
+        "FROM lineitem)",
+    )
+    + "SELECT s.s_suppkey, s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait "
+    "FROM late t JOIN supplier s ON s.s_suppkey = t.sk "
+    "WHERE EXISTS (SELECT 1 FROM alls a WHERE a.ok = t.ok "
+    "AND a.sk <> t.sk) "
+    "AND NOT EXISTS (SELECT 1 FROM late o2 WHERE o2.ok = t.ok "
+    "AND o2.sk <> t.sk) "
+    "GROUP BY s.s_suppkey, s.s_name",
+)
+def q_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-flavored "lone late supplier": per supplier, the count
+    of multi-supplier orders where THIS supplier shipped a line > 90
+    days after the order date and NO other supplier in the order did —
+    the registry's only NOT-EXISTS row, exercising Spark's physical
+    LeftSemi AND LeftAnti joins with a non-equi residual (orderkey
+    equality + suppkey inequality) in one plan (order_priority covers
+    plain EXISTS; U2 covers set-difference semantics).  Adapted to this
+    schema's columns: no commit/receipt dates, so "late" is shipdate
+    vs order date + 90d (reference analogue: the exclusion-set
+    semantics of maskDifference, baseGrid.py).
+
+    Exactness: join keys and the count are integers end to end — no
+    float anywhere, no rounding needed.
+
+    Scale shape: lateness is decided on the lineitem x orders equi-join
+    (fact streams once), then EVERYTHING runs on the DISTINCT
+    (order, supplier) rollups — two tables ~|orders| in size, shuffled
+    once on ok and reused by both the semi and the anti probe; the
+    supplier dim broadcasts onto the post-anti aggregate."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(
+            F.col("l_shipdate")
+            > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+        )
+        .select(
+            F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+        )
+        .distinct()
+    )
+    alls = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_suppkey").alias("sk")
+    ).distinct()
+    a, b, c = late.alias("a"), alls.alias("b"), late.alias("c")
+    lone = a.join(
+        b,
+        (F.col("a.ok") == F.col("b.ok")) & (F.col("a.sk") != F.col("b.sk")),
+        "leftsemi",
+    ).join(
+        c,
+        (F.col("a.ok") == F.col("c.ok")) & (F.col("a.sk") != F.col("c.sk")),
+        "leftanti",
+    )
+    return (
+        lone.join(F.broadcast(supp), F.col("sk") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -1360,3 +1360,49 @@ def test_chi2_independence_exact_endpoints(spark):
     diag = run([("en", "s0")] * 10 + [("de", "s1")] * 10)
     assert diag["chi2"] == 20.0 and diag["n"] == 20
     assert diag["cramers_v"] == 1.0
+
+
+def test_late_suppliers_planted(spark):
+    """Planted Q21 semantics: supplier 1 is the LONE late supplier of
+    multi-supplier order 1 (counts), order 2 has TWO late suppliers
+    (anti-join drops both), order 3 is single-supplier (semi-join
+    drops it), supplier 3 lone-late in order 4 (counts).  Exactly-90
+    days is NOT late (strict >): order 5 pins the boundary."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    t0 = pd.Timestamp("1995-01-01")
+    day = pd.Timedelta(days=1)
+    rows = [  # (orderkey, suppkey, ship_offset_days)
+        (1, 1, 120), (1, 2, 10),
+        (2, 1, 120), (2, 2, 120),
+        (3, 1, 120),
+        (4, 2, 10), (4, 3, 200),
+        (5, 1, 90), (5, 2, 10),  # == 90 days: on time
+    ]
+    li = pd.DataFrame(
+        {
+            "l_orderkey": [r[0] for r in rows],
+            "l_suppkey": [r[1] for r in rows],
+            "l_shipdate": [t0 + r[2] * day for r in rows],
+        }
+    ).astype({"l_shipdate": "datetime64[us]"})  # Spark rejects NANOS
+    orders = pd.DataFrame(
+        {"o_orderkey": [1, 2, 3, 4, 5], "o_orderdate": [t0] * 5}
+    ).astype({"o_orderdate": "datetime64[us]"})
+    supp = pd.DataFrame(
+        {"s_suppkey": [1, 2, 3], "s_name": ["S1", "S2", "S3"]}
+    )
+    with tempfile.TemporaryDirectory() as d:
+        li.to_parquet(os.path.join(d, "lineitem.parquet"))
+        orders.to_parquet(os.path.join(d, "orders.parquet"))
+        supp.to_parquet(os.path.join(d, "supplier.parquet"))
+        got = {
+            r["s_name"]: r["numwait"]
+            for r in QUERIES["late_suppliers"](spark, d).collect()
+        }
+    assert got == {"S1": 1, "S3": 1}
