@@ -11720,6 +11720,88 @@ def q_late_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "score_auc",
+    _with(
+        "sc AS (SELECT CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 8192 "
+        "+ 0.5) AS BIGINT) AS score_q, CASE WHEN label % 2 = 1 THEN 1 "
+        "ELSE 0 END AS pos FROM embeddings)",
+        "g AS (SELECT score_q, CAST(SUM(pos) AS BIGINT) AS npos, "
+        "CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nneg FROM sc GROUP BY 1)",
+        "w AS (SELECT npos, nneg, CAST(SUM(nneg) OVER (ORDER BY score_q "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "- nneg AS cumneg FROM g)",
+        "a AS (SELECT CAST(SUM(npos * (2 * cumneg + nneg)) AS BIGINT) "
+        "AS u2, CAST(SUM(npos) AS BIGINT) AS n_pos, "
+        "CAST(SUM(nneg) AS BIGINT) AS n_neg FROM w)",
+    )
+    + "SELECT n_pos, n_neg, u2, "
+    "ROUND(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc, "
+    "ROUND(CAST(u2 AS DOUBLE) / (1.0 * n_pos * n_neg) - 1.0, 6) AS gini "
+    "FROM a",
+)
+def q_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC (Mann-Whitney U) of a scalar score
+    against a binary label — the evaluation statistic every
+    quality-classifier gate (fastText/C4-style filters, source_quality)
+    needs before its threshold is trusted.  Score = first embedding
+    component q13-pinned to an integer; positives = odd cluster label
+    (a deterministic binary split of the labeled table).
+
+    Exactness: AUC = P(score_pos > score_neg) + P(=)/2 computed from
+    per-score-group counts — u2 accumulates npos * (2 * cumneg_below +
+    nneg_at_tie), an exact BIGINT (doubles the classic U to keep the
+    half-credit tie term integer), so AUC and Gini are each ONE
+    division of exact integers, ROUND(,6).  Group-count order is
+    immaterial; the only window runs over the DISTINCT score groups.
+
+    Scale shape: the corpus folds into per-score-group (npos, nneg)
+    partials map-side; the cumulative window runs on <= 16385 group
+    rows (the q13 score range), never the raw table — the classic
+    "histogram AUC" trick that makes sklearn-style pairwise AUC
+    feasible at 10^12 rows."""
+    from pyspark.sql import Window
+
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sc = emb.select(
+        qint_col(F.element_at("embedding", 1).cast("double"), Q13).alias(
+            "score_q"
+        ),
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("pos"),
+    )
+    g = sc.groupBy("score_q").agg(
+        F.sum("pos").cast("long").alias("npos"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("nneg"),
+    )
+    win = Window.orderBy("score_q").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w = g.select(
+        "npos",
+        "nneg",
+        (F.sum("nneg").over(win).cast("long") - F.col("nneg")).alias(
+            "cumneg"
+        ),
+    )
+    a = w.agg(
+        F.sum(
+            F.col("npos") * (2 * F.col("cumneg") + F.col("nneg"))
+        ).cast("long").alias("u2"),
+        F.sum("npos").cast("long").alias("n_pos"),
+        F.sum("nneg").cast("long").alias("n_neg"),
+    )
+    return a.selectExpr(
+        "n_pos",
+        "n_neg",
+        "u2",
+        "ROUND(CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg), 6) AS auc",
+        "ROUND(CAST(u2 AS DOUBLE) / (1.0 * n_pos * n_neg) - 1.0, 6) "
+        "AS gini",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -1406,3 +1406,38 @@ def test_late_suppliers_planted(spark):
             for r in QUERIES["late_suppliers"](spark, d).collect()
         }
     assert got == {"S1": 1, "S3": 1}
+
+
+def test_score_auc_exact_endpoints(spark):
+    """AUC analytic endpoints are EXACT: perfectly separating scores
+    give 1.0 (gini 1.0), perfectly reversed give 0.0, and all-tied
+    scores give exactly 0.5 (the half-credit tie term) — every u2 an
+    integer, the q13 pin a no-op on integer-valued components."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    def run(scores, labels):
+        df = pd.DataFrame(
+            {
+                "vec_id": range(len(scores)),
+                "embedding": [[float(s), 0.0] for s in scores],
+                "label": labels,
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "embeddings.parquet"))
+            [r] = QUERIES["score_auc"](spark, d).collect()
+        return r
+
+    # positives (odd labels) all score 1.0, negatives all 0.0
+    sep = run([1.0, 1.0, 0.0, 0.0], [1, 3, 0, 2])
+    assert (sep["auc"], sep["gini"]) == (1.0, 1.0)
+    assert (sep["n_pos"], sep["n_neg"], sep["u2"]) == (2, 2, 8)
+    rev = run([0.0, 0.0, 1.0, 1.0], [1, 3, 0, 2])
+    assert (rev["auc"], rev["gini"]) == (0.0, -1.0)
+    tie = run([0.5, 0.5, 0.5, 0.5], [1, 3, 0, 2])
+    assert (tie["auc"], tie["u2"]) == (0.5, 4)
