@@ -11802,6 +11802,102 @@ def q_score_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: PSI per-bin integer accumulator, ONE spelling (the lang_kl pinned-ln
+#: doctrine: each ln runs on an INTEGER-valued double, q13-pinned, so
+#: the cross-bin SUM is an exact BIGINT):
+_PSI_TERM = (
+    "(ca * nb - cb * na) * ("
+    + _KL_LQ.format(x="ca") + " + " + _KL_LQ.format(x="nb") + " - "
+    + _KL_LQ.format(x="cb") + " - " + _KL_LQ.format(x="na") + ")"
+)
+_PSI_OF = (
+    "ROUND(CAST({x} AS DOUBLE) / (CAST(na AS DOUBLE) * "
+    "CAST(nb AS DOUBLE) * 8192.0), 6)"
+)
+
+
+@query(
+    "segment_psi",
+    _with(
+        "seg AS (SELECT lang, CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 "
+        "ELSE 0 END) + 1 AS BIGINT) AS ca, CAST(SUM(CASE WHEN doc_id % 2 "
+        "= 1 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS cb "
+        "FROM documents GROUP BY lang)",
+        "tot AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, "
+        "CAST(SUM(cb) AS BIGINT) AS nb FROM seg)",
+        f"t AS (SELECT lang, ca, cb, na, nb, CAST({_PSI_TERM} AS BIGINT) "
+        "AS term FROM seg CROSS JOIN tot)",
+    )
+    + "SELECT lang, ca, cb, "
+    + _PSI_OF.format(x="term")
+    + " AS psi_term, "
+    + _PSI_OF.format(x="SUM(term) OVER ()")
+    + " AS psi_total FROM t",
+)
+def q_segment_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two corpus segments (even vs
+    odd doc_id — the deterministic stand-in for crawl snapshot A vs B),
+    binned by language: the drift gate a training-data pipeline runs
+    before mixing a new snapshot in (PSI < 0.1 stable, > 0.25 act),
+    directional sibling of lang_kl (KL of one slice vs the corpus;
+    PSI is the SYMMETRIZED slice-vs-slice divergence).
+
+    PSI = sum_bins (pa - pb) * ln(pa / pb) with +1 smoothing per bin
+    (both segments, same lang universe — zero-count bins would make
+    the log undefined; smoothing keeps every count a positive
+    integer).  Exactness: multiplied through by na * nb, the per-bin
+    term (ca*nb - cb*na) * (lq(ca) + lq(nb) - lq(cb) - lq(na)) is an
+    exact BIGINT (each ln q13-pinned on an integer-valued double, the
+    lang_kl doctrine), so per-bin and total PSI are each ONE division,
+    ROUND(,6), and the cross-bin SUM is order-immaterial.  Integer
+    envelope: |term| < counts^2 * lq-range — exact through segment
+    sizes ~3e8; beyond that, rescale the accumulator (documented, not
+    silent).
+
+    Scale shape: one partial+final count per (lang, parity) — the
+    corpus folds map-side; everything downstream (totals cross join,
+    the OVER () total) runs on the langs-sized aggregate."""
+    from pyspark.sql import Window
+
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    seg = docs.groupBy("lang").agg(
+        (
+            F.sum(F.when(F.col("doc_id") % 2 == 0, 1).otherwise(0)) + 1
+        ).cast("long").alias("ca"),
+        (
+            F.sum(F.when(F.col("doc_id") % 2 == 1, 1).otherwise(0)) + 1
+        ).cast("long").alias("cb"),
+    )
+    tot = seg.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    t = seg.crossJoin(F.broadcast(tot)).withColumn(
+        "term", F.expr(_PSI_TERM).cast("long")
+    )
+    return t.select(
+        "lang",
+        "ca",
+        "cb",
+        "na",
+        "nb",
+        "term",
+        F.sum("term").over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("total"),
+    ).select(
+        "lang",
+        "ca",
+        "cb",
+        F.expr(_PSI_OF.format(x="term")).alias("psi_term"),
+        F.expr(_PSI_OF.format(x="total")).alias("psi_total"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

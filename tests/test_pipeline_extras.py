@@ -1441,3 +1441,38 @@ def test_score_auc_exact_endpoints(spark):
     assert (rev["auc"], rev["gini"]) == (0.0, -1.0)
     tie = run([0.5, 0.5, 0.5, 0.5], [1, 3, 0, 2])
     assert (tie["auc"], tie["u2"]) == (0.5, 4)
+
+
+def test_segment_psi_exact_endpoints(spark):
+    """Identical segments give per-bin and total PSI EXACTLY 0 (the
+    ca*nb - cb*na factor vanishes); the analytic 2-lang flip case
+    gives psi_total == the q13-pinned spelling of 2 * 0.5 * ln 3
+    (= 144000 / 131072 rounded) — every accumulator integer."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    def run(doc_ids, langs):
+        df = pd.DataFrame(
+            {
+                "doc_id": doc_ids,
+                "text": ["x"] * len(doc_ids),
+                "lang": langs,
+                "source": ["s"] * len(doc_ids),
+                "n_chars": [1] * len(doc_ids),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "documents.parquet"))
+            return QUERIES["segment_psi"](spark, d).collect()
+
+    same = run([0, 1, 2, 3], ["en", "en", "de", "de"])
+    assert all(r["psi_term"] == 0.0 and r["psi_total"] == 0.0 for r in same)
+    # even docs all 'en', odd docs all 'de': ca'=(3,1), cb'=(1,3)
+    flip = {r["lang"]: r for r in run([0, 2, 1, 3], ["en", "en", "de", "de"])}
+    assert flip["en"]["psi_term"] == round(8 * 9000 / (16 * 8192.0), 6)
+    assert flip["en"]["psi_total"] == round(144000 / 131072.0, 6)
+    assert flip["de"]["psi_term"] == flip["en"]["psi_term"]
