@@ -11898,6 +11898,108 @@ def q_segment_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: waterfilling shared spellings (integer flag; ONE division for the
+#: uncapped share):
+_WF_FLAG = "CASE WHEN cap * (l - k + 1) <= b - cum THEN 1 ELSE 0 END"
+_WF_ALLOC = (
+    "CASE WHEN capped = 1 THEN CAST(cap AS DOUBLE) "
+    "ELSE ROUND(CAST(b - s_capped AS DOUBLE) / "
+    "CAST(l - n_capped AS DOUBLE), 6) END"
+)
+
+
+@query(
+    "lang_budget",
+    _with(
+        "tok AS (SELECT lang, CAST(SUM(len(list_filter(string_split("
+        "text, ' '), x -> x <> ''))) AS BIGINT) AS n_tokens "
+        "FROM documents GROUP BY lang)",
+        "c AS (SELECT lang, n_tokens, n_tokens AS cap FROM tok)",
+        "tot AS (SELECT CAST(FLOOR(SUM(n_tokens) / 2) AS BIGINT) AS b, "
+        "CAST(COUNT(*) AS BIGINT) AS l FROM c)",
+        "r AS (SELECT lang, n_tokens, cap, b, l, "
+        "ROW_NUMBER() OVER (ORDER BY cap, lang) AS k, "
+        "CAST(COALESCE(SUM(cap) OVER (ORDER BY cap, lang ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum "
+        "FROM c CROSS JOIN tot)",
+        f"f AS (SELECT *, {_WF_FLAG} AS flag FROM r)",
+        "p AS (SELECT *, CAST(MIN(flag) OVER (ORDER BY cap, lang ROWS "
+        "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS "
+        "capped FROM f)",
+        "s AS (SELECT *, CAST(SUM(capped * cap) OVER () AS BIGINT) AS "
+        "s_capped, CAST(SUM(capped) OVER () AS BIGINT) AS n_capped "
+        "FROM p)",
+    )
+    + f"SELECT lang, n_tokens, cap, capped, {_WF_ALLOC} AS alloc FROM s",
+)
+def q_lang_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax-style token-budget allocation across languages by
+    closed-form waterfilling: each language is capped at 1 epoch of its
+    own tokens (cap = n_tokens), the total budget is half the corpus,
+    and the budget fills languages UNIFORMLY up to their caps — small
+    languages get their full epoch (capped = 1), large languages split
+    the remainder equally (the anti-proportional sampling that keeps
+    head languages from drowning the mix; cf. the UniMax allocation of
+    Chung et al. 2023, public).
+
+    Closed form, no iteration: in cap-ascending order (tie-break lang),
+    language k is capped iff cap_k * (L - k + 1) <= B - cum_{k-1} —
+    the true capped set is a PREFIX of this order (caps below the water
+    level are exactly the smaller caps), and a prefix-AND (windowed
+    MIN of the integer flag) guards the boundary row.  Every
+    comparison, cumsum, and count is exact integer arithmetic; the
+    uncapped share is ONE division of two exact integers, ROUND(,6).
+
+    Scale shape: tokens fold map-side into per-lang counts; every
+    window runs over the LANGS-sized table (tens of rows), never the
+    corpus."""
+    from pyspark.sql import Window
+
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.groupBy("lang").agg(
+        F.sum(
+            F.size(F.expr("filter(split(text, ' '), x -> x <> '')"))
+        ).cast("long").alias("n_tokens")
+    )
+    c = tok.withColumn("cap", F.col("n_tokens"))
+    tot = c.agg(
+        F.floor(F.sum("n_tokens") / 2).cast("long").alias("b"),
+        F.count(F.lit(1)).cast("long").alias("l"),
+    )
+    order = Window.orderBy("cap", "lang")
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    r = (
+        c.crossJoin(F.broadcast(tot))
+        .withColumn("k", F.row_number().over(order))
+        .withColumn(
+            "cum",
+            F.coalesce(
+                F.sum("cap").over(
+                    order.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+    p = r.withColumn("flag", F.expr(_WF_FLAG)).withColumn(
+        "capped",
+        F.min("flag").over(
+            order.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    s = p.withColumn(
+        "s_capped",
+        F.sum(F.col("capped") * F.col("cap")).over(full).cast("long"),
+    ).withColumn("n_capped", F.sum("capped").over(full).cast("long"))
+    return s.select(
+        "lang", "n_tokens", "cap", "capped", F.expr(_WF_ALLOC).alias("alloc")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -1476,3 +1476,40 @@ def test_segment_psi_exact_endpoints(spark):
     assert flip["en"]["psi_term"] == round(8 * 9000 / (16 * 8192.0), 6)
     assert flip["en"]["psi_total"] == round(144000 / 131072.0, 6)
     assert flip["de"]["psi_term"] == flip["en"]["psi_term"]
+
+
+def test_lang_budget_waterfilling_planted(spark):
+    """Hand-computed waterfilling: token counts (2, 4, 100), budget
+    53 -> the two small languages are capped at their full epoch
+    (2, 4) and the head language gets the exact remainder 47.0; equal
+    counts (4, 4), budget 4 -> nobody capped, uniform split 2.0."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    def run(counts):
+        df = pd.DataFrame(
+            {
+                "doc_id": range(len(counts)),
+                "text": [" ".join(["t"] * n) for n in counts.values()],
+                "lang": list(counts),
+                "source": ["s"] * len(counts),
+                "n_chars": [1] * len(counts),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "documents.parquet"))
+            return {
+                r["lang"]: r
+                for r in QUERIES["lang_budget"](spark, d).collect()
+            }
+
+    got = run({"aa": 2, "bb": 4, "en": 100})
+    assert (got["aa"]["capped"], got["aa"]["alloc"]) == (1, 2.0)
+    assert (got["bb"]["capped"], got["bb"]["alloc"]) == (1, 4.0)
+    assert (got["en"]["capped"], got["en"]["alloc"]) == (0, 47.0)
+    eq = run({"aa": 4, "bb": 4})
+    assert all(r["capped"] == 0 and r["alloc"] == 2.0 for r in eq.values())
