@@ -12000,6 +12000,109 @@ def q_lang_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: nDCG per-position q13 term, ONE spelling: integer gain (2^rel - 1
+#: spelled as a CASE so no POW float detour) over the position
+#: discount — LOG2 runs on the INTEGER-valued double rk + 1 (the bm25
+#: ln contract applied to log2) and the quotient pins to the 2^-13
+#: grid BEFORE the per-query sum, so dcg_q / idcg_q are exact BIGINTs:
+_NDCG_TERM = (
+    "CAST(FLOOR(CAST(CASE WHEN rel >= 3 THEN 7 WHEN rel = 2 THEN 3 "
+    "ELSE 1 END AS DOUBLE) / LOG2(CAST(rk + 1 AS DOUBLE)) * 8192 + 0.5) "
+    "AS BIGINT)"
+)
+
+
+@query(
+    "search_ndcg",
+    _with(
+        *_BM25_CORE_CTES,
+        "bs AS (SELECT qid, doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, "
+        f"CAST(SUM({retrieval.TERM_Q13_SQL}) AS BIGINT) AS score_q13 "
+        "FROM m GROUP BY qid, doc_id)",
+        "rl AS (SELECT qid, doc_id, CAST(LEAST(n_hits, 3) AS BIGINT) "
+        "AS rel, score_q13 FROM bs)",
+        "sysr AS (SELECT qid, rel, ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY score_q13 DESC, doc_id) AS rk FROM rl)",
+        "idl AS (SELECT qid, rel, ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY rel DESC, doc_id) AS rk FROM rl)",
+        f"dc AS (SELECT qid, CAST(SUM({_NDCG_TERM}) AS BIGINT) AS dcg_q "
+        "FROM sysr WHERE rk <= 10 GROUP BY qid)",
+        f"ic AS (SELECT qid, CAST(SUM({_NDCG_TERM}) AS BIGINT) AS idcg_q "
+        "FROM idl WHERE rk <= 10 GROUP BY qid)",
+        "nc AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_cand FROM rl "
+        "GROUP BY qid)",
+    )
+    + "SELECT nc.qid, nc.n_cand, dc.dcg_q, ic.idcg_q, "
+    "ROUND(CAST(dc.dcg_q AS DOUBLE) / CAST(ic.idcg_q AS DOUBLE), 6) "
+    "AS ndcg FROM nc JOIN dc ON dc.qid = nc.qid "
+    "JOIN ic ON ic.qid = nc.qid",
+)
+def q_search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 evaluation of the BM25 ranking against a deterministic
+    pseudo-qrel — the ranking-quality metric that closes the retrieval
+    family (scores: bm25_scores; fusion: search_rrf; page:
+    search_results; THIS: is the ranking any good?).  Relevance grade =
+    number of distinct query terms the document matches, capped at 3
+    (graded term coverage — a standard cheap qrel when no human labels
+    exist); ideal ranking = the same candidates re-sorted by grade.
+
+    Exactness: gain 2^rel - 1 is an integer CASE (no POW float
+    detour); the only transcendental is LOG2 on the integer-valued
+    double rk + 1 (positions 2..11 — the bm25 ln contract), and each
+    gain/discount quotient pins to the 2^-13 grid BEFORE the <=10-term
+    per-query sum, so dcg_q and idcg_q are exact BIGINTs and nDCG is
+    ONE division, ROUND(,6).  Ranks are total orders (score DESC then
+    doc_id; grade DESC then doc_id) — no nondeterministic ties.
+
+    Scale shape: candidates per query come off the bm25 postings join
+    (broadcast query terms); both windows partition BY QUERY over
+    candidate sets, the classic top-k-per-key pattern, then every
+    aggregate runs on <= 10 rows per query."""
+    from pyspark.sql import Window
+
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bs = retrieval.bm25_scores(docs)
+    rl = bs.select(
+        "qid",
+        "doc_id",
+        F.least(F.col("n_hits"), F.lit(3)).cast("long").alias("rel"),
+        "score_q13",
+    )
+    sys_w = Window.partitionBy("qid").orderBy(
+        F.col("score_q13").desc(), F.col("doc_id")
+    )
+    idl_w = Window.partitionBy("qid").orderBy(
+        F.col("rel").desc(), F.col("doc_id")
+    )
+    dc = (
+        rl.withColumn("rk", F.row_number().over(sys_w))
+        .filter(F.col("rk") <= 10)
+        .groupBy("qid")
+        .agg(F.sum(F.expr(_NDCG_TERM)).cast("long").alias("dcg_q"))
+    )
+    ic = (
+        rl.withColumn("rk", F.row_number().over(idl_w))
+        .filter(F.col("rk") <= 10)
+        .groupBy("qid")
+        .agg(F.sum(F.expr(_NDCG_TERM)).cast("long").alias("idcg_q"))
+    )
+    nc = rl.groupBy("qid").agg(F.count(F.lit(1)).alias("n_cand"))
+    return (
+        nc.join(dc, "qid")
+        .join(ic, "qid")
+        .selectExpr(
+            "qid",
+            "n_cand",
+            "dcg_q",
+            "idcg_q",
+            "ROUND(CAST(dcg_q AS DOUBLE) / CAST(idcg_q AS DOUBLE), 6) "
+            "AS ndcg",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #
