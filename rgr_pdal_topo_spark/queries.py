@@ -12103,6 +12103,149 @@ def q_search_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: VRM unit-normal components, ONE spelling each: the unnormalized
+#: normal of the central-difference tangent plane is the INTEGER vector
+#: (-dx2, -dy2, 2*8192) (z in q13 units, spacing = 1 cell, fractions
+#: cleared), its magnitude ONE correctly-rounded SQRT of an integer-
+#: valued double, each component ONE division — bit-identical cross-
+#: engine — then q13-pinned so the 3x3 window sums are exact BIGINTs:
+_VRM_MAG = (
+    "SQRT(CAST(dx2 * dx2 + dy2 * dy2 + 268435456 AS DOUBLE))"
+)
+_VRM_NXQ = (
+    f"CAST(FLOOR(CAST(-dx2 AS DOUBLE) / {_VRM_MAG} * 8192 + 0.5) "
+    "AS BIGINT)"
+)
+_VRM_NYQ = (
+    f"CAST(FLOOR(CAST(-dy2 AS DOUBLE) / {_VRM_MAG} * 8192 + 0.5) "
+    "AS BIGINT)"
+)
+_VRM_NZQ = (
+    f"CAST(FLOOR(16384.0 / {_VRM_MAG} * 8192 + 0.5) AS BIGINT)"
+)
+_VRM_OUT = (
+    "ROUND(1.0 - SQRT(CAST(sx * sx + sy * sy + sz * sz AS DOUBLE)) / "
+    "(CAST(m AS DOUBLE) * 8192.0), 6)"
+)
+
+
+@query(
+    "vrm",
+    _BASE.rstrip()
+    + f", gmean AS ({GRID_MEAN_CTE}), "
+    f"zt AS (SELECT cell_row, cell_col, {qint_sql('value', Q13)} AS z "
+    "FROM gmean), "
+    "grad AS (SELECT a.cell_row, a.cell_col, "
+    "CAST(e.z - w.z AS BIGINT) AS dx2, "
+    "CAST(n.z - s.z AS BIGINT) AS dy2 FROM zt a "
+    "JOIN zt e ON e.cell_row = a.cell_row AND e.cell_col = a.cell_col + 1 "
+    "JOIN zt w ON w.cell_row = a.cell_row AND w.cell_col = a.cell_col - 1 "
+    "JOIN zt n ON n.cell_row = a.cell_row + 1 AND n.cell_col = a.cell_col "
+    "JOIN zt s ON s.cell_row = a.cell_row - 1 AND s.cell_col = a.cell_col)"
+    ", "
+    f"nrm AS (SELECT cell_row, cell_col, {_VRM_NXQ} AS nxq, "
+    f"{_VRM_NYQ} AS nyq, {_VRM_NZQ} AS nzq FROM grad), "
+    f"offs AS ({_offsets_duck(1, exclude_center=False)}), "
+    "win AS (SELECT a.cell_row, a.cell_col, CAST(COUNT(*) AS BIGINT) "
+    "AS m, CAST(SUM(b.nxq) AS BIGINT) AS sx, CAST(SUM(b.nyq) AS BIGINT) "
+    "AS sy, CAST(SUM(b.nzq) AS BIGINT) AS sz FROM nrm a "
+    "CROSS JOIN offs o JOIN nrm b ON b.cell_row = a.cell_row + o.dr "
+    "AND b.cell_col = a.cell_col + o.dc GROUP BY a.cell_row, a.cell_col)"
+    " "
+    f"SELECT cell_row, cell_col, m, sx, sy, sz, {_VRM_OUT} AS vrm "
+    "FROM win",
+)
+def q_vrm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector Ruggedness Measure (Sappington et al. 2007, public) over
+    the mean DEM: per cell, 1 - |sum of 3x3 unit surface normals| / m —
+    EXACTLY 0 on flat ground, ~0 (up to the q13 pin, < 3e-4) on
+    uniformly tilted planes of ANY slope (unlike windowed_std, which
+    reads tilt as roughness), approaching 1 where aspect/slope scatter — the terrain
+    heterogeneity metric wildlife/geomorphology studies use beside
+    slope and TPI (reference analogue: the roughness family of
+    dem.py's windowed kernels, W11).
+
+    Trig-free exactness: the textbook formulation needs sin/cos of
+    slope and aspect (transcendentals with no cross-engine bit
+    guarantee); algebraically the SAME unit normal is the integer
+    vector (-dx2, -dy2, 2*8192) normalized — one correctly-rounded
+    SQRT of an integer-valued double and one division per component
+    (IEEE-exact both engines), q13-pinned so the window sums (sx, sy,
+    sz — the hashed surface) are exact BIGINTs and VRM is one shared
+    float spelling over them, ROUND(,6).  Gradient cells need all 4
+    rook neighbours (inner join); window count m < 9 at the boundary
+    of that set is reported, not hidden.
+
+    Scale shape: five shifted-key equi-joins of the cells-sized grid,
+    all co-located under grid partitioning (halo replication computes
+    the same sums shuffle-free at raster scale — the stencil engine's
+    contract); no Python, no window-over-everything."""
+    zt = mean_dem(spark, sf_dir).select(
+        "cell_row", "cell_col", qint_col(F.col("value"), Q13).alias("z")
+    )
+    return _vrm_core(spark, zt)
+
+
+def _vrm_core(spark: SparkSession, zt: DataFrame) -> DataFrame:
+    """VRM plan over a (cell_row, cell_col, z) integer grid — factored
+    so planted tests can drive analytic DEMs (plane -> exactly 0)."""
+    def _sh(dr: int, dc: int, name: str):
+        return zt.select(
+            (F.col("cell_row") - dr).alias("cell_row"),
+            (F.col("cell_col") - dc).alias("cell_col"),
+            F.col("z").alias(name),
+        )
+
+    grad = (
+        zt.join(_sh(0, 1, "ze"), ["cell_row", "cell_col"])
+        .join(_sh(0, -1, "zw"), ["cell_row", "cell_col"])
+        .join(_sh(1, 0, "zn"), ["cell_row", "cell_col"])
+        .join(_sh(-1, 0, "zs"), ["cell_row", "cell_col"])
+        .select(
+            "cell_row",
+            "cell_col",
+            (F.col("ze") - F.col("zw")).cast("long").alias("dx2"),
+            (F.col("zn") - F.col("zs")).cast("long").alias("dy2"),
+        )
+    )
+    nrm = grad.select(
+        "cell_row",
+        "cell_col",
+        F.expr(_VRM_NXQ).alias("nxq"),
+        F.expr(_VRM_NYQ).alias("nyq"),
+        F.expr(_VRM_NZQ).alias("nzq"),
+    )
+    off = spark.range(9).select(
+        ((F.col("id") / 3).cast("int") - 1).alias("dr"),
+        ((F.col("id") % 3).cast("int") - 1).alias("dc"),
+    )
+    shifted = (
+        nrm.crossJoin(F.broadcast(off))
+        .select(
+            (F.col("cell_row") - F.col("dr")).alias("cell_row"),
+            (F.col("cell_col") - F.col("dc")).alias("cell_col"),
+            "nxq",
+            "nyq",
+            "nzq",
+        )
+    )
+    win = (
+        nrm.select("cell_row", "cell_col")
+        .join(shifted, ["cell_row", "cell_col"])
+        .groupBy("cell_row", "cell_col")
+        .agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum("nxq").cast("long").alias("sx"),
+            F.sum("nyq").cast("long").alias("sy"),
+            F.sum("nzq").cast("long").alias("sz"),
+        )
+    )
+    return win.select(
+        "cell_row", "cell_col", "m", "sx", "sy", "sz",
+        F.expr(_VRM_OUT).alias("vrm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -1583,3 +1583,76 @@ def test_search_ndcg_matches_numpy_recomputation(spark):
             dcg, idcg, len(grp)
         )
         assert g["ndcg"] == round(dcg / idcg, 6)
+
+
+def test_vrm_plane_exactly_zero_and_numpy_parity(spark):
+    """A planar DEM of ANY tilt has identical unit normals everywhere,
+    so interior VRM is EXACTLY 0.0 with m == 9 (the property that
+    separates VRM from windowed_std, which reads tilt as roughness);
+    a +/- alternating surface gives vrm > 0.  Both pinned against an
+    independent numpy recomputation of the full q13 chain."""
+    import math
+
+    from rgr_pdal_topo_spark.queries import _vrm_core
+
+    def run(zfn, n=7):
+        rows = [
+            (r, c, int(zfn(r, c)))
+            for r in range(n)
+            for c in range(n)
+        ]
+        zt = spark.createDataFrame(
+            rows, "cell_row int, cell_col int, z long"
+        )
+        return {
+            (r["cell_row"], r["cell_col"]): r
+            for r in _vrm_core(spark, zt).collect()
+        }
+
+    # flat plane: identical normals (0, 0, 8192) exactly -> vrm 0.0
+    flat = run(lambda r, c: 12345)
+    interior = [
+        v for (r, c), v in flat.items() if 2 <= r <= 4 and 2 <= c <= 4
+    ]
+    assert len(interior) == 9
+    assert all(v["m"] == 9 and v["vrm"] == 0.0 for v in interior)
+
+    # tilted plane: normals identical up to the q13 pin -> |vrm| tiny
+    plane = run(lambda r, c: 3000 * r + 700 * c)
+    tilted = [
+        v for (r, c), v in plane.items() if 2 <= r <= 4 and 2 <= c <= 4
+    ]
+    assert all(abs(v["vrm"]) < 3e-4 for v in tilted)
+
+    # irregular surface (period-2 alternation is INVISIBLE to the
+    # 2-cell central difference — gradients scatter only if the
+    # field varies at longer wavelengths): strictly positive VRM
+    rough = run(lambda r, c: ((r * r * 37 + c * c * 91) % 6007) * 31)
+    center = rough[(3, 3)]
+    assert center["vrm"] > 0.01
+
+    # independent numpy recomputation of the chain at one cell
+    def nq(dx2, dy2):
+        mag = math.sqrt(float(dx2 * dx2 + dy2 * dy2 + 268435456))
+        return (
+            math.floor(-dx2 / mag * 8192 + 0.5),
+            math.floor(-dy2 / mag * 8192 + 0.5),
+            math.floor(16384.0 / mag * 8192 + 0.5),
+        )
+
+    # recompute the 3x3 sum at (3,3) from first principles
+    zf = lambda r, c: ((r * r * 37 + c * c * 91) % 6007) * 31
+    sx = sy = sz = m = 0
+    for dr in (-1, 0, 1):
+        for dc in (-1, 0, 1):
+            r, c = 3 + dr, 3 + dc
+            dx2 = zf(r, c + 1) - zf(r, c - 1)
+            dy2 = zf(r + 1, c) - zf(r - 1, c)
+            x, y, zc = nq(dx2, dy2)
+            sx += x; sy += y; sz += zc; m += 1
+    exp_vrm = round(
+        1.0 - math.sqrt(float(sx * sx + sy * sy + sz * sz)) / (m * 8192.0),
+        6,
+    )
+    assert (center["sx"], center["sy"], center["sz"]) == (sx, sy, sz)
+    assert center["vrm"] == exp_vrm
