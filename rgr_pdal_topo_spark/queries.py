@@ -12246,6 +12246,87 @@ def _vrm_core(spark: SparkSession, zt: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "langid_kappa",
+    _with(
+        f"d AS (SELECT doc_id, lang, {_LANGMARK_SQL} AS text "
+        "FROM documents)",
+        "toks AS (SELECT doc_id, lang, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS t FROM d)",
+        f"p AS (SELECT lang, {_PRED_LANG_CASE_DUCK} AS pred_lang "
+        "FROM toks)",
+        "ct AS (SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM p GROUP BY lang, pred_lang)",
+        "rm AS (SELECT lang AS lbl, CAST(SUM(n) AS BIGINT) AS r FROM ct "
+        "GROUP BY lang)",
+        "cm AS (SELECT pred_lang AS lbl, CAST(SUM(n) AS BIGINT) AS c "
+        "FROM ct GROUP BY pred_lang)",
+        "agg AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(CASE "
+        "WHEN lang = pred_lang THEN n ELSE 0 END) AS BIGINT) AS diag "
+        "FROM ct)",
+        "pe AS (SELECT CAST(COALESCE(SUM(rm.r * cm.c), 0) AS BIGINT) AS "
+        "rc FROM rm JOIN cm ON cm.lbl = rm.lbl)",
+    )
+    + "SELECT nn AS n, diag AS n_correct, rc AS pe_num, "
+    "ROUND(CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS accuracy, "
+    "ROUND(CAST(nn * diag - rc AS DOUBLE) / "
+    "CAST(nn * nn - rc AS DOUBLE), 6) AS kappa "
+    "FROM agg CROSS JOIN pe",
+)
+def q_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the language-ID classifier against the
+    declared label — chance-corrected agreement, the single number the
+    langid_confusion matrix is usually reduced to (accuracy alone
+    overstates a classifier that just predicts the majority language;
+    kappa subtracts exactly that).
+
+    Exactness: kappa = (po - pe) / (1 - pe) multiplied through by N^2
+    becomes (N*diag - sum_l r_l*c_l) / (N^2 - sum_l r_l*c_l) — ONE
+    division of two exact BIGINTs (marginal products joined on the
+    label, absent labels contribute 0); accuracy is one more.  Same
+    planted langmark corpus as langid_confusion, so the matrix has
+    real off-diagonal mass at every scale.
+
+    Scale shape: identical to langid_confusion — one scan folds to the
+    languages^2 census; marginals, products, and the scalar all run on
+    that matrix."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", f"{_LANGMARK_SQL} AS text"
+    )
+    ct = (
+        textstats.langid_scores(docs)
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rm = ct.groupBy(F.col("lang").alias("lbl")).agg(
+        F.sum("n").cast("long").alias("r")
+    )
+    cm = ct.groupBy(F.col("pred_lang").alias("lbl")).agg(
+        F.sum("n").cast("long").alias("c")
+    )
+    agg = ct.agg(
+        F.sum("n").cast("long").alias("nn"),
+        F.sum(
+            F.when(F.col("lang") == F.col("pred_lang"), F.col("n"))
+            .otherwise(0)
+        ).cast("long").alias("diag"),
+    )
+    pe = rm.join(cm, "lbl").agg(
+        F.coalesce(F.sum(F.col("r") * F.col("c")), F.lit(0))
+        .cast("long").alias("rc")
+    )
+    return agg.crossJoin(F.broadcast(pe)).selectExpr(
+        "nn AS n",
+        "diag AS n_correct",
+        "rc AS pe_num",
+        "ROUND(CAST(diag AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS accuracy",
+        "ROUND(CAST(nn * diag - rc AS DOUBLE) / "
+        "CAST(nn * nn - rc AS DOUBLE), 6) AS kappa",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -1656,3 +1656,39 @@ def test_vrm_plane_exactly_zero_and_numpy_parity(spark):
     )
     assert (center["sx"], center["sy"], center["sz"]) == (sx, sy, sz)
     assert center["vrm"] == exp_vrm
+
+
+def test_langid_kappa_exact_endpoints(spark):
+    """Perfect agreement gives kappa EXACTLY 1.0; a constant-prediction
+    classifier gives kappa EXACTLY 0.0 even at 50% accuracy (the
+    chance-correction that separates kappa from accuracy) — every
+    accumulator an exact integer, the divisions land on exact values.
+    Odd doc_ids avoid the langmark injection (doc_id % 2 = 0)."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    def run(texts, langs):
+        df = pd.DataFrame(
+            {
+                "doc_id": [2 * i + 1 for i in range(len(texts))],
+                "text": texts,
+                "lang": langs,
+                "source": ["s"] * len(texts),
+                "n_chars": [9] * len(texts),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "documents.parquet"))
+            [r] = QUERIES["langid_kappa"](spark, d).collect()
+        return r
+
+    en = "the a and of to"
+    de = "der die das und ist"
+    perfect = run([en, en, de, de], ["en", "en", "de", "de"])
+    assert (perfect["accuracy"], perfect["kappa"]) == (1.0, 1.0)
+    constant = run([en, en, en, en], ["en", "en", "de", "de"])
+    assert (constant["accuracy"], constant["kappa"]) == (0.5, 0.0)
