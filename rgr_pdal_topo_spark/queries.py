@@ -12327,6 +12327,106 @@ def q_langid_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: calibration shared spellings — the per-bin absolute gap is the
+#: exact integer |8192 * pos_b - sum(prob_q)|, so ECE is one division:
+_CAL_BIN = (
+    "CAST(LEAST(FLOOR(CAST(prob_q * 10 AS DOUBLE) / 8192.0), 9.0) "
+    "AS BIGINT)"
+)
+_CAL_ACC = "ROUND(CAST(pos_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6)"
+_CAL_CONF = (
+    "ROUND(CAST(s_b AS DOUBLE) / (CAST(n_b AS DOUBLE) * 8192.0), 6)"
+)
+_CAL_ECE = (
+    "ROUND(CAST({x} AS DOUBLE) / (CAST(nn AS DOUBLE) * 8192.0), 6)"
+)
+
+
+@query(
+    "score_calibration",
+    _with(
+        "sc AS (SELECT LEAST(GREATEST(CAST(FLOOR(CAST(embedding[1] AS "
+        "DOUBLE) * 8192 + 0.5) AS BIGINT), 0), 8192) AS prob_q, "
+        "CASE WHEN label % 2 = 1 THEN 1 ELSE 0 END AS pos "
+        "FROM embeddings)",
+        f"b AS (SELECT {_CAL_BIN} AS bin, CAST(COUNT(*) AS BIGINT) AS "
+        "n_b, CAST(SUM(pos) AS BIGINT) AS pos_b, CAST(SUM(prob_q) AS "
+        "BIGINT) AS s_b FROM sc GROUP BY 1)",
+        "g AS (SELECT bin, n_b, pos_b, s_b, "
+        "ABS(8192 * pos_b - s_b) AS gap, "
+        "CAST(SUM(n_b) OVER () AS BIGINT) AS nn, "
+        "CAST(SUM(ABS(8192 * pos_b - s_b)) OVER () AS BIGINT) AS gap_t "
+        "FROM b)",
+    )
+    + f"SELECT bin, n_b, pos_b, s_b, {_CAL_ACC} AS acc, "
+    f"{_CAL_CONF} AS conf, {_CAL_ECE.format(x='gap')} AS ece_term, "
+    f"{_CAL_ECE.format(x='gap_t')} AS ece_total FROM g",
+)
+def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + Expected Calibration Error for the same
+    score/label pair score_auc evaluates — AUC says the score RANKS
+    well; calibration says its VALUE means what it claims (a 0.9 bin
+    should be 90% positive), the second gate before a quality score's
+    threshold is trusted.  Score clipped to [0, 1] in q13 units is the
+    "predicted probability"; deciles of it are the bins.
+
+    Exactness: per-bin the absolute gap |8192 * pos_b - sum(prob_q)|
+    is an exact BIGINT (acc - conf multiplied through by n_b * 8192),
+    so each ECE term and the n_b-weighted total are ONE division of
+    exact integers, ROUND(,6); bin ids come from a floor whose
+    boundary cases are exactly-representable doubles (prob_q * 10 /
+    8192 is exact only at 0 and 8192).  acc and conf are the
+    reliability-diagram coordinates.
+
+    Scale shape: one map-side fold to <= 10 bin rows; the OVER ()
+    totals run on those 10 rows."""
+    from pyspark.sql import Window
+
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sc = emb.select(
+        F.least(
+            F.greatest(
+                qint_col(
+                    F.element_at("embedding", 1).cast("double"), Q13
+                ),
+                F.lit(0),
+            ),
+            F.lit(8192),
+        ).alias("prob_q"),
+        F.when(F.col("label") % 2 == 1, 1).otherwise(0).alias("pos"),
+    )
+    b = sc.groupBy(F.expr(_CAL_BIN).alias("bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("pos").cast("long").alias("pos_b"),
+        F.sum("prob_q").cast("long").alias("s_b"),
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = b.select(
+        "bin",
+        "n_b",
+        "pos_b",
+        "s_b",
+        F.abs(8192 * F.col("pos_b") - F.col("s_b")).alias("gap"),
+        F.sum("n_b").over(full).cast("long").alias("nn"),
+        F.sum(F.abs(8192 * F.col("pos_b") - F.col("s_b")))
+        .over(full).cast("long").alias("gap_t"),
+    )
+    return g.selectExpr(
+        "bin",
+        "n_b",
+        "pos_b",
+        "s_b",
+        f"{_CAL_ACC} AS acc",
+        f"{_CAL_CONF} AS conf",
+        f"{_CAL_ECE.format(x='gap')} AS ece_term",
+        f"{_CAL_ECE.format(x='gap_t')} AS ece_total",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

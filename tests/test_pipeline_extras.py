@@ -1692,3 +1692,44 @@ def test_langid_kappa_exact_endpoints(spark):
     assert (perfect["accuracy"], perfect["kappa"]) == (1.0, 1.0)
     constant = run([en, en, en, en], ["en", "en", "de", "de"])
     assert (constant["accuracy"], constant["kappa"]) == (0.5, 0.0)
+
+
+def test_score_calibration_exact_endpoints(spark):
+    """A perfectly calibrated bin (score 0.5, half positive) has
+    ece_term EXACTLY 0; an anti-calibrated one (score 1.0, zero
+    positives) contributes its full bin mass; negative scores clip
+    into bin 0."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    def run(scores, labels):
+        df = pd.DataFrame(
+            {
+                "vec_id": range(len(scores)),
+                "embedding": [[float(s), 0.0] for s in scores],
+                "label": labels,
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "embeddings.parquet"))
+            return {
+                r["bin"]: r
+                for r in QUERIES["score_calibration"](spark, d).collect()
+            }
+
+    # bin 5: two docs at 0.5, one positive -> acc == conf == 0.5
+    # bin 9: two docs at 1.0, zero positive -> gap = 2*8192
+    # bin 0: one negative-score doc, clipped, not positive -> gap 0
+    got = run([0.5, 0.5, 1.0, 1.0, -0.7], [1, 0, 0, 2, 0])
+    assert got[5]["ece_term"] == 0.0
+    assert (got[5]["acc"], got[5]["conf"]) == (0.5, 0.5)
+    assert got[9]["ece_term"] == round(2 * 8192 / (5 * 8192.0), 6)
+    assert got[0]["s_b"] == 0 and got[0]["ece_term"] == 0.0
+    assert all(
+        r["ece_total"] == round(2 * 8192 / (5 * 8192.0), 6)
+        for r in got.values()
+    )
