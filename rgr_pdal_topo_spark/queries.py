@@ -12427,6 +12427,96 @@ def q_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "vocab_coverage",
+    _with(
+        "t AS (SELECT unnest(list_filter(string_split(text, ' '), "
+        "x -> x <> '')) AS tok FROM documents)",
+        "c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM t "
+        "GROUP BY tok)",
+        "r AS (SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, tok) "
+        "AS rk FROM c)",
+        "cum AS (SELECT rk, CAST(SUM(cnt) OVER (ORDER BY rk ROWS "
+        "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS "
+        "cumc FROM r)",
+        "tt AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, "
+        "CAST(COUNT(*) AS BIGINT) AS nv FROM c)",
+        "ks AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (10), "
+        "(100), (1000), (10000)) v(k))",
+    )
+    + "SELECT ks.k, LEAST(ks.k, tt.nv) AS n_vocab_used, tt.nv AS "
+    "n_vocab, cum.cumc AS n_tokens_covered, tt.total AS n_tokens, "
+    "ROUND(CAST(cum.cumc AS DOUBLE) / CAST(tt.total AS DOUBLE), 6) "
+    "AS coverage FROM ks CROSS JOIN tt "
+    "JOIN cum ON cum.rk = LEAST(ks.k, tt.nv)",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: what fraction of all token
+    occurrences the top-k most frequent types cover, at k = 10 / 100 /
+    1000 / 10000 — the curve that sizes a BPE/word vocabulary and
+    quantifies the Zipf head (zipf_slope fits the tail exponent; THIS
+    reads the head mass straight off).  Deterministic rank: count DESC
+    then token text.
+
+    Exactness: counts, cumulative sums, and checkpoints are integers
+    end to end; coverage is ONE division per checkpoint, ROUND(,6).
+
+    Scale shape: tokens fold map-side into the vocab count table; the
+    ranking window runs over the VOCAB aggregate (heavy-tail bounded,
+    ~10^6-10^8 types at corpus scale, not the 10^12 token stream).
+    At the extreme, the rank cutoff can be pushed down with a
+    frequency-of-frequencies prepass (the good_turing histogram gives
+    the count threshold of rank 10^4 without a global sort) — the
+    checkpoint join is already written against ranks, so that swap is
+    local."""
+    from pyspark.sql import Window
+
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            F.explode(
+                F.filter(F.split("text", " "), lambda t: t != "")
+            ).alias("tok")
+        )
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    r = c.select(
+        "cnt",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("tok"))
+        ).alias("rk"),
+    )
+    cum = r.select(
+        "rk",
+        F.sum("cnt").over(
+            Window.orderBy("rk").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).cast("long").alias("cumc"),
+    )
+    tt = c.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("nv"),
+    )
+    ks = spark.createDataFrame([(10,), (100,), (1000,), (10000,)], "k long")
+    return (
+        ks.crossJoin(F.broadcast(tt))
+        .join(cum, F.col("rk") == F.least(F.col("k"), F.col("nv")))
+        .selectExpr(
+            "k",
+            "LEAST(k, nv) AS n_vocab_used",
+            "nv AS n_vocab",
+            "cumc AS n_tokens_covered",
+            "total AS n_tokens",
+            "ROUND(CAST(cumc AS DOUBLE) / CAST(total AS DOUBLE), 6) "
+            "AS coverage",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

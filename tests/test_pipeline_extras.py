@@ -1733,3 +1733,47 @@ def test_score_calibration_exact_endpoints(spark):
         r["ece_total"] == round(2 * 8192 / (5 * 8192.0), 6)
         for r in got.values()
     )
+
+
+def test_vocab_coverage_planted(spark):
+    """Hand-computed curve: counts (a:5, b:3, c:1, d:1) -> top-10
+    covers everything (vocab smaller than k, n_vocab_used clamps to 4,
+    coverage exactly 1.0); a 12-type corpus pins the rank-10 cut:
+    top-10 of twelve singleton-heavy types covers 20/22."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    def run(text_rows):
+        df = pd.DataFrame(
+            {
+                "doc_id": range(len(text_rows)),
+                "text": text_rows,
+                "lang": ["en"] * len(text_rows),
+                "source": ["s"] * len(text_rows),
+                "n_chars": [1] * len(text_rows),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "documents.parquet"))
+            return {
+                r["k"]: r
+                for r in QUERIES["vocab_coverage"](spark, d).collect()
+            }
+
+    small = run(["a a a a a", "b b b c d"])
+    assert small[10]["n_vocab_used"] == 4
+    assert small[10]["coverage"] == 1.0
+    assert small[10]["n_tokens_covered"] == 10
+
+    # 12 types: 'x' * 6, 'y' * 5, ten singletons t0..t9
+    big = run(["x x x x x x y y y y y", " ".join(f"t{i}" for i in range(10))])
+    r10 = big[10]
+    assert r10["n_vocab_used"] == 10 and r10["n_vocab"] == 12
+    # top-10 = x(6) + y(5) + 8 singletons (t0..t7 by text order) = 19
+    assert r10["n_tokens_covered"] == 19
+    assert r10["coverage"] == round(19 / 21.0, 6)
+    assert big[100]["coverage"] == 1.0
