@@ -12517,6 +12517,100 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Theil accumulators, ONE spelling each (pinned-ln doctrine; the
+#: decomposition T = T_B + T_W holds EXACTLY in the integer
+#: accumulators because acc_W := acc_T - acc_B):
+_THEIL_T_TERM = (
+    "cx * x * (" + _KL_LQ.format(x="x") + " + " + _KL_LQ.format(x="n")
+    + " - " + _KL_LQ.format(x="s") + ")"
+)
+_THEIL_B_TERM = (
+    "sg * (" + _KL_LQ.format(x="sg") + " + " + _KL_LQ.format(x="n")
+    + " - " + _KL_LQ.format(x="s") + " - " + _KL_LQ.format(x="ng") + ")"
+)
+_THEIL_OF = "ROUND(CAST({x} AS DOUBLE) / (CAST(s AS DOUBLE) * 8192.0), 6)"
+
+
+@query(
+    "theil_decomposition",
+    _with(
+        "d AS (SELECT source, CAST(n_chars AS BIGINT) AS x FROM "
+        "documents WHERE n_chars > 0)",
+        "xs AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS cx FROM d "
+        "GROUP BY x)",
+        "grp AS (SELECT source, CAST(SUM(x) AS BIGINT) AS sg, "
+        "CAST(COUNT(*) AS BIGINT) AS ng FROM d GROUP BY source)",
+        "tot AS (SELECT CAST(SUM(sg) AS BIGINT) AS s, "
+        "CAST(SUM(ng) AS BIGINT) AS n FROM grp)",
+        f"at AS (SELECT CAST(SUM({_THEIL_T_TERM}) AS BIGINT) AS acc_t "
+        "FROM xs CROSS JOIN tot)",
+        f"ab AS (SELECT CAST(SUM({_THEIL_B_TERM}) AS BIGINT) AS acc_b "
+        "FROM grp CROSS JOIN tot)",
+    )
+    + "SELECT tot.n, tot.s, at.acc_t, ab.acc_b, "
+    + _THEIL_OF.format(x="at.acc_t")
+    + " AS theil_total, "
+    + _THEIL_OF.format(x="ab.acc_b")
+    + " AS theil_between, "
+    + _THEIL_OF.format(x="at.acc_t - ab.acc_b")
+    + " AS theil_within FROM tot CROSS JOIN at CROSS JOIN ab",
+)
+def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index of document lengths, decomposed into
+    between-source and within-source components — the additive
+    inequality decomposition (Gini cannot do this) a corpus curator
+    reads to learn WHERE length skew lives: do sources differ from
+    each other, or is each source internally skewed?  T_total =
+    T_between + T_within holds EXACTLY here because the within
+    accumulator is DEFINED as the integer difference acc_t - acc_b.
+
+    Exactness: T = sum_i (x_i/S) ln(x_i N / S) folds by LENGTH VALUE
+    (cnt_x * x * [lq(x) + lq(N) - lq(S)]) and T_B by group
+    (S_g * [lq(S_g) + lq(N) - lq(S) - lq(N_g)]) — every ln q13-pinned
+    on an integer-valued double (the lang_kl doctrine), both
+    accumulators exact BIGINTs, each reported index ONE division
+    ROUND(,6).  Zero-length docs are excluded (ln undefined), stated
+    not silent.
+
+    Scale shape: two map-side folds (by length value, by source) of
+    one scan; every cross join carries 1-row scalars."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") > 0)
+        .select("source", F.col("n_chars").cast("long").alias("x"))
+    )
+    xs = d.groupBy("x").agg(F.count(F.lit(1)).cast("long").alias("cx"))
+    grp = d.groupBy("source").agg(
+        F.sum("x").cast("long").alias("sg"),
+        F.count(F.lit(1)).cast("long").alias("ng"),
+    )
+    tot = grp.agg(
+        F.sum("sg").cast("long").alias("s"),
+        F.sum("ng").cast("long").alias("n"),
+    )
+    at = xs.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr(_THEIL_T_TERM)).cast("long").alias("acc_t")
+    )
+    ab = grp.crossJoin(F.broadcast(tot)).agg(
+        F.sum(F.expr(_THEIL_B_TERM)).cast("long").alias("acc_b")
+    )
+    return (
+        tot.crossJoin(F.broadcast(at))
+        .crossJoin(F.broadcast(ab))
+        .selectExpr(
+            "n",
+            "s",
+            "acc_t",
+            "acc_b",
+            _THEIL_OF.format(x="acc_t") + " AS theil_total",
+            _THEIL_OF.format(x="acc_b") + " AS theil_between",
+            _THEIL_OF.format(x="acc_t - acc_b") + " AS theil_within",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -1777,3 +1777,67 @@ def test_vocab_coverage_planted(spark):
     assert r10["n_tokens_covered"] == 19
     assert r10["coverage"] == round(19 / 21.0, 6)
     assert big[100]["coverage"] == 1.0
+
+
+def test_theil_decomposition_planted(spark):
+    """Equal lengths give near-zero indices (within the q13 ln-pin
+    residue, NOT exact: lq(7)+lq(4)-lq(28) = 1, not 0); a segregated
+    corpus puts the inequality in the between term; and acc_t / acc_b
+    match an independent numpy recomputation of the pinned chain
+    bit-for-bit (so the identity acc_w = acc_t - acc_b is exact by
+    construction)."""
+    import math
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    def run(sources, lens):
+        df = pd.DataFrame(
+            {
+                "doc_id": range(len(lens)),
+                "text": ["x"] * len(lens),
+                "lang": ["en"] * len(lens),
+                "source": sources,
+                "n_chars": lens,
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "documents.parquet"))
+            [r] = QUERIES["theil_decomposition"](spark, d).collect()
+        return r
+
+    def lq(x):
+        return math.floor(math.log(x) * 8192 + 0.5)
+
+    def expected(sources, lens):
+        n, s = len(lens), sum(lens)
+        acc_t = sum(x * (lq(x) + lq(n) - lq(s)) for x in lens)
+        groups = {}
+        for g, x in zip(sources, lens):
+            sg, ng = groups.get(g, (0, 0))
+            groups[g] = (sg + x, ng + 1)
+        acc_b = sum(
+            sg * (lq(sg) + lq(n) - lq(s) - lq(ng))
+            for sg, ng in groups.values()
+        )
+        return acc_t, acc_b
+
+    flat = run(["a", "a", "b", "b"], [7, 7, 7, 7])
+    assert (flat["acc_t"], flat["acc_b"]) == expected(
+        ["a", "a", "b", "b"], [7, 7, 7, 7]
+    )
+    assert abs(flat["theil_total"]) < 3e-4
+    assert abs(flat["theil_within"]) < 3e-4
+
+    seg = run(["a", "a", "b", "b"], [2, 2, 8, 8])
+    assert (seg["acc_t"], seg["acc_b"]) == expected(
+        ["a", "a", "b", "b"], [2, 2, 8, 8]
+    )
+    assert seg["theil_between"] > 0.1
+    assert abs(seg["theil_within"]) < 3e-4
+    assert seg["theil_within"] == round(
+        (seg["acc_t"] - seg["acc_b"]) / (seg["s"] * 8192.0), 6
+    )
