@@ -12611,6 +12611,111 @@ def q_theil_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: mutual-information accumulators (pinned-ln doctrine; zero cells
+#: contribute NOTHING — n ln(n...) -> 0 — so the inner join is exact,
+#: no COALESCE cross needed, unlike chi2's E-term):
+_MI_TERM = (
+    "o * (" + _KL_LQ.format(x="o") + " + " + _KL_LQ.format(x="n") + " - "
+    + _KL_LQ.format(x="r") + " - " + _KL_LQ.format(x="c") + ")"
+)
+_MI_H_TERM = "{m} * (" + _KL_LQ.format(x="n") + " - " + _KL_LQ.format(x="{m}") + ")"
+_MI_OF = "ROUND(CAST({x} AS DOUBLE) / (CAST(n AS DOUBLE) * 8192.0), 6)"
+_MI_NMI = (
+    "ROUND(CAST(acc_mi AS DOUBLE) / SQRT(CAST(acc_hl AS DOUBLE) * "
+    "CAST(acc_hs AS DOUBLE)), 6)"
+)
+
+
+@query(
+    "lang_source_mi",
+    _with(
+        "ct AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o "
+        "FROM documents GROUP BY 1, 2)",
+        "rl AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM ct "
+        "GROUP BY 1)",
+        "cs AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM ct "
+        "GROUP BY 1)",
+        "nn AS (SELECT CAST(SUM(o) AS BIGINT) AS n FROM ct)",
+        f"mi AS (SELECT CAST(SUM({_MI_TERM}) AS BIGINT) AS acc_mi "
+        "FROM ct JOIN rl ON rl.lang = ct.lang "
+        "JOIN cs ON cs.source = ct.source CROSS JOIN nn)",
+        "hl AS (SELECT CAST(SUM("
+        + _MI_H_TERM.format(m="r")
+        + ") AS BIGINT) AS acc_hl FROM rl CROSS JOIN nn)",
+        "hs AS (SELECT CAST(SUM("
+        + _MI_H_TERM.format(m="c")
+        + ") AS BIGINT) AS acc_hs FROM cs CROSS JOIN nn)",
+    )
+    + "SELECT nn.n, mi.acc_mi, hl.acc_hl, hs.acc_hs, "
+    + _MI_OF.format(x="acc_mi")
+    + " AS mi_nats, "
+    + _MI_OF.format(x="acc_hl")
+    + " AS h_lang, "
+    + _MI_OF.format(x="acc_hs")
+    + " AS h_source, "
+    + _MI_NMI
+    + " AS nmi FROM nn CROSS JOIN mi CROSS JOIN hl CROSS JOIN hs",
+)
+def q_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between language and source + the
+    sqrt-normalized NMI — the information-theoretic companion of
+    chi2_independence on the same contingency table (chi2 answers "is
+    there dependence"; MI answers "how many nats does knowing the
+    source tell you about the language", and NMI scales it to [0, 1]
+    against the marginal entropies).
+
+    Exactness: MI folds as n_ij * [lq(n_ij) + lq(N) - lq(r_i) -
+    lq(c_j)] over OCCUPIED cells only (zero cells contribute exactly
+    nothing — the inner join is semantically exact, no COALESCE cross
+    like chi2's E-term needs); both marginal entropies fold as
+    m * [lq(N) - lq(m)].  All three accumulators are exact BIGINTs;
+    MI / H are ONE division each, and NMI's denominator multiplies the
+    two accumulators AS DOUBLES (each < 2^53, so the product is one
+    correctly-rounded operation — the BIGINT product would overflow
+    at corpus scale, documented not silent), ROUND(,6).
+
+    Scale shape: identical to chi2_independence — one scan folds to
+    the langs x sources census; marginals and scalars run on it."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ct = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("o")
+    )
+    rl = ct.groupBy("lang").agg(F.sum("o").cast("long").alias("r"))
+    cs = ct.groupBy("source").agg(F.sum("o").cast("long").alias("c"))
+    nn = ct.agg(F.sum("o").cast("long").alias("n"))
+    mi = (
+        ct.join(rl, "lang")
+        .join(cs, "source")
+        .crossJoin(F.broadcast(nn))
+        .agg(F.sum(F.expr(_MI_TERM)).cast("long").alias("acc_mi"))
+    )
+    hl = rl.crossJoin(F.broadcast(nn)).agg(
+        F.sum(F.expr(_MI_H_TERM.format(m="r"))).cast("long")
+        .alias("acc_hl")
+    )
+    hs = cs.crossJoin(F.broadcast(nn)).agg(
+        F.sum(F.expr(_MI_H_TERM.format(m="c"))).cast("long")
+        .alias("acc_hs")
+    )
+    return (
+        nn.crossJoin(F.broadcast(mi))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(hs))
+        .selectExpr(
+            "n",
+            "acc_mi",
+            "acc_hl",
+            "acc_hs",
+            _MI_OF.format(x="acc_mi") + " AS mi_nats",
+            _MI_OF.format(x="acc_hl") + " AS h_lang",
+            _MI_OF.format(x="acc_hs") + " AS h_source",
+            _MI_NMI + " AS nmi",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -1841,3 +1841,44 @@ def test_theil_decomposition_planted(spark):
     assert seg["theil_within"] == round(
         (seg["acc_t"] - seg["acc_b"]) / (seg["s"] * 8192.0), 6
     )
+
+
+def test_lang_source_mi_exact_endpoints(spark):
+    """Independence (uniform 2x2): MI is zero in the reals; the lq
+    pins cancel only up to rounding, so assert the near-zero bound.
+    Diagonal table: n_ij == r_i == c_j makes the MI bracket equal the
+    entropy bracket TERM-BY-TERM, so acc_mi == acc_hl == acc_hs as
+    exact integers and NMI is exactly 1.0."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    def run(rows):
+        df = pd.DataFrame(
+            {
+                "doc_id": range(len(rows)),
+                "text": ["x"] * len(rows),
+                "lang": [r[0] for r in rows],
+                "source": [r[1] for r in rows],
+                "n_chars": [1] * len(rows),
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "documents.parquet"))
+            [r] = QUERIES["lang_source_mi"](spark, d).collect()
+        return r
+
+    uni = run(
+        [("en", "s0")] * 5 + [("en", "s1")] * 5
+        + [("de", "s0")] * 5 + [("de", "s1")] * 5
+    )
+    assert abs(uni["mi_nats"]) < 3e-4
+    diag = run([("en", "s0")] * 10 + [("de", "s1")] * 10)
+    # diagonal: n_ij == r_i == c_j, so the MI bracket equals the
+    # entropy bracket TERM-BY-TERM -> exact integer equality
+    assert diag["acc_mi"] == diag["acc_hl"] == diag["acc_hs"]
+    assert diag["nmi"] == 1.0
+    assert diag["mi_nats"] == diag["h_lang"]
