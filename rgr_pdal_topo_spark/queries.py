@@ -12716,6 +12716,112 @@ def q_lang_source_mi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Benford shared spellings: the expected-share bracket per digit is
+#: the integer lq(d+1) - lq(d) over lq(10) (pinned-ln doctrine), and
+#: the total-variation accumulator multiplies through so every |.| is
+#: an exact BIGINT:
+_BENFORD_EXP = (
+    "ROUND(CAST(" + _KL_LQ.format(x="digit + 1") + " - "
+    + _KL_LQ.format(x="digit") + " AS DOUBLE) / CAST("
+    + _KL_LQ.format(x="10") + " AS DOUBLE), 6)"
+)
+_BENFORD_DEV = (
+    "ABS(n_d * " + _KL_LQ.format(x="10") + " - nn * ("
+    + _KL_LQ.format(x="digit + 1") + " - " + _KL_LQ.format(x="digit")
+    + "))"
+)
+_BENFORD_TVD = (
+    "ROUND(CAST({x} AS DOUBLE) / (2.0 * CAST(nn AS DOUBLE) * CAST("
+    + _KL_LQ.format(x="10") + " AS DOUBLE)), 6)"
+)
+
+
+@query(
+    "benford_digits",
+    _with(
+        "v AS (SELECT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) "
+        "AS cents FROM orders WHERE o_totalprice > 0)",
+        "dg AS (SELECT CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS "
+        "BIGINT) AS digit FROM v)",
+        "c0 AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_d FROM dg "
+        "GROUP BY digit)",
+        # full 1..9 domain: unobserved digits MUST contribute their
+        # expected mass to the TV distance (the chi2 zero-cell lesson)
+        "c AS (SELECT CAST(t.d + 1 AS BIGINT) AS digit, "
+        "COALESCE(c0.n_d, 0) AS n_d FROM range(9) t(d) "
+        "LEFT JOIN c0 ON c0.digit = t.d + 1)",
+        "g1 AS (SELECT digit, n_d, CAST(SUM(n_d) OVER () AS BIGINT) AS "
+        "nn FROM c)",
+        f"g AS (SELECT digit, n_d, nn, CAST(SUM({_BENFORD_DEV}) OVER () "
+        "AS BIGINT) AS dev_t FROM g1)",
+    )
+    + "SELECT digit, n_d, "
+    "ROUND(CAST(n_d AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS obs_share, "
+    f"{_BENFORD_EXP} AS exp_share, {_BENFORD_TVD.format(x='dev_t')} "
+    "AS tvd_total FROM g",
+)
+def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit census of order totals (in cents) + the
+    total-variation distance from the Benford law — the classic
+    synthetic-data / fraud / unit-mixup detector (real multi-scale
+    monetary data follows log10(1 + 1/d); generated or truncated data
+    does not, and THIS corpus is synthetic — the census quantifies
+    exactly how far off it is rather than assuming).
+
+    Exactness: first digit via integer-to-string SUBSTR (identical
+    decimal rendering both engines, no log10 float detour); expected
+    shares are the pinned-ln bracket (lq(d+1) - lq(d)) / lq(10); the
+    TV accumulator multiplies through by N * lq(10) so every absolute
+    deviation is an exact BIGINT and the distance is ONE division,
+    ROUND(,6).
+
+    Scale shape: one map-side fold to <= 9 digit rows; the OVER ()
+    totals run on those."""
+    from pyspark.sql import Window
+
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    c0 = (
+        orders.filter(F.col("o_totalprice") > 0)
+        .select(
+            F.expr(
+                # STRING here, VARCHAR in the oracle: same rendering,
+                # Spark's parser rejects length-less VARCHAR
+                "CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100.0 + 0.5) "
+                "AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+            ).alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_d"))
+    )
+    # full 1..9 domain (unobserved digits contribute expected mass)
+    c = (
+        spark.range(9)
+        .select((F.col("id") + 1).cast("long").alias("digit"))
+        .join(c0, "digit", "left")
+        .select("digit", F.coalesce("n_d", F.lit(0)).alias("n_d"))
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    g = c.select(
+        "digit",
+        "n_d",
+        F.sum("n_d").over(full).cast("long").alias("nn"),
+    ).withColumn(
+        "dev_t",
+        F.sum(F.expr(_BENFORD_DEV)).over(full).cast("long"),
+    )
+    return g.selectExpr(
+        "digit",
+        "n_d",
+        "ROUND(CAST(n_d AS DOUBLE) / CAST(nn AS DOUBLE), 6) AS obs_share",
+        f"{_BENFORD_EXP} AS exp_share",
+        f"{_BENFORD_TVD.format(x='dev_t')} AS tvd_total",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -1882,3 +1882,48 @@ def test_lang_source_mi_exact_endpoints(spark):
     assert diag["acc_mi"] == diag["acc_hl"] == diag["acc_hs"]
     assert diag["nmi"] == 1.0
     assert diag["mi_nats"] == diag["h_lang"]
+
+
+def test_benford_digits_planted(spark):
+    """A perfect-Benford-shaped planted set (counts proportional to
+    the pinned expected brackets, total = lq(10)) gives tvd_total
+    EXACTLY 0; an all-9s corpus concentrates mass on one digit and its
+    TV distance is hand-computable from the pinned brackets."""
+    import math
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    def lq(x):
+        return math.floor(math.log(x) * 8192 + 0.5)
+
+    def run(prices):
+        df = pd.DataFrame(
+            {
+                "o_orderkey": range(len(prices)),
+                "o_totalprice": prices,
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "orders.parquet"))
+            return {
+                r["digit"]: r
+                for r in QUERIES["benford_digits"](spark, d).collect()
+            }
+
+    # counts exactly lq(d+1)-lq(d) per digit -> N = lq(10) and every
+    # deviation term is |c_d*lq10 - lq10*c_d| = 0
+    prices = []
+    for d in range(1, 10):
+        prices += [d * 1.0] * (lq(d + 1) - lq(d))
+    got = run(prices)
+    assert all(r["tvd_total"] == 0.0 for r in got.values())
+    assert got[1]["n_d"] == lq(2) - lq(1)
+
+    nines = run([9.0] * 4)
+    # TVD = 0.5 * (sum_{d<9} exp_d + (1 - exp_9)) = 1 - exp_9
+    exp9 = (lq(10) - lq(9)) / lq(10)
+    assert nines[9]["tvd_total"] == round(1.0 - exp9, 6)
