@@ -4226,6 +4226,62 @@ def q_hypsometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "basin_drainage",
+    _FLOW_BASE
+    + f", walkdown AS ({_FREACH.replace('reach', 'walkdown')}), "
+    "b AS (SELECT w.r0 AS cell_row, w.c0 AS cell_col, "
+    f"CAST(w.r * {FG.ncols} + w.c AS BIGINT) AS basin_id "
+    "FROM walkdown w JOIN fd f ON f.cell_row = w.r AND f.cell_col = w.c "
+    "WHERE f.fd = 0), "
+    f"reach AS ({_FREACH}), area AS MATERIALIZED ({_FAREA}), "
+    "s AS (SELECT b.basin_id, CAST(COUNT(*) AS BIGINT) AS n_cells, "
+    f"CAST(SUM(CASE WHEN a.area >= {_KSN_AMIN!r} THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_channel FROM b "
+    "JOIN area a ON a.cell_row = b.cell_row AND a.cell_col = b.cell_col "
+    "GROUP BY b.basin_id) "
+    "SELECT basin_id, n_cells, n_channel, "
+    "ROUND(CAST(n_channel AS DOUBLE) / CAST(n_cells AS DOUBLE), 6) "
+    "AS drainage_density FROM s WHERE n_cells >= 8",
+)
+def q_basin_drainage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-basin drainage density — the fraction of each basin's cells
+    carrying channelized flow (drainage area >= the network threshold,
+    the same A_min that defines network_ksn's channels): the classic
+    landscape-dissection statistic read beside the hypsometric
+    integral (dense drainage = erodible/impermeable terrain; in
+    length-per-area form it is this cell fraction over the cell size —
+    the cell-count proxy is stated, not hidden).  Composes basin
+    labels (G8, pointer doubling) with drainage area (G3) in one join.
+
+    Exactness: counts are integers (channel membership is an integer
+    threshold on the exact COUNT * cell^2 area), density is ONE
+    division, ROUND(,6); tiny basins (n < 8) excluded identically in
+    both engines (the hypsometry guard).
+
+    Scale shape: one cells-sized equi-join of two cell-keyed tables
+    (both already partitioned on the cell key), then a map-side-
+    combinable agg onto basins-sized output."""
+    m = _flow_metrics_raw(spark, sf_dir)
+    s = (
+        m.select("basin_id", "area")
+        .groupBy("basin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum(
+                F.when(F.col("area") >= _KSN_AMIN, 1).otherwise(0)
+            ).cast("long").alias("n_channel"),
+        )
+    )
+    return s.filter(F.col("n_cells") >= 8).selectExpr(
+        "basin_id",
+        "n_cells",
+        "n_channel",
+        "ROUND(CAST(n_channel AS DOUBLE) / CAST(n_cells AS DOUBLE), 6) "
+        "AS drainage_density",
+    )
+
+
 # Topographic wetness index, ONE spelling (F.expr + oracle).  The ln
 # argument is a single division of bit-identical operands: area is
 # COUNT * cell^2 (exact float64), slope_d8 is the identical IEEE chain

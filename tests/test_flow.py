@@ -413,3 +413,28 @@ def test_cost_distance_hand_computed_and_horizon(spark):
     assert got[(0, 1)] == 8192 + 100
     assert got[(2, 2)] == 8192 + 30
     assert got[(0, 0)] == 8192  # flat diagonal
+
+
+def test_basin_drainage_pandas_replay(spark):
+    """Replay per-basin drainage density in pandas from the engine's
+    own basin labels + area (independent of the SQL oracle path):
+    same channel threshold, same n >= 8 gate, one division."""
+    from rgr_pdal_topo_spark.queries import (
+        QUERIES, _KSN_AMIN, _flow_metrics_raw,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    m = _flow_metrics_raw(spark, sf).select("basin_id", "area").toPandas()
+    exp = {}
+    for bid, grp in m.groupby("basin_id"):
+        n = len(grp)
+        if n >= 8:
+            nc = int((grp["area"] >= _KSN_AMIN).sum())
+            exp[bid] = (n, nc, round(nc / n, 6))
+
+    got = {
+        r["basin_id"]: (r["n_cells"], r["n_channel"], r["drainage_density"])
+        for r in QUERIES["basin_drainage"](spark, sf).collect()
+    }
+    assert got == exp
+    assert any(v[1] > 0 for v in exp.values())  # channels exist
