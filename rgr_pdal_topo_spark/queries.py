@@ -12878,6 +12878,82 @@ def q_benford_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "tile_skew",
+    _BASE.rstrip()
+    + ", t AS (SELECT CAST(FLOOR(cell_row / 25.0) AS BIGINT) AS tr, "
+    "CAST(FLOOR(cell_col / 25.0) AS BIGINT) AS tc, "
+    "CAST(COUNT(*) AS BIGINT) AS cnt FROM cells GROUP BY 1, 2), "
+    "r AS (SELECT cnt, CAST(ROW_NUMBER() OVER (ORDER BY cnt ASC, "
+    "tr ASC, tc ASC) AS BIGINT) AS rk FROM t), "
+    "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(cnt) AS BIGINT) AS sx, "
+    "CAST(SUM(rk * cnt) AS BIGINT) AS swx, "
+    "CAST(MAX(cnt) AS BIGINT) AS mx FROM r) "
+    "SELECT n AS n_tiles, sx AS n_points, mx AS max_tile, "
+    "ROUND(CAST(mx * n AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS "
+    f"max_over_mean, ROUND(CAST(mx AS DOUBLE) / CAST(sx AS DOUBLE), 6) "
+    f"AS top1_share, {_GINI_SQL} AS gini FROM s",
+)
+def q_tile_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew diagnostics for the tile layout the stencil/flow
+    engines shuffle on (25x25-cell tiles): max-tile-to-mean ratio,
+    top-1 tile share, and the Gini coefficient of per-tile point
+    counts — the report that tells an operator WHETHER the salted
+    two-phase gridding path (grid_mean_salted) or AQE skew-join
+    handling is needed before paying for it, and the first thing to
+    read when one straggler task dominates a stage.  Skew handled
+    explicitly starts with skew MEASURED explicitly.
+
+    Exactness: per-tile counts, the sorted-rank Gini identity
+    (2*SUM(rk*x) - (n+1)*SUM(x)) / (n*SUM(x)), and both ratios are
+    exact integers into ONE division each, ROUND(,6).
+
+    Scale shape: points fold map-side into per-tile counts; the rank
+    window and scalars run over the TILES-sized table (10^4-10^6 rows
+    at raster scale, never the points)."""
+    pts = gridding.with_cell(points_df(spark, sf_dir), G)
+    return _tile_skew_core(pts)
+
+
+def _tile_skew_core(cells: DataFrame) -> DataFrame:
+    """Skew report over any (cell_row, cell_col)-keyed frame —
+    factored so planted tests can drive analytic layouts."""
+    from pyspark.sql import Window
+
+    t = (
+        cells.select(
+            F.floor(F.col("cell_row") / 25.0).cast("long").alias("tr"),
+            F.floor(F.col("cell_col") / 25.0).cast("long").alias("tc"),
+        )
+        .groupBy("tr", "tc")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    r = t.select(
+        "cnt",
+        F.row_number().over(
+            Window.orderBy(
+                F.col("cnt").asc(), F.col("tr").asc(), F.col("tc").asc()
+            )
+        ).cast("long").alias("rk"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cnt").cast("long").alias("sx"),
+        F.sum(F.col("rk") * F.col("cnt")).cast("long").alias("swx"),
+        F.max("cnt").cast("long").alias("mx"),
+    )
+    return s.selectExpr(
+        "n AS n_tiles",
+        "sx AS n_points",
+        "mx AS max_tile",
+        "ROUND(CAST(mx * n AS DOUBLE) / CAST(sx AS DOUBLE), 6) "
+        "AS max_over_mean",
+        "ROUND(CAST(mx AS DOUBLE) / CAST(sx AS DOUBLE), 6) AS top1_share",
+        f"{_GINI_SQL} AS gini",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -1927,3 +1927,30 @@ def test_benford_digits_planted(spark):
     # TVD = 0.5 * (sum_{d<9} exp_d + (1 - exp_9)) = 1 - exp_9
     exp9 = (lq(10) - lq(9)) / lq(10)
     assert nines[9]["tvd_total"] == round(1.0 - exp9, 6)
+
+
+def test_tile_skew_planted(spark):
+    """Uniform layout (equal count per tile) gives max_over_mean
+    EXACTLY 1.0 and gini EXACTLY 0.0; the (1, 1, 98) concentration
+    matches the hand-computed sorted-rank Gini."""
+    from rgr_pdal_topo_spark.queries import _tile_skew_core
+
+    def run(counts_per_tile):
+        rows = []
+        for i, cnt in enumerate(counts_per_tile):
+            # tile (0, i): cells at row 0, cols i*25..i*25+cnt-1 fit
+            # one tile only if cnt <= 25; replicate one cell instead
+            rows += [(0, i * 25)] * cnt
+        df = spark.createDataFrame(rows, "cell_row int, cell_col int")
+        [r] = _tile_skew_core(df).collect()
+        return r
+
+    uni = run([5, 5, 5, 5])
+    assert (uni["max_over_mean"], uni["gini"]) == (1.0, 0.0)
+    assert (uni["n_tiles"], uni["n_points"], uni["max_tile"]) == (4, 20, 5)
+
+    conc = run([1, 1, 98])
+    # sorted counts (1, 1, 98), ranks (1, 2, 3):
+    # gini = (2*(1+2+294) - 4*100) / (3*100) = 194/300
+    assert conc["gini"] == round(194 / 300.0, 6)
+    assert conc["top1_share"] == 0.98
