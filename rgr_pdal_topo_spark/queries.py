@@ -12954,6 +12954,77 @@ def _tile_skew_core(cells: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "neardup_eval",
+    _MINHASH_CTES.rstrip()
+    + ", " + _CAND_JACCARD_CTES + ", "
+    "ti AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+    "CAST(COUNT(*) AS BIGINT) AS inter FROM dt a JOIN dt b "
+    "ON a.tid = b.tid AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+    "truth AS (SELECT ti.doc_a, ti.doc_b FROM ti "
+    "JOIN sizes x ON x.doc_id = ti.doc_a "
+    "JOIN sizes y ON y.doc_id = ti.doc_b "
+    f"WHERE {dedup.ALLPAIRS_DEN} * ti.inter >= "
+    f"{dedup.ALLPAIRS_NUM} * (x.sz + y.sz - ti.inter)), "
+    "tc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth), "
+    "cc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cpairs), "
+    "hc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit FROM truth t "
+    "JOIN cpairs p ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b) "
+    "SELECT n_truth, n_cand, n_hit, "
+    "CASE WHEN n_truth > 0 THEN ROUND(CAST(n_hit AS DOUBLE) / "
+    "CAST(n_truth AS DOUBLE), 6) END AS recall, "
+    "CASE WHEN n_cand > 0 THEN ROUND(CAST(n_hit AS DOUBLE) / "
+    "CAST(n_cand AS DOUBLE), 6) END AS precision "
+    "FROM tc CROSS JOIN cc CROSS JOIN hc",
+)
+def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the MinHash-LSH CANDIDATE stage against the
+    exact set-similarity ground truth (setsim_pairs' AllPairs join at
+    the same Jaccard >= 4/5 threshold) — the evaluation every dedup
+    pipeline owes its users: banding is probabilistic (a >= tau pair
+    can land in no shared band) and bucket caps drop pairs on purpose,
+    so recall < 1 is a MEASURED property, not a surprise; precision
+    says how much exact-verification work the candidates cost.
+    Composes two independently-verified subsystems (LSH banding;
+    AllPairs exact join) into the report that judges one against the
+    other.
+
+    Exactness: both pair sets are integer-keyed and integer-gated
+    (the rational tau gate); counts are exact; recall/precision are
+    ONE guarded division each, ROUND(,6).
+
+    Scale shape: truth pairs come from the shingle-id equi-join
+    (shared-shingle pairs only, never the full cross); candidates
+    from the capped band buckets; the evaluation joins two pair
+    tables on their keys and folds to one row."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = dedup.shingle_ids(docs).localCheckpoint(eager=True)
+    cand = dedup.minhash_candidate_pairs(
+        dedup.minhash_signatures(dt)
+    ).select("doc_a", "doc_b")
+    truth = dedup.allpairs_jaccard(dt).select("doc_a", "doc_b")
+    tc = truth.agg(F.count(F.lit(1)).cast("long").alias("n_truth"))
+    cc = cand.agg(F.count(F.lit(1)).cast("long").alias("n_cand"))
+    hc = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    return (
+        tc.crossJoin(F.broadcast(cc))
+        .crossJoin(F.broadcast(hc))
+        .selectExpr(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            "CASE WHEN n_truth > 0 THEN ROUND(CAST(n_hit AS DOUBLE) / "
+            "CAST(n_truth AS DOUBLE), 6) END AS recall",
+            "CASE WHEN n_cand > 0 THEN ROUND(CAST(n_hit AS DOUBLE) / "
+            "CAST(n_cand AS DOUBLE), 6) END AS precision",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -914,3 +914,36 @@ def test_good_turing_hand_computed(spark):
     assert out[2]["n_r"] == 2
     assert out[2]["n_next"] is None and out[2]["r_star"] is None
     assert set(out) == {1, 2}
+
+
+def test_neardup_eval_identical_docs_full_recall(spark):
+    """Two identical docs are a guaranteed truth pair AND a guaranteed
+    LSH candidate (identical signatures share every band), so with no
+    other qualifying pair recall is EXACTLY 1.0; the unrelated doc
+    creates no truth pair."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",
+                "entirely different words about spark and parquet files",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": [44, 44, 54],
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        [r] = QUERIES["neardup_eval"](spark, d).collect()
+    assert r["n_truth"] == 1 and r["n_hit"] == 1
+    assert r["recall"] == 1.0
+    assert r["n_cand"] >= 1
