@@ -179,6 +179,25 @@ HEADLINE = [
     # (link_prediction and cost_distance are absent for the
     # eager-builder reason: the symmetrized edge list localCheckpoints
     # inside adamic_adar; the relaxation rounds checkpoint per step)
+    # final-stretch additions — own series (neardup_eval is absent for
+    # the eager-builder reason: its shingle-id input localCheckpoints
+    # inside the builder; basin_drainage times its OWN marginal plan
+    # over the shared memoized flow pass, the flow_chi/twi/hand
+    # precedent)
+    "late_suppliers",
+    "score_auc",
+    "segment_psi",
+    "lang_budget",
+    "search_ndcg",
+    "vrm",
+    "langid_kappa",
+    "score_calibration",
+    "vocab_coverage",
+    "theil_decomposition",
+    "lang_source_mi",
+    "benford_digits",
+    "basin_drainage",
+    "tile_skew",
 ]
 
 
