@@ -13229,6 +13229,14 @@ DRIVER_WINDOW: list[str] = [
 # COVERAGE.md (semivariogram through dbscan_grid)
 # (all r5 additions ANSI-verified at sf0.01 —
 # rotation-ready) — plus the r5 OUT list above.
+# Final-stretch additions (this session, past-window, PRE-QUALIFIED
+# per the rotation protocol in one recorded sweep — sf0.001/0.01
+# parity, ANSI-ON sf0.01 parity, sf0.1 cross-scale parity, planted
+# tests, bench series): late_suppliers (the registry's only
+# NOT-EXISTS row), score_auc, segment_psi, lang_budget, search_ndcg,
+# vrm, langid_kappa, score_calibration, vocab_coverage,
+# theil_decomposition, lang_source_mi, benford_digits,
+# basin_drainage, tile_skew, neardup_eval.
 
 
 def _reorder_registration() -> None:
