@@ -828,3 +828,39 @@ def test_zonal_overlay_broadcast_cell_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "EvalPython" not in plan
+
+
+def test_late_suppliers_semi_anti_broadcast(spark):
+    """Q21 shape: one physical LeftSemi AND one LeftAnti join (the
+    non-equi residual keeps them joins, not filters), the supplier dim
+    broadcast, and no cartesian product anywhere."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["late_suppliers"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "Broadcast" in plan
+    assert "Cartesian" not in plan
+
+
+def test_vrm_no_python_no_cartesian(spark):
+    """VRM is pure whole-stage-codegen joins + aggregation: no Python
+    evaluation nodes, no cartesian products (the 9-offset cross join
+    is against a broadcast 9-row table)."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["vrm"](spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final window sums
+
+
+def test_score_auc_partial_final_fold(spark):
+    """The corpus folds map-side into score groups (partial+final
+    HashAggregate) before the single-partition group window."""
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    plan = _plan(QUERIES["score_auc"](spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
