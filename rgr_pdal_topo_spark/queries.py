@@ -13025,6 +13025,172 @@ def q_neardup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_orders_hist",
+    _with(
+        "co AS (SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) "
+        "AS c_count FROM customer c LEFT JOIN orders o "
+        "ON o.o_custkey = c.c_custkey GROUP BY c.c_custkey)",
+    )
+    + "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist "
+    "FROM co GROUP BY c_count",
+)
+def q_customer_orders_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13-flavored customer order-count distribution: how many
+    customers placed exactly k orders, INCLUDING the zero-order
+    customers the left outer join preserves (the classic double
+    aggregation — inner-joining here silently drops the c_count = 0
+    bucket, the single most analyzed bucket of the real Q13).  The
+    relational family's outer-join row (tpch_pricing: agg;
+    region_revenue: star; trade_volumes/market_share: deep joins;
+    order_priority: EXISTS; late_suppliers: NOT EXISTS; THIS: left
+    outer + re-aggregation).
+
+    Exactness: COUNT(o_orderkey) counts non-NULL keys only (0 for
+    orderless customers) — integers end to end, nothing to round.
+
+    Scale shape: orders shuffle once on custkey into the per-customer
+    count (map-side combinable), then the histogram folds the
+    customer-sized table onto <= max-orders rows."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    co = (
+        cust.join(
+            orders, F.col("o_custkey") == F.col("c_custkey"), "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return co.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist")
+    )
+
+
+@query(
+    "lang_homophily",
+    _with(
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        _LK_CTE,
+        "hlang AS (SELECT CAST(regexp_extract(url, "
+        f"'{pagesops.HOST_RE}', 1) AS BIGINT) AS host, MIN(lang) AS "
+        f"lang FROM (SELECT {pagesops.URL_SQL} AS url, lang FROM "
+        "documents) u GROUP BY 1)",
+        "ed AS (SELECT ls.lang AS lang_s, ld.lang AS lang_d FROM lk "
+        "JOIN hlang ls ON ls.host = lk.src "
+        "JOIN hlang ld ON ld.host = lk.dst)",
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS e FROM ed)",
+        "ol AS (SELECT lang_s AS lang, CAST(COUNT(*) AS BIGINT) AS "
+        "outd FROM ed GROUP BY 1)",
+        "il AS (SELECT lang_d AS lang, CAST(COUNT(*) AS BIGINT) AS "
+        "ind FROM ed GROUP BY 1)",
+        "sl AS (SELECT lang_s AS lang, CAST(COUNT(*) AS BIGINT) AS "
+        "same FROM ed WHERE lang_s = lang_d GROUP BY 1)",
+        "m AS (SELECT ol.lang, ol.outd, COALESCE(il.ind, 0) AS ind, "
+        "COALESCE(sl.same, 0) AS same FROM ol "
+        "LEFT JOIN il ON il.lang = ol.lang "
+        "LEFT JOIN sl ON sl.lang = ol.lang)",
+        "acc AS (SELECT CAST(SUM(same * e - outd * ind) AS BIGINT) AS "
+        "qnum, CAST(SUM(same) AS BIGINT) AS n_same FROM m "
+        "CROSS JOIN tot)",
+    )
+    + "SELECT tot.e AS n_edges, acc.n_same, "
+    "ROUND(CAST(acc.n_same AS DOUBLE) / CAST(tot.e AS DOUBLE), 6) AS "
+    "same_share, acc.qnum, "
+    "ROUND(CAST(acc.qnum AS DOUBLE) / (CAST(tot.e AS DOUBLE) * "
+    "CAST(tot.e AS DOUBLE)), 6) AS homophily_q "
+    "FROM tot CROSS JOIN acc",
+)
+def q_lang_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language homophily of the host link graph — directed categorical
+    assortativity Q = sum_l (e_ll/E - (out_l/E)(in_l/E)): does a host
+    link within its own language more than a degree-preserving null
+    predicts?  The cross-subsystem row joining the link graph
+    (pagerank/hits family) to the text attributes (langid family) —
+    raw same-language share overstates homophily when one language
+    dominates; Q subtracts exactly that (the langid_kappa argument
+    applied to edges).  Host language = MIN(lang) over the host's
+    documents (deterministic label; majority voting would need a
+    tie-break anyway).
+
+    Exactness: multiplied through by E^2, Q's accumulator
+    sum(same_l * E - out_l * in_l) is an exact BIGINT (langs with no
+    outbound edges contribute exactly 0 — e_ll <= min(out, in) —
+    so the out-lang universe is complete); same_share and Q are ONE
+    division each, ROUND(,6).  At 10^12-edge scale the accumulator
+    needs the NMI double-product treatment (documented, not silent).
+
+    Scale shape: edges shuffle once onto the host-lang map (hosts-
+    sized, broadcastable), then everything folds to the langs-sized
+    census."""
+    from rgr_pdal_topo_spark.operators import linkgraph
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    lk = linkgraph.extract_links(pages)
+    docs = load_table(spark, sf_dir, "documents")
+    hlang = (
+        docs.selectExpr(f"{pagesops.URL_SQL} AS url", "lang")
+        .select(
+            F.regexp_extract(F.col("url"), pagesops.HOST_RE, 1)
+            .cast("long")
+            .alias("host"),
+            "lang",
+        )
+        .groupBy("host")
+        .agg(F.min("lang").alias("lang"))
+    )
+    ed = (
+        lk.join(
+            F.broadcast(hlang.withColumnRenamed("lang", "lang_s")),
+            F.col("host") == F.col("src"),
+        )
+        .drop("host")
+        .join(
+            F.broadcast(hlang.withColumnRenamed("lang", "lang_d")),
+            F.col("host") == F.col("dst"),
+        )
+        .select("lang_s", "lang_d")
+    )
+    tot = ed.agg(F.count(F.lit(1)).cast("long").alias("e"))
+    ol = ed.groupBy(F.col("lang_s").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("outd")
+    )
+    il = ed.groupBy(F.col("lang_d").alias("lang")).agg(
+        F.count(F.lit(1)).cast("long").alias("ind")
+    )
+    sl = (
+        ed.filter(F.col("lang_s") == F.col("lang_d"))
+        .groupBy(F.col("lang_s").alias("lang"))
+        .agg(F.count(F.lit(1)).cast("long").alias("same"))
+    )
+    m = (
+        ol.join(il, "lang", "left")
+        .join(sl, "lang", "left")
+        .select(
+            "outd",
+            F.coalesce("ind", F.lit(0)).alias("ind"),
+            F.coalesce("same", F.lit(0)).alias("same"),
+        )
+    )
+    acc = m.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            F.col("same") * F.col("e") - F.col("outd") * F.col("ind")
+        ).cast("long").alias("qnum"),
+        F.sum("same").cast("long").alias("n_same"),
+    )
+    return tot.crossJoin(F.broadcast(acc)).selectExpr(
+        "e AS n_edges",
+        "n_same",
+        "ROUND(CAST(n_same AS DOUBLE) / CAST(e AS DOUBLE), 6) AS "
+        "same_share",
+        "qnum",
+        "ROUND(CAST(qnum AS DOUBLE) / (CAST(e AS DOUBLE) * "
+        "CAST(e AS DOUBLE)), 6) AS homophily_q",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

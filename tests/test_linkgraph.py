@@ -533,3 +533,55 @@ def test_adamic_adar_hand_computed_and_capped(spark):
     assert r12["aa"] == 11819 / 8192
     assert (1, 3) not in out and (3, 1) not in out
     assert not any(a >= 200 and b >= 200 for a, b in out)
+
+
+def test_lang_homophily_pandas_replay(spark):
+    """Recompute directed categorical assortativity in pandas from the
+    engine's own edge list + host-lang map (independent of the SQL
+    oracle path): same MIN-lang labels, same Q = sum(same*E - out*in)
+    / E^2 identity, bit-equal accumulators."""
+    from pyspark.sql import functions as F
+
+    from rgr_pdal_topo_spark.operators import linkgraph
+    from rgr_pdal_topo_spark.operators import pages as pagesops
+    from rgr_pdal_topo_spark.queries import QUERIES
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    lk = linkgraph.extract_links(
+        pagesops.linked_pages_df(spark, sf)
+    ).toPandas()
+    hl = (
+        load_table(spark, sf, "documents")
+        .selectExpr(f"{pagesops.URL_SQL} AS url", "lang")
+        .select(
+            F.regexp_extract(F.col("url"), pagesops.HOST_RE, 1)
+            .cast("long").alias("host"),
+            "lang",
+        )
+        .groupBy("host")
+        .agg(F.min("lang").alias("lang"))
+        .toPandas()
+    )
+    lang = dict(zip(hl.host, hl.lang))
+    ed = [
+        (lang[s], lang[d])
+        for s, d in zip(lk.src, lk.dst)
+        if s in lang and d in lang
+    ]
+    E = len(ed)
+    out, ind, same = {}, {}, {}
+    for s, d in ed:
+        out[s] = out.get(s, 0) + 1
+        ind[d] = ind.get(d, 0) + 1
+        if s == d:
+            same[s] = same.get(s, 0) + 1
+    qnum = sum(
+        same.get(l, 0) * E - o * ind.get(l, 0) for l, o in out.items()
+    )
+    n_same = sum(same.values())
+
+    [r] = QUERIES["lang_homophily"](spark, sf).collect()
+    assert (r["n_edges"], r["n_same"], r["qnum"]) == (E, n_same, qnum)
+    assert r["homophily_q"] == round(qnum / (E * E), 6)
+    assert E > 100  # non-degenerate graph

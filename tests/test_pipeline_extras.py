@@ -1954,3 +1954,28 @@ def test_tile_skew_planted(spark):
     # gini = (2*(1+2+294) - 4*100) / (3*100) = 194/300
     assert conc["gini"] == round(194 / 300.0, 6)
     assert conc["top1_share"] == 0.98
+
+
+def test_customer_orders_hist_zero_bucket(spark):
+    """The zero-order customer survives the left join into the
+    c_count = 0 bucket (inner-joining drops it — the Q13 lesson);
+    counts are exact."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    cust = pd.DataFrame({"c_custkey": [1, 2, 3]})
+    orders = pd.DataFrame(
+        {"o_orderkey": [10, 11, 12], "o_custkey": [1, 1, 2]}
+    )
+    with tempfile.TemporaryDirectory() as d:
+        cust.to_parquet(os.path.join(d, "customer.parquet"))
+        orders.to_parquet(os.path.join(d, "orders.parquet"))
+        got = {
+            r["c_count"]: r["custdist"]
+            for r in QUERIES["customer_orders_hist"](spark, d).collect()
+        }
+    assert got == {0: 1, 1: 1, 2: 1}
