@@ -13191,6 +13191,140 @@ def q_lang_homophily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: openness sample tangent, ONE spelling: (zs - z0) is an exact Q20
+#: integer, the denominator is a product of exact doubles (step *
+#: cell-size * sqrt(1 or 2), sqrt correctly rounded), so the tangent is
+#: ONE division of bit-identical operands; the per-direction MAX of
+#: bit-identical doubles is deterministic, then q13-pinned so the
+#: 8-direction sum is an exact BIGINT:
+_OPEN_TAN = (
+    "CAST(zs - z0 AS DOUBLE) / (1048576.0 * CAST(s AS DOUBLE) * 10.0 * "
+    "SQRT(CAST(ABS(dr * dc) + 1 AS DOUBLE)))"
+)
+_OPEN_L = 8  # bounded horizon: 8 steps per direction
+
+
+@query(
+    "openness",
+    _BASE.rstrip()
+    + f", gmean AS ({GRID_MEAN_CTE}), "
+    f"zt AS (SELECT cell_row, cell_col, {qint_sql('value', Q20)} AS zq "
+    "FROM gmean), "
+    "dirs AS (SELECT CAST(a.id - 1 AS INT) AS dr, CAST(b.id - 1 AS INT) "
+    "AS dc FROM range(3) a(id) CROSS JOIN range(3) b(id) "
+    "WHERE NOT (a.id = 1 AND b.id = 1)), "
+    f"steps AS (SELECT CAST(id + 1 AS INT) AS s FROM range({_OPEN_L}) "
+    "t(id)), "
+    # sample coordinates materialized BEFORE the join (both engines
+    # degrade to nested-loop when the equality mixes three relations)
+    "expl AS (SELECT a.cell_row, a.cell_col, d.dr, d.dc, st.s, "
+    "a.zq AS z0, a.cell_row + d.dr * st.s AS pr2, "
+    "a.cell_col + d.dc * st.s AS pc2 FROM zt a CROSS JOIN dirs d "
+    "CROSS JOIN steps st), "
+    "smp AS (SELECT e.cell_row, e.cell_col, e.dr, e.dc, e.s, "
+    "b.zq AS zs, e.z0 FROM expl e JOIN zt b "
+    "ON b.cell_row = e.pr2 AND b.cell_col = e.pc2), "
+    "dmax AS (SELECT cell_row, cell_col, dr, dc, "
+    "CAST(COUNT(*) AS BIGINT) AS ns, "
+    f"MAX({_OPEN_TAN}) AS tmax FROM smp GROUP BY 1, 2, 3, 4), "
+    "agg2 AS (SELECT cell_row, cell_col, "
+    f"CAST(SUM({qint_sql('tmax', Q13)}) AS BIGINT) AS acc, "
+    "CAST(SUM(ns) AS BIGINT) AS n_samples, "
+    "CAST(COUNT(*) AS BIGINT) AS n_dirs FROM dmax GROUP BY 1, 2) "
+    "SELECT cell_row, cell_col, acc, "
+    "ROUND(CAST(acc AS DOUBLE) / (8.0 * 8192.0), 6) AS horizon_tan "
+    f"FROM agg2 WHERE n_dirs = 8 AND n_samples = {8 * _OPEN_L}",
+)
+def q_openness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-horizon topographic openness (Yokoyama et al. 2002,
+    public) over the mean DEM: per cell, the mean over 8 azimuths of
+    the maximum elevation tangent within an 8-cell horizon — ridges
+    and plains read low (sky open above the horizontal), pits and
+    valley floors read high.  Reported as the mean horizon TANGENT,
+    a monotone transform of the textbook angle (atan carries no
+    cross-engine bit guarantee; the departure is stated, the ranking
+    is identical).  The terrain family's per-cell sibling of viewshed
+    (one observer, N targets) — here every cell is its own observer
+    with a bounded horizon.
+
+    Exactness: (zs - z0) is an exact Q20 integer; the tangent is ONE
+    division by a product of exact doubles (sqrt correctly rounded);
+    MAX over bit-identical doubles is deterministic; each direction's
+    max pins to the q13 grid so the 8-direction accumulator (the
+    hashed surface) is an exact BIGINT and the mean is ONE division,
+    ROUND(,6).  Only cells with ALL 64 samples present are emitted
+    (partial horizons at the populated-grid boundary would silently
+    mix 3-direction and 8-direction means).
+
+    Scale shape: one 64-way sample explosion joined against the
+    cell-keyed DEM (co-located under grid partitioning; halo
+    replication covers the 8-cell reach at raster scale — the stencil
+    engine's contract with halo = 8), then two map-side folds."""
+    zt = mean_dem(spark, sf_dir).select(
+        "cell_row", "cell_col", qint_col(F.col("value"), Q20).alias("zq")
+    )
+    return _openness_core(spark, zt)
+
+
+def _openness_core(spark: SparkSession, zt: DataFrame) -> DataFrame:
+    """Openness plan over a (cell_row, cell_col, zq) Q20-integer grid —
+    factored so planted tests can drive analytic DEMs (flat -> exactly
+    0; pits positive, peaks negative)."""
+    dirs = (
+        spark.range(3)
+        .select((F.col("id") - 1).cast("int").alias("dr"))
+        .crossJoin(
+            spark.range(3).select(
+                (F.col("id") - 1).cast("int").alias("dc")
+            )
+        )
+        .filter(~((F.col("dr") == 0) & (F.col("dc") == 0)))
+    )
+    steps = spark.range(_OPEN_L).select(
+        (F.col("id") + 1).cast("int").alias("s")
+    )
+    probe = zt.select(
+        F.col("cell_row").alias("pr"),
+        F.col("cell_col").alias("pc"),
+        F.col("zq").alias("zs"),
+    )
+    # materialize the sample coordinates BEFORE the join: column==column
+    # equality gives Catalyst hash-join keys (an expression mixing both
+    # sides degrades to a nested-loop join)
+    expl = (
+        zt.withColumnRenamed("zq", "z0")
+        .crossJoin(F.broadcast(dirs))
+        .crossJoin(F.broadcast(steps))
+        .withColumn(
+            "pr2", F.col("cell_row") + F.col("dr") * F.col("s")
+        )
+        .withColumn(
+            "pc2", F.col("cell_col") + F.col("dc") * F.col("s")
+        )
+    )
+    smp = expl.join(
+        probe,
+        (F.col("pr") == F.col("pr2")) & (F.col("pc") == F.col("pc2")),
+    )
+    dmax = smp.groupBy("cell_row", "cell_col", "dr", "dc").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.max(F.expr(_OPEN_TAN)).alias("tmax"),
+    )
+    agg2 = dmax.groupBy("cell_row", "cell_col").agg(
+        F.sum(qint_col(F.col("tmax"), Q13)).cast("long").alias("acc"),
+        F.sum("ns").cast("long").alias("n_samples"),
+        F.count(F.lit(1)).cast("long").alias("n_dirs"),
+    )
+    return agg2.filter(
+        (F.col("n_dirs") == 8) & (F.col("n_samples") == 8 * _OPEN_L)
+    ).selectExpr(
+        "cell_row",
+        "cell_col",
+        "acc",
+        "ROUND(CAST(acc AS DOUBLE) / (8.0 * 8192.0), 6) AS horizon_tan",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -1979,3 +1979,40 @@ def test_customer_orders_hist_zero_bucket(spark):
             for r in QUERIES["customer_orders_hist"](spark, d).collect()
         }
     assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_openness_analytic_endpoints(spark):
+    """Flat DEM: every tangent is exactly 0 -> horizon_tan EXACTLY
+    0.0 and only cells with the full 64-sample horizon (8-cell inset)
+    are emitted.  A single pit sees terrain ABOVE it in every
+    direction (positive); the matching peak reads negative (sign
+    antisymmetry of the tangent)."""
+    from rgr_pdal_topo_spark.queries import _openness_core
+
+    def run(zfn, n=20):
+        rows = [
+            (r, c, int(zfn(r, c)))
+            for r in range(n)
+            for c in range(n)
+        ]
+        zt = spark.createDataFrame(
+            rows, "cell_row int, cell_col int, zq long"
+        )
+        return {
+            (r["cell_row"], r["cell_col"]): r
+            for r in _openness_core(spark, zt).collect()
+        }
+
+    flat = run(lambda r, c: 5 << 20)
+    # 20x20 grid, 8-cell horizon -> interior 4x4 block survives
+    assert len(flat) == 16
+    assert all(v["horizon_tan"] == 0.0 for v in flat.values())
+
+    pit = run(
+        lambda r, c: (5 << 20) - ((10 << 20) if (r, c) == (9, 9) else 0)
+    )
+    assert pit[(9, 9)]["horizon_tan"] > 0.1
+    peak = run(
+        lambda r, c: (5 << 20) + ((10 << 20) if (r, c) == (9, 9) else 0)
+    )
+    assert peak[(9, 9)]["horizon_tan"] < -0.1
