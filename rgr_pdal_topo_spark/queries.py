@@ -13325,6 +13325,89 @@ def _openness_core(spark: SparkSession, zt: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "ks_lengths",
+    _with(
+        "d AS (SELECT doc_id % 2 AS g, CAST(n_chars AS BIGINT) AS x "
+        "FROM documents)",
+        "c AS (SELECT x, CAST(SUM(CASE WHEN g = 0 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS ca, CAST(SUM(CASE WHEN g = 1 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS cb FROM d GROUP BY x)",
+        "w AS (SELECT x, CAST(SUM(ca) OVER (ORDER BY x ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cuma, "
+        "CAST(SUM(cb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS BIGINT) AS cumb FROM c)",
+        "t AS (SELECT CAST(SUM(ca) AS BIGINT) AS na, "
+        "CAST(SUM(cb) AS BIGINT) AS nb FROM c)",
+        "m AS (SELECT CAST(MAX(ABS(cuma * nb - cumb * na)) AS BIGINT) "
+        "AS dnum FROM w CROSS JOIN t)",
+    )
+    + "SELECT t.na, t.nb, m.dnum, "
+    "ROUND(CAST(m.dnum AS DOUBLE) / (CAST(t.na AS DOUBLE) * "
+    "CAST(t.nb AS DOUBLE)), 6) AS ks_d FROM t CROSS JOIN m",
+)
+def q_ks_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic on document
+    lengths between the two corpus segments (even vs odd doc_id — the
+    same deterministic snapshot split as segment_psi): D = max over x
+    of |F_A(x) - F_B(x)|, the BINLESS drift detector that catches
+    shape changes PSI's coarse bins smooth away (PSI on language bins,
+    KS on the length distribution — a drift suite reports both).
+
+    Exactness: multiplied through by n_A * n_B, the supremum runs over
+    exact integers |cum_A * n_B - cum_B * n_A| evaluated at every
+    distinct length (the ECDF only changes there, so the max over
+    distinct values IS the supremum); D is ONE division, ROUND(,6).
+    At 10^12-row segments the product needs the NMI double treatment
+    (documented, not silent).
+
+    Scale shape: one map-side fold to per-length group counts; the
+    cumulative window runs over the DISTINCT-lengths table (value-
+    histogram sized, never the corpus — the score_auc trick on an
+    unbounded-but-small value domain)."""
+    from pyspark.sql import Window
+
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            (F.col("doc_id") % 2).alias("g"),
+            F.col("n_chars").cast("long").alias("x"),
+        )
+        .groupBy("x")
+        .agg(
+            F.sum(F.when(F.col("g") == 0, 1).otherwise(0))
+            .cast("long").alias("ca"),
+            F.sum(F.when(F.col("g") == 1, 1).otherwise(0))
+            .cast("long").alias("cb"),
+        )
+    )
+    win = Window.orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w = c.select(
+        F.sum("ca").over(win).cast("long").alias("cuma"),
+        F.sum("cb").over(win).cast("long").alias("cumb"),
+    )
+    t = c.agg(
+        F.sum("ca").cast("long").alias("na"),
+        F.sum("cb").cast("long").alias("nb"),
+    )
+    m = w.crossJoin(F.broadcast(t)).agg(
+        F.max(
+            F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+        ).cast("long").alias("dnum")
+    )
+    return t.crossJoin(F.broadcast(m)).selectExpr(
+        "na",
+        "nb",
+        "dnum",
+        "ROUND(CAST(dnum AS DOUBLE) / (CAST(na AS DOUBLE) * "
+        "CAST(nb AS DOUBLE)), 6) AS ks_d",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

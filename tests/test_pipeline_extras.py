@@ -2016,3 +2016,43 @@ def test_openness_analytic_endpoints(spark):
         lambda r, c: (5 << 20) + ((10 << 20) if (r, c) == (9, 9) else 0)
     )
     assert peak[(9, 9)]["horizon_tan"] < -0.1
+
+
+def test_ks_lengths_exact_endpoints(spark):
+    """Identical segment distributions give D EXACTLY 0; fully
+    separated supports give D EXACTLY 1.0; the half-shifted case
+    matches the hand-computed supremum."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    def run(lens_even, lens_odd):
+        ids = [2 * i for i in range(len(lens_even))] + [
+            2 * i + 1 for i in range(len(lens_odd))
+        ]
+        lens = lens_even + lens_odd
+        df = pd.DataFrame(
+            {
+                "doc_id": ids,
+                "text": ["x"] * len(ids),
+                "lang": ["en"] * len(ids),
+                "source": ["s"] * len(ids),
+                "n_chars": lens,
+            }
+        )
+        with tempfile.TemporaryDirectory() as d:
+            df.to_parquet(os.path.join(d, "documents.parquet"))
+            [r] = QUERIES["ks_lengths"](spark, d).collect()
+        return r
+
+    same = run([3, 5, 7], [3, 5, 7])
+    assert (same["dnum"], same["ks_d"]) == (0, 0.0)
+    sep = run([1, 2, 3], [10, 20, 30])
+    assert sep["ks_d"] == 1.0
+    # A = {1, 2}, B = {2, 3}: at x=1 |1*2-0| = 2, x=2 |2*2-1*2| = 2,
+    # x=3 |4-4| = 0 -> D = 2/4 = 0.5
+    half = run([1, 2], [2, 3])
+    assert (half["dnum"], half["ks_d"]) == (2, 0.5)
