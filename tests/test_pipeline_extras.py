@@ -2056,3 +2056,35 @@ def test_ks_lengths_exact_endpoints(spark):
     # x=3 |4-4| = 0 -> D = 2/4 = 0.5
     half = run([1, 2], [2, 3])
     assert (half["dnum"], half["ks_d"]) == (2, 0.5)
+
+
+def test_semivariogram_aniso_striped_fabric(spark):
+    """A row-striped surface (z depends only on cell_row) has
+    along-strike gamma EXACTLY 0 at every EW lag, while NS gamma is
+    positive and hand-computable: alternating +/-q stripes give
+    sdiff2 = n_pairs * (2q)^2 at odd NS lags and exactly 0 at even
+    ones."""
+    from rgr_pdal_topo_spark.queries import _aniso_core
+
+    q = 8192
+    n = 12
+    rows = [
+        (r, c, q if r % 2 == 0 else -q)
+        for r in range(n)
+        for c in range(n)
+    ]
+    zt = spark.createDataFrame(rows, "cell_row int, cell_col int, z long")
+    got = {
+        (r["dir"], r["h"]): r for r in _aniso_core(zt).collect()
+    }
+    for h in range(1, 5):
+        assert got[("ew", h)]["sdiff2"] == 0
+        assert got[("ew", h)]["gamma"] == 0.0
+    # NS odd lags: every pair differs by 2q
+    for h in (1, 3):
+        r = got[("ns", h)]
+        assert r["sdiff2"] == r["n_pairs"] * (2 * q) ** 2
+        # gamma = sdiff2 / (2 * n_pairs * 8192^2) = 2.0 exactly
+        assert r["gamma"] == 2.0
+    for h in (2, 4):
+        assert got[("ns", h)]["sdiff2"] == 0
