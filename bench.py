@@ -198,6 +198,11 @@ HEADLINE = [
     "benford_digits",
     "basin_drainage",
     "tile_skew",
+    "customer_orders_hist",
+    "lang_homophily",
+    "openness",
+    "ks_lengths",
+    "semivariogram_aniso",
 ]
 
 

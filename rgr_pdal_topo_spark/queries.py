@@ -13709,7 +13709,9 @@ DRIVER_WINDOW: list[str] = [
 # NOT-EXISTS row), score_auc, segment_psi, lang_budget, search_ndcg,
 # vrm, langid_kappa, score_calibration, vocab_coverage,
 # theil_decomposition, lang_source_mi, benford_digits,
-# basin_drainage, tile_skew, neardup_eval.
+# basin_drainage, tile_skew, neardup_eval; second wave, same sweep:
+# customer_orders_hist, lang_homophily, openness, ks_lengths,
+# semivariogram_aniso.
 
 
 def _reorder_registration() -> None:
