@@ -13498,6 +13498,103 @@ def _aniso_core(zt: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "ann_recall_eval",
+    _with(f"e AS ({_EMB_DUCK})", f"n AS ({_NORM_DUCK})").rstrip()
+    + ", bt AS (SELECT query_id, nn_id FROM ("
+    "SELECT q.vec_id AS query_id, n.vec_id AS nn_id, "
+    "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+    "ROUND(list_dot_product(n.v, q.v) / (n.nrm * q.nrm), 5) DESC, "
+    "n.vec_id ASC) AS rank "
+    "FROM n JOIN n q ON q.vec_id < 10 AND n.vec_id <> q.vec_id) r "
+    "WHERE rank <= 5), "
+    "c AS (SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM n "
+    "WHERE vec_id < 16), "
+    "asg AS (SELECT n.vec_id, n.v, n.nrm, c.cid, "
+    f"ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY {_IVF_COS} DESC, "
+    "c.cid ASC) AS crn FROM n JOIN c ON TRUE), "
+    "members AS (SELECT vec_id AS nn_id, v, nrm, cid FROM asg "
+    "WHERE crn = 1), "
+    "probes AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, cid "
+    "FROM asg WHERE vec_id < 10 AND crn <= 4), "
+    "cand AS (SELECT p.query_id, m.nn_id, "
+    "ROUND(list_dot_product(m.v, p.qv) / (m.nrm * p.qn), 5) AS cosine "
+    "FROM probes p JOIN members m ON m.cid = p.cid "
+    "AND m.nn_id <> p.query_id), "
+    "iv AS (SELECT query_id, nn_id FROM ("
+    "SELECT query_id, nn_id, ROW_NUMBER() OVER ("
+    "PARTITION BY query_id ORDER BY cosine DESC, nn_id ASC) AS rank "
+    "FROM cand) r WHERE rank <= 5), "
+    "qs AS (SELECT DISTINCT query_id FROM bt), "
+    "hits AS (SELECT qs.query_id, CAST(COALESCE(h.n_hit, 0) AS BIGINT) "
+    "AS n_hit FROM qs LEFT JOIN (SELECT bt.query_id, "
+    "CAST(COUNT(*) AS BIGINT) AS n_hit FROM bt "
+    "JOIN iv ON iv.query_id = bt.query_id AND iv.nn_id = bt.nn_id "
+    "GROUP BY bt.query_id) h ON h.query_id = qs.query_id) "
+    "SELECT query_id, n_hit, "
+    "ROUND(CAST(n_hit AS DOUBLE) / 5.0, 6) AS recall_at_5, "
+    "ROUND(CAST(SUM(n_hit) OVER () AS DOUBLE) / "
+    "CAST(5 * COUNT(*) OVER () AS DOUBLE), 6) AS mean_recall "
+    "FROM hits",
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF approximate nearest-neighbour path against
+    the brute-force exact top-5, per query and averaged — the ANN
+    analogue of neardup_eval (an approximate index's recall is a
+    MEASURED property, not a promise: 4-probe IVF misses neighbours
+    whose true list was not probed).  Composes two independently
+    oracle-verified subsystems (cosine_topk brute truth;
+    cosine_topk_ivf's exact CTE chain) into the evaluation row; the
+    pytest recall tests pin a floor, THIS reports the number.
+
+    Exactness: both top-5 sets come from total orders (rounded cosine
+    DESC, vec_id ASC — the cosine_topk contract), overlap counts are
+    integers, recall is ONE division, the mean ONE more over the
+    10-query census; zero-overlap queries survive via the qs LEFT
+    JOIN (the benford full-domain lesson).
+
+    Scale shape: truth is the quadratic baseline on the SAME bounded
+    query set the brute query already runs (10 queries — the eval
+    never needs all-pairs); the IVF side is the bucketed scale path;
+    the join is on (query, neighbour) keys."""
+    from pyspark.sql import Window
+
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bt = similarity.cosine_topk(emb, n_queries=10, k=5).select(
+        "query_id", "nn_id"
+    )
+    iv = similarity.cosine_topk_ivf(
+        emb, n_queries=10, k=5, n_centroids=16, n_probe=4
+    ).select("query_id", "nn_id")
+    qs = bt.select("query_id").distinct()
+    h = bt.join(iv, ["query_id", "nn_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hit")
+    )
+    hits = qs.join(h, "query_id", "left").select(
+        "query_id",
+        F.coalesce("n_hit", F.lit(0)).cast("long").alias("n_hit"),
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hits.select(
+        "query_id",
+        "n_hit",
+        F.expr("ROUND(CAST(n_hit AS DOUBLE) / 5.0, 6)").alias(
+            "recall_at_5"
+        ),
+        (
+            F.round(
+                F.sum("n_hit").over(full).cast("double")
+                / (5 * F.count(F.lit(1)).over(full)).cast("double"),
+                6,
+            )
+        ).alias("mean_recall"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

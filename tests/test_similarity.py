@@ -410,3 +410,37 @@ def test_pq_trained_codebooks_reduce_quantization_error(spark):
         emb, n_queries=5, k=3, m=m, n_codes=16, codebooks=books
     ).toPandas()
     assert (out.groupby("query_id").size() == 3).all()
+
+
+def test_ann_recall_eval_consistent_with_components(spark):
+    """The eval row must equal the set overlap of its two component
+    queries' outputs, recomputed independently in pandas; every query
+    appears exactly once including zero-overlap ones."""
+    from rgr_pdal_topo_spark.operators import similarity
+    from rgr_pdal_topo_spark.queries import QUERIES
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    bt = similarity.cosine_topk(emb, n_queries=10, k=5).toPandas()
+    iv = similarity.cosine_topk_ivf(
+        emb, n_queries=10, k=5, n_centroids=16, n_probe=4
+    ).toPandas()
+    truth = {
+        q: set(g.nn_id) for q, g in bt.groupby("query_id")
+    }
+    approx = {
+        q: set(g.nn_id) for q, g in iv.groupby("query_id")
+    }
+    rows = QUERIES["ann_recall_eval"](spark, sf).collect()
+    assert sorted(r["query_id"] for r in rows) == sorted(truth)
+    total = 0
+    for r in rows:
+        exp = len(truth[r["query_id"]] & approx.get(r["query_id"], set()))
+        assert r["n_hit"] == exp
+        assert r["recall_at_5"] == round(exp / 5.0, 6)
+        total += exp
+    assert all(
+        r["mean_recall"] == round(total / (5.0 * len(rows)), 6)
+        for r in rows
+    )
