@@ -1044,13 +1044,28 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     users-sized (not events-sized) previous-stage table plus a
     per-user window on the single filtered event type — the funnel
     depth bounds the chain statically; counts combine map-side."""
+    frames = _funnel_frames(spark, sf_dir)
+    out = None
+    for i, (st, cur) in enumerate(zip(_FUNNEL_STAGES, frames)):
+        step = cur.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i + 1).alias("stage"),
+            F.lit(st).alias("stage_name"),
+            "n_users",
+        )
+        out = step if out is None else out.unionAll(step)
+    return out
+
+
+def _funnel_frames(spark: SparkSession, sf_dir: str) -> list:
+    """Per-stage (user_id, ts, event_id) first-touch frames — the
+    funnel chain factored out so funnel_latency can reuse the exact
+    stage semantics funnel_steps counts."""
     from rgr_pdal_topo_spark.sources.tables import load_table
-    from pyspark.sql import Window  # noqa: F401
 
     ev = load_table(spark, sf_dir, "events")
     prev = None
-    out = None
-    for i, st in enumerate(_FUNNEL_STAGES):
+    frames = []
+    for st in _FUNNEL_STAGES:
         e = ev.filter(F.col("event_type") == st)
         if prev is not None:
             p = prev.select(
@@ -1077,14 +1092,9 @@ def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("m.event_id").alias("event_id"),
             )
         )
-        step = cur.agg(F.count(F.lit(1)).alias("n_users")).select(
-            F.lit(i + 1).alias("stage"),
-            F.lit(st).alias("stage_name"),
-            "n_users",
-        )
-        out = step if out is None else out.unionAll(step)
+        frames.append(cur)
         prev = cur
-    return out
+    return frames
 
 
 #: sessionize's gap threshold, reused so session_peaks' intervals are
@@ -13592,6 +13602,87 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             )
         ).alias("mean_recall"),
+    )
+
+
+@query(
+    "funnel_latency",
+    _with(
+        *_FUNNEL_CTE_LIST,
+        "d AS (SELECT CAST(FLOOR(epoch("
+        f"s{len(_FUNNEL_STAGES) - 1}.ts - s0.ts)) "
+        f"AS BIGINT) AS delta_s FROM s{len(_FUNNEL_STAGES) - 1} "
+        "JOIN s0 ON s0.user_id = "
+        f"s{len(_FUNNEL_STAGES) - 1}.user_id)",
+    )
+    + "SELECT CAST(COUNT(*) AS BIGINT) AS n_converts, "
+    "CAST(MIN(delta_s) AS BIGINT) AS min_s, "
+    "CAST(MAX(delta_s) AS BIGINT) AS max_s, "
+    "CAST(2 * median(delta_s) AS BIGINT) AS med2_s, "
+    "ROUND(CAST(SUM(delta_s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) "
+    "AS mean_s FROM d",
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the full funnel: per user who
+    completes signup -> ... -> purchase (the EXACT stage semantics
+    funnel_steps counts, via the shared _funnel_frames chain), the
+    seconds from first signup touch to the purchase touch — count,
+    min, max, MEDIAN, mean.  Conversion RATE (funnel_steps/wilson)
+    says how many; THIS says how long — the other number a growth
+    team reads.
+
+    Exactness: deltas are exact integer seconds — timestampdiff
+    micros DIV 1e6 engine-side, FLOOR(epoch(interval)) oracle-side,
+    both flooring the SAME fractional difference (truncating each
+    endpoint first, as unix_timestamp would, reads one second short
+    whenever the sub-second parts straddle — caught live at sf0.01);
+    med2_s is TWICE the interpolated median as an exact
+    integer via the counting-sort selection (textstats.grouped_median2
+    — the robust_outliers machinery; DuckDB's median() of an even
+    count is the average of two integers, so 2x is integer-exact);
+    min/max/count exact, mean ONE division ROUND(,6).
+
+    Scale shape: the stage chain is users-sized joins (the
+    funnel_steps shape); the median's cumulative window runs over the
+    distinct-delta domain, never the user count."""
+    frames = _funnel_frames(spark, sf_dir)
+    s0, s_last = frames[0], frames[-1]
+    d = (
+        s_last.select(
+            "user_id", F.col("ts").alias("ts_end")
+        )
+        .join(
+            s0.select("user_id", F.col("ts").alias("ts_start")),
+            "user_id",
+        )
+        .select(
+            # FLOOR of the fractional delta (events carry sub-second
+            # parts; unix_timestamp would truncate EACH side first and
+            # read one second short when the fractions straddle).
+            # timestampdiff gives exact integer micros on NTZ inputs;
+            # deltas are non-negative so DIV == FLOOR.
+            F.expr(
+                "timestampdiff(MICROSECOND, ts_start, ts_end) "
+                "DIV 1000000"
+            ).cast("long").alias("delta_s")
+        )
+    )
+    m2 = textstats.grouped_median2(
+        d.withColumn("__g", F.lit(1)), ["__g"], "delta_s"
+    ).select(F.col("m2").alias("med2_s"))
+    agg = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_converts"),
+        F.min("delta_s").cast("long").alias("min_s"),
+        F.max("delta_s").cast("long").alias("max_s"),
+        F.sum("delta_s").cast("long").alias("sum_s"),
+    )
+    return agg.crossJoin(F.broadcast(m2)).selectExpr(
+        "n_converts",
+        "min_s",
+        "max_s",
+        "CAST(med2_s AS BIGINT) AS med2_s",
+        "ROUND(CAST(sum_s AS DOUBLE) / CAST(n_converts AS DOUBLE), 6) "
+        "AS mean_s",
     )
 
 

@@ -2088,3 +2088,44 @@ def test_semivariogram_aniso_striped_fabric(spark):
         assert r["gamma"] == 2.0
     for h in (2, 4):
         assert got[("ns", h)]["sdiff2"] == 0
+
+
+def test_funnel_latency_planted(spark):
+    """Two converting users with hand-built stage chains (10 s and
+    20 s signup->purchase, one with straddling sub-second parts to
+    pin the fractional-floor rule), one non-converter: n = 2,
+    min 10, max 20, med2 = 30, mean 15.0."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    t0 = pd.Timestamp("2024-01-01 12:00:00")
+    s = pd.Timedelta(seconds=1)
+    rows = []
+
+    def chain(uid, base, deltas):
+        for i, (et, dt) in enumerate(
+            zip(("signup", "view", "click", "purchase"), deltas)
+        ):
+            rows.append((len(rows), base + dt, uid, et, 1.0, "{}"))
+
+    # user 1: purchase at +10.9s from signup at +0.2s -> floor 10
+    chain(1, t0, [0.2 * s, 2 * s, 5 * s, 11.1 * s])
+    # user 2: signup +0, purchase +20s exactly
+    chain(2, t0, [0 * s, 6 * s, 12 * s, 20 * s])
+    # user 3: no purchase
+    chain(3, t0, [0 * s, 3 * s, 4 * s, 4 * s])
+    rows = [r for r in rows if not (r[2] == 3 and r[3] == "purchase")]
+    ev = pd.DataFrame(
+        rows,
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    ).astype({"ts": "datetime64[us]"})
+    with tempfile.TemporaryDirectory() as d:
+        ev.to_parquet(os.path.join(d, "events.parquet"))
+        [r] = QUERIES["funnel_latency"](spark, d).collect()
+    assert (r["n_converts"], r["min_s"], r["max_s"]) == (2, 10, 20)
+    assert r["med2_s"] == 30
+    assert r["mean_s"] == 15.0
