@@ -13686,6 +13686,128 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: Heaps-fit spellings (the zipf_slope OLS doctrine: pinned-ln x/y on
+#: integer-valued doubles, exact BIGINT sums, slope one division):
+_HEAPS_X = "CAST(FLOOR(ln(CAST(ctok AS DOUBLE)) * 8192 + 0.5) AS BIGINT)"
+_HEAPS_Y = "CAST(FLOOR(ln(CAST(ctyp AS DOUBLE)) * 8192 + 0.5) AS BIGINT)"
+_HEAPS_BETA = (
+    "ROUND(CAST(np * sxy - sx * sy AS DOUBLE) / "
+    "CAST(np * sxx - sx * sx AS DOUBLE), 6)"
+)
+
+
+@query(
+    "heaps_law",
+    _with(
+        "t AS (SELECT doc_id, unnest(list_filter(string_split(text, "
+        "' '), x -> x <> '')) AS tok FROM documents)",
+        # first occurrence of each type, in doc_id order
+        "fo AS (SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS d0 FROM t "
+        "GROUP BY tok)",
+        "nw AS (SELECT d0 AS doc_id, CAST(COUNT(*) AS BIGINT) AS "
+        "n_new FROM fo GROUP BY d0)",
+        "dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok "
+        "FROM t GROUP BY doc_id)",
+        "cm AS (SELECT dl.doc_id, "
+        "CAST(SUM(dl.n_tok) OVER (ORDER BY dl.doc_id ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ctok, "
+        "CAST(SUM(COALESCE(nw.n_new, 0)) OVER (ORDER BY dl.doc_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS ctyp, ROW_NUMBER() OVER (ORDER BY dl.doc_id) AS rn, "
+        "COUNT(*) OVER () AS nd FROM dl "
+        "LEFT JOIN nw ON nw.doc_id = dl.doc_id)",
+        # 10 checkpoints at the rank deciles (always includes the last)
+        "cp AS (SELECT rn, ctok, ctyp FROM cm "
+        "WHERE rn % GREATEST(CAST(FLOOR(nd / 10.0) AS BIGINT), 1) = 0 "
+        "OR rn = nd)",
+        f"q AS (SELECT rn, ctok, ctyp, {_HEAPS_X} AS x, {_HEAPS_Y} AS y "
+        "FROM cp)",
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS np, "
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+        "CAST(SUM(x * y) AS BIGINT) AS sxy, "
+        "CAST(SUM(x * x) AS BIGINT) AS sxx FROM q)",
+    )
+    + f"SELECT np, sx, sy, sxy, sxx, {_HEAPS_BETA} AS heaps_beta "
+    "FROM s",
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth exponent: V(n) ~ K * n^beta fit by
+    OLS on (ln cumulative tokens, ln cumulative types) at 10 corpus
+    checkpoints in doc_id order — the growth-side companion of
+    zipf_slope (Zipf reads the static rank curve; Heaps predicts how
+    the VOCAB table grows as the crawl grows, i.e. how big tomorrow's
+    vocabulary — and its shuffle — will be; beta ~ 1/zipf-alpha under
+    the classic duality).
+
+    Exactness: cumulative distinct-type counts NEVER re-scan prefixes
+    — each type folds to its FIRST doc (min doc_id), per-doc new-type
+    counts cumsum exactly (the shingle_novelty trick applied to the
+    vocabulary), checkpoint selection is integer modular arithmetic
+    on dense ranks, and the OLS runs the zipf_slope pinned-ln
+    doctrine: exact BIGINT sums, beta ONE division, ROUND(,6).
+
+    Scale shape: tokens fold map-side twice ((tok) -> first doc;
+    (doc) -> length); the cumulative window runs over the DOCS-sized
+    table and the fit over 10 rows.  At 10^12 docs the window becomes
+    a two-pass prefix sum over doc-id ranges — the spelling is
+    unchanged."""
+    from pyspark.sql import Window
+
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split("text", " "), lambda x: x != "")
+        ).alias("tok"),
+    )
+    fo = t.groupBy("tok").agg(F.min("doc_id").cast("long").alias("d0"))
+    nw = fo.groupBy(F.col("d0").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new")
+    )
+    dl = t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tok")
+    )
+    win = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cm = (
+        dl.join(nw, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tok",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .select(
+            F.sum("n_tok").over(win).cast("long").alias("ctok"),
+            F.sum("n_new").over(win).cast("long").alias("ctyp"),
+            F.row_number().over(Window.orderBy("doc_id")).alias("rn"),
+            F.count(F.lit(1)).over(full).alias("nd"),
+        )
+    )
+    cp = cm.filter(
+        F.expr(
+            "rn % GREATEST(CAST(FLOOR(nd / 10.0) AS BIGINT), 1) = 0 "
+            "OR rn = nd"
+        )
+    )
+    q = cp.select(F.expr(_HEAPS_X).alias("x"), F.expr(_HEAPS_Y).alias("y"))
+    s = q.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.selectExpr(
+        "np", "sx", "sy", "sxy", "sxx", f"{_HEAPS_BETA} AS heaps_beta"
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

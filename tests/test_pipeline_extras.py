@@ -2129,3 +2129,59 @@ def test_funnel_latency_planted(spark):
     assert (r["n_converts"], r["min_s"], r["max_s"]) == (2, 10, 20)
     assert r["med2_s"] == 30
     assert r["mean_s"] == 15.0
+
+
+def test_heaps_law_pure_power_exact(spark):
+    """A corpus built so ctok(rn) = rn^2 and ctyp(rn) = rn + 1 (the
+    rn named types plus the shared filler type) fits beta ~ 0.5; the
+    accumulators are pinned bit-for-bit against an independent python
+    recomputation."""
+    import math
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    # doc k (0-based): tokens = 2k+1 total; exactly 1 new type, the
+    # rest repeats of type 't0' -> ctok(k) = (k+1)^2? sum(2i+1) =
+    # (k+1)^2 yes; ctyp(k) = k+1 -> V = sqrt(ctok): beta = 0.5
+    texts = []
+    for k in range(20):
+        toks = [f"n{k}"] + ["t0"] * (2 * k)
+        texts.append(" ".join(toks))
+    df = pd.DataFrame(
+        {
+            "doc_id": range(20),
+            "text": texts,
+            "lang": ["en"] * 20,
+            "source": ["s"] * 20,
+            "n_chars": [1] * 20,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        [r] = QUERIES["heaps_law"](spark, d).collect()
+
+    # independent recomputation with the same pin
+    def lq(v):
+        return math.floor(math.log(v) * 8192 + 0.5)
+
+    pts = []
+    stride = max(20 // 10, 1)
+    for rn in range(1, 21):
+        if rn % stride == 0 or rn == 20:
+            # rn docs: types n0..n_{rn-1} plus t0 (first at doc 1)
+            ctok, ctyp = rn * rn, rn + (1 if rn >= 2 else 0)
+            pts.append((lq(ctok), lq(ctyp)))
+    np_, sx = len(pts), sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    beta = round((np_ * sxy - sx * sy) / (np_ * sxx - sx * sx), 6)
+    assert (r["np"], r["sx"], r["sy"], r["sxy"], r["sxx"]) == (
+        np_, sx, sy, sxy, sxx
+    )
+    assert r["heaps_beta"] == beta
+    assert 0.35 < beta < 0.55  # sub-linear growth, ~sqrt
