@@ -13808,6 +13808,73 @@ def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "traffic_fano",
+    _with(
+        "hb AS (SELECT event_type, DATE_TRUNC('hour', ts) AS hour, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events "
+        "GROUP BY event_type, DATE_TRUNC('hour', ts))",
+        "hr AS (SELECT CAST(FLOOR(epoch(MAX(hour) - MIN(hour)) / "
+        "3600.0) AS BIGINT) + 1 AS nh FROM hb)",
+        "s AS (SELECT event_type, CAST(SUM(x) AS BIGINT) AS sx, "
+        "CAST(SUM(x * x) AS BIGINT) AS sxx FROM hb GROUP BY 1)",
+    )
+    + "SELECT s.event_type, hr.nh AS n_hours, s.sx AS n_events, s.sxx, "
+    "ROUND(CAST(s.sx AS DOUBLE) / CAST(hr.nh AS DOUBLE), 6) AS "
+    "mean_per_hour, "
+    "ROUND(CAST(hr.nh * s.sxx - s.sx * s.sx AS DOUBLE) / "
+    "CAST(hr.nh * s.sx AS DOUBLE), 6) AS fano "
+    "FROM s CROSS JOIN hr",
+)
+def q_traffic_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (index of dispersion) of hourly event counts per
+    event type: variance-to-mean over the FULL hour span of the
+    stream — the burstiness detector that separates Poisson-like
+    traffic (fano ~ 1) from bursty (>> 1) and clock-regular (<< 1)
+    load, the dispersion companion of traffic_autocorr's periodicity
+    and cusum_alarms' level shifts.
+
+    Exactness: empty hours are counted WITHOUT materializing them —
+    they add 0 to both sums, so only the bucket count n_hours (one
+    integer epoch difference over the global span) carries them; the
+    population identity var/mean = (n*sum(x^2) - (sum x)^2) / (n *
+    sum x) is ONE division of exact BIGINTs, ROUND(,6); the span is
+    shared across types (a type with no midnight events still
+    amortizes over the same clock).
+
+    Scale shape: one map-side fold to (type, hour) counts, a rollup
+    per type, one 1-row scalar; nothing wider than the hourly census
+    shuffles."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hb = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    hr = hb.agg(
+        (
+            F.expr(
+                "CAST(FLOOR(timestampdiff(SECOND, MIN(hour), MAX(hour)) "
+                "/ 3600.0) AS BIGINT) + 1"
+            )
+        ).alias("nh")
+    )
+    s = hb.groupBy("event_type").agg(
+        F.sum("x").cast("long").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+    )
+    return s.crossJoin(F.broadcast(hr)).selectExpr(
+        "event_type",
+        "nh AS n_hours",
+        "sx AS n_events",
+        "sxx",
+        "ROUND(CAST(sx AS DOUBLE) / CAST(nh AS DOUBLE), 6) AS "
+        "mean_per_hour",
+        "ROUND(CAST(nh * sxx - sx * sx AS DOUBLE) / "
+        "CAST(nh * sx AS DOUBLE), 6) AS fano",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -2185,3 +2185,46 @@ def test_heaps_law_pure_power_exact(spark):
     )
     assert r["heaps_beta"] == beta
     assert 0.35 < beta < 0.55  # sub-linear growth, ~sqrt
+
+
+def test_traffic_fano_exact_endpoints(spark):
+    """One event per hour for H hours gives fano EXACTLY 0 (clock-
+    regular); all k events in one hour of an H-hour span gives the
+    hand value k(H-1)/H; empty hours are counted via the span, not
+    materialized."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    t0 = pd.Timestamp("2024-03-01 00:30:00")
+    h = pd.Timedelta(hours=1)
+
+    def run(rows):
+        ev = pd.DataFrame(
+            rows,
+            columns=[
+                "event_id", "ts", "user_id", "event_type", "value", "props",
+            ],
+        ).astype({"ts": "datetime64[us]"})
+        with tempfile.TemporaryDirectory() as d:
+            ev.to_parquet(os.path.join(d, "events.parquet"))
+            return {
+                r["event_type"]: r
+                for r in QUERIES["traffic_fano"](spark, d).collect()
+            }
+
+    # regular: one 'a' event in each of 6 hours -> fano 0
+    reg = run([(i, t0 + i * h, 1, "a", 1.0, "{}") for i in range(6)])
+    assert (reg["a"]["n_hours"], reg["a"]["fano"]) == (6, 0.0)
+
+    # burst: 4 'b' events in hour 0, span fixed to 6 hours by one 'a'
+    # at each end
+    rows = [(0, t0, 9, "a", 1.0, "{}"), (1, t0 + 5 * h, 9, "a", 1.0, "{}")]
+    rows += [(10 + i, t0, 1, "b", 1.0, "{}") for i in range(4)]
+    burst = run(rows)
+    assert burst["b"]["n_hours"] == 6
+    # fano = (6*16 - 16) / (6*4) = 80/24
+    assert burst["b"]["fano"] == round(80 / 24.0, 6)
