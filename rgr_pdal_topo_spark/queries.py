@@ -13875,6 +13875,96 @@ def q_traffic_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_cluster_sizes",
+    "WITH RECURSIVE "
+    + _MINHASH_CTES[len("WITH "):].rstrip()
+    + ", "
+    + _VERIFIED_PAIRS_SQL
+    + ", sym AS (SELECT doc_a AS x, doc_b AS y FROM verified "
+    "UNION ALL SELECT doc_b, doc_a FROM verified), "
+    "reach(x, y) AS (SELECT x, y FROM sym "
+    "UNION SELECT r.x, s.y FROM reach r JOIN sym s ON s.x = r.y), "
+    "lab AS (SELECT x AS doc_id, LEAST(x, MIN(y)) AS cluster "
+    "FROM reach GROUP BY x), "
+    "cs AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS sz FROM lab "
+    "GROUP BY cluster), "
+    "h AS (SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_clusters FROM cs "
+    "GROUP BY sz), "
+    "tot AS (SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) "
+    "AS n_docs, CAST(COALESCE(SUM(sz * n_clusters), 0) AS BIGINT) AS "
+    "n_clustered, CAST(COALESCE(SUM((sz - 1) * n_clusters), 0) AS "
+    "BIGINT) AS n_removable FROM h) "
+    "SELECT h.sz, h.n_clusters, tot.n_docs, tot.n_clustered, "
+    "tot.n_removable, ROUND(CAST(tot.n_removable AS DOUBLE) / "
+    "CAST(tot.n_docs AS DOUBLE), 6) AS dedup_rate "
+    "FROM h CROSS JOIN tot",
+)
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size census over the near-dup connected components + the
+    corpus dedup rate — the capacity-planning numbers a dedup job
+    publishes BEFORE anyone deletes anything (how many docs sit in
+    2-clusters vs giant components decides keep-one-per-cluster
+    savings, and a single giant component is the classic
+    over-aggressive-threshold symptom this census makes visible):
+    per-size cluster counts, total clustered docs, removable docs
+    (size - 1 per cluster — the keep-the-canonical rule), and
+    removable/corpus as the dedup rate.
+
+    Exactness: composes dedup_clusters' engine path (min-label
+    propagation) / oracle path (recursive-CTE closure) unchanged,
+    then pure integer folds; the rate is ONE division, ROUND(,6).
+
+    Scale shape: the component labels fold to cluster sizes, sizes to
+    the size histogram — each strictly smaller than the last; the
+    scalar totals ride the histogram."""
+    from pyspark.sql import Window
+
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dt = dedup.shingle_ids(docs).localCheckpoint(eager=True)
+    sig = dedup.minhash_signatures(dt)
+    cand = dedup.minhash_candidate_pairs(sig)
+    jc = dedup.jaccard_pairs(dt, cand)
+    verified = jc.filter(F.col("jaccard") >= 0.5).select("doc_a", "doc_b")
+    lab = dedup.duplicate_components(verified)
+    cs = lab.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    h = cs.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters")
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    full = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return (
+        h.crossJoin(F.broadcast(nd))
+        .select(
+            "sz",
+            "n_clusters",
+            "n_docs",
+            F.coalesce(
+                F.sum(F.col("sz") * F.col("n_clusters")).over(full), F.lit(0)
+            ).cast("long").alias("n_clustered"),
+            F.coalesce(
+                F.sum((F.col("sz") - 1) * F.col("n_clusters")).over(full),
+                F.lit(0),
+            ).cast("long").alias("n_removable"),
+        )
+        .selectExpr(
+            "sz",
+            "n_clusters",
+            "n_docs",
+            "n_clustered",
+            "n_removable",
+            "ROUND(CAST(n_removable AS DOUBLE) / CAST(n_docs AS DOUBLE), "
+            "6) AS dedup_rate",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

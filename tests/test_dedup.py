@@ -947,3 +947,36 @@ def test_neardup_eval_identical_docs_full_recall(spark):
     assert r["n_truth"] == 1 and r["n_hit"] == 1
     assert r["recall"] == 1.0
     assert r["n_cand"] >= 1
+
+
+def test_dedup_cluster_sizes_planted(spark):
+    """A triangle of identical docs plus a pair plus a singleton:
+    sizes {3: 1, 2: 1}, clustered 5, removable 3, rate 3/6."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    a = "the quick brown fox jumps over the lazy dog tonight"
+    b = "pack my box with five dozen liquor jugs right now ok"
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5, 6],
+            "text": [a, a, a, b, b,
+                     "completely unrelated content about spark engines"],
+            "lang": ["en"] * 6,
+            "source": ["s"] * 6,
+            "n_chars": [50] * 6,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        rows = {
+            r["sz"]: r for r in QUERIES["dedup_cluster_sizes"](spark, d).collect()
+        }
+    assert rows[3]["n_clusters"] == 1 and rows[2]["n_clusters"] == 1
+    r = rows[3]
+    assert (r["n_docs"], r["n_clustered"], r["n_removable"]) == (6, 5, 3)
+    assert r["dedup_rate"] == 0.5
