@@ -203,6 +203,12 @@ HEADLINE = [
     "openness",
     "ks_lengths",
     "semivariogram_aniso",
+    # (dedup_cluster_sizes is absent for the eager-builder reason: its
+    # shingle-id input localCheckpoints inside the builder)
+    "ann_recall_eval",
+    "funnel_latency",
+    "heaps_law",
+    "traffic_fano",
 ]
 
 

@@ -14178,7 +14178,8 @@ DRIVER_WINDOW: list[str] = [
 # theil_decomposition, lang_source_mi, benford_digits,
 # basin_drainage, tile_skew, neardup_eval; second wave, same sweep:
 # customer_orders_hist, lang_homophily, openness, ks_lengths,
-# semivariogram_aniso.
+# semivariogram_aniso; third wave, same sweep: ann_recall_eval,
+# funnel_latency, heaps_law, traffic_fano, dedup_cluster_sizes.
 
 
 def _reorder_registration() -> None:
