@@ -13965,6 +13965,102 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HILL_K = 50  #: top-k order statistics in the Hill estimator
+
+
+@query(
+    "hill_tail",
+    _with(
+        f"lp AS ({_LINKED_PAGES_DUCK})",
+        _LK_CTE,
+        "i AS (SELECT dst AS host, CAST(COUNT(*) AS BIGINT) AS deg "
+        "FROM lk GROUP BY dst)",
+        "r AS (SELECT deg, CAST(ROW_NUMBER() OVER (ORDER BY deg DESC, "
+        "host ASC) AS BIGINT) AS rk FROM i)",
+        f"kk AS (SELECT CAST(LEAST({_HILL_K}, COUNT(*) - 1) AS BIGINT) "
+        "AS k FROM r)",
+        "xk AS (SELECT r.deg AS degk FROM r CROSS JOIN kk "
+        "WHERE r.rk = kk.k + 1)",
+        "acc AS (SELECT CAST(SUM("
+        + _KL_LQ.format(x="r.deg")
+        + " - " + _KL_LQ.format(x="xk.degk")
+        + ") AS BIGINT) AS a FROM r CROSS JOIN kk CROSS JOIN xk "
+        "WHERE r.rk <= kk.k)",
+    )
+    + "SELECT kk.k, xk.degk, acc.a AS acc, "
+    "ROUND(CAST(acc.a AS DOUBLE) / (CAST(kk.k AS DOUBLE) * 8192.0), 6) "
+    "AS hill_h, "
+    "CASE WHEN acc.a > 0 THEN ROUND(CAST(kk.k AS DOUBLE) * 8192.0 / "
+    "CAST(acc.a AS DOUBLE), 6) END AS tail_alpha "
+    "FROM kk CROSS JOIN xk CROSS JOIN acc",
+)
+def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the power-law tail index of host in-degrees:
+    H_k = (1/k) sum over the top-k order statistics of ln(x_i /
+    x_{k+1}), alpha = 1/H_k — the order-statistics MLE that
+    complements zipf_slope's OLS fit (OLS over-weights the noisy deep
+    tail; Hill reads only the extreme order statistics, which is what
+    "is this crawl scale-free" actually asks) and indegree_gini's
+    single-number concentration.
+
+    Exactness: degrees are integers, each ln q13-pinned (the
+    pinned-ln doctrine), so the accumulator sum(lq(x_i) - lq(x_k1))
+    over the top-k is an exact BIGINT; H and alpha are ONE guarded
+    division each, ROUND(,6).  k = min(50, n-1) so the estimator is
+    defined on small graphs; ties rank deterministically (deg DESC,
+    host ASC).
+
+    Scale shape: the degree fold and the rank window run over the
+    HOSTS-sized table (the indegree_gini shape); everything after is
+    scalars."""
+    from pyspark.sql import Window
+
+    from rgr_pdal_topo_spark.operators import linkgraph
+
+    pages = pagesops.linked_pages_df(spark, sf_dir)
+    lk = linkgraph.extract_links(pages)
+    i = lk.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    r = i.select(
+        "deg",
+        F.row_number().over(
+            Window.orderBy(F.col("deg").desc(), F.col("host").asc())
+        ).cast("long").alias("rk"),
+    )
+    kk = r.agg(
+        F.least(F.lit(_HILL_K), F.count(F.lit(1)) - 1)
+        .cast("long").alias("k")
+    )
+    xk = r.crossJoin(F.broadcast(kk)).filter(
+        F.col("rk") == F.col("k") + 1
+    ).select(F.col("deg").alias("degk"))
+    acc = (
+        r.crossJoin(F.broadcast(kk))
+        .crossJoin(F.broadcast(xk))
+        .filter(F.col("rk") <= F.col("k"))
+        .agg(
+            F.sum(
+                F.expr(_KL_LQ.format(x="deg"))
+                - F.expr(_KL_LQ.format(x="degk"))
+            ).cast("long").alias("a")
+        )
+    )
+    return (
+        kk.crossJoin(F.broadcast(xk))
+        .crossJoin(F.broadcast(acc))
+        .selectExpr(
+            "k",
+            "degk",
+            "a AS acc",
+            "ROUND(CAST(a AS DOUBLE) / (CAST(k AS DOUBLE) * 8192.0), 6) "
+            "AS hill_h",
+            "CASE WHEN a > 0 THEN ROUND(CAST(k AS DOUBLE) * 8192.0 / "
+            "CAST(a AS DOUBLE), 6) END AS tail_alpha",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

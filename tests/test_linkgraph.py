@@ -585,3 +585,36 @@ def test_lang_homophily_pandas_replay(spark):
     assert (r["n_edges"], r["n_same"], r["qnum"]) == (E, n_same, qnum)
     assert r["homophily_q"] == round(qnum / (E * E), 6)
     assert E > 100  # non-degenerate graph
+
+
+def test_hill_tail_pandas_replay(spark):
+    """Recompute the Hill estimator in pandas from the engine's own
+    in-degree table (independent of the SQL oracle path): same
+    deterministic rank, same pinned-ln accumulator, bit-equal."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from rgr_pdal_topo_spark.operators import linkgraph
+    from rgr_pdal_topo_spark.operators import pages as pagesops
+    from rgr_pdal_topo_spark.queries import _HILL_K, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    lk = linkgraph.extract_links(pagesops.linked_pages_df(spark, sf))
+    degs = (
+        lk.groupBy(F.col("dst").alias("host"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .toPandas()
+        .sort_values(["deg", "host"], ascending=[False, True])
+        .deg.tolist()
+    )
+    k = min(_HILL_K, len(degs) - 1)
+    lq = lambda v: math.floor(math.log(v) * 8192 + 0.5)
+    degk = degs[k]  # rank k+1, 0-indexed
+    acc = sum(lq(x) - lq(degk) for x in degs[:k])
+
+    [r] = QUERIES["hill_tail"](spark, sf).collect()
+    assert (r["k"], r["degk"], r["acc"]) == (k, degk, acc)
+    assert r["hill_h"] == round(acc / (k * 8192.0), 6)
+    if acc > 0:
+        assert r["tail_alpha"] == round(k * 8192.0 / acc, 6)
