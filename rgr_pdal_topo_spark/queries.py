@@ -14061,6 +14061,84 @@ def q_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: second-largest of the four language scores via the max-of-pairwise-
+#: mins identity (ties collapse the margin to 0 automatically —
+#: a two-way tie makes the second max EQUAL the max), ONE spelling
+#: over columns a/b/c/d:
+_MARGIN_M2 = (
+    "GREATEST(LEAST(a, b), LEAST(a, c), LEAST(a, d), LEAST(b, c), "
+    "LEAST(b, d), LEAST(c, d))"
+)
+
+
+@query(
+    "langid_margin",
+    _with(
+        f"d AS (SELECT doc_id, lang, {_LANGMARK_SQL} AS text "
+        "FROM documents)",
+        "toks AS (SELECT doc_id, lang, "
+        "list_filter(string_split(text, ' '), x -> x <> '') AS t FROM d)",
+        "sc AS (SELECT lang, "
+        "CAST(len(list_filter(t, x -> x IN ('the','a','and','of','to'))) "
+        "AS BIGINT) AS a, "
+        "CAST(len(list_filter(t, x -> x IN ('el','la','de','que','y'))) "
+        "AS BIGINT) AS b, "
+        "CAST(len(list_filter(t, x -> x IN ('der','die','das','und',"
+        "'ist'))) AS BIGINT) AS c, "
+        "CAST(len(list_filter(t, x -> x IN ('le','la','de','et','les'))) "
+        "AS BIGINT) AS d, "
+        f"{_PRED_LANG_CASE_DUCK} AS pred_lang FROM toks)",
+        "mg AS (SELECT CAST(GREATEST(a, b, c, d) - "
+        + _MARGIN_M2
+        + " AS BIGINT) AS margin, CASE WHEN pred_lang = lang THEN 1 "
+        "ELSE 0 END AS is_correct FROM sc)",
+    )
+    + "SELECT margin, is_correct, CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "FROM mg GROUP BY margin, is_correct",
+)
+def q_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confidence-margin census for the language-ID classifier: per
+    document, the top stopword score minus the runner-up (the
+    max-of-pairwise-mins identity computes the second max in one
+    branch-free spelling; ties collapse the margin to 0), crossed
+    with correctness — the table an operator reads to SET the
+    abstention threshold (langid_confusion says where errors go,
+    langid_kappa how much is chance; THIS says at what margin errors
+    actually live, and whether margin-0 docs should fall back to
+    'und').  Same planted langmark corpus as the confusion matrix.
+
+    Exactness: scores are integer stopword counts; GREATEST/LEAST
+    over integers, margin an exact BIGINT, counts exact — nothing to
+    round anywhere.
+
+    Scale shape: one scan folds per-doc scores to the (margin,
+    correct) census — output bounded by the max stopword count, not
+    the corpus."""
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "lang", f"{_LANGMARK_SQL} AS text"
+    )
+    sc = textstats.langid_scores(docs).select(
+        "lang",
+        F.col("score_en").cast("long").alias("a"),
+        F.col("score_es").cast("long").alias("b"),
+        F.col("score_de").cast("long").alias("c"),
+        F.col("score_fr").cast("long").alias("d"),
+        "pred_lang",
+    )
+    mg = sc.select(
+        (
+            F.greatest("a", "b", "c", "d") - F.expr(_MARGIN_M2)
+        ).cast("long").alias("margin"),
+        F.when(F.col("pred_lang") == F.col("lang"), 1)
+        .otherwise(0).alias("is_correct"),
+    )
+    return mg.groupBy("margin", "is_correct").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -2228,3 +2228,40 @@ def test_traffic_fano_exact_endpoints(spark):
     assert burst["b"]["n_hours"] == 6
     # fano = (6*16 - 16) / (6*4) = 80/24
     assert burst["b"]["fano"] == round(80 / 24.0, 6)
+
+
+def test_langid_margin_planted(spark):
+    """Hand-built margins: a doc with 3 'the' + 1 'der' has margin 2
+    and is correct for lang=en; a doc tying en and de at 2-2 has
+    margin 0 (the pairwise-min identity collapses ties); a pure-de
+    doc labeled en is incorrect at its margin.  Odd doc_ids dodge
+    the langmark injection."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    df = pd.DataFrame(
+        {
+            "doc_id": [1, 3, 5],
+            "text": [
+                "the the the der x",        # en margin 2, correct
+                "the a der die x",          # 2-2 tie -> margin 0
+                "der die das und ist x",    # de, labeled en -> wrong
+            ],
+            "lang": ["en", "en", "en"],
+            "source": ["s"] * 3,
+            "n_chars": [9] * 3,
+        }
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.to_parquet(os.path.join(d, "documents.parquet"))
+        got = {
+            (r["margin"], r["is_correct"]): r["n_docs"]
+            for r in QUERIES["langid_margin"](spark, d).collect()
+        }
+    assert got[(2, 1)] == 1       # the-heavy doc
+    assert got[(0, 1)] == 1       # tie resolves to en (preference order)
+    assert got[(5, 0)] == 1       # pure-de doc mislabeled
