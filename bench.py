@@ -209,6 +209,8 @@ HEADLINE = [
     "funnel_latency",
     "heaps_law",
     "traffic_fano",
+    "hill_tail",
+    "langid_margin",
 ]
 
 

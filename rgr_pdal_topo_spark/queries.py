@@ -14353,7 +14353,8 @@ DRIVER_WINDOW: list[str] = [
 # basin_drainage, tile_skew, neardup_eval; second wave, same sweep:
 # customer_orders_hist, lang_homophily, openness, ks_lengths,
 # semivariogram_aniso; third wave, same sweep: ann_recall_eval,
-# funnel_latency, heaps_law, traffic_fano, dedup_cluster_sizes.
+# funnel_latency, heaps_law, traffic_fano, dedup_cluster_sizes;
+# fourth wave, same sweep: hill_tail, langid_margin.
 
 
 def _reorder_registration() -> None:
