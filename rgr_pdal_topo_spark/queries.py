@@ -14139,6 +14139,104 @@ def q_langid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "resample_error",
+    _BASE.rstrip()
+    + f", gmean AS ({GRID_MEAN_CTE}), "
+    f"zt AS (SELECT cell_row, cell_col, {qint_sql('value', Q13)} AS z "
+    "FROM gmean), "
+    # 2x2 block average, kept EXACT as the integer sum + count
+    "co AS (SELECT CAST(FLOOR(cell_row / 2.0) AS BIGINT) AS br, "
+    "CAST(FLOOR(cell_col / 2.0) AS BIGINT) AS bc, "
+    "CAST(SUM(z) AS BIGINT) AS zsum, CAST(COUNT(*) AS BIGINT) AS bn "
+    "FROM zt GROUP BY 1, 2), "
+    # nearest upsample = every fine cell reads its block; the error is
+    # exact in quarter-units: 4*z*bn - 4*zsum ... with bn cells the
+    # block mean is zsum/bn -> err_q = z*bn - zsum (integer, bn-scaled)
+    "er AS (SELECT t.cell_row, t.cell_col, "
+    "CAST(t.z * c.bn - c.zsum AS BIGINT) AS eq, c.bn FROM zt t "
+    "JOIN co c ON c.br = CAST(FLOOR(t.cell_row / 2.0) AS BIGINT) "
+    "AND c.bc = CAST(FLOOR(t.cell_col / 2.0) AS BIGINT)), "
+    # bn-scaled squared error: sum of (eq/bn)^2 = sum(eq^2 / bn^2);
+    # multiply through by 144 = lcm(1..4)^2 so the factor 144/bn^2 is
+    # an exact INTEGER for every partial-block size (144, 36, 16, 9 —
+    # a 16x scale would break on 3-cell boundary blocks), cast BEFORE
+    # the product so the sum stays BIGINT
+    "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST(SUM(eq * eq * CAST(144 / (bn * bn) AS BIGINT)) AS BIGINT) "
+    "AS sse144 FROM er) "
+    "SELECT n, sse144, "
+    "ROUND(SQRT(CAST(sse144 AS DOUBLE) / (144.0 * CAST(n AS DOUBLE))) / "
+    "8192.0, 6) AS rmse "
+    "FROM s",
+)
+def q_resample_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip resampling error of the mean DEM: coarsen by 2x2
+    block average, upsample back by nearest, and report the RMSE the
+    round trip cost — the raster family's measured-approximation row
+    (resample_average/near are verified correct; THIS prices the
+    information a pyramid level throws away, the number a tile_pyramid
+    consumer reads before serving the coarse level).
+
+    Exactness: the coarse mean is carried UNDIVIDED as (zsum, bn), so
+    the per-cell error in bn-scaled units eq = z*bn - zsum is an exact
+    BIGINT, and the squared-error sum multiplies through by 144/bn^2
+    (exact integer for every bn <= 4: 144, 36, 16, 9) making sse144
+    exact — partial
+    blocks at the populated-grid boundary are handled exactly, not
+    dropped; RMSE is one sqrt of one division, ROUND(,6), back in
+    z-units via the q13 scale.
+
+    Scale shape: one block fold (map-side: block key is a projection
+    of the cell key, so the fold co-locates under grid partitioning)
+    + one cells-sized equi-join back + one scalar fold."""
+    zt = mean_dem(spark, sf_dir).select(
+        "cell_row", "cell_col", qint_col(F.col("value"), Q13).alias("z")
+    )
+    return _resample_error_core(zt)
+
+
+def _resample_error_core(zt: DataFrame) -> DataFrame:
+    """Round-trip error plan over a (cell_row, cell_col, z) q13 grid —
+    factored so planted tests can drive analytic surfaces
+    (block-constant -> exactly 0; checkerboard -> exactly 1.0)."""
+    co = (
+        zt.groupBy(
+            F.floor(F.col("cell_row") / 2.0).cast("long").alias("br"),
+            F.floor(F.col("cell_col") / 2.0).cast("long").alias("bc"),
+        )
+        .agg(
+            F.sum("z").cast("long").alias("zsum"),
+            F.count(F.lit(1)).cast("long").alias("bn"),
+        )
+    )
+    er = (
+        zt.withColumn(
+            "br", F.floor(F.col("cell_row") / 2.0).cast("long")
+        )
+        .withColumn("bc", F.floor(F.col("cell_col") / 2.0).cast("long"))
+        .join(co, ["br", "bc"])
+        .select(
+            (F.col("z") * F.col("bn") - F.col("zsum"))
+            .cast("long").alias("eq"),
+            "bn",
+        )
+    )
+    s = er.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.col("eq") * F.col("eq")
+            * (F.lit(144) / (F.col("bn") * F.col("bn"))).cast("long")
+        ).cast("long").alias("sse144"),
+    )
+    return s.selectExpr(
+        "n",
+        "sse144",
+        "ROUND(SQRT(CAST(sse144 AS DOUBLE) / (144.0 * CAST(n AS DOUBLE))) "
+        "/ 8192.0, 6) AS rmse",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -2265,3 +2265,39 @@ def test_langid_margin_planted(spark):
     assert got[(2, 1)] == 1       # the-heavy doc
     assert got[(0, 1)] == 1       # tie resolves to en (preference order)
     assert got[(5, 0)] == 1       # pure-de doc mislabeled
+
+
+def test_resample_error_analytic(spark):
+    """A DEM constant within every 2x2 block round-trips EXACTLY
+    (rmse 0.0); a checkerboard of +/-8192 (1.0 in z units) has every
+    block mean 0, so every cell errs by exactly 1.0 -> rmse 1.0; a
+    3-cell partial block exercises the 144/bn^2 = 16 branch (a 16x
+    scale would be fractional there)."""
+    from rgr_pdal_topo_spark.queries import _resample_error_core
+
+    def run(rows):
+        zt = spark.createDataFrame(
+            rows, "cell_row int, cell_col int, z long"
+        )
+        [r] = _resample_error_core(zt).collect()
+        return r
+
+    # block-constant: 4x4 grid, z = block id
+    bc = run([
+        (r, c, 1000 * ((r // 2) * 2 + (c // 2)))
+        for r in range(4) for c in range(4)
+    ])
+    assert (bc["sse144"], bc["rmse"]) == (0, 0.0)
+
+    # checkerboard +/-8192: block means 0, every error exactly 1.0
+    cb = run([
+        (r, c, 8192 if (r + c) % 2 == 0 else -8192)
+        for r in range(4) for c in range(4)
+    ])
+    assert cb["rmse"] == 1.0
+
+    # 3-cell partial block: cells (0,0),(0,1),(1,0) with z 0,0,3*8192;
+    # eq = z*3 - zsum: (-3*8192, -3*8192, 6*8192), factor 144/9 = 16
+    pb = run([(0, 0, 0), (0, 1, 0), (1, 0, 3 * 8192)])
+    eqs = [-3 * 8192, -3 * 8192, 6 * 8192]
+    assert pb["sse144"] == sum(e * e * 16 for e in eqs)
