@@ -211,6 +211,7 @@ HEADLINE = [
     "traffic_fano",
     "hill_tail",
     "langid_margin",
+    "resample_error",
 ]
 
 

@@ -14452,7 +14452,8 @@ DRIVER_WINDOW: list[str] = [
 # customer_orders_hist, lang_homophily, openness, ks_lengths,
 # semivariogram_aniso; third wave, same sweep: ann_recall_eval,
 # funnel_latency, heaps_law, traffic_fano, dedup_cluster_sizes;
-# fourth wave, same sweep: hill_tail, langid_margin.
+# fourth wave, same sweep: hill_tail, langid_margin,
+# resample_error.
 
 
 def _reorder_registration() -> None:
