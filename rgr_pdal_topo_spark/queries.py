@@ -14237,6 +14237,64 @@ def _resample_error_core(zt: DataFrame) -> DataFrame:
     )
 
 
+@query(
+    "order_census",
+    _FLOW_BASE
+    + f", reach AS ({_FREACH}), area AS MATERIALIZED ({_FAREA}), "
+    f"rid AS MATERIALIZED ({_FORDER_RID}), "
+    f"seq AS MATERIALIZED ({_FORDER_SEQ}), "
+    f"st AS ({_FORDER_ST}), "
+    "fin AS (SELECT ord FROM st ORDER BY step DESC LIMIT 1), "
+    "ords AS (SELECT u.rid AS rid, fin.ord[u.rid] AS stream_order "
+    "FROM fin, LATERAL (SELECT unnest(generate_series(1, "
+    "len(fin.ord))) AS rid) u), "
+    "oc AS (SELECT CAST(o.stream_order AS INT) AS stream_order, "
+    "CAST(COUNT(*) AS BIGINT) AS n_cells FROM ords o GROUP BY 1) "
+    "SELECT stream_order, n_cells, "
+    "CASE WHEN LEAD(n_cells) OVER (ORDER BY stream_order) > 0 THEN "
+    "ROUND(CAST(n_cells AS DOUBLE) / CAST(LEAD(n_cells) OVER "
+    "(ORDER BY stream_order) AS DOUBLE), 6) END AS decay_ratio "
+    "FROM oc",
+)
+def q_order_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-order census of the channel network + the adjacent-order
+    cell-count decay ratio — the Horton's-laws readout in its
+    cell-count form (true Horton bifurcation ratios count SEGMENTS;
+    cells-per-order is the n_streams x mean-length product, the cheap
+    proxy a raster pipeline reads first — the proxy is stated, not
+    hidden, the basin_drainage discipline).  A healthy dendritic
+    network decays geometrically (ratio roughly constant, the
+    composite of R_B and R_L); a flat or inverted ratio flags a
+    truncated or disconnected extraction.
+
+    Exactness: consumes the SAME per-cell orders flow_order verifies
+    (engine: ascending-area sweep; oracle: the identical sequential
+    replay), then integer counts and ONE guarded division per adjacent
+    pair, ROUND(,6).
+
+    Scale shape: the order column folds map-side to <= max-order rows;
+    the LEAD window runs over those."""
+    from pyspark.sql import Window
+
+    m = _flow_metrics_raw(spark, sf_dir)
+    oc = (
+        m.select(F.col("order").cast("int").alias("stream_order"))
+        .groupBy("stream_order")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cells"))
+    )
+    nxt = F.lead("n_cells").over(Window.orderBy("stream_order"))
+    return oc.select(
+        "stream_order",
+        "n_cells",
+        F.when(
+            nxt > 0,
+            F.round(
+                F.col("n_cells").cast("double") / nxt.cast("double"), 6
+            ),
+        ).alias("decay_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -438,3 +438,34 @@ def test_basin_drainage_pandas_replay(spark):
     }
     assert got == exp
     assert any(v[1] > 0 for v in exp.values())  # channels exist
+
+
+def test_order_census_pandas_replay(spark):
+    """Replay the order census in pandas from the engine's own
+    stream-order column: same counts, same LEAD ratio, NULL on the
+    top order."""
+    from rgr_pdal_topo_spark.queries import QUERIES, _flow_metrics_raw
+
+    sf = "/root/testdata/sf0.001"
+    orders = (
+        _flow_metrics_raw(spark, sf)
+        .select("order")
+        .toPandas()["order"]
+        .astype(int)
+    )
+    counts = orders.value_counts().sort_index()
+    rows = {
+        r["stream_order"]: r
+        for r in QUERIES["order_census"](spark, sf).collect()
+    }
+    ks = sorted(counts.index)
+    assert sorted(rows) == ks
+    for i, k in enumerate(ks):
+        assert rows[k]["n_cells"] == counts[k]
+        if i + 1 < len(ks):
+            assert rows[k]["decay_ratio"] == round(
+                counts[k] / counts[ks[i + 1]], 6
+            )
+        else:
+            assert rows[k]["decay_ratio"] is None
+    assert len(ks) >= 2  # the network has at least two orders
