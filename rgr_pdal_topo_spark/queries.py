@@ -14295,6 +14295,98 @@ def q_order_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "user_value_concentration",
+    _with(
+        "uv AS (SELECT user_id, CAST(SUM(CAST(FLOOR(value * 100.0 + "
+        "0.5) AS BIGINT)) AS BIGINT) AS cents FROM events "
+        "GROUP BY user_id)",
+        "r AS (SELECT cents, CAST(ROW_NUMBER() OVER (ORDER BY cents "
+        "DESC, user_id ASC) AS BIGINT) AS rk FROM uv)",
+        "cum AS (SELECT rk, CAST(SUM(cents) OVER (ORDER BY rk ROWS "
+        "BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS "
+        "ccents FROM r)",
+        "tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(cents) AS BIGINT) AS total FROM r)",
+        "ps AS (SELECT CAST(p AS BIGINT) AS pct FROM (VALUES (1), "
+        "(10), (20), (50)) v(p))",
+        # ceil(n * pct / 100) in pure integers — n * 0.01 in doubles
+        # can land a hair above the integer and ceil one too high
+        "ks AS (SELECT ps.pct, (tot.n * ps.pct + 99) // 100 AS k "
+        "FROM ps CROSS JOIN tot)",
+    )
+    + "SELECT ks.pct, ks.k AS n_top_users, cum.ccents AS top_cents, "
+    "tot.total AS total_cents, "
+    "ROUND(CAST(cum.ccents AS DOUBLE) / CAST(tot.total AS DOUBLE), 6) "
+    "AS value_share FROM ks CROSS JOIN tot "
+    "JOIN cum ON cum.rk = ks.k",
+)
+def q_user_value_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Value-concentration checkpoints over users: the share of total
+    event value carried by the top 1 / 10 / 20 / 50 % of users ranked
+    by their cent-quantized value sum — the Lorenz-curve readout
+    ("do whales drive the revenue?") that complements indegree_gini's
+    single number with the actual operating points a pricing or
+    abuse team quotes (vocab_coverage's head-mass trick applied to
+    users x money).
+
+    Exactness: per-user cents are exact BIGINTs (the trade_volumes
+    cent-quantization doctrine), ranks are a total order (cents DESC,
+    user_id), checkpoint sizes are ceil(n*pct/100) in PURE integer
+    arithmetic ((n*pct + 99) // 100 — n * 0.01 in doubles can land a
+    hair above the integer and ceil one too high), and each share is
+    ONE division, ROUND(,6).
+
+    Scale shape: events fold map-side to per-user cents; the rank
+    window runs over the USERS-sized table (the indegree_gini note:
+    the global sort is inherent to the statistic, one narrow
+    (int64, int64) range-partitioned sort at 10^9 users)."""
+    from pyspark.sql import Window
+
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    uv = ev.groupBy("user_id").agg(
+        F.sum(
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+        ).cast("long").alias("cents")
+    )
+    r = uv.select(
+        "cents",
+        F.row_number().over(
+            Window.orderBy(F.col("cents").desc(), F.col("user_id").asc())
+        ).cast("long").alias("rk"),
+    )
+    cum = r.select(
+        "rk",
+        F.sum("cents").over(
+            Window.orderBy("rk").rowsBetween(
+                Window.unboundedPreceding, Window.currentRow
+            )
+        ).cast("long").alias("ccents"),
+    )
+    tot = r.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+    )
+    ps = spark.createDataFrame([(1,), (10,), (20,), (50,)], "pct long")
+    ks = ps.crossJoin(F.broadcast(tot)).select(
+        "pct",
+        "total",
+        F.expr("(n * pct + 99) DIV 100").alias("k"),
+    )
+    return ks.join(cum, F.col("rk") == F.col("k")).selectExpr(
+        "pct",
+        "k AS n_top_users",
+        "ccents AS top_cents",
+        "total AS total_cents",
+        "ROUND(CAST(ccents AS DOUBLE) / CAST(total AS DOUBLE), 6) AS "
+        "value_share",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

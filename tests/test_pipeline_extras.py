@@ -2301,3 +2301,37 @@ def test_resample_error_analytic(spark):
     pb = run([(0, 0, 0), (0, 1, 0), (1, 0, 3 * 8192)])
     eqs = [-3 * 8192, -3 * 8192, 6 * 8192]
     assert pb["sse144"] == sum(e * e * 16 for e in eqs)
+
+
+def test_user_value_concentration_planted(spark):
+    """Ten users with values 10..1 dollars: top-1% is ceil(0.1) = 1
+    user (1000 of 5500 cents), top-50% is 5 users (4000 of 5500);
+    the integer ceil spelling picks exactly these ranks."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    ev = pd.DataFrame(
+        {
+            "event_id": range(10),
+            "ts": [pd.Timestamp("2024-01-01")] * 10,
+            "user_id": range(10),
+            "event_type": ["purchase"] * 10,
+            "value": [float(10 - i) for i in range(10)],
+            "props": ["{}"] * 10,
+        }
+    ).astype({"ts": "datetime64[us]"})
+    with tempfile.TemporaryDirectory() as d:
+        ev.to_parquet(os.path.join(d, "events.parquet"))
+        got = {
+            r["pct"]: r
+            for r in QUERIES["user_value_concentration"](spark, d).collect()
+        }
+    assert (got[1]["n_top_users"], got[1]["top_cents"]) == (1, 1000)
+    assert got[1]["value_share"] == round(1000 / 5500.0, 6)
+    assert (got[50]["n_top_users"], got[50]["top_cents"]) == (5, 4000)
+    assert got[50]["value_share"] == round(4000 / 5500.0, 6)
+    assert got[10]["n_top_users"] == 1 and got[20]["n_top_users"] == 2
