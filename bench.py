@@ -212,6 +212,10 @@ HEADLINE = [
     "hill_tail",
     "langid_margin",
     "resample_error",
+    # (order_census times its OWN marginal plan over the shared
+    # memoized flow pass, the flow_chi/twi/hand precedent)
+    "order_census",
+    "user_value_concentration",
 ]
 
 

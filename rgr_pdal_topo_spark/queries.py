@@ -14603,7 +14603,8 @@ DRIVER_WINDOW: list[str] = [
 # semivariogram_aniso; third wave, same sweep: ann_recall_eval,
 # funnel_latency, heaps_law, traffic_fano, dedup_cluster_sizes;
 # fourth wave, same sweep: hill_tail, langid_margin,
-# resample_error.
+# resample_error; fifth wave, same sweep: order_census,
+# user_value_concentration.
 
 
 def _reorder_registration() -> None:
