@@ -14387,6 +14387,83 @@ def q_user_value_concentration(
     )
 
 
+@query(
+    "events_dow_profile",
+    _with(
+        # dow 0 = Monday via day-count arithmetic from a known Monday —
+        # the engines' native dayofweek() disagree on the start-of-week
+        # convention (Spark 1=Sunday, DuckDB 0=Sunday), day arithmetic
+        # does not
+        "e AS (SELECT datediff('day', DATE '1970-01-05', "
+        "CAST(ts AS DATE)) % 7 AS dow, "
+        "CAST(EXTRACT(HOUR FROM ts) AS BIGINT) AS hr FROM events)",
+        "c AS (SELECT CAST(dow AS BIGINT) AS dow, hr, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY 1, 2)",
+        "t AS (SELECT dow, n, hr, CAST(SUM(n) OVER (PARTITION BY dow) "
+        "AS BIGINT) AS dow_total, ROW_NUMBER() OVER (PARTITION BY dow "
+        "ORDER BY n DESC, hr ASC) AS pk FROM c)",
+    )
+    + "SELECT dow, hr, n, dow_total, "
+    "ROUND(CAST(n AS DOUBLE) / CAST(dow_total AS DOUBLE), 6) AS "
+    "hour_share, CASE WHEN pk = 1 THEN 1 ELSE 0 END AS is_peak "
+    "FROM t",
+)
+def q_events_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week x hour-of-day load profile with the peak hour per
+    day — the basic traffic shape every capacity plan starts from
+    (the traffic family's missing first chart beside autocorr's
+    periodicity, fano's dispersion, cusum's level shifts): per (dow,
+    hour) counts, each hour's share of its day, and a deterministic
+    peak flag (count DESC, hour ASC — ties resolve to the earlier
+    hour).
+
+    Exactness: dow 0 = Monday comes from day-count arithmetic against
+    a known Monday — the engines' NATIVE dayofweek() disagree on the
+    start-of-week convention (Spark 1=Sunday, DuckDB 0=Sunday), day
+    differences do not; counts are integers, the share ONE division
+    ROUND(,6), the peak a ROW_NUMBER total order.
+
+    Scale shape: one map-side fold to <= 168 (dow, hour) rows; both
+    windows run over that census."""
+    from pyspark.sql import Window
+
+    from rgr_pdal_topo_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    c = (
+        ev.select(
+            # Spark datediff(end, start); dates post-1970 keep % >= 0
+            F.expr(
+                "datediff(CAST(ts AS DATE), DATE '1970-01-05') % 7"
+            ).cast("long").alias("dow"),
+            F.expr("EXTRACT(HOUR FROM ts)").cast("long").alias("hr"),
+        )
+        .groupBy("dow", "hr")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    t = c.select(
+        "dow",
+        "hr",
+        "n",
+        F.sum("n").over(Window.partitionBy("dow")).cast("long")
+        .alias("dow_total"),
+        F.row_number().over(
+            Window.partitionBy("dow").orderBy(
+                F.col("n").desc(), F.col("hr").asc()
+            )
+        ).alias("pk"),
+    )
+    return t.selectExpr(
+        "dow",
+        "hr",
+        "n",
+        "dow_total",
+        "ROUND(CAST(n AS DOUBLE) / CAST(dow_total AS DOUBLE), 6) AS "
+        "hour_share",
+        "CASE WHEN pk = 1 THEN 1 ELSE 0 END AS is_peak",
+    )
+
+
 # ---------------------------------------------------------------------------
 # registration order
 #

@@ -2335,3 +2335,43 @@ def test_user_value_concentration_planted(spark):
     assert (got[50]["n_top_users"], got[50]["top_cents"]) == (5, 4000)
     assert got[50]["value_share"] == round(4000 / 5500.0, 6)
     assert got[10]["n_top_users"] == 1 and got[20]["n_top_users"] == 2
+
+
+def test_events_dow_profile_planted(spark):
+    """2024-01-01 was a Monday -> dow 0 by the day-count spelling; a
+    planted Monday with 3 events at 09h and 1 at 17h gives the peak
+    at 09 with share 0.75; a peak TIE resolves to the earlier hour."""
+    import os
+    import tempfile
+
+    import pandas as pd
+
+    from rgr_pdal_topo_spark.queries import QUERIES
+
+    def run(stamps):
+        ev = pd.DataFrame(
+            {
+                "event_id": range(len(stamps)),
+                "ts": stamps,
+                "user_id": [1] * len(stamps),
+                "event_type": ["view"] * len(stamps),
+                "value": [1.0] * len(stamps),
+                "props": ["{}"] * len(stamps),
+            }
+        ).astype({"ts": "datetime64[us]"})
+        with tempfile.TemporaryDirectory() as d:
+            ev.to_parquet(os.path.join(d, "events.parquet"))
+            return QUERIES["events_dow_profile"](spark, d).collect()
+
+    mon9 = pd.Timestamp("2024-01-01 09:15:00")
+    mon17 = pd.Timestamp("2024-01-01 17:45:00")
+    rows = run([mon9, mon9, mon9, mon17])
+    by_hr = {r["hr"]: r for r in rows}
+    assert all(r["dow"] == 0 for r in rows)  # Monday
+    assert by_hr[9]["is_peak"] == 1 and by_hr[9]["hour_share"] == 0.75
+    assert by_hr[17]["is_peak"] == 0
+
+    tie = run([mon9, mon17])
+    by_hr = {r["hr"]: r for r in tie}
+    assert by_hr[9]["is_peak"] == 1  # tie -> earlier hour
+    assert by_hr[17]["is_peak"] == 0
