@@ -216,6 +216,7 @@ HEADLINE = [
     # memoized flow pass, the flow_chi/twi/hand precedent)
     "order_census",
     "user_value_concentration",
+    "events_dow_profile",
 ]
 
 

@@ -14681,7 +14681,7 @@ DRIVER_WINDOW: list[str] = [
 # funnel_latency, heaps_law, traffic_fano, dedup_cluster_sizes;
 # fourth wave, same sweep: hill_tail, langid_margin,
 # resample_error; fifth wave, same sweep: order_census,
-# user_value_concentration.
+# user_value_concentration, events_dow_profile.
 
 
 def _reorder_registration() -> None:
